@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface (SURVEY.md §2.5): the reference's QueryRecord
+  * operator exposes arbitrary Calcite SQL over the record set
+  * (56409-tika.xml:1846-1860); our engine exposes full Spark SQL — these
+  * queries exercise scan/filter/project/aggregate/join/window/sort/limit
+  * against the synthetic TPC-H-ish tables.
+  *
+  * Oracle-stability rules used throughout graft.queries:
+  *  - the synthetic money columns are exact cents and discounts exact
+  *    hundredths (verified), so each base column is cast to
+  *    DecimalType(18,2) FIRST and all arithmetic runs in decimal —
+  *    Spark and DuckDB then agree bit-for-bit regardless of summation
+  *    order (a double product cast to decimal would tie-break
+  *    differently at dyadic .xx5 values);
+  *  - double-valued outputs are rounded;
+  *  - every result has a deterministic total ORDER BY.
+  */
+object RelationalQueries {
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing-summary aggregate (TPC-H Q1 shape) — partial aggregation
+    // map-side, single shuffle on the two low-cardinality grouping keys.
+    "q_agg_pricing" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" < lit("1998-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(dec)).as("sum_qty"),
+          sum($"l_extendedprice".cast(dec)).as("sum_base_price"),
+          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Revenue by nation: two joins; nation/region are tiny → broadcast.
+    "q_join_revenue_by_nation" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+               .as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"n_name")
+    }),
+
+    // Top-k per group via window row_number (no global sort).
+    "q_window_topk_orders" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey",
+                $"o_totalprice".cast(dec).as("o_totalprice"), $"rn")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Filter + projection pushed to parquet scan; global sort + limit.
+    "q_filter_topn" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderstatus" === "O" && $"o_totalprice" > 100000.0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".cast(dec).as("o_totalprice"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+    }),
+
+    // Existence / anti joins (left_semi + left_anti).
+    "q_semi_customers_with_urgent" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+    "q_anti_customers_no_orders" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Set operation + distinct.
+    "q_union_keys" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+      val b = Tables.customer(s, d).filter($"c_acctbal" < 0).select($"c_custkey".as("k"))
+      a.union(b).distinct().orderBy($"k")
+    }),
+
+    // Grouped aggregate over events with time bucketing (micro-batch shape).
+    "q_events_by_type" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum($"value".cast(dec)).as("total_value"),
+             countDistinct($"user_id").as("n_users"))
+        .orderBy($"event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, cast(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_filter_topn" ->
+      """SELECT o_orderkey, o_custkey, cast(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_semi_customers_with_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_keys" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |) ORDER BY k""".stripMargin,
+    "q_events_by_type" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(cast(value AS DECIMAL(18,2))) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

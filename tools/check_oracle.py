@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles (mirrors the driver's t2 gate,
+but stricter): runs graft.Verify output against DuckDB on the same tables,
+sorts columns by name and rows by all columns, and demands exact equality.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    qdirs = [d for d in sorted(glob.glob(os.path.join(out_dir, "*"))) if os.path.isdir(d)]
+    for qd in qdirs:
+        name = os.path.basename(qd)
+        got = con.sql(f"SELECT * FROM '{qd}/*.parquet'").df()
+        if name not in oracle:
+            results[name] = f"ROWS-ONLY ({len(got)} rows)" if len(got) > 0 else "EMPTY-RESULT!"
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR: {e}"
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} duckdb={list(e.columns)}"
+        elif len(g) != len(e):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} duckdb={len(e)}"
+        else:
+            try:
+                eq = g.equals(e)
+                if not eq:
+                    # find first differing cell for debugging
+                    diff = None
+                    for c in g.columns:
+                        neq = (g[c].astype(str) != e[c].astype(str))
+                        if neq.any():
+                            i = neq.idxmax()
+                            diff = f"col={c} row={i} spark={g[c][i]!r} duckdb={e[c][i]!r}"
+                            break
+                    results[name] = f"VALUE-MISMATCH {diff}" if diff else "OK(strcast)"
+                else:
+                    results[name] = "OK"
+            except Exception as ex:
+                results[name] = f"COMPARE-ERROR: {ex}"
+    bad = 0
+    for k in sorted(results):
+        status = results[k]
+        ok = status == "OK" or status.startswith("ROWS-ONLY") or status == "OK(strcast)"
+        if not ok:
+            bad += 1
+        print(f"{'PASS' if ok else 'FAIL'}  {k}: {status}")
+    print(f"\n{len(results) - bad}/{len(results)} pass")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
