@@ -1,0 +1,96 @@
+package graft.extract
+
+/** Document-metadata extraction — the engine's `ExtractMediaMetadata`
+  * analogue (56409-tika.xml:1726-1761: Tika metadata → attributes,
+  * `Max Number of Attributes=5000`, `Max Attribute Length=2048`).
+  *
+  * Per-format sources:
+  *  - PDF: the `/Info` dictionary's string values (Title, Author,
+  *    Producer, CreationDate, …) located by key regex — tolerant of
+  *    malformed xref, like the text path;
+  *  - DOCX: `docProps/core.xml` + `docProps/app.xml` elements;
+  *  - DOC: CFB directory presence only (SummaryInformation property-set
+  *    parsing is a later round);
+  *  - always: `Content-Type` and `Content-Length`.
+  */
+object Metadata {
+  val MaxAttributes = 5000
+  val MaxValueLength = 2048
+
+  def extract(bytes: Array[Byte], filename: String): Map[String, String] = {
+    val mime = MimeDetect.detect(bytes, filename)
+    val base = Map("Content-Type" -> mime, "Content-Length" -> bytes.length.toString)
+    val specific = mime match {
+      case MimeDetect.Pdf  => pdfInfo(bytes)
+      case MimeDetect.Docx => docxProps(bytes)
+      case MimeDetect.Doc  => docProps(bytes)
+      case _               => Map.empty[String, String]
+    }
+    cap(base ++ specific)
+  }
+
+  private def cap(m: Map[String, String]): Map[String, String] =
+    m.take(MaxAttributes).map { case (k, v) =>
+      k -> (if (v.length > MaxValueLength) v.substring(0, MaxValueLength) else v)
+    }
+
+  private val PdfInfoKeys =
+    List("Title", "Author", "Subject", "Keywords", "Creator", "Producer",
+      "CreationDate", "ModDate")
+
+  private def pdfInfo(bytes: Array[Byte]): Map[String, String] = {
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    PdfInfoKeys.flatMap { key =>
+      val p = java.util.regex.Pattern.compile("/" + key + "\\s*\\(((?:[^()\\\\]|\\\\.)*)\\)")
+      val m = p.matcher(txt)
+      if (m.find()) {
+        val v = unescapePdf(m.group(1)).trim
+        if (v.nonEmpty) Some(key -> v) else None
+      } else None
+    }.toMap
+  }
+
+  private def unescapePdf(s: String): String =
+    s.replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
+
+  private def docxProps(bytes: Array[Byte]): Map[String, String] = {
+    def propsOf(entry: String): Map[String, String] =
+      DocxText.zipEntry(bytes, entry).map(xmlLeafText).getOrElse(Map.empty)
+    propsOf("docProps/core.xml") ++ propsOf("docProps/app.xml")
+  }
+
+  /** Flat leaf-element text of a small XML doc, keyed by local name. */
+  private def xmlLeafText(xml: Array[Byte]): Map[String, String] = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    val xif = XMLInputFactory.newInstance()
+    xif.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    xif.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(xml))
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var current: String = null
+    val text = new java.lang.StringBuilder()
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            current = r.getLocalName; text.setLength(0)
+          case XMLStreamConstants.CHARACTERS if current != null =>
+            text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            val t = text.toString.trim
+            if (current != null && current == r.getLocalName && t.nonEmpty)
+              out.getOrElseUpdate(current, t)
+            current = null; text.setLength(0)
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.toMap
+  }
+
+  private def docProps(bytes: Array[Byte]): Map[String, String] =
+    try {
+      val cf = new Cfb.CompoundFile(bytes)
+      Map("Cfb-Streams" -> cf.entries.filter(_.objType == 2).map(_.name.filter(_ >= ' ')).sorted.mkString(","))
+    } catch { case _: Exception => Map.empty }
+}

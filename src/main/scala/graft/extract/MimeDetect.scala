@@ -1,0 +1,78 @@
+package graft.extract
+
+/** Magic-byte + filename MIME detection.
+  *
+  * Stand-in for the reference's `tika.detect(stream, filename)`
+  * (ExtractTextProcessor.java:153,156). Covers the types the reference's
+  * contract pins (ExtractTextProcessorTest.java:155-241): PDF, legacy
+  * Word (OLE2/CFB), OOXML Word, with `text/plain` fallback — plus the
+  * OOXML siblings sharing the zip container.
+  */
+object MimeDetect {
+  val Pdf  = "application/pdf"
+  val Doc  = "application/msword"
+  val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+  val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+  val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+  val Zip  = "application/zip"
+  val Ole2 = "application/x-tika-msoffice"
+  val Html = "text/html"
+  val Text = "text/plain"
+  val OctetStream = "application/octet-stream"
+
+  private val OleMagic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
+
+  def detect(bytes: Array[Byte], filename: String): String = {
+    if (bytes == null || bytes.isEmpty) return OctetStream
+    if (startsWith(bytes, "%PDF".getBytes)) return Pdf
+    if (startsWith(bytes, OleMagic)) return oleSubtype(filename)
+    if (startsWith(bytes, Array[Byte]('P', 'K', 3, 4))) return zipSubtype(bytes, filename)
+    val head = new String(bytes, 0, math.min(bytes.length, 512),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lower = head.toLowerCase
+    if (lower.contains("<html") || lower.contains("<!doctype html")) return Html
+    if (isMostlyText(bytes)) Text else OctetStream
+  }
+
+  private def oleSubtype(filename: String): String = {
+    val f = Option(filename).getOrElse("").toLowerCase
+    if (f.endsWith(".doc")) Doc
+    else if (f.endsWith(".xls")) "application/vnd.ms-excel"
+    else if (f.endsWith(".ppt")) "application/vnd.ms-powerpoint"
+    else Doc // reference pipeline only routes Word documents through OLE2
+  }
+
+  /** OOXML files are zips; the content type lives in the inner paths. */
+  private def zipSubtype(bytes: Array[Byte], filename: String): String = {
+    val probe = new String(bytes, 0, math.min(bytes.length, 8192),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (probe.contains("word/")) Docx
+    else if (probe.contains("xl/")) Xlsx
+    else if (probe.contains("ppt/")) Pptx
+    else {
+      val f = Option(filename).getOrElse("").toLowerCase
+      if (f.endsWith(".docx")) Docx
+      else if (f.endsWith(".xlsx")) Xlsx
+      else if (f.endsWith(".pptx")) Pptx
+      else Zip
+    }
+  }
+
+  private def startsWith(bytes: Array[Byte], prefix: Array[Byte]): Boolean =
+    bytes.length >= prefix.length && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, prefix.length), prefix)
+
+  /** Printable/whitespace ratio heuristic over the first 512 bytes. */
+  private def isMostlyText(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, 512)
+    var printable = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b == 0) return false
+      if (b >= 0x20 || b == '\n' || b == '\r' || b == '\t') printable += 1
+      i += 1
+    }
+    printable.toDouble / n > 0.9
+  }
+}

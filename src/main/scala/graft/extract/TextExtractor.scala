@@ -1,0 +1,48 @@
+package graft.extract
+
+/** The engine's core per-document transform — the Spark-side equivalent
+  * of `ExtractTextProcessor.onTrigger` (ExtractTextProcessor.java:135-233):
+  * detect MIME, extract plain text or XHTML under the max-length cap,
+  * and report success/failure as data (the `wasError` flag that drives
+  * the reference's REL_FAILURE route, ExtractTextProcessor.java:146,201).
+  */
+object TextExtractor {
+
+  /** Result mirrors the FlowFile contract: new content + mime attrs +
+    * error (null on success). */
+  final case class Extracted(text: String, mimeType: String, origMimeType: String, error: String)
+
+  val TextPlain = "text/plain"
+  val TextHtml  = "text/html"
+
+  /** maxLen: -1 = unlimited (ExtractTextProcessor.java:85 default). */
+  def extract(bytes: Array[Byte], filename: String, maxLen: Int = -1,
+              htmlOutput: Boolean = false): Extracted = {
+    if (bytes == null)
+      return Extracted(null, null, null, "null content")
+    val mime = MimeDetect.detect(bytes, filename)
+    try {
+      val text = mime match {
+        case MimeDetect.Pdf  => PdfText.extract(bytes, maxLen)
+        case MimeDetect.Docx => DocxText.extract(bytes, maxLen)
+        case MimeDetect.Doc  => DocText.extract(bytes, maxLen)
+        case MimeDetect.Xlsx | MimeDetect.Pptx | MimeDetect.Zip =>
+          throw new IllegalArgumentException(s"unsupported container type $mime")
+        case MimeDetect.OctetStream =>
+          throw new IllegalArgumentException("binary content with no known text structure")
+        case _ => // text/plain, text/html and friends: bytes are the text
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val b = new Bounded(maxLen)
+          b.append(s)
+          b.result()
+      }
+      if (htmlOutput)
+        Extracted(HtmlRender.render(text, filename), TextHtml, mime, null)
+      else
+        Extracted(text, TextPlain, mime, null)
+    } catch {
+      case e: Exception =>
+        Extracted(null, null, mime, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** §2.7 sinks. Only PutFile is materially exercisable offline; Kafka and
+  * Slack are behind traits so tests/offline runs use the bundled stubs
+  * while a cluster deployment binds the real endpoints.
+  */
+object Sinks {
+
+  /** K1 PutFile: Conflict Resolution=ignore, Create Missing Directories
+    * =true (56409-tika.xml:1096-1100) → mode("ignore") + parquet's
+    * directory creation. Partition count is the MergeContent analogue —
+    * see [[MergePolicy]]. */
+  def putFile(df: DataFrame, dir: String, format: String = "parquet",
+              partitions: Option[Int] = None): Unit = {
+    val out = partitions.map(df.coalesce).getOrElse(df)
+    out.write.mode("ignore").format(format).save(dir)
+  }
+
+  /** Single-pass multi-route write — the scan-once alternative to N
+    * filtered writes (SURVEY.md §4.2 multi-route single-scan). */
+  def putFilePartitioned(df: DataFrame, dir: String, routeCol: String,
+                         format: String = "parquet"): Unit =
+    df.write.mode("ignore").format(format).partitionBy(routeCol).save(dir)
+
+  /** K2 PublishKafkaRecord contract (bootstrap, acks, max request size —
+    * 56409-tika.xml:2501-2548). `KafkaLike` lets offline tests observe
+    * the records without a broker. */
+  trait KafkaLike {
+    def publish(df: DataFrame, topic: String): Long
+  }
+
+  final class KafkaSink(bootstrapServers: String) extends KafkaLike {
+    override def publish(df: DataFrame, topic: String): Long = {
+      import org.apache.spark.sql.functions._
+      val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic)
+        .save()
+      -1L // kafka sink reports no count
+    }
+  }
+
+  /** Offline stand-in: counts records that WOULD be published. */
+  final class LogKafkaSink extends KafkaLike {
+    override def publish(df: DataFrame, topic: String): Long = {
+      val n = df.count()
+      System.err.println(s"[kafka-stub] topic=$topic records=$n")
+      n
+    }
+  }
+
+  /** K3 PutSlack webhook (56409-tika.xml:1021): alert sink for the
+    * bad/failure routes — offline stub logs the alert line. */
+  final class LogSlackSink {
+    def alert(df: DataFrame, channel: String, limit: Int = 10): Long = {
+      val n = df.count()
+      System.err.println(s"[slack-stub] channel=$channel alerts=$n " +
+        s"sample=${df.take(math.min(limit, 3)).mkString("; ")}")
+      n
+    }
+  }
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Sentiment, Udfs}
+import graft.pipeline.{DocPipeline, Router}
+
+/** The reference pipeline's operator surface as verifiable queries over
+  * the synthetic `documents` table (plus the four reference binary
+  * fixtures for the extraction stages, which have no SQL oracle).
+  * SURVEY.md §2.2-§2.5 mapping noted per query.
+  */
+object PipelineQueries {
+
+  private val FixtureDir = "/root/reference/nifi-extracttext-processors/src/test/resources"
+
+  private def docsWithSentiment(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("sentiment", Sentiment.sentimentCol(col("text")))
+
+  private def routeQuery(route: String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val records = docsWithSentiment(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("sentiment"))
+      // the template's QueryRecord SQL verbatim (56409-tika.xml:1847-1859)
+      Router.routes(records, Router.SentimentRoutes, includeZeroRecordRoutes = true)(route)
+        .orderBy(col("doc_id"))
+    }
+
+  private def routeOracle(label: String): String =
+    s"""SELECT doc_id, lang, source, sentiment FROM (
+       |  SELECT doc_id, lang, source, ${Sentiment.duckdbExpr("text")} AS sentiment
+       |  FROM documents)
+       |WHERE sentiment = '$label' ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 QueryRecord: the template's three sentiment routes
+    "q_route_good"    -> routeQuery("good"),
+    "q_route_bad"     -> routeQuery("bad"),
+    "q_route_neutral" -> routeQuery("neutral"),
+
+    // G1 SplitText as a generator op: one row per token with position
+    "q_split_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // G2 ExtractText: regex capture group → sentence attribute
+    "q_sentence_extract" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "(^.*$)", 1).as("sentence"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T8 AttributesToJSON: attribute set → JSON content column
+    "q_attrs_to_json" -> ((s, d) => {
+      docsWithSentiment(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("sentiment"))).as("json"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Flagship: the full tag pipeline aggregated per route
+    "q_doc_pipeline" -> ((s, d) => {
+      docsWithSentiment(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("sentiment"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("sentiment"), col("lang"))
+    }),
+
+    // T1-T4 ExtractTextProcessor over the reference's own fixtures
+    // (binary → text; no SQL oracle — rows-only check + ScalaTest parity)
+    "q_extract_fixtures" -> ((s, _) => {
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir))
+      enriched.select(col("filename"), col("mime_type"), col("orig_mime_type"),
+          length(col("text")).as("text_chars"), col("error"))
+        .orderBy(col("filename"))
+    }),
+
+    // T3 HTML output mode over the fixtures (rows-only)
+    "q_extract_fixtures_html" -> ((s, _) => {
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir),
+        DocPipeline.ExtractConfig(htmlOutput = true))
+      enriched.select(col("filename"), col("mime_type"),
+          length(col("text")).as("html_chars"))
+        .orderBy(col("filename"))
+    }),
+
+    // T5 ExtractMediaMetadata over the fixtures (rows-only)
+    "q_extract_metadata" -> ((s, _) => {
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir))
+      enriched.select(col("filename"), explode(col("meta")).as(Seq("key", "value")))
+        .orderBy(col("filename"), col("key"))
+    }),
+
+    // N1 entity extraction over extracted fixture lines (rows-only)
+    "q_entities_fixtures" -> ((s, _) => {
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir))
+      val lines = DocPipeline.toLines(enriched.filter(col("error").isNull))
+      lines.select(col("filename"), explode(Udfs.extractEntities(col("sentence"))).as("entity"))
+        .groupBy(col("entity")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(desc("n"), col("entity"))
+    }),
+
+    // T7 AttributeCleaner: sanitize illegal column names
+    "q_clean_attr_names" -> ((s, d) => {
+      val dirty = Tables.documents(s, d)
+        .select(col("doc_id").as("doc id"), col("lang").as("lang-code"),
+          col("n_chars").as("n.chars"))
+      Udfs.cleanColumnNames(dirty).orderBy(col("doc_id"))
+    }),
+
+    // A2 InferAvroSchema analogue: inferred DDL of the JSON records
+    // (deterministic string; rows-only check)
+    "q_infer_schema" -> ((s, d) => {
+      import s.implicits._
+      val json = docsWithSentiment(s, d)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("sentiment"))).as("json"))
+      val ddl = DocPipeline.inferSchema(json, "json")
+      Seq(ddl).toDF("schema_ddl")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_route_good"    -> routeOracle("POSITIVE"),
+    "q_route_bad"     -> routeOracle("NEGATIVE"),
+    "q_route_neutral" -> routeOracle("NEUTRAL"),
+    "q_split_tokens" ->
+      """SELECT doc_id, cast(generate_subscripts(parts, 1) AS INT) AS pos, unnest(parts) AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_sentence_extract" ->
+      """SELECT doc_id, regexp_extract(text, '(^.*$)', 1) AS sentence
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_attrs_to_json" ->
+      s"""SELECT doc_id, to_json(struct_pack(doc_id := doc_id, lang := lang,
+         |  source := source, n_chars := n_chars, sentiment := sentiment)) AS json
+         |FROM (SELECT *, ${Sentiment.duckdbExpr("text")} AS sentiment FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_doc_pipeline" ->
+      s"""SELECT sentiment, lang, count(*) AS n_docs,
+         |  cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM (SELECT *, ${Sentiment.duckdbExpr("text")} AS sentiment FROM documents)
+         |GROUP BY sentiment, lang ORDER BY sentiment, lang""".stripMargin,
+    "q_clean_attr_names" ->
+      """SELECT doc_id, lang AS lang_code, n_chars AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

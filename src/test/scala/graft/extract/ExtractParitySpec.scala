@@ -1,0 +1,122 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Port of the reference's 9 JUnit tests (ExtractTextProcessorTest.java,
+  * 302 lines) over the same four binary fixtures — the parity gate of
+  * SURVEY.md §5.2. Assertions mirror the originals: golden trimmed
+  * prefixes, MIME attribute values, max-length bound, and no failures.
+  */
+class ExtractParitySpec extends AnyFunSuite {
+  private val fixtures =
+    "/root/reference/nifi-extracttext-processors/src/test/resources"
+
+  private def read(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(fixtures, name))
+
+  // ETPTest.java:47-69 — PDF text mode
+  test("simple.pdf extracts text starting 'A Simple PDF File'") {
+    val r = TextExtractor.extract(read("simple.pdf"), "simple.pdf")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.text.trim.startsWith("A Simple PDF File"), r.text.take(80))
+  }
+
+  // ETPTest.java:145-158 — PDF attributes
+  test("simple.pdf stamps mime.type=text/plain, orig.mime.type=application/pdf") {
+    val r = TextExtractor.extract(read("simple.pdf"), "simple.pdf")
+    assert(r.mimeType == "text/plain")
+    assert(r.origMimeType == "application/pdf")
+  }
+
+  // ETPTest.java:160-191 — PDF HTML mode
+  test("simple.pdf HTML mode yields text/html with body content") {
+    val r = TextExtractor.extract(read("simple.pdf"), "simple.pdf", htmlOutput = true)
+    assert(r.mimeType == "text/html")
+    assert(r.origMimeType == "application/pdf")
+    assert(r.text.contains("<html"))
+    assert(r.text.contains("A Simple PDF File"))
+  }
+
+  // ETPTest.java:77-99 — legacy DOC
+  test("simple.doc extracts text starting 'A Simple WORD DOC File'") {
+    val r = TextExtractor.extract(read("simple.doc"), "simple.doc")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.text.trim.startsWith("A Simple WORD DOC File"), r.text.take(80))
+  }
+
+  // ETPTest.java:193-216 — DOC attributes
+  test("simple.doc stamps orig.mime.type=application/msword") {
+    val r = TextExtractor.extract(read("simple.doc"), "simple.doc")
+    assert(r.mimeType == "text/plain")
+    assert(r.origMimeType == "application/msword")
+  }
+
+  // ETPTest.java:107-129 — DOCX
+  test("simple.docx extracts text starting 'A Simple WORD DOCX File'") {
+    val r = TextExtractor.extract(read("simple.docx"), "simple.docx")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.text.trim.startsWith("A Simple WORD DOCX File"), r.text.take(80))
+  }
+
+  // ETPTest.java:218-241 — DOCX attributes
+  test("simple.docx stamps OOXML orig.mime.type") {
+    val r = TextExtractor.extract(read("simple.docx"), "simple.docx")
+    assert(r.origMimeType ==
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+  }
+
+  // ETPTest.java:246-266 — big.pdf, unlimited cap
+  test("big.pdf with MAX_TEXT_LENGTH=-1 extracts more than 100 chars") {
+    val r = TextExtractor.extract(read("big.pdf"), "big.pdf", maxLen = -1)
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.text.length > 100, s"length=${r.text.length}")
+  }
+
+  // ETPTest.java:271-295 — truncation bound
+  test("MAX_TEXT_LENGTH=100 caps output at 100 chars") {
+    for (f <- Seq("simple.pdf", "big.pdf")) {
+      val r = TextExtractor.extract(read(f), f, maxLen = 100)
+      assert(r.error == null, s"$f: ${r.error}")
+      assert(r.text.length <= 100, s"$f: length=${r.text.length}")
+      assert(r.text.nonEmpty, f)
+    }
+  }
+
+  // ETPTest.java:61 — zero flowfiles on the failure route for all fixtures
+  test("all four fixtures route to success (error == null)") {
+    for (f <- Seq("simple.pdf", "simple.doc", "simple.docx", "big.pdf")) {
+      val r = TextExtractor.extract(read(f), f)
+      assert(r.error == null, s"$f failed: ${r.error}")
+    }
+  }
+
+  // Negative paths the reference under-tests (SURVEY.md §5.2)
+  test("garbage binary routes to failure with the wasError contract") {
+    val junk = Array.tabulate[Byte](256)(i => (i * 7 % 251).toByte)
+    val r = TextExtractor.extract(junk, "junk.bin")
+    assert(r.error != null)
+    assert(r.text == null)
+  }
+
+  test("null content routes to failure (ExtractTextProcessor.java:194-197)") {
+    val r = TextExtractor.extract(null, "none")
+    assert(r.error != null)
+  }
+
+  test("truncated zip (docx) routes to failure, not crash") {
+    val full = read("simple.docx")
+    val cut = java.util.Arrays.copyOfRange(full, 0, 200)
+    val r = TextExtractor.extract(cut, "simple.docx")
+    // either clean failure or empty text — never an uncaught throw
+    assert(r.error != null || r.text != null)
+  }
+
+  test("big.pdf parity: length within Tika ballpark (observed 65,614 chars)") {
+    val r = TextExtractor.extract(read("big.pdf"), "big.pdf")
+    // our extractor's whitespace model differs from Tika's; require the
+    // same order of magnitude so we know all 79 streams' text came out
+    assert(r.text.length > 30000, s"length=${r.text.length}")
+    assert(r.text.length < 200000, s"length=${r.text.length}")
+  }
+}
