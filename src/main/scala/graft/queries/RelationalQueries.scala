@@ -138,7 +138,7 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_window_topk_orders" ->
-      """SELECT o_custkey, o_orderkey, cast(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, rn
+      """SELECT o_custkey, o_orderkey, cast(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, cast(rn AS INT) AS rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders)

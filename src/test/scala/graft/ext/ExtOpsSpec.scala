@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Invariants for the dedup / similarity / text-analysis extensions
+  * that the DuckDB oracle can't express (probabilistic structures,
+  * recall bounds, Scala/column semantic lockstep).
+  */
+class ExtOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash signature is deterministic with 64 lanes") {
+    val a = Dedup.signature("the fast key order sort table", 3)
+    val b = Dedup.signature("the fast key order sort table", 3)
+    assert(a.length == Dedup.NumHashes)
+    assert(a.sameElements(b))
+    assert(!a.sameElements(Dedup.signature("a different text entirely here", 3)))
+  }
+
+  test("scala shingleSet matches the column-side shingleRows semantics") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p q r")).toDF("doc_id", "text")
+    val colSide = Dedup.shingleRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val scalaSide = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p q r")).flatMap {
+      case (id, t) => Dedup.shingleSet(t, 3).map(s => (id, s))
+    }.toSet
+    assert(colSide == scalaSide)
+    assert(!scalaSide.exists(_._1 == 2L)) // < n tokens → no shingles
+  }
+
+  test("minhash near-dups equal exact jaccard pairs on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(mh == exact)
+  }
+
+  test("simhash: identical texts collide, near-dups are hamming-close") {
+    val t = "spark group query row data slow small filter"
+    assert(Dedup.simhash64(t) == Dedup.simhash64(t))
+    val near = Dedup.simhash64(t + " extra")
+    assert(java.lang.Long.bitCount(Dedup.simhash64(t) ^ near) < 16)
+  }
+
+  test("exact dedup keeps lowest id per duplicated text") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.exactKeepFirst(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("lsh ann achieves nontrivial recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5, planes = 4, tables = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall=$recall") // 8 tables x 16 buckets over 500 vecs
+    assert(ann.forall { case (q, n) => q != n })
+  }
+
+  test("multimodal decode stub is deterministic and schema-typed") {
+    import spark.implicits._
+    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload").collect()
+    assert(meta.length == 1)
+    val m = meta.head
+    assert(m.width == 64 + ("hello world".length % 512))
+    assert(m.height == 64 + ('h'.toInt * 3 % 512))
+    assert(m.format == "rgb8")
+  }
+
+  test("quality score stays in [0,1]") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.select(TextStats.qualityCol(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+  }
+}
