@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtQueries.queries
+      graft.queries.ExtQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.ExtQueries.oracleSql
+      graft.queries.ExtQueries.oracleSql ++
+      graft.queries.StreamQueries.oracleSql
 }

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming variants of the pipeline (SURVEY.md §2 S1 streaming path,
+  * §7.3 step 5). The reference's always-running NiFi graph maps to
+  * Structured Streaming: the file source's seen-files log IS ListFile's
+  * listing state; `maxFilesPerTrigger` is the backpressure knob;
+  * `Trigger.ProcessingTime` + merge policy replaces MergeContent's bin
+  * age.
+  *
+  * The events table carries TIMESTAMP(NANOS) which Spark reads as Long
+  * nanos (`nanosAsLong`); [[eventTime]] converts to a proper timestamp
+  * column for watermarks/windows.
+  */
+object StreamPipeline {
+
+  /** Nanos-since-epoch long → TimestampType (micros precision).
+    * Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
+    * 53-bit mantissa, so float division would round to ±256 ns. */
+  def eventTime(nanosColName: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"$nanosColName div 1000"))
+
+  /** Streaming scan over the events parquet (file source tracks state). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Tumbling-window counts by event type — the streaming aggregation
+    * shape (watermark handled by the caller's output mode choice). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withColumn("etime", eventTime("ts"))
+      .groupBy(window(col("etime"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Runs a streaming aggregation over the (bounded) events source to
+    * completion through the real streaming engine: memory sink,
+    * complete mode, synchronous drain. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  // ---- sessionization ------------------------------------------------
+
+  final case class Event(user_id: Long, ts: Long)
+  final case class Session(user_id: Long, session_idx: Int, n_events: Long, duration_sec: Long)
+  final case class SessionState(lastTs: Long, idx: Int, n: Long, startTs: Long)
+
+  implicit val eventEnc: Encoder[Event] = Encoders.product[Event]
+  implicit val sessionEnc: Encoder[Session] = Encoders.product[Session]
+
+  val GapNanos: Long = 30L * 60 * 1000 * 1000 * 1000 // 30-min inactivity gap
+
+  /** Batch sessionization: per-user 30-min-gap sessions via the typed
+    * groups API. Deterministic (sorts each user's events by ts, then
+    * event_id is irrelevant since ts ties don't occur in the data). */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val ts = it.map(_.ts).toArray
+        java.util.Arrays.sort(ts)
+        val out = scala.collection.mutable.ArrayBuffer[Session]()
+        var idx = 0
+        var start = 0
+        var i = 1
+        while (i <= ts.length) {
+          if (i == ts.length || ts(i) - ts(i - 1) > GapNanos) {
+            idx += 1
+            out += Session(uid, idx, i - start,
+              (ts(i - 1) - ts(start)) / 1000000000L)
+            start = i
+          }
+          i += 1
+        }
+        out.iterator
+      }
+  }
+
+  /** Streaming sessionization with explicit state — the
+    * mapGroupsWithState form for unbounded input: emits a session when
+    * the gap closes it, holds the open session in state. Demonstrated
+    * in StreamingSpec; the batch form above is the oracle-checked one. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val ts = it.map(_.ts).toArray
+          java.util.Arrays.sort(ts)
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0, Long.MinValue))
+          ts.foreach { t =>
+            if (st.lastTs == Long.MinValue) st = SessionState(t, st.idx + 1, 1, t)
+            else if (t - st.lastTs > GapNanos) {
+              closed += Session(uid, st.idx, st.n, (st.lastTs - st.startTs) / 1000000000L)
+              st = SessionState(t, st.idx + 1, 1, t)
+            } else st = st.copy( // out-of-order within the gap extends the session
+              lastTs = math.max(st.lastTs, t),
+              startTs = math.min(st.startTs, t),
+              n = st.n + 1)
+          }
+          state.update(st)
+          closed.iterator
+        })
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming behaviors the batch oracle can't check: incremental
+  * micro-batches through the file source, watermark-gated append
+  * output, and mapGroupsWithState session state held across batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private def tmpDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream").toFile
+    d.deleteOnExit(); d
+  }
+
+  test("windowed agg over the streaming engine equals batch on bounded input") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamPipeline.runToCompletion(spark,
+      StreamPipeline.windowedCounts(StreamPipeline.readEvents(spark, sf)), "wspec")
+    val batch = StreamPipeline.windowedCounts(spark.read.parquet(s"$sf/events.parquet"))
+    assert(streamed.count() == batch.count())
+    val s1 = streamed.orderBy("window_start_us", "event_type").collect().map(_.toString)
+    val b1 = batch.orderBy("window_start_us", "event_type").collect().map(_.toString)
+    assert(s1.sameElements(b1))
+  }
+
+  test("file source delivers files incrementally (ListFile state analogue)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val schema = "user_id LONG, ts LONG"
+    Seq((1L, 1000L)).toDF("user_id", "ts").write.parquet(dir + "/f1")
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // backpressure knob
+      .parquet(dir + "/f*/")
+    val q = in.groupBy().count()
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("inc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("inc").head().getLong(0) == 1L)
+      Seq((2L, 2000L), (3L, 3000L)).toDF("user_id", "ts").write.parquet(dir + "/f2")
+      q.processAllAvailable()
+      assert(spark.table("inc").head().getLong(0) == 3L) // only new file added
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState holds open sessions across micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val gap = StreamPipeline.GapNanos
+    // batch 1: two events 1s apart (one open session for user 1)
+    Seq(StreamPipeline.Event(1L, 0L), StreamPipeline.Event(1L, 1000000000L))
+      .toDF().write.parquet(dir + "/b1")
+    val in = spark.readStream.schema("user_id LONG, ts LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/b*/").as[StreamPipeline.Event]
+    val q = StreamPipeline.sessionizeStream(in)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open in state
+      // batch 2: an event past the gap closes session 1
+      Seq(StreamPipeline.Event(1L, gap * 2)).toDF().write.parquet(dir + "/b2")
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[StreamPipeline.Session].collect()
+      assert(closed.length == 1)
+      assert(closed.head == StreamPipeline.Session(1L, 1, 2, 1))
+    } finally q.stop()
+  }
+}
