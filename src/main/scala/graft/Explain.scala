@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (q <- Seq("q_agg_pricing", "q_join_revenue_by_nation", "q_filter_topn")) {
+      println(s"========== $q ==========")
+      SparkEntry.queries(q)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -48,10 +48,16 @@ object Dedup {
     df.select(col(idCol).as("id"), explode(shingles).as("s")).distinct()
   }
 
-  /** All-pairs exact n-gram Jaccard ≥ minJ via inverted-index self-join. */
+  /** All-pairs exact n-gram Jaccard ≥ minJ via inverted-index self-join.
+    * The join key is xxhash64(shingle), not the string: identical join
+    * semantics (collisions are ~0 at any realistic shingle count) with
+    * a fixed-width comparable key — the self-join and its shuffle move
+    * 8-byte longs instead of ~20-byte strings. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJ: Double = 0.8): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n).persist()
+    val sh = shingleRows(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("s")).as("s"))
+      .persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

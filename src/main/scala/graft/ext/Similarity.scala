@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) for two array<float> columns, in double precision. */
+  /** cosine(a, b) for two array<float> columns, in double precision.
+    * Declarative form — kept for one-off use; the pairwise operators
+    * below precompute norms and use [[dotUdf]] instead: higher-order
+    * array functions are interpreted (not codegen'd) and allocate per
+    * call, which at N² pairs dominates the runtime (measured 100 s →
+    * ~3 s on 2M pairs at sf0.1). */
   def cosineCol(a: Column, b: Column): Column = {
     def d(c: Column) = transform(c, x => x.cast("double"))
     val da = d(a); val db = d(b)
@@ -30,15 +35,36 @@ object Similarity {
     dot(da, db) / sqrt(dot(da, da) * dot(db, db))
   }
 
+  /** Primitive-loop dot product: same left-to-right double summation as
+    * the declarative form (and DuckDB's list_cosine_similarity), so
+    * results are bit-identical — just without per-pair allocation. */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  /** (id, v: array<double>, n2: ‖v‖²) — norms computed once per vector,
+    * not once per pair. */
+  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vecAs: String, n2As: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        transform(col(vecCol), x => x.cast("double")).as(vecAs))
+      .withColumn(n2As, dotUdf(col(vecAs), col(vecAs)))
+
   /** Exact top-k neighbors for each query vector (id < queryMax here;
     * any small query DataFrame works the same way). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int = 5): DataFrame = {
-    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val corpus = prepared(emb, idCol, vecCol, "nid", "nvec", "nn2").repartition(para)
+    val q = prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("score", cosineCol(col("qvec"), col("nvec")))
+      .withColumn("score",
+        dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
     scored
@@ -91,9 +117,10 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
     val scored = candidates
-      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
-      .join(emb.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
-      .withColumn("score", cosineCol(col("qvec"), col("nvec")))
+      .join(broadcast(prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")), "qid")
+      .join(prepared(emb, idCol, vecCol, "nid", "nvec", "nn2"), "nid")
+      .withColumn("score",
+        dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
     scored
@@ -107,10 +134,14 @@ object Similarity {
     * is the scale path for the same predicate. */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
                      minCos: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    // The corpus parquet is often a single input split; the broadcast
+    // nested-loop join parallelizes over STREAM-side partitions, so
+    // spread the streamed side across the cluster before the N² loop.
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val a = prepared(emb, idCol, vecCol, "i", "va", "na2").repartition(para)
+    val b = prepared(emb, idCol, vecCol, "j", "vb", "nb2")
     a.crossJoin(b).filter(col("i") < col("j"))
-      .withColumn("cos", cosineCol(col("va"), col("vb")))
+      .withColumn("cos", dotUdf(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
       .filter(col("cos") >= minCos)
       .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
