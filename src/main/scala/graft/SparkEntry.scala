@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full document pipeline (extract-shaped analogue):
+    * sentiment tagging → per-route aggregate — exercises scan, codegen
+    * expressions, grouping, and ordering in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+    queries("q_doc_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end §3.3 DAG over the reference's own fixtures, plus the
+  * operators the oracle queries don't exercise directly: ListFile
+  * gating (S1), success/failure routing (Q2), UpdateAttribute (T6),
+  * MergeContent policy (A1), PutFile conflict handling (K1), and the
+  * Kafka/Slack sink stubs (K2/K3).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val fixtures = "/root/reference/nifi-extracttext-processors/src/test/resources"
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pipe").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("full pipeline: ingest → extract → lines → tag → json → route → sink") {
+    val docs = DocPipeline.ingest(spark, fixtures,
+      DocPipeline.IngestConfig(minFileSize = 50)) // ListFile: Minimum File Size=50 B
+    val enriched = DocPipeline.enrich(docs)
+    val (ok, failed) = DocPipeline.successFailure(enriched)
+    assert(ok.count() == 4 && failed.count() == 0) // all four fixtures extract
+
+    // T6 UpdateAttribute ("Set Schema", 56409-tika.xml:804-816)
+    val tagged = DocPipeline.tag(DocPipeline.toLines(ok))
+      .withColumn("schema_name", lit("PDF"))
+      .withColumn("content_type", lit("text/json"))
+    val rec = DocPipeline.toJsonRecords(tagged,
+      Seq("filename", "sentence", "sentiment", "schema_name"))
+    assert(rec.select("json").head().getString(0).contains("\"schema_name\":\"PDF\""))
+
+    // A2: schema inference over the JSON records
+    val ddl = DocPipeline.inferSchema(rec)
+    assert(ddl.contains("sentiment") && ddl.contains("filename"))
+
+    // Q1: the template's routing SQL, all three routes partition the lines
+    val routes = Router.routes(rec, Router.SentimentRoutes, includeZeroRecordRoutes = true)
+    val total = routes.values.map(_.count()).sum
+    assert(total == rec.count())
+
+    // K1 PutFile + A1 merge policy: bounded file count, ignore on conflict
+    val out = tmp() + "/good"
+    Sinks.putFile(routes("good"), out, partitions =
+      Some(MergePolicy.partitionsFor(routes("good").count())))
+    val firstWrite = spark.read.parquet(out).count()
+    Sinks.putFile(routes("good").limit(1), out) // Conflict Resolution=ignore
+    assert(spark.read.parquet(out).count() == firstWrite, "second write must be ignored")
+
+    // K2/K3 offline sink stubs observe the records
+    assert(new Sinks.LogKafkaSink().publish(routes("neutral"), "neutral-topic") ==
+      routes("neutral").count())
+    assert(new Sinks.LogSlackSink().alert(routes("bad"), "#alerts") ==
+      routes("bad").count())
+  }
+
+  test("ListFile gating filters by size like the template config") {
+    val all = DocPipeline.ingest(spark, fixtures)
+    val gated = DocPipeline.ingest(spark, fixtures,
+      DocPipeline.IngestConfig(minFileSize = 10000)) // only doc/docx/big.pdf pass
+    assert(all.count() == 4)
+    assert(gated.count() == 3)
+    assert(gated.filter(col("path").endsWith("simple.pdf")).count() == 0)
+  }
+
+  test("failure route carries the error, success carries text (Q2 wasError)") {
+    import spark.implicits._
+    val junk = Seq(("junk.bin", Array.tabulate[Byte](300)(i => (i * 7 % 251).toByte)))
+      .toDF("path", "content")
+      .withColumn("length", lit(300L))
+      .withColumn("modificationTime", current_timestamp())
+    val enriched = DocPipeline.enrich(junk)
+    val (ok, failed) = DocPipeline.successFailure(enriched)
+    assert(ok.count() == 0)
+    val f = failed.head()
+    assert(f.getAs[String]("error") != null)
+    assert(f.getAs[String]("text") == null)
+  }
+
+  test("merge policy maps bin config to bounded partition counts") {
+    assert(MergePolicy.partitionsFor(0) == 1)
+    assert(MergePolicy.partitionsFor(10) == 1)       // below maxEntries
+    assert(MergePolicy.partitionsFor(30000) == 2)    // ceil(30000/15000)
+    assert(MergePolicy.partitionsFor(10000000) == 5) // capped at maxBins
+  }
+
+  test("golden route counts over the fixture corpus are frozen") {
+    val enriched = DocPipeline.enrich(DocPipeline.ingest(spark, fixtures))
+    val lines = DocPipeline.tag(DocPipeline.toLines(
+      enriched.filter(col("error").isNull)))
+    val bySentiment = lines.groupBy("sentiment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // frozen on first green run (SURVEY §5.2): big.pdf dominates
+    assert(bySentiment.values.sum == lines.count())
+    assert(bySentiment.getOrElse("NEUTRAL", 0L) > 0)
+    assert(Set("POSITIVE", "NEGATIVE", "NEUTRAL").intersect(bySentiment.keySet).nonEmpty)
+    assert(bySentiment.keySet.subsetOf(Set("POSITIVE", "NEGATIVE", "NEUTRAL")))
+  }
+}
