@@ -91,6 +91,13 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- skew-safe aggregation (oracle = the direct groupBy) --------
+    "q_salted_agg" -> ((s, d) => {
+      graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
+          col("value").cast("decimal(18,2)"), saltBuckets = 16)
+        .orderBy(col("event_type"))
+    }),
+
     // ---- multimodal (decode STUB, real plumbing) --------------------
     "q_multimodal_decode" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
@@ -142,6 +149,11 @@ object ExtQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id",
+    // the salted two-phase form must equal the direct aggregate
+    "q_salted_agg" ->
+      """SELECT event_type, sum(cast(value AS DECIMAL(18,2))) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  cast(64 + octet_length(encode(text)) % 512 AS INT) AS width,

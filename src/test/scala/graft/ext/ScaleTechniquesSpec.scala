@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The cluster-scale techniques SCALE.md commits to, proven on local
+  * plans: salted aggregation equivalence, and bucketed co-located joins
+  * planning without a shuffle on the join key.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toFile
+    wh.deleteOnExit()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh.getAbsolutePath)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals direct groupBy (skew-safe two-phase)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val dec = col("value").cast("decimal(18,2)") // exact: order-independent
+    val direct = ev.groupBy(col("event_type"))
+      .agg(sum(dec).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(ev, "event_type", dec, saltBuckets = 16)
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange on the join key") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
