@@ -91,6 +91,14 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sketch aggregate: per-source minhash-union similarity ------
+    // (custom Aggregator; estimates carry ±1/sqrt(64) error → rows-only)
+    "q_source_similarity" -> ((s, d) => {
+      graft.ext.MinHashAgg.groupSimilarity(Tables.documents(s, d), "source", "text")
+        .filter(col("est_jaccard") >= 0.05)
+        .orderBy(col("g1"), col("g2"))
+    }),
+
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
     "q_salted_agg" -> ((s, d) => {
       graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",

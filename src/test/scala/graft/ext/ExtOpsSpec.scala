@@ -92,4 +92,34 @@ class ExtOpsSpec extends AnyFunSuite {
       .filter(col("q") < 0 || col("q") > 1).count()
     assert(bad == 0)
   }
+
+  test("minhash union aggregator == signature of the union shingle set") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d e f g"),
+      ("s1", "h i j k l m n"),
+      ("s2", "a b c d e f g")).toDF("src", "text")
+    val sigs = docs.groupBy($"src")
+      .agg(MinHashAgg.minhash_union($"text", 3).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // direct signature over the concatenated shingle universe of s1
+    val unionSig = {
+      val a = Dedup.signature("a b c d e f g", 3)
+      val b = Dedup.signature("h i j k l m n", 3)
+      a.zip(b).map { case (x, y) => math.min(x, y) }
+    }
+    assert(sigs("s1").sameElements(unionSig))
+    assert(sigs("s2").sameElements(Dedup.signature("a b c d e f g", 3)))
+  }
+
+  test("group similarity estimates are high for identical groups") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d e f g"), ("s2", "a b c d e f g"), // identical content
+      ("s3", "z y x w v u t")).toDF("src", "text")
+    val sims = MinHashAgg.groupSimilarity(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sims(("s1", "s2")) == 1.0)
+    assert(sims(("s1", "s3")) < 0.2)
+  }
 }

@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("document pipeline runs unchanged under streaming ingest (SURVEY §7.3 step 5)") {
+    import graft.pipeline.DocPipeline
+    val fixtures = "/root/reference/nifi-extracttext-processors/src/test/resources"
+    val schema = spark.read.format("binaryFile").load(fixtures).schema
+    val stream = spark.readStream.format("binaryFile")
+      .schema(schema) // streaming sources don't infer
+      .option("pathGlobFilter", "*.pdf") // ListFile File Filter analogue
+      .load(fixtures)
+    val enriched = DocPipeline.enrich(stream) // same DAG as batch
+    val q = enriched
+      .select("filename", "mime_type", "orig_mime_type", "error")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("docstream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("docstream").collect()
+      assert(rows.length == 2) // simple.pdf + big.pdf
+      assert(rows.forall(_.getAs[String]("orig_mime_type") == "application/pdf"))
+      assert(rows.forall(_.getAs[String]("error") == null))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState holds open sessions across micro-batches") {
     import spark.implicits._
     val dir = tmpDir()
