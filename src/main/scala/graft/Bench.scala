@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,6 +34,9 @@ object Bench {
     try run("q_agg_pricing") catch { case _: Throwable => }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // drop caches persisted inside operators (route fan-out, shingle
+      // index) so queries don't inherit each other's memory pressure
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9

@@ -5,7 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** Minimal OLE2 / Compound File Binary reader (public [MS-CFB] spec):
   * header, DIFAT, FAT chains, directory entries, and the mini-stream /
   * mini-FAT path for streams under the 4096-byte cutoff. Enough to pull
-  * named streams (`WordDocument`, `SummaryInformation`) out of
+  * named streams (`WordDocument`, `\u0005SummaryInformation`) out of
   * legacy Office files — the container the reference detects via the
   * `D0 CF 11 E0` magic (SURVEY.md §7.1).
   */

@@ -55,7 +55,7 @@ object DocText {
     nulsOdd.toDouble / (n / 2) > 0.3
   }
 
-  /** \r → \n (paragraph mark),  cell mark → \t, drop field/object
+  /** \r → \n (paragraph mark), 0x07 cell mark → \t, drop field/object
     * control chars Word embeds in the text stream. */
   private def normalize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)

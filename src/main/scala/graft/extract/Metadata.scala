@@ -9,8 +9,8 @@ package graft.extract
   *    Producer, CreationDate, …) located by key regex — tolerant of
   *    malformed xref, like the text path;
   *  - DOCX: `docProps/core.xml` + `docProps/app.xml` elements;
-  *  - DOC: CFB directory presence only (SummaryInformation property-set
-  *    parsing is a later round);
+  *  - DOC: the [MS-OLEPS] SummaryInformation property set (author,
+  *    app, timestamps, page/word/char counts) + CFB stream listing;
   *  - always: `Content-Type` and `Content-Length`.
   */
 object Metadata {
@@ -88,9 +88,58 @@ object Metadata {
     out.toMap
   }
 
+  // [MS-OLEPS] SummaryInformation property ids → Tika-style names
+  private val SummaryPropNames = Map(
+    2 -> "Title", 3 -> "Subject", 4 -> "Author", 5 -> "Keywords",
+    6 -> "Comments", 7 -> "Template", 8 -> "LastAuthor", 9 -> "RevNumber",
+    11 -> "LastPrinted", 12 -> "CreateDtm", 13 -> "LastSaveDtm",
+    14 -> "PageCount", 15 -> "WordCount", 16 -> "CharCount", 18 -> "AppName")
+
   private def docProps(bytes: Array[Byte]): Map[String, String] =
     try {
       val cf = new Cfb.CompoundFile(bytes)
-      Map("Cfb-Streams" -> cf.entries.filter(_.objType == 2).map(_.name.filter(_ >= ' ')).sorted.mkString(","))
+      val summary = cf.stream("\u0005SummaryInformation")
+        .map(parsePropertySet).getOrElse(Map.empty)
+      summary ++ Map("Cfb-Streams" ->
+        cf.entries.filter(_.objType == 2).map(_.name.filter(_ >= ' ')).sorted.mkString(","))
     } catch { case _: Exception => Map.empty }
+
+  /** Minimal [MS-OLEPS] property-set reader: first section's VT_LPSTR /
+    * VT_I2 / VT_I4 / VT_FILETIME properties by id. */
+  private def parsePropertySet(si: Array[Byte]): Map[String, String] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def u32(off: Int): Int = ByteBuffer.wrap(si, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    def u64(off: Int): Long = ByteBuffer.wrap(si, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    if (si.length < 48 || (si(0) & 0xff) != 0xfe || (si(1) & 0xff) != 0xff) return Map.empty
+    val secOff = u32(44)
+    val nProps = u32(secOff + 4)
+    (0 until math.min(nProps, MaxAttributes)).flatMap { i =>
+      val pid = u32(secOff + 8 + i * 8)
+      val pOff = secOff + u32(secOff + 12 + i * 8)
+      if (pOff + 4 > si.length) None
+      else SummaryPropNames.get(pid).flatMap { name =>
+        u32(pOff) match {
+          case 30 => // VT_LPSTR: CodePage string, NUL-terminated
+            val cch = u32(pOff + 4)
+            if (cch <= 0 || pOff + 8 + cch > si.length) None
+            else {
+              val raw = new String(si, pOff + 8, cch,
+                java.nio.charset.Charset.forName("windows-1252"))
+              val v = raw.takeWhile(_ != '\u0000').trim
+              if (v.nonEmpty) Some(name -> v) else None
+            }
+          case 2 | 3 => Some(name -> u32(pOff + 4).toString) // VT_I2/VT_I4
+          case 64 => // VT_FILETIME: 100ns ticks since 1601-01-01
+            val ticks = u64(pOff + 4)
+            if (ticks == 0) None
+            else {
+              val instant = java.time.Instant.ofEpochMilli(
+                ticks / 10000L - 11644473600000L)
+              Some(name -> instant.toString)
+            }
+          case _ => None
+        }
+      }
+    }.toMap
+  }
 }

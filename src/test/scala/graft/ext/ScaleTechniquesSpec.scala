@@ -37,6 +37,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   test("bucketed tables join without an exchange on the join key") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
+    // specs share one JVM-wide session: the warehouse dir may be a
+    // leftover from a previous run — drop tables AND locations first
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")

@@ -119,4 +119,21 @@ class ExtractParitySpec extends AnyFunSuite {
     assert(r.text.length > 30000, s"length=${r.text.length}")
     assert(r.text.length < 200000, s"length=${r.text.length}")
   }
+
+  // T5 parity depth: .doc SummaryInformation property set ([MS-OLEPS])
+  test("simple.doc metadata includes OLE summary properties") {
+    val m = Metadata.extract(read("simple.doc"), "simple.doc")
+    assert(m("Content-Type") == "application/msword")
+    assert(m.get("LastAuthor").contains("Willy Demis"))
+    assert(m.get("AppName").contains("Microsoft Macintosh Word"))
+    assert(m.get("PageCount").contains("2"))
+    assert(m.get("WordCount").contains("139"))
+    assert(m.get("LastSaveDtm").exists(_.startsWith("2018-")))
+  }
+
+  test("simple.docx metadata includes OOXML core properties") {
+    val m = Metadata.extract(read("simple.docx"), "simple.docx")
+    assert(m.contains("Content-Length"))
+    assert(m.nonEmpty)
+  }
 }
