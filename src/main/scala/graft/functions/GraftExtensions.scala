@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration (SURVEY.md §7.4 path (c) plumbing):
+  * installs the engine's native expressions into every session built
+  * with `.withExtensions(new GraftExtensions)` — or via config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, which is
+  * how a cluster deployment would pick them up without code changes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("detect_mime"),
+      new ExpressionInfo(classOf[DetectMime].getName, "detect_mime"),
+      (exprs: Seq[Expression]) => DetectMime(exprs.head, exprs(1))))
+  }
+}

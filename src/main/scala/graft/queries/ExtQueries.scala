@@ -67,6 +67,21 @@ object ExtQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.ext.Ivf.topK(emb, "vec_id", "embedding", queries, model, k = 5, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // rolling-hash (winnowing) fingerprint overlap — near-dup pairs
+    "q_winnow_pairs" -> ((s, d) => {
+      graft.ext.Winnowing.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+          minOverlap = 0.5)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // ---- text analysis ----------------------------------------------
     "q_lang_id" -> ((s, d) => {
       Tables.documents(s, d)

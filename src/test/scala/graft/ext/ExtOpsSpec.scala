@@ -122,4 +122,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(sims(("s1", "s2")) == 1.0)
     assert(sims(("s1", "s3")) < 0.2)
   }
+
+  test("ivf ann achieves nontrivial recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val ivf = Ivf.topK(emb, "vec_id", "embedding", queries, model, 5, nProbe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall") // 4/16 cells probed
+  }
+
+  test("winnowing guarantees shared fingerprints for long shared substrings") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val a = Winnowing.fingerprints(base + " alpha beta gamma")
+    val b = Winnowing.fingerprints("prefix text " + base + " other suffix")
+    assert((a.toSet intersect b.toSet).nonEmpty) // shared 60-char substring
+    val c = Winnowing.fingerprints("entirely different content with no overlap at all here")
+    assert((a.toSet intersect c.toSet).isEmpty)
+    assert(Winnowing.fingerprints("short").isEmpty) // below k-gram length
+  }
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions must install detect_mime into a session built with
+  * .withExtensions — the cluster-deployment registration path
+  * (spark.sql.extensions). Extensions only apply to sessions created
+  * through the builder, so this spec manages its own session.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions(new GraftExtensions) registers detect_mime for SQL") {
+    // extensions are ignored by getOrCreate when a session exists —
+    // take over the JVM-wide session for this test
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val mime = spark.sql(
+        "SELECT detect_mime(cast('%PDF-1.4 fake' AS BINARY), 'x.pdf') AS m")
+        .head().getString(0)
+      assert(mime == "application/pdf")
+      val txt = spark.sql(
+        "SELECT detect_mime(cast('just some text' AS BINARY), 'note.txt') AS m")
+        .head().getString(0)
+      assert(txt == "text/plain")
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

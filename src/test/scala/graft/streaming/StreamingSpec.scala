@@ -76,6 +76,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming routes write partitioned files via foreachBatch (MergeContent+PutFile)") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    Seq(("a", "POSITIVE"), ("b", "NEGATIVE"), ("c", "POSITIVE"))
+      .toDF("id", "sentiment").write.parquet(in + "/b1")
+    val stream = spark.readStream.schema("id STRING, sentiment STRING")
+      .parquet(in + "/b*/")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one pass, one dir per route — the streaming MergeContent+PutFile
+        batch.persist()
+        batch.write.mode("append").partitionBy("sentiment")
+          .parquet(out.getAbsolutePath)
+        batch.unpersist(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dirs = out.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("sentiment=POSITIVE", "sentiment=NEGATIVE"))
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 3)
+  }
+
   test("mapGroupsWithState holds open sessions across micro-batches") {
     import spark.implicits._
     val dir = tmpDir()
