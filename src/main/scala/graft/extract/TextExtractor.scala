@@ -30,7 +30,9 @@ object TextExtractor {
           throw new IllegalArgumentException(s"unsupported container type $mime")
         case MimeDetect.OctetStream =>
           throw new IllegalArgumentException("binary content with no known text structure")
-        case _ => // text/plain, text/html and friends: bytes are the text
+        case MimeDetect.Html => // strip markup, like the Tika path
+          HtmlText.extract(bytes, maxLen)
+        case _ => // text/plain and friends: bytes are the text
           val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           val b = new Bounded(maxLen)
           b.append(s)

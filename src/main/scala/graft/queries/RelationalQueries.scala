@@ -107,6 +107,46 @@ object RelationalQueries {
       a.union(b).distinct().orderBy($"k")
     }),
 
+    // JsonTreeReader analogue: from_json over the events props column,
+    // then aggregate the parsed field (QueryRecord's record-reader path).
+    "q_events_json_props" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("rec", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy($"event_type")
+        .agg(sum($"rec.k").cast("long").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // ROLLUP grouping sets (subtotals + grand total).
+    "q_rollup_lineitem" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity".cast(dec)).as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Correlated scalar subquery, through the spark.sql text path.
+    "q_corr_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT cast(max(o_totalprice) AS DECIMAL(18,2))
+          |   FROM orders_v WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer_v ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Set difference: parts never ordered (EXCEPT).
+    "q_except_unordered_parts" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d).select($"p_partkey".as("k"))
+        .except(Tables.lineitem(s, d).select($"l_partkey".as("k")))
+        .orderBy($"k")
+    }),
+
     // Grouped aggregate over events with time bucketing (micro-batch shape).
     "q_events_by_type" -> ((s, d) => {
       import s.implicits._
@@ -161,6 +201,24 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
         |) ORDER BY k""".stripMargin,
+    "q_events_json_props" ->
+      """SELECT event_type,
+        |  cast(sum(cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT cast(max(o_totalprice) AS DECIMAL(18,2))
+        |   FROM orders WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_except_unordered_parts" ->
+      """SELECT p_partkey AS k FROM part
+        |EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k""".stripMargin,
     "q_events_by_type" ->
       """SELECT event_type, count(*) AS n,
         |  sum(cast(value AS DECIMAL(18,2))) AS total_value,

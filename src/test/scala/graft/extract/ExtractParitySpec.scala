@@ -136,4 +136,40 @@ class ExtractParitySpec extends AnyFunSuite {
     assert(m.contains("Content-Length"))
     assert(m.nonEmpty)
   }
+
+  test("html input strips tags, scripts, and entities like the Tika path") {
+    val html = """<html><head><title>My Doc</title>
+      |<style>body { color: red; }</style>
+      |<script>var x = "<p>not text</p>";</script></head>
+      |<body><h1>Header</h1><p>Hello &amp; welcome to &quot;the&quot; test.</p>
+      |<!-- a comment --><div>Second&nbsp;line &#65;&#x42;</div></body></html>"""
+      .stripMargin.getBytes("UTF-8")
+    val r = TextExtractor.extract(html, "page.html")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.origMimeType == "text/html")
+    val t = r.text
+    assert(t.contains("My Doc"))
+    assert(t.contains("Hello & welcome to \"the\" test."))
+    assert(t.contains("Second line AB"))
+    assert(!t.contains("color: red"))
+    assert(!t.contains("not text"))
+    assert(!t.contains("a comment"))
+    // maxLen still caps
+    assert(TextExtractor.extract(html, "p.html", maxLen = 10).text.length <= 10)
+  }
+
+  test("fuzzed fixtures never throw: truncations and bit flips route cleanly") {
+    for (f <- Seq("simple.pdf", "simple.doc", "simple.docx", "big.pdf")) {
+      val full = read(f)
+      for (cut <- Seq(1, 64, 511, 513, full.length / 2)) {
+        val r = TextExtractor.extract(java.util.Arrays.copyOfRange(full, 0, cut), f)
+        assert(r.error != null || r.text != null, s"$f cut=$cut")
+      }
+      val flipped = full.clone()
+      for (pos <- Seq(0, full.length / 3, full.length - 1))
+        flipped(pos) = (flipped(pos) ^ 0x5a).toByte
+      val r = TextExtractor.extract(flipped, f)
+      assert(r.error != null || r.text != null, s"$f flipped")
+    }
+  }
 }
