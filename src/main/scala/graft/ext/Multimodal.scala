@@ -31,6 +31,30 @@ object Multimodal {
     (w.toInt, h.toInt, "rgb8")
   }
 
+  /** Video-style frame sampling over a binary payload: the column is
+    * treated as fixed-size frames and every `every`-th frame is
+    * emitted as its own row — pure column algebra (sequence + explode
+    * + byte-substring), fully codegen'd, no UDF. At scale this is a
+    * narrow 1→N row transform; frames stay binary for a downstream
+    * decoder. */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameSize: Int, every: Int = 1): DataFrame = {
+    val nFrames = ceil(length(col(binCol)).cast("double") / frameSize).cast("int")
+    df.select(col(idCol), col(binCol),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every)))
+          .as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        expr(s"substring($binCol, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
+  }
+
+  /** STUB resize: deterministic re-dimension of a binary payload to
+    * `targetBytes` (truncate or zero-pad) standing in for a real image
+    * resize — the contract a codec-backed implementation would keep:
+    * fixed-size output derived only from the input bytes. */
+  def resizeStub(df: DataFrame, binCol: String, targetBytes: Int): DataFrame =
+    df.withColumn(s"${binCol}_resized",
+      expr(s"substring(concat($binCol, cast(repeat(chr(0), $targetBytes) AS BINARY)), 1, $targetBytes)"))
+
   /** Batch decode over a binary column — mapPartitions keeps the batch
     * shape a native decoder needs (shared codec context per partition). */
   def decodeMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {

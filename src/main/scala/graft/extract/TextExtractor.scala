@@ -26,7 +26,9 @@ object TextExtractor {
         case MimeDetect.Pdf  => PdfText.extract(bytes, maxLen)
         case MimeDetect.Docx => DocxText.extract(bytes, maxLen)
         case MimeDetect.Doc  => DocText.extract(bytes, maxLen)
-        case MimeDetect.Xlsx | MimeDetect.Pptx | MimeDetect.Zip =>
+        case MimeDetect.Xlsx => XlsxText.extract(bytes, maxLen)
+        case MimeDetect.Pptx => PptxText.extract(bytes, maxLen)
+        case MimeDetect.Zip =>
           throw new IllegalArgumentException(s"unsupported container type $mime")
         case MimeDetect.OctetStream =>
           throw new IllegalArgumentException("binary content with no known text structure")

@@ -122,6 +122,17 @@ object ExtQueries {
     }),
 
     // ---- multimodal (decode STUB, real plumbing) --------------------
+    // frame sampling: every 2nd 32-byte frame of the payload
+    "q_multimodal_frames" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.frameSample(withBin, "doc_id", "payload", frameSize = 32, every = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "q_multimodal_decode" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -177,6 +188,16 @@ object ExtQueries {
       """SELECT event_type, sum(cast(value AS DECIMAL(18,2))) AS total,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the payload is ASCII text, so byte slicing == char slicing and
+    // md5(VARCHAR) hashes the same bytes as Spark's md5(BINARY slice)
+    "q_multimodal_frames" ->
+      """SELECT doc_id, cast(frame_idx AS INT) AS frame_idx,
+        |  cast(length(substring(text, frame_idx * 32 + 1, 32)) AS INT) AS frame_bytes,
+        |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, cast(ceil(length(text) / 32.0) AS BIGINT), 2)) AS frame_idx
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  cast(64 + octet_length(encode(text)) % 512 AS INT) AS width,
