@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    for (name <- args) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * the same inverted-index join machinery as shingles.
   */
 object Winnowing {
-  val K = 8  // k-gram length in chars
-  val W = 4  // window: guarantee detection at ≥ 11 shared chars
+  val K = 16 // k-gram length in chars (~3 words of this corpus — short
+             // k-grams over a small vocabulary collide across unrelated
+             // docs and blow up the pair join: measured 66 s → 4 s)
+  val W = 8  // window: guarantee detection at ≥ 23 shared chars
 
   private val Base = 257L
   private val Mod = 0x7fffffffffffffL // 55-bit: products stay in Long
