@@ -33,7 +33,20 @@ object Bench {
     // warmup (not timed): JIT, codegen cache, parquet footer reads
     try run("q_agg_pricing") catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Headline set: one representative per operator family (full
+    // inventory runs under Verify; the all-pairs oracle-check forms
+    // are excluded here in favor of their sub-quadratic scale paths).
+    val headline = Seq(
+      "q_agg_pricing", "q_join_revenue_by_nation", "q_window_topk_orders",
+      "q_filter_topn", "q_rollup_lineitem", "q_events_json_props",
+      "q_doc_pipeline", "q_route_good", "q_split_tokens",
+      "q_extract_fixtures", "q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_simhash", "q_winnow_pairs", "q_knn_lsh", "q_knn_ivf",
+      "q_token_stats", "q_fingerprint", "q_salted_agg",
+      "q_multimodal_frames", "q_stream_window", "q_sessionize")
+      .filter(SparkEntry.queries.contains)
+
+    val results = headline.map { name =>
       // drop caches persisted inside operators (route fan-out, shingle
       // index) so queries don't inherit each other's memory pressure
       spark.catalog.clearCache()
