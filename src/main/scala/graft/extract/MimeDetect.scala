@@ -16,6 +16,7 @@ object MimeDetect {
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
   val Zip  = "application/zip"
   val Ole2 = "application/x-tika-msoffice"
+  val Rtf  = "application/rtf"
   val Html = "text/html"
   val Text = "text/plain"
   val OctetStream = "application/octet-stream"
@@ -27,6 +28,7 @@ object MimeDetect {
     if (startsWith(bytes, "%PDF".getBytes)) return Pdf
     if (startsWith(bytes, OleMagic)) return oleSubtype(filename)
     if (startsWith(bytes, Array[Byte]('P', 'K', 3, 4))) return zipSubtype(bytes, filename)
+    if (startsWith(bytes, "{\\rtf".getBytes)) return Rtf
     val head = new String(bytes, 0, math.min(bytes.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val lower = head.toLowerCase

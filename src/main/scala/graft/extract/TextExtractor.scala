@@ -32,6 +32,7 @@ object TextExtractor {
           throw new IllegalArgumentException(s"unsupported container type $mime")
         case MimeDetect.OctetStream =>
           throw new IllegalArgumentException("binary content with no known text structure")
+        case MimeDetect.Rtf  => RtfText.extract(bytes, maxLen)
         case MimeDetect.Html => // strip markup, like the Tika path
           HtmlText.extract(bytes, maxLen)
         case _ => // text/plain and friends: bytes are the text

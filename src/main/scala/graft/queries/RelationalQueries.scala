@@ -147,6 +147,28 @@ object RelationalQueries {
         .orderBy($"k")
     }),
 
+    // Left outer join: customers keep rows with zero orders.
+    "q_left_outer_order_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).join(Tables.orders(s, d),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Full outer join over two aggregates (null-padded sides).
+    "q_full_outer_nation_counts" -> ((s, d) => {
+      import s.implicits._
+      val sn = Tables.supplier(s, d).groupBy($"s_nationkey".as("k"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cn = Tables.customer(s, d).groupBy($"c_nationkey".as("k"))
+        .agg(count(lit(1)).as("n_customers"))
+      sn.join(cn, Seq("k"), "full_outer")
+        .select(col("k"), col("n_suppliers"), col("n_customers"))
+        .orderBy(col("k"))
+    }),
+
     // Grouped aggregate over events with time bucketing (micro-batch shape).
     "q_events_by_type" -> ((s, d) => {
       import s.implicits._
@@ -219,6 +241,16 @@ object RelationalQueries {
     "q_except_unordered_parts" ->
       """SELECT p_partkey AS k FROM part
         |EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k""".stripMargin,
+    "q_left_outer_order_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer_nation_counts" ->
+      """SELECT coalesce(sn.k, cn.k) AS k, sn.n_suppliers, cn.n_customers
+        |FROM (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1) sn
+        |FULL JOIN (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1) cn
+        |  ON sn.k = cn.k
+        |ORDER BY k""".stripMargin,
     "q_events_by_type" ->
       """SELECT event_type, count(*) AS n,
         |  sum(cast(value AS DECIMAL(18,2))) AS total_value,

@@ -72,4 +72,17 @@ class OoxmlSpec extends AnyFunSuite {
     val r = TextExtractor.extract(junk, "archive.zip")
     assert(r.error != null)
   }
+
+  test("rtf extracts text, skips font/color tables, decodes escapes") {
+    val rtf = ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times New Roman;}}" +
+      "{\\colortbl;\\red0\\green0\\blue0;}" +
+      "{\\*\\generator Some Editor 1.0;}" +
+      "\\f0\\fs24 Hello \\b bold\\b0  world\\par " +
+      "Caf\\'e9 costs \\u8364?5\\par}").getBytes("windows-1252")
+    val r = TextExtractor.extract(rtf, "note.rtf")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.origMimeType == "application/rtf")
+    assert(r.text == "Hello bold world\nCaf\u00e9 costs \u20ac5")
+    assert(TextExtractor.extract(rtf, "note.rtf", maxLen = 5).text.length <= 5)
+  }
 }
