@@ -21,7 +21,12 @@ object Winnowing {
   val W = 8  // window: guarantee detection at ≥ 23 shared chars
 
   private val Base = 257L
-  private val Mod = 0x7fffffffffffffL // 55-bit: products stay in Long
+  // Prime < 2^31 so every intermediate product provably fits in a Long:
+  // h*Base ≤ 2^31·257 < 2^40 and char·pow ≤ 2^16·2^31 < 2^47. A wider
+  // modulus would overflow on h*Base for h near Mod, silently making
+  // the rolling hash PATH-dependent — which voids the winnowing
+  // shared-substring guarantee.
+  private val Mod = 2147483629L
 
   /** Sorted distinct winnowed fingerprints of a document. */
   private[ext] def fingerprints(text: String): Array[Long] = {
