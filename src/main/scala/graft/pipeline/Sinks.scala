@@ -34,7 +34,7 @@ object Sinks {
   final class KafkaSink(bootstrapServers: String) extends KafkaLike {
     override def publish(df: DataFrame, topic: String): Long = {
       import org.apache.spark.sql.functions._
-      val payload = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      val payload = df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       payload.write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("topic", topic)
