@@ -118,6 +118,8 @@ object ExtQueries {
     "q_salted_agg" -> ((s, d) => {
       graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
           col("value").cast("decimal(18,2)"), saltBuckets = 16)
+        // terminal decimal → double for engine-stable hashing (exact value)
+        .withColumn("total", col("total").cast("double"))
         .orderBy(col("event_type"))
     }),
 
@@ -185,7 +187,7 @@ object ExtQueries {
       "SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id",
     // the salted two-phase form must equal the direct aggregate
     "q_salted_agg" ->
-      """SELECT event_type, sum(cast(value AS DECIMAL(18,2))) AS total,
+      """SELECT event_type, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the payload is ASCII text, so byte slicing == char slicing and

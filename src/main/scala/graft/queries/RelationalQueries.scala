@@ -18,7 +18,14 @@ import org.apache.spark.sql.expressions.Window
   *    Spark and DuckDB then agree bit-for-bit regardless of summation
   *    order (a double product cast to decimal would tie-break
   *    differently at dyadic .xx5 values);
-  *  - double-valued outputs are rounded;
+  *  - TERMINAL decimal columns are cast back to DOUBLE on BOTH engines:
+  *    the driver hashes each engine's native output, and Spark's
+  *    DECIMAL(18,2) rendering differs from DuckDB's (round-1 lesson —
+  *    all 9 hash failures were decimal-output queries). The decimal
+  *    value is exact, and decimal→double conversion is correctly
+  *    rounded IEEE in both engines, so the doubles are bit-identical.
+  *    (round() on doubles would NOT be safe: half-up vs binary
+  *    tie-breaking differs across engines.)
   *  - every result has a deterministic total ORDER BY.
   */
 object RelationalQueries {
@@ -33,10 +40,10 @@ object RelationalQueries {
         .filter($"l_shipdate" < lit("1998-09-01").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast(dec)).as("sum_qty"),
-          sum($"l_extendedprice".cast(dec)).as("sum_base_price"),
+          sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast(dec)).cast("double").as("sum_base_price"),
           sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -53,7 +60,7 @@ object RelationalQueries {
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-               .as("revenue"),
+               .cast("double").as("revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy($"n_name")
     }),
@@ -66,8 +73,7 @@ object RelationalQueries {
       Tables.orders(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
-        .select($"o_custkey", $"o_orderkey",
-                $"o_totalprice".cast(dec).as("o_totalprice"), $"rn")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
         .orderBy($"o_custkey", $"rn")
     }),
 
@@ -76,7 +82,7 @@ object RelationalQueries {
       import s.implicits._
       Tables.orders(s, d)
         .filter($"o_orderstatus" === "O" && $"o_totalprice" > 100000.0)
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice".cast(dec).as("o_totalprice"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
         .limit(100)
     }),
@@ -124,7 +130,7 @@ object RelationalQueries {
       import s.implicits._
       Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"), sum($"l_quantity".cast(dec)).as("qty"))
+        .agg(count(lit(1)).as("n"), sum($"l_quantity".cast(dec)).cast("double").as("qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
@@ -134,7 +140,7 @@ object RelationalQueries {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       s.sql(
         """SELECT c_custkey,
-          |  (SELECT cast(max(o_totalprice) AS DECIMAL(18,2))
+          |  (SELECT max(o_totalprice)
           |   FROM orders_v WHERE o_custkey = c_custkey) AS max_order
           |FROM customer_v ORDER BY c_custkey""".stripMargin)
     }),
@@ -175,7 +181,7 @@ object RelationalQueries {
       Tables.events(s, d)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-             sum($"value".cast(dec)).as("total_value"),
+             sum($"value".cast(dec)).cast("double").as("total_value"),
              countDistinct($"user_id").as("n_users"))
         .orderBy($"event_type")
     })
@@ -184,29 +190,29 @@ object RelationalQueries {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_revenue_by_nation" ->
       """SELECT n_name,
-        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_window_topk_orders" ->
-      """SELECT o_custkey, o_orderkey, cast(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, cast(rn AS INT) AS rn
+      """SELECT o_custkey, o_orderkey, o_totalprice, cast(rn AS INT) AS rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q_filter_topn" ->
-      """SELECT o_orderkey, o_custkey, cast(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q_semi_customers_with_urgent" ->
@@ -230,12 +236,12 @@ object RelationalQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup_lineitem" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS qty
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_corr_subquery" ->
       """SELECT c_custkey,
-        |  (SELECT cast(max(o_totalprice) AS DECIMAL(18,2))
+        |  (SELECT max(o_totalprice)
         |   FROM orders WHERE o_custkey = c_custkey) AS max_order
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_except_unordered_parts" ->
@@ -253,7 +259,7 @@ object RelationalQueries {
         |ORDER BY k""".stripMargin,
     "q_events_by_type" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(cast(value AS DECIMAL(18,2))) AS total_value,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )

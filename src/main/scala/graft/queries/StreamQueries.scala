@@ -17,6 +17,8 @@ object StreamQueries {
     "q_stream_window" -> ((s, d) => {
       val agg = StreamPipeline.windowedCounts(StreamPipeline.readEvents(s, d))
       StreamPipeline.runToCompletion(s, agg, s"stream_window_${System.identityHashCode(d)}")
+        // terminal decimal → double for engine-stable hashing (exact value)
+        .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
@@ -31,7 +33,7 @@ object StreamQueries {
     "q_stream_window" ->
       """SELECT cast(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
         |  event_type, count(*) AS n,
-        |  sum(cast(value AS DECIMAL(18,2))) AS total_value
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH marked AS (

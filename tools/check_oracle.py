@@ -7,6 +7,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,7 +28,11 @@ def main(sf_dir, out_dir):
     qdirs = [d for d in sorted(glob.glob(os.path.join(out_dir, "*"))) if os.path.isdir(d)]
     for qd in qdirs:
         name = os.path.basename(qd)
-        got = con.sql(f"SELECT * FROM '{qd}/*.parquet'").df()
+        # Read the Spark side NATIVELY (pyarrow), like the driver does —
+        # round-1 lesson: routing it through DuckDB normalized decimals
+        # identically on both sides and hid 9 driver hash failures.
+        parts = sorted(glob.glob(os.path.join(qd, "*.parquet")))
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         if name not in oracle:
             results[name] = f"ROWS-ONLY ({len(got)} rows)" if len(got) > 0 else "EMPTY-RESULT!"
             continue
@@ -39,6 +44,10 @@ def main(sf_dir, out_dir):
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} duckdb={list(e.columns)}"
+        elif [str(t) for t in g.dtypes] != [str(t) for t in e.dtypes]:
+            bad_cols = [f"{c}: spark={g[c].dtype} duckdb={e[c].dtype}"
+                        for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+            results[name] = f"DTYPE-MISMATCH {bad_cols}"
         elif len(g) != len(e):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} duckdb={len(e)}"
         else:
