@@ -8,18 +8,21 @@ import org.apache.spark.sql.functions._
   * centroids partition the corpus into cells; a query scans only its
   * `nProbe` closest cells.
   *
-  * Training is deterministic: centroids seed from evenly-spaced corpus
-  * vectors (by id rank) and refine with a fixed number of Lloyd
-  * iterations computed as DataFrame aggregations — the centroid set is
-  * tiny and broadcasts; assignment is a narrow map. The 100 TB shape:
-  * train on a sample, assign in one pass partitioned by cell id, store
-  * cell id as a partition column so queries prune to nProbe cells at
-  * the SCAN (partition pruning, not a post-filter).
+  * Training is deterministic AND bounded: a hash-sampled subset of the
+  * corpus (capped at `sampleTarget` vectors, one filtered scan, no
+  * global window / no per-iteration corpus shuffle) is collected once
+  * and Lloyd runs driver-side on that fixed-size sample. The centroid
+  * set broadcasts; assignment is a narrow map over the corpus. The
+  * 100 TB shape: the training scan reads only (id, vec) columns and the
+  * sample predicate is a pushable hash filter; assign in one pass
+  * partitioned by cell id and store cell id as a partition column so
+  * queries prune to nProbe cells at the SCAN (partition pruning, not a
+  * post-filter).
   */
 object Ivf {
 
   final case class Model(centroids: Array[Array[Double]]) {
-    def nearest(vec: Seq[Float], n: Int): Array[Int] = {
+    def nearest(vec: Seq[Double], n: Int): Array[Int] = {
       val scored = centroids.indices.map { c =>
         var d = 0.0
         val cent = centroids(c)
@@ -32,55 +35,72 @@ object Ivf {
     }
   }
 
-  /** Deterministic training: seed = every (count/k)-th vector by id,
-    * then `iters` Lloyd steps via groupBy-average. */
+  /** Deterministic, scale-bounded training: hash-sample ~`sampleTarget`
+    * vectors in one filtered scan (`xxhash64(id) % m == 0` — no global
+    * window, no rank funnel), collect the sample once, seed with every
+    * (|sample|/k)-th vector by id, then run `iters` Lloyd steps locally
+    * on the sample. Driver compute is O(sampleTarget × k × dim) per
+    * iteration — fixed regardless of corpus size. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
-            k: Int = 16, iters: Int = 3): Model = {
-    val spark = emb.sparkSession
+            k: Int = 16, iters: Int = 3, sampleTarget: Int = 4096): Model = {
     val n = emb.count()
-    val stride = math.max(n / k, 1)
-    val seeds = emb
-      .withColumn("_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
-      .filter((col("_rank") - 1) % stride === 0)
-      .limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var model = Model(seeds)
+    val m = math.max(1L, n / math.max(sampleTarget.toLong, k.toLong))
+    val sample = emb
+      .filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+      .select(col(idCol).cast("string").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    require(sample.nonEmpty, "ivf training sample is empty")
+    val stride = math.max(sample.length / k, 1)
+    val seeds = sample.indices.collect {
+      case i if i % stride == 0 => sample(i).clone()
+    }.take(k).toArray
+
+    var cents = seeds
     var it = 0
     while (it < iters) {
-      val assignU = assignUdf(model, 1)
-      val means = emb
-        .select(posexplode(col(vecCol)).as(Seq("dim", "v")),
-          assignU(col(vecCol)).getItem(0).as("cell"))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .collect()
-      val next = model.centroids.map(_.clone())
-      means.foreach { r =>
-        val cell = r.getInt(0)
-        if (cell >= 0 && cell < next.length) next(cell)(r.getInt(1)) = r.getDouble(2)
+      val dim = cents.headOption.map(_.length).getOrElse(0)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      val model = Model(cents)
+      sample.foreach { v =>
+        val c = model.nearest(v, 1)(0)
+        val s = sums(c)
+        var i = 0
+        val len = math.min(dim, v.length)
+        while (i < len) { s(i) += v(i); i += 1 }
+        counts(c) += 1
       }
-      model = Model(next)
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // keep an empty cell's seed
+        else sums(c).map(_ / counts(c))
+      }.toArray
       it += 1
     }
-    model
+    Model(cents)
   }
 
   private def assignUdf(model: Model, nProbe: Int) =
-    udf((vec: Seq[Float]) => model.nearest(vec, nProbe))
+    udf((vec: Seq[Double]) => model.nearest(vec, nProbe))
 
   /** ANN top-k through the inverted file: corpus assigned to its
-    * nearest cell, queries probe their nProbe nearest cells. */
+    * nearest cell, queries probe their nProbe nearest cells. Scoring
+    * uses precomputed squared norms + a primitive-loop dot product
+    * (same summation order as the declarative form), so candidate
+    * scoring costs one multiply-add pass per surviving pair. */
   def topK(emb: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
            model: Model, k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      assignUdf(model, 1)(col(vecCol)).getItem(0).as("cell"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      explode(assignUdf(model, nProbe)(col(vecCol))).as("cell"))
+    val corpus = Similarity.prepared(emb, idCol, vecCol, "nid", "nvec", "nn2")
+      .withColumn("cell", assignUdf(model, 1)(col("nvec")).getItem(0))
+    val q = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
+      .withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
     val scored = corpus.join(broadcast(q), "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("score", Similarity.cosineCol(col("qvec"), col("nvec")))
+      .withColumn("score",
+        Similarity.dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
     scored

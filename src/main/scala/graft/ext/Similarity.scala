@@ -38,7 +38,7 @@ object Similarity {
   /** Primitive-loop dot product: same left-to-right double summation as
     * the declarative form (and DuckDB's list_cosine_similarity), so
     * results are bit-identical — just without per-pair allocation. */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+  private[ext] val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -48,7 +48,7 @@ object Similarity {
 
   /** (id, v: array<double>, n2: ‖v‖²) — norms computed once per vector,
     * not once per pair. */
-  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+  private[ext] def prepared(df: DataFrame, idCol: String, vecCol: String,
                        idAs: String, vecAs: String, n2As: String): DataFrame =
     df.select(col(idCol).as(idAs),
         transform(col(vecCol), x => x.cast("double")).as(vecAs))
