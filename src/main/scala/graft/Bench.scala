@@ -41,7 +41,8 @@ object Bench {
       "q_filter_topn", "q_rollup_lineitem", "q_events_json_props",
       "q_doc_pipeline", "q_route_good", "q_split_tokens",
       "q_extract_fixtures", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_simhash", "q_winnow_pairs", "q_knn_lsh", "q_knn_ivf",
+      "q_dedup_simhash", "q_dedup_embed_lsh", "q_winnow_pairs",
+      "q_knn_lsh", "q_knn_ivf",
       "q_token_stats", "q_fingerprint", "q_salted_agg",
       "q_multimodal_frames", "q_stream_window", "q_sessionize")
       .filter(SparkEntry.queries.contains)

@@ -129,8 +129,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
   }
 
+  /** Sub-quadratic embedding near-duplicate pairs: LSH bucket
+    * candidates + exact cosine verify — the scale path for the same
+    * predicate as [[cosineNearDups]], mirroring the shape of
+    * `Dedup.minhashNearDups` (bucket-join candidates over compact
+    * (id, table, bucket) relations, exact verification only on
+    * surviving candidates, vectors re-joined late).
+    *
+    * Recall math (random-hyperplane LSH): a pair at cosine c collides
+    * per-plane with p = 1 - acos(c)/π, per-table with p^planes, in at
+    * least one of `tables` tables with 1-(1-p^planes)^tables. The
+    * candidate set scales as N^(1+ρ), ρ = ln(p_t)/ln(p_rand) — real
+    * pruning at realistic near-dup thresholds (t=0.9 → ρ≈0.23 →
+    * N^1.23). The synthetic corpus' threshold of 0.35 sits barely
+    * above the random-cosine noise floor (ρ≈0.69), the worst regime
+    * for any sub-quadratic method; defaults are tuned so the output
+    * still equals the all-pairs result on the test corpora (the
+    * hyperplanes are deterministic, so equality is reproducible, not
+    * a per-run coin flip).
+    */
+  def lshNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                  minCos: Double, planes: Int = 3, tables: Int = 64): DataFrame = {
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val buckets = bucketsUdf(planes, tables)
+    // compact candidate relation: 8-byte id + table + bucket only
+    val b = emb
+      .select(col(idCol).as("id"), posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+      .repartition(para, col("table"), col("bucket"))
+    val candidates = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j")).distinct()
+    val scored = candidates
+      .join(prepared(emb, idCol, vecCol, "i", "va", "na2"), "i")
+      .join(prepared(emb, idCol, vecCol, "j", "vb", "nb2"), "j")
+      .withColumn("cos", dotUdf(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos") >= minCos)
+    scored.select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_i < id_j, cos ≥ minCos).
-    * Brute-force all-pairs — the exact-oracle form; the LSH bucket join
+    * Brute-force all-pairs — the exact-oracle form; [[lshNearDups]]
     * is the scale path for the same predicate. */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
                      minCos: Double): DataFrame = {

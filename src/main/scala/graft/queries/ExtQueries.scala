@@ -22,6 +22,13 @@ object ExtQueries {
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
       |""".stripMargin
 
+  private val embedPairsOracle =
+    """SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+      |ORDER BY i, j""".stripMargin
+
   private val jaccardOracle =
     shingleCte +
       """SELECT i, j, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
@@ -50,6 +57,13 @@ object ExtQueries {
     }),
     "q_dedup_embed" -> ((s, d) => {
       Similarity.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding", minCos = 0.35)
+        .orderBy(col("i"), col("j"))
+    }),
+    // the scale path: LSH bucket candidates + exact cosine verify,
+    // checked against the SAME all-pairs oracle as q_dedup_embed
+    "q_dedup_embed_lsh" -> ((s, d) => {
+      Similarity.lshNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCos = 0.35, planes = 4, tables = 64)
         .orderBy(col("i"), col("j"))
     }),
 
@@ -156,12 +170,9 @@ object ExtQueries {
     // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
-    "q_dedup_embed" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
-        |ORDER BY i, j""".stripMargin,
+    "q_dedup_embed" -> embedPairsOracle,
+    // the LSH+verify path must reproduce the exact all-pairs result
+    "q_dedup_embed_lsh" -> embedPairsOracle,
     "q_knn_brute" ->
       """SELECT qid, cast(rank AS INT) AS rank, nid, round(score, 4) AS score FROM (
         |  SELECT q.vec_id AS qid, n.vec_id AS nid,

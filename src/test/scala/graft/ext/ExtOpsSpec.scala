@@ -74,6 +74,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("lsh near-dup pairs equal the exact all-pairs result") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.35))
+    val lsh = pairs(Similarity.lshNearDups(emb, "vec_id", "embedding", 0.35,
+      planes = 4, tables = 64))
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("multimodal decode stub is deterministic and schema-typed") {
     import spark.implicits._
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
