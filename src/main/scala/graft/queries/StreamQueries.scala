@@ -5,20 +5,28 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamPipeline
 
 /** Streaming-operator queries. q_stream_window runs through the REAL
-  * Structured Streaming engine (file source → stateful aggregation →
-  * memory sink, drained synchronously); its oracle is the equivalent
-  * batch SQL — streaming and batch must agree on bounded input
-  * (Spark's own unification contract). Timestamps stay in integer
-  * epoch units end-to-end (the source column is TIMESTAMP(NANOS)).
+  * Structured Streaming engine — file source → 30-min event-time
+  * watermark → tumbling-window aggregation → Append output →
+  * foreachBatch partitioned-parquet sink (the 100 TB shape: state
+  * bounded by the watermark, nothing materialized on the driver). Its
+  * oracle is the equivalent batch SQL restricted to watermark-closed
+  * windows (window_end ≤ max(event time) − delay) — streaming and
+  * batch must agree on bounded input (Spark's own unification
+  * contract). Timestamps stay in integer epoch units end-to-end (the
+  * source column is TIMESTAMP(NANOS)).
   */
 object StreamQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> ((s, d) => {
-      val agg = StreamPipeline.windowedCounts(StreamPipeline.readEvents(s, d))
-      StreamPipeline.runToCompletion(s, agg, s"stream_window_${System.identityHashCode(d)}")
+      val agg = StreamPipeline.windowedCounts(
+        StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stream_window").toString
+      StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"))
         // terminal decimal → double for engine-stable hashing (exact value)
         .withColumn("total_value", col("total_value").cast("double"))
+        .select("window_start_us", "event_type", "n", "total_value")
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
@@ -30,11 +38,17 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // watermark-closed windows only: end ≤ max(event time) − 30 min.
+    // All arithmetic in integer micros (hour = 3 600 000 000 µs).
     "q_stream_window" ->
-      """SELECT cast(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events)
+        |SELECT (tus // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
+        |ORDER BY window_start_us, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, epoch_ns(ts) AS tns,

@@ -33,19 +33,24 @@ object StreamPipeline {
   }
 
   /** Tumbling-window counts by event type — the streaming aggregation
-    * shape (watermark handled by the caller's output mode choice). */
-  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
-    events
-      .withColumn("etime", eventTime("ts"))
+    * shape. Pass `watermark` to bound state for Append-mode output;
+    * None leaves state unbounded (Complete-mode test harness). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: Option[String] = None): DataFrame = {
+    val timed = events.withColumn("etime", eventTime("ts"))
+    watermark.fold(timed)(d => timed.withWatermark("etime", d))
       .groupBy(window(col("etime"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
+  }
 
   /** Runs a streaming aggregation over the (bounded) events source to
     * completion through the real streaming engine: memory sink,
-    * complete mode, synchronous drain. */
+    * complete mode, synchronous drain. TEST SCAFFOLDING ONLY — Complete
+    * mode re-materializes the whole result on the driver every trigger;
+    * the scale path is [[runAppendToDir]]. */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
@@ -56,6 +61,47 @@ object StreamPipeline {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
+  }
+
+  /** The scale path for streaming aggregation: event-time watermark +
+    * Append output + foreachBatch writing partitioned parquet. State
+    * stays bounded by the watermark (closed windows are evicted each
+    * trigger) and nothing materializes on the driver — each micro-batch
+    * appends its finalized windows straight to the distributed sink.
+    *
+    * Bounded-input contract: Append emits exactly the windows the
+    * watermark has closed, i.e. window_end ≤ max(event time) − delay;
+    * the trailing open windows stay in state (on an unbounded stream
+    * they'd emit when later data advances the watermark). The engine's
+    * no-data micro-batch performs the final eviction after the last
+    * data batch; [[drainAndStop]] waits for it. */
+  def runAppendToDir(spark: SparkSession, agg: DataFrame, outDir: String,
+                     partitionCols: Seq[String]): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode("append").partitionBy(partitionCols: _*).parquet(outDir)
+      }
+      .start()
+    drainAndStop(q)
+    spark.read.parquet(outDir)
+  }
+
+  /** processAllAvailable returns when all source data is committed, but
+    * watermark eviction happens in a trailing NO-DATA micro-batch —
+    * wait until the engine goes quiescent so Append output is final. */
+  private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try {
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((q.status.isDataAvailable || q.status.isTriggerActive) &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
   }
 
   // ---- sessionization ------------------------------------------------

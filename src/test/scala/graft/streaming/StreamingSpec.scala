@@ -34,6 +34,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(s1.sameElements(b1))
   }
 
+  test("append path emits exactly the watermark-closed windows") {
+    val sf = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val out = tmpDir()
+    val appended = StreamPipeline.runAppendToDir(spark,
+      StreamPipeline.windowedCounts(
+        StreamPipeline.readEvents(spark, sf), watermark = Some("30 minutes")),
+      out.getAbsolutePath, Seq("event_type"))
+    // expected: the batch result restricted to windows the watermark
+    // closed — end (start + 1h) ≤ max event time − 30 min
+    val maxUs = events.select(max(expr("ts div 1000"))).head().getLong(0)
+    val expected = StreamPipeline.windowedCounts(events)
+      .filter(col("window_start_us") + 3600000000L + 1800000000L <= maxUs)
+    val a = appended.select("window_start_us", "event_type", "n", "total_value")
+      .orderBy("window_start_us", "event_type").collect().map(_.toString)
+    val e = expected.orderBy("window_start_us", "event_type").collect().map(_.toString)
+    assert(a.nonEmpty)
+    assert(a.sameElements(e))
+    // partitioned sink: one directory per event_type
+    assert(out.listFiles().exists(f => f.isDirectory && f.getName.startsWith("event_type=")))
+  }
+
   test("file source delivers files incrementally (ListFile state analogue)") {
     import spark.implicits._
     val dir = tmpDir()
