@@ -55,9 +55,13 @@ object Dedup {
     * 8-byte longs instead of ~20-byte strings. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    // No persist: the self-join's two sides are canonically identical
+    // subplans, so ReuseExchange computes the shingle shuffle once; only
+    // `sizes` recomputes the (narrow, cheap) shingling. Caching the
+    // exploded shingle relation (~n× the corpus) would spill at scale
+    // and leaked here before (callers could never unpersist).
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("s")).as("s"))
-      .persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -77,7 +77,12 @@ object Winnowing {
     * |A∩B| / min(|A|,|B|) ≥ minOverlap. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
                    minOverlap: Double = 0.5): DataFrame = {
-    val fps = fingerprintRows(df, idCol, textCol).persist()
+    // No persist (was a cache leak — callers could never release it):
+    // the self-join's two exchanges are canonically identical and
+    // ReuseExchange computes the fingerprint shuffle once; `sizes`
+    // recomputes the narrow fingerprint UDF, which at corpus scale is
+    // cheaper than spilling a cached exploded relation.
+    val fps = fingerprintRows(df, idCol, textCol)
     val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
     val inter = fps.as("a")
       .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

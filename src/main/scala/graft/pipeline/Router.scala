@@ -8,25 +8,36 @@ import org.apache.spark.sql.DataFrame
   * distributed record set and Spark SQL (a strict superset of the
   * exercised Calcite surface) plans each route.
   *
-  * The input is materialized once (`persist`) when fanning out to
-  * multiple routes so the scan+extract work isn't re-run per route —
-  * NiFi gets this for free from its queues; Spark needs the explicit
-  * cache (SURVEY.md §4.2 multi-route single-scan).
+  * When fanning out to multiple routes the input should be scanned
+  * once — NiFi gets this for free from its queues; Spark needs an
+  * explicit cache. [[withRoutes]] brackets that cache (persist →
+  * consume every route → unpersist) so it can't leak past the caller's
+  * actions; plain [[routes]] stays lazy and cache-free, which is the
+  * right shape when only one route is consumed.
   */
 object Router {
   val ViewName = "FLOWFILE"
 
   def routes(records: DataFrame, queries: Map[String, String],
-             includeZeroRecordRoutes: Boolean = false,
-             persistInput: Boolean = true): Map[String, DataFrame] = {
-    val in = if (persistInput && queries.size > 1) records.persist() else records
-    in.createOrReplaceTempView(ViewName)
-    val planned = queries.map { case (name, sql) => name -> in.sparkSession.sql(sql) }
+             includeZeroRecordRoutes: Boolean = false): Map[String, DataFrame] = {
+    records.createOrReplaceTempView(ViewName)
+    val planned = queries.map { case (name, sql) => name -> records.sparkSession.sql(sql) }
     // include-zero-record-flowfiles=false (56409-tika.xml:1836) drops
     // empty routes — only meaningful on materialization, so callers that
     // keep laziness pass includeZeroRecordRoutes=true.
     if (includeZeroRecordRoutes) planned
     else planned.filter { case (_, df) => !df.isEmpty }
+  }
+
+  /** Multi-route single-scan form (SURVEY.md §4.2): persists the input,
+    * hands every route to `f` (which must run its actions inside), then
+    * releases the cache — the bracket guarantees no leaked RDDs. */
+  def withRoutes[A](records: DataFrame, queries: Map[String, String],
+                    includeZeroRecordRoutes: Boolean = false)
+                   (f: Map[String, DataFrame] => A): A = {
+    val in = records.persist()
+    try f(routes(in, queries, includeZeroRecordRoutes))
+    finally in.unpersist()
   }
 
   /** The template's exact three-way sentiment routing
