@@ -73,24 +73,38 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
   }
 
+  /** Per-executor cache of the deterministic hyperplane matrix: weights
+    * derive from [[Hashing.unitDouble]] (reproducible with no stored
+    * model), but hashing per multiply dominated signature cost at
+    * planes×tables in the thousands — precompute once per
+    * (planes, tables, dim) per JVM instead. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def hyperplanes(planes: Int, tables: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, tables, dim), _ =>
+      Array.tabulate(tables * planes) { tp =>
+        val t = tp / planes
+        val p = tp % planes
+        Array.tabulate(dim)(i => Hashing.unitDouble((t.toLong * 64 + p) * 4096L + i))
+      })
+
   /** Random-hyperplane signatures → one bucket id per hash table.
-    * Hyperplane weights derive from [[Hashing.unitDouble]] so the
-    * partitioning is reproducible with no stored model. Multiple
-    * independent tables are the standard recall lever: a near neighbor
-    * colliding in ANY table becomes a candidate. */
-  private def bucketsUdf(planes: Int, tables: Int) = udf((vec: Seq[Float]) => {
+    * Multiple independent tables are the standard recall lever: a near
+    * neighbor colliding in ANY table becomes a candidate. */
+  private def bucketsUdf(planes: Int, tables: Int) = udf((vec: Seq[Double]) => {
+    val mat = hyperplanes(planes, tables, vec.length)
+    val v = vec.toArray
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0
       var p = 0
       while (p < planes) {
+        val plane = mat(t * planes + p)
         var dotv = 0.0
         var i = 0
-        while (i < vec.length) {
-          dotv += vec(i) * Hashing.unitDouble((t.toLong * 64 + p) * 4096L + i)
-          i += 1
-        }
+        while (i < v.length) { dotv += v(i) * plane(i); i += 1 }
         if (dotv > 0) bucket |= (1 << p)
         p += 1
       }
@@ -110,7 +124,9 @@ object Similarity {
               tables: Int = 8): DataFrame = {
     val buckets = bucketsUdf(planes, tables)
     def bucketRows(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+      .select(col(idCol).as(as),
+        posexplode(buckets(transform(col(vecCol), x => x.cast("double"))))
+          .as(Seq("table", "bucket")))
     val corpusB = bucketRows(emb, "nid")
     val qB = bucketRows(queries, "qid")
     val candidates = corpusB.join(broadcast(qB), Seq("table", "bucket"))
@@ -139,28 +155,46 @@ object Similarity {
     * Recall math (random-hyperplane LSH): a pair at cosine c collides
     * per-plane with p = 1 - acos(c)/π, per-table with p^planes, in at
     * least one of `tables` tables with 1-(1-p^planes)^tables. The
-    * candidate set scales as N^(1+ρ), ρ = ln(p_t)/ln(p_rand) — real
-    * pruning at realistic near-dup thresholds (t=0.9 → ρ≈0.23 →
-    * N^1.23). The synthetic corpus' threshold of 0.35 sits barely
-    * above the random-cosine noise floor (ρ≈0.69), the worst regime
-    * for any sub-quadratic method; defaults are tuned so the output
-    * still equals the all-pairs result on the test corpora (the
-    * hyperplanes are deterministic, so equality is reproducible, not
-    * a per-run coin flip).
+    * candidate set scales as N^(1+ρ), ρ = ln(p_t)/ln(p_rand) — LSH
+    * only prunes when the threshold is well above the random-cosine
+    * noise floor. The defaults target genuine near-dup thresholds
+    * (minCos ≥ 0.9): per pair at c = 0.9, p = 0.856, p_t = 0.856¹⁶ =
+    * 0.084, miss across 128 tables = (1−0.084)¹²⁸ ≈ 1.4e-5; a RANDOM
+    * pair (p ≈ 0.5) collides anywhere with ≈ 0.5¹⁶×128 ≈ 0.2 %, so the
+    * candidate join touches ~1/500th of the N² pairs (ρ ≈ 0.23 →
+    * N^1.23 overall). The hyperplanes are deterministic, so recall on
+    * a given corpus is reproducible, not a per-run coin flip. At a
+    * noise-floor threshold (e.g. cos ≥ 0.35 on random 64-dim vectors,
+    * p_rand ≈ p_t) NO parameterization prunes — use [[cosineNearDups]]
+    * there: brute force is the right algorithm for that regime.
+    *
+    * Scaling the exact-equality guarantee: expected misses ≈
+    * n_pairs × (1−p_t)^tables grows linearly with the true-pair count,
+    * so when the corpus grows ~10×, add ~⌈ln(10)/p_t⌉ ≈ 28 tables to
+    * hold it constant (the spec pins equality vs the all-pairs oracle
+    * on the test corpora).
     */
-  def lshNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                  minCos: Double, planes: Int = 3, tables: Int = 64): DataFrame = {
+  /** The candidate half of [[lshNearDups]], exposed so specs can pin the
+    * pruning ratio (|candidates| ≪ N²/2). */
+  def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, tables: Int): DataFrame = {
     val para = emb.sparkSession.sparkContext.defaultParallelism
     val buckets = bucketsUdf(planes, tables)
     // compact candidate relation: 8-byte id + table + bucket only
     val b = emb
-      .select(col(idCol).as("id"), posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+      .select(col(idCol).as("id"),
+        posexplode(buckets(transform(col(vecCol), x => x.cast("double"))))
+          .as(Seq("table", "bucket")))
       .repartition(para, col("table"), col("bucket"))
-    val candidates = b.as("x").join(b.as("y"),
+    b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("i"), col("y.id").as("j")).distinct()
-    val scored = candidates
+  }
+
+  def lshNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                  minCos: Double, planes: Int = 16, tables: Int = 128): DataFrame = {
+    val scored = lshCandidatePairs(emb, idCol, vecCol, planes, tables)
       .join(prepared(emb, idCol, vecCol, "i", "va", "na2"), "i")
       .join(prepared(emb, idCol, vecCol, "j", "vb", "nb2"), "j")
       .withColumn("cos", dotUdf(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))

@@ -29,6 +29,38 @@ object ExtQueries {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
       |ORDER BY i, j""".stripMargin
 
+  /** All-pairs oracle for the LSH near-dup query, over the SAME planted
+    * corpus [[plantedNearDupCorpus]] builds on the Spark side. */
+  private val embedPairsLshOracle =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.05)
+      |  FROM embeddings)
+      |SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+      |ORDER BY i, j""".stripMargin
+
+  /** The synthetic embeddings are (near-)random unit vectors — max
+    * pairwise cosine ≈ 0.6 at sf0.1 — so the corpus contains NO true
+    * near-duplicates at a realistic threshold, and at the noise floor
+    * (cos ≥ 0.35) no sub-quadratic method can prune (that regime is
+    * served exactly by `q_dedup_embed`'s brute force). To exercise the
+    * LSH scale path at a threshold where it genuinely prunes (cos ≥
+    * 0.9), the query corpus plants one deterministic near-duplicate per
+    * vector: w = v + 0.05 per element → cos(v, w) ∈ [0.916, 0.954] on
+    * unit vectors. The oracle constructs the identical corpus in SQL,
+    * so the gate stays hash-exact. */
+  private[graft] def plantedNearDupCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + 0.05).as("embedding"))
+    base.unionAll(planted)
+  }
+
   private val jaccardOracle =
     shingleCte +
       """SELECT i, j, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
@@ -59,11 +91,12 @@ object ExtQueries {
       Similarity.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding", minCos = 0.35)
         .orderBy(col("i"), col("j"))
     }),
-    // the scale path: LSH bucket candidates + exact cosine verify,
-    // checked against the SAME all-pairs oracle as q_dedup_embed
+    // the scale path: LSH bucket candidates + exact cosine verify at a
+    // genuine near-dup threshold (0.9) over the planted-dup corpus,
+    // checked against its own all-pairs oracle on the same corpus
     "q_dedup_embed_lsh" -> ((s, d) => {
-      Similarity.lshNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-          minCos = 0.35, planes = 4, tables = 64)
+      Similarity.lshNearDups(plantedNearDupCorpus(Tables.embeddings(s, d)),
+          "vec_id", "embedding", minCos = 0.9, planes = 16, tables = 128)
         .orderBy(col("i"), col("j"))
     }),
 
@@ -171,8 +204,9 @@ object ExtQueries {
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
     "q_dedup_embed" -> embedPairsOracle,
-    // the LSH+verify path must reproduce the exact all-pairs result
-    "q_dedup_embed_lsh" -> embedPairsOracle,
+    // the LSH+verify path must reproduce the exact all-pairs result at
+    // its own threshold over the planted-dup corpus
+    "q_dedup_embed_lsh" -> embedPairsLshOracle,
     "q_knn_brute" ->
       """SELECT qid, cast(rank AS INT) AS rank, nid, round(score, 4) AS score FROM (
         |  SELECT q.vec_id AS qid, n.vec_id AS nid,

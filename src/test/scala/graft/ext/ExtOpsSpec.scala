@@ -74,16 +74,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(ann.forall { case (q, n) => q != n })
   }
 
-  test("lsh near-dup pairs equal the exact all-pairs result") {
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  test("lsh near-dup pairs equal exact all-pairs AND genuinely prune candidates") {
+    // Same planted-near-dup corpus the declared query uses: the raw
+    // synthetic embeddings are random unit vectors (max pairwise cos
+    // ≈ 0.6), so a realistic threshold needs planted duplicates.
+    val emb = graft.queries.ExtQueries.plantedNearDupCorpus(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("i", "j", "cos").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = pairs(Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.35))
-    val lsh = pairs(Similarity.lshNearDups(emb, "vec_id", "embedding", 0.35,
-      planes = 4, tables = 64))
+    val exact = pairs(Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.9))
+    val lsh = pairs(Similarity.lshNearDups(emb, "vec_id", "embedding", 0.9))
     assert(exact.nonEmpty)
     assert(lsh == exact)
+    // the point of LSH: the verify join touches a small fraction of N²/2
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.lshCandidatePairs(emb, "vec_id", "embedding",
+      planes = 16, tables = 128).count()
+    info(s"lsh candidates=$cands of allPairs=$allPairs (${cands * 100.0 / allPairs}%)")
+    assert(cands < allPairs / 20, s"candidates=$cands vs allPairs=$allPairs")
+    assert(cands >= exact.size)
   }
 
   test("multimodal decode stub is deterministic and schema-typed") {
