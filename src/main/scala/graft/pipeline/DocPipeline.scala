@@ -82,10 +82,17 @@ object DocPipeline {
   def toJsonRecords(tagged: DataFrame, cols: Seq[String]): DataFrame =
     tagged.withColumn("json", to_json(struct(cols.map(col): _*)))
 
-  /** A2 InferAvroSchema analogue: infer the record schema from a sample
-    * of the JSON column (sampling mirrors `25 records analyzed`,
-    * 56409-tika.xml:1611-1646); returns the DDL string. */
-  def inferSchema(json: DataFrame, jsonCol: String = "json", sample: Int = 25): String = {
+  /** A2 InferAvroSchema: infer the record schema from a sample of the
+    * JSON column and emit the AVRO SCHEMA DOCUMENT the template stores
+    * in `inferred.avro.schema` — record name `PDF`, pretty JSON
+    * (56409-tika.xml:1611-1646, `25 records analyzed`). */
+  def inferSchema(json: DataFrame, jsonCol: String = "json", sample: Int = 25,
+                  recordName: String = "PDF"): String =
+    AvroIo.inferAvroSchema(json, jsonCol, recordName, sample)
+
+  /** The Spark-DDL form of the same inference (engine-side convenience,
+    * not the template contract). */
+  def inferSchemaDdl(json: DataFrame, jsonCol: String = "json", sample: Int = 25): String = {
     val spark = json.sparkSession
     import spark.implicits._
     val ds = json.select(col(jsonCol)).limit(sample).as[String]

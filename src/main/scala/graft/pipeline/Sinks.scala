@@ -9,13 +9,20 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   /** K1 PutFile: Conflict Resolution=ignore, Create Missing Directories
-    * =true (56409-tika.xml:1096-1100) → mode("ignore") + parquet's
+    * =true (56409-tika.xml:1096-1100) → mode("ignore") + the writer's
     * directory creation. Partition count is the MergeContent analogue —
-    * see [[MergePolicy]]. */
+    * see [[MergePolicy]]. `format="avro"` writes the template's actual
+    * bin format (Merge Format=Avro, tika.xml:1325-1362) via [[AvroIo]];
+    * parquet stays the default for analytic outputs. */
   def putFile(df: DataFrame, dir: String, format: String = "parquet",
               partitions: Option[Int] = None): Unit = {
     val out = partitions.map(df.coalesce).getOrElse(df)
-    out.write.mode("ignore").format(format).save(dir)
+    if (format == "avro") {
+      // mode("ignore") parity: skip when the target already exists
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) AvroIo.writeAvroBins(out, dir)
+    } else out.write.mode("ignore").format(format).save(dir)
   }
 
   /** Single-pass multi-route write — the scan-once alternative to N
@@ -25,17 +32,17 @@ object Sinks {
     df.write.mode("ignore").format(format).partitionBy(routeCol).save(dir)
 
   /** K2 PublishKafkaRecord contract (bootstrap, acks, max request size —
-    * 56409-tika.xml:2501-2548). `KafkaLike` lets offline tests observe
-    * the records without a broker. */
+    * 56409-tika.xml:2501-2548): JSON records in, AVRO records out — the
+    * message value is an Avro container with the schema embedded
+    * (AvroRecordSetWriter, registry-less). `KafkaLike` lets offline
+    * tests observe the payloads without a broker. */
   trait KafkaLike {
     def publish(df: DataFrame, topic: String): Long
   }
 
   final class KafkaSink(bootstrapServers: String) extends KafkaLike {
     override def publish(df: DataFrame, topic: String): Long = {
-      import org.apache.spark.sql.functions._
-      val payload = df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
-      payload.write.format("kafka")
+      AvroIo.kafkaPayload(df).write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("topic", topic)
         .save()
@@ -43,11 +50,14 @@ object Sinks {
     }
   }
 
-  /** Offline stand-in: counts records that WOULD be published. */
+  /** Offline stand-in: produces the SAME Avro payloads as [[KafkaSink]]
+    * (so tests can decode them) and counts instead of sending. */
   final class LogKafkaSink extends KafkaLike {
+    /** The payload column a broker would receive. */
+    def payloads(df: DataFrame): DataFrame = AvroIo.kafkaPayload(df)
     override def publish(df: DataFrame, topic: String): Long = {
-      val n = df.count()
-      System.err.println(s"[kafka-stub] topic=$topic records=$n")
+      val n = payloads(df).count()
+      System.err.println(s"[kafka-stub] topic=$topic avro-messages=$n")
       n
     }
   }

@@ -115,14 +115,15 @@ object PipelineQueries {
       Udfs.cleanColumnNames(dirty).orderBy(col("doc_id"))
     }),
 
-    // A2 InferAvroSchema analogue: inferred DDL of the JSON records
-    // (deterministic string; rows-only check)
+    // A2 InferAvroSchema: the inferred AVRO schema document of the JSON
+    // records — record name PDF, pretty JSON, matching the template's
+    // inferred.avro.schema attribute (deterministic string; rows-only)
     "q_infer_schema" -> ((s, d) => {
       import s.implicits._
       val json = docsWithSentiment(s, d)
         .select(to_json(struct(col("doc_id"), col("lang"), col("sentiment"))).as("json"))
-      val ddl = DocPipeline.inferSchema(json, "json")
-      Seq(ddl).toDF("schema_ddl")
+      val avro = DocPipeline.inferSchema(json, "json")
+      Seq(avro).toDF("avro_schema")
     })
   )
 

@@ -40,9 +40,12 @@ class PipelineSpec extends AnyFunSuite {
       Seq("filename", "sentence", "sentiment", "schema_name"))
     assert(rec.select("json").head().getString(0).contains("\"schema_name\":\"PDF\""))
 
-    // A2: schema inference over the JSON records
-    val ddl = DocPipeline.inferSchema(rec)
-    assert(ddl.contains("sentiment") && ddl.contains("filename"))
+    // A2: schema inference over the JSON records emits an AVRO schema
+    // document (record name PDF — the template's inferred.avro.schema)
+    val avroDoc = DocPipeline.inferSchema(rec)
+    val parsed = new org.apache.avro.Schema.Parser().parse(avroDoc)
+    assert(parsed.getName == "PDF")
+    assert(parsed.getField("sentiment") != null && parsed.getField("filename") != null)
 
     // Q1: the template's routing SQL, all three routes partition the lines
     val routes = Router.routes(rec, Router.SentimentRoutes, includeZeroRecordRoutes = true)
@@ -85,6 +88,49 @@ class PipelineSpec extends AnyFunSuite {
     val f = failed.head()
     assert(f.getAs[String]("error") != null)
     assert(f.getAs[String]("text") == null)
+  }
+
+  test("avro bins and kafka payloads round-trip records through avro core") {
+    import spark.implicits._
+    val enriched = DocPipeline.enrich(DocPipeline.ingest(spark, fixtures))
+    val records = DocPipeline.tag(DocPipeline.toLines(
+        enriched.filter(col("error").isNull)))
+      .select(col("filename"), col("length"), col("modificationTime"),
+        col("meta"), col("line_no"), col("sentence"), col("sentiment"))
+    val n = records.count()
+
+    // A1+K1: MergeContent(Merge Format=Avro) → PutFile writes container
+    // files; read them back with avro core and compare contents
+    val dir = tmp() + "/avro_bins"
+    Sinks.putFile(records.coalesce(2), dir, format = "avro")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val decoded = files.flatMap { f =>
+      val (schema, recs) = AvroIo.readContainer(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      assert(schema.getName == "PDF")
+      recs
+    }
+    assert(decoded.length == n.toInt)
+    val gotSentences = decoded.map(_.get("sentence").toString).sorted
+    val wantSentences = records.select("sentence").collect().map(_.getString(0)).sorted
+    assert(gotSentences.sameElements(wantSentences))
+    // typed fields survive: timestamp-micros long + map<string,string>
+    val one = decoded.head
+    assert(one.get("modificationTime").isInstanceOf[java.lang.Long])
+    assert(one.get("meta").isInstanceOf[java.util.Map[_, _]])
+    // conflict resolution=ignore: a second write must be a no-op
+    Sinks.putFile(records.limit(1), dir, format = "avro")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro"))
+      == files.length)
+
+    // K2: each kafka message decodes back to its records (embedded schema)
+    val payloads = new Sinks.LogKafkaSink().payloads(records)
+      .as[Array[Byte]].collect()
+    assert(payloads.nonEmpty)
+    val fromKafka = payloads.flatMap(p => AvroIo.readContainer(p)._2)
+    assert(fromKafka.length == n.toInt)
+    assert(fromKafka.map(_.get("sentence").toString).sorted.sameElements(wantSentences))
   }
 
   test("merge policy maps bin config to bounded partition counts") {
