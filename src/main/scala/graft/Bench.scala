@@ -47,18 +47,30 @@ object Bench {
       "q_multimodal_frames", "q_stream_window", "q_sessionize")
       .filter(SparkEntry.queries.contains)
 
+    // ≥3 timed iterations per query, report the MEDIAN (and min): this
+    // host's throughput varies severalfold (SCALE.md), so a single run
+    // can misreport a query by 20-40× in either direction.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = headline.map { name =>
-      // drop caches persisted inside operators (route fan-out, shingle
-      // index) so queries don't inherit each other's memory pressure
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        // drop caches persisted inside operators (route fan-out, shingle
+        // index) so queries don't inherit each other's memory pressure
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median =
+        if (iters % 2 == 1) times(iters / 2)
+        else (times(iters / 2 - 1) + times(iters / 2)) / 2
+      (name, median, times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map(r => r._1 -> r._2))
+    val qsMin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional trailing args: run only the named queries (iteration aid)
+    // optional trailing args: run only the named queries (iteration aid);
+    // unknown names fail fast — a typo must not masquerade as clean verify
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap

@@ -89,9 +89,17 @@ object AvroIo {
   private def toAvro(v: Any, dt: DataType, schema: Schema): Any = dt match {
     case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
     case TimestampType =>
-      val t = v.asInstanceOf[java.sql.Timestamp].toInstant
+      // java.sql.Timestamp by default; java.time.Instant when
+      // spark.sql.datetime.java8API.enabled=true
+      val t = v match {
+        case ts: java.sql.Timestamp => ts.toInstant
+        case i: java.time.Instant   => i
+      }
       t.getEpochSecond * 1000000L + t.getNano / 1000L
-    case DateType => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+    case DateType => v match {
+      case d: java.sql.Date      => d.toLocalDate.toEpochDay.toInt
+      case ld: java.time.LocalDate => ld.toEpochDay.toInt
+    }
     case d: DecimalType =>
       ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
         .setScale(d.scale).unscaledValue.toByteArray)
@@ -147,7 +155,15 @@ object AvroIo {
     * files, one file per task with at most `maxRecordsPerFile` records
     * each (the bin cap, tika.xml `Maximum Number of Entries`). Runs as a
     * narrow `foreachPartition` — no shuffle, no driver materialization;
-    * size partitions upstream with [[MergePolicy]]. */
+    * size partitions upstream with [[MergePolicy]].
+    *
+    * Commit protocol (so task retries / speculative attempts are safe):
+    * each task writes `.part-…-<taskAttemptId>.avro.tmp` and renames to
+    * its final name only after a clean close, so a retried attempt never
+    * collides and a failed attempt leaves only an ignorable `.tmp`. The
+    * driver stamps `_SUCCESS` after the job completes — readers and the
+    * PutFile "ignore" check key on the marker, not bare existence, so
+    * partial output from a failed job is never mistaken for complete. */
   def writeAvroBins(df: DataFrame, dir: String, recordName: String = "PDF",
                     maxRecordsPerFile: Long = 15000): Unit = {
     val st = df.schema
@@ -157,14 +173,19 @@ object AvroIo {
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(hadoopConf.value)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-        val pid = TaskContext.getPartitionId()
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        val fs = dirPath.getFileSystem(hadoopConf.value)
+        fs.mkdirs(dirPath)
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
         var fileNo = 0
         while (rows.hasNext) {
-          val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$fileNo%03d.avro")
-          val out = fs.create(path, false)
+          val finalPath =
+            new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$fileNo%03d.avro")
+          val tmpPath = new org.apache.hadoop.fs.Path(
+            dir, f".part-$pid%05d-$fileNo%03d-$attempt.avro.tmp")
+          val out = fs.create(tmpPath, true)
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
           w.create(schema, out)
@@ -174,27 +195,56 @@ object AvroIo {
             n += 1
           }
           w.close() // closes the stream
+          // last attempt to finish wins; both attempts hold identical bytes
+          fs.delete(finalPath, false)
+          fs.rename(tmpPath, finalPath)
           fileNo += 1
         }
       }
     }
+    // Driver-side commit marker: written even for an empty DataFrame so
+    // "ignore" semantics match parquet mode("ignore") on empty results.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
   }
 
   /** PublishKafkaRecord payload column: each partition's records become
     * Avro container messages of at most `recordsPerMessage` records with
     * the schema embedded (registry-less — the template's
     * AvroRecordSetWriter contract, tika.xml:2501-2548). Returns a
-    * single-column `value: binary` DataFrame ready for the kafka sink. */
+    * single-column `value: binary` DataFrame ready for the kafka sink.
+    * `recordCounter`, when supplied, accumulates the number of RECORDS
+    * serialized while the payload column is computed — lets a sink
+    * report the record count from the same pass that produces the
+    * messages (no second scan). */
   def kafkaPayload(df: DataFrame, recordName: String = "PDF",
-                   recordsPerMessage: Int = 100): DataFrame = {
+                   recordsPerMessage: Int = 100,
+                   recordCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    kafkaPayloadCounted(df, recordName, recordsPerMessage, recordCounter)
+      .select("value")
+
+  /** [[kafkaPayload]] plus a `records: long` column carrying how many
+    * records each container message holds — the per-message count the
+    * publish contract sums without decoding the Avro back. */
+  def kafkaPayloadCounted(df: DataFrame, recordName: String = "PDF",
+                          recordsPerMessage: Int = 100,
+                          recordCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val st = df.schema
     val schemaJson = avroSchemaFor(st, recordName).toString
-    val spark = df.sparkSession
-    val payloadEnc = org.apache.spark.sql.Encoders.BINARY
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.BINARY,
+      org.apache.spark.sql.Encoders.scalaLong)
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
-      rows.grouped(recordsPerMessage).map(chunk =>
-        containerBytes(chunk.iterator, st, schema))
-    }(payloadEnc).toDF("value")
+      rows.grouped(recordsPerMessage).map { chunk =>
+        val n = chunk.size.toLong
+        recordCounter.foreach(_.add(n))
+        (containerBytes(chunk.iterator, st, schema), n)
+      }
+    }(enc).toDF("value", "records")
   }
 }

@@ -18,10 +18,13 @@ object Sinks {
               partitions: Option[Int] = None): Unit = {
     val out = partitions.map(df.coalesce).getOrElse(df)
     if (format == "avro") {
-      // mode("ignore") parity: skip when the target already exists
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) AvroIo.writeAvroBins(out, dir)
+      // mode("ignore") parity: skip only when a COMMITTED write exists —
+      // keyed on the _SUCCESS marker writeAvroBins stamps after the job,
+      // so partial output from a failed run is overwritten, and an empty
+      // first write (marker, no bins) still suppresses later writes.
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      val fs = marker.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) AvroIo.writeAvroBins(out, dir)
     } else out.write.mode("ignore").format(format).save(dir)
   }
 
@@ -37,16 +40,23 @@ object Sinks {
     * (AvroRecordSetWriter, registry-less). `KafkaLike` lets offline
     * tests observe the payloads without a broker. */
   trait KafkaLike {
+    /** Publishes `df` as Avro container messages; returns the number of
+      * RECORDS published (summed across containers) — the count callers
+      * reconcile against their input, not the container-message count. */
     def publish(df: DataFrame, topic: String): Long
   }
 
   final class KafkaSink(bootstrapServers: String) extends KafkaLike {
     override def publish(df: DataFrame, topic: String): Long = {
-      AvroIo.kafkaPayload(df).write.format("kafka")
+      // Record count accumulates during the same pass that serializes the
+      // payloads — no second scan. (Accumulator may over-count on task
+      // retry; exact once-only counts belong to the broker's offsets.)
+      val acc = df.sparkSession.sparkContext.longAccumulator("graft.kafka.records")
+      AvroIo.kafkaPayload(df, recordCounter = Some(acc)).write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("topic", topic)
         .save()
-      -1L // kafka sink reports no count
+      acc.value
     }
   }
 
@@ -56,9 +66,13 @@ object Sinks {
     /** The payload column a broker would receive. */
     def payloads(df: DataFrame): DataFrame = AvroIo.kafkaPayload(df)
     override def publish(df: DataFrame, topic: String): Long = {
-      val n = payloads(df).count()
-      System.err.println(s"[kafka-stub] topic=$topic avro-messages=$n")
-      n
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+      val row = AvroIo.kafkaPayloadCounted(df)
+        .agg(count(lit(1)), coalesce(sum("records"), lit(0L))).head()
+      val (messages, records) = (row.getLong(0), row.getLong(1))
+      System.err.println(
+        s"[kafka-stub] topic=$topic avro-messages=$messages records=$records")
+      records
     }
   }
 
