@@ -86,6 +86,81 @@ object Ivf {
   private def assignUdf(model: Model, nProbe: Int) =
     udf((vec: Seq[Double]) => model.nearest(vec, nProbe))
 
+  /** Deterministic on-disk location for a corpus's inverted file —
+    * keyed by corpus path + index parameters (+ a format version so a
+    * layout change invalidates old indexes instead of misreading them). */
+  def indexDirFor(corpusDir: String, k: Int, iters: Int,
+                  root: String = sys.props("java.io.tmpdir")): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"$root/graft_ivf_v1_${h}_k${k}_i$iters"
+  }
+
+  /** Train-once / query-many: build the inverted file ON DISK — the
+    * centroid table plus the corpus re-written with `cell` as a
+    * PARTITION column — so queries reuse the model and prune to their
+    * probed cells AT THE SCAN (partition pruning / DPP) instead of
+    * retraining and re-assigning per invocation. Idempotent: keyed on
+    * the corpus `_SUCCESS` marker, a second build is a no-op — this is
+    * the once-per-corpus step, everything per-query lives in
+    * [[topKIndexed]]. The 100 TB shape: the rewrite is one narrow pass
+    * over (id, vec), and each of the k cell directories is written by
+    * the tasks that hold its rows. */
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+                 k: Int = 16, iters: Int = 3, sampleTarget: Int = 4096): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS"))) return
+    val model = train(emb, idCol, vecCol, k, iters, sampleTarget)
+    import spark.implicits._
+    model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.prepared(emb, idCol, vecCol, "nid", "nvec", "nn2")
+      .withColumn("cell", assignUdf(model, 1)(col("nvec")).getItem(0))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** Centroids load once per JVM per index (k rows — bounded model
+    * metadata, not corpus data) and are reused by every query. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  def loadModel(spark: SparkSession, dir: String): Model =
+    modelCache.computeIfAbsent(dir, _ => {
+      val rows = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      Model(rows.map(_._2))
+    })
+
+  /** ANN top-k over a persisted index: NO training, counting, or corpus
+    * collect in the query body. Queries hash to their nProbe cells via
+    * the broadcast centroid model; the corpus side is a scan of the
+    * cell-partitioned parquet joined on the partition column, so
+    * Catalyst's dynamic partition pruning restricts the scan to the
+    * probed cells (visible as `PartitionFilters: [dynamicpruning#…]`
+    * in the formatted plan). */
+  def topKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int = 5,
+                  nProbe: Int = 4): DataFrame = {
+    val model = loadModel(spark, indexDir)
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    val q = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
+      .withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
+    val scored = corpus.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score",
+        Similarity.dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+  }
+
   /** ANN top-k through the inverted file: corpus assigned to its
     * nearest cell, queries probe their nProbe nearest cells. Scoring
     * uses precomputed squared norms + a primitive-loop dot product

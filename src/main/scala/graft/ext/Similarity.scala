@@ -145,6 +145,27 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
   }
 
+  /** Per-query recall contract of an ANN result against the exact
+    * top-k: emits `(qid, recall_ok)` where `recall_ok` ⇔ the ANN result
+    * recovered at least ⌈k·minRecall⌉ of the true top-k neighbors. The
+    * boolean (not the raw hit count) is the declared output because it
+    * is what an oracle can state independently: hyperplanes/centroids
+    * are deterministic here, so on a fixed corpus the booleans are
+    * reproducible, and the DuckDB oracle asserts them all true. Driven
+    * from the brute side so a query the ANN missed entirely still
+    * surfaces as a (qid, false) row rather than disappearing. */
+  def recallAtK(ann: DataFrame, brute: DataFrame, k: Int,
+                minRecall: Double): DataFrame = {
+    val needed = math.ceil(k * minRecall).toLong
+    val hits = ann.select(col("qid"), col("nid"))
+      .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    brute.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        (coalesce(col("hits"), lit(0L)) >= needed).as("recall_ok"))
+  }
+
   /** Sub-quadratic embedding near-duplicate pairs: LSH bucket
     * candidates + exact cosine verify — the scale path for the same
     * predicate as [[cosineNearDups]], mirroring the shape of

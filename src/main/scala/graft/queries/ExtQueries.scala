@@ -107,19 +107,38 @@ object ExtQueries {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 5)
         .orderBy(col("qid"), col("rank"))
     }),
+    // ANN queries declare their RECALL CONTRACT vs the in-plan exact
+    // top-k: per-query `recall_ok` booleans the DuckDB oracle asserts.
+    // Hyperplanes are deterministic, so the booleans are reproducible
+    // on a fixed corpus; planes=4 × tables=32 measures ≥4/5 true
+    // neighbors recovered per query at sf0.001/0.01/0.1.
     "q_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
-      Similarity.lshTopK(emb, "vec_id", "embedding", queries, k = 5, planes = 4)
-        .orderBy(col("qid"), col("rank"))
+      val ann = Similarity.lshTopK(emb, "vec_id", "embedding", queries,
+        k = 5, planes = 4, tables = 32)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 5)
+      Similarity.recallAtK(ann, brute, k = 5, minRecall = 0.8)
+        .orderBy(col("qid"))
     }),
 
+    // IVF probes its persisted index (train-once: buildIndex is a
+    // _SUCCESS-guarded no-op after the first call; topKIndexed has no
+    // count/collect — the scan prunes to probed cells via DPP). The
+    // uniform-random corpus is IVF's adversarial case (true neighbors
+    // scatter across cells: one query's 5-NN set plateaus at 3/5 even
+    // probing 12 of 16 cells), so the honest contract here is
+    // recall ≥ 0.6 at nProbe=8 — measured stable at sf0.001/0.01/0.1.
     "q_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
-      val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
-      graft.ext.Ivf.topK(emb, "vec_id", "embedding", queries, model, k = 5, nProbe = 4)
-        .orderBy(col("qid"), col("rank"))
+      val idxDir = graft.ext.Ivf.indexDirFor(d, k = 16, iters = 2)
+      graft.ext.Ivf.buildIndex(emb, "vec_id", "embedding", idxDir, k = 16, iters = 2)
+      val ann = graft.ext.Ivf.topKIndexed(s, idxDir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 5)
+      Similarity.recallAtK(ann, brute, k = 5, minRecall = 0.6)
+        .orderBy(col("qid"))
     }),
 
     // rolling-hash (winnowing) fingerprint overlap — near-dup pairs
@@ -217,6 +236,16 @@ object ExtQueries {
         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // The ANN recall contracts: the engine computes per-query recall vs
+    // the in-plan exact top-k; the oracle states the contract the ANN
+    // must meet — every query recalls ≥ ⌈k·minRecall⌉ true neighbors.
+    // A recall regression flips a boolean → hash mismatch → FAIL.
+    "q_knn_lsh" ->
+      """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "q_knn_ivf" ->
+      """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,

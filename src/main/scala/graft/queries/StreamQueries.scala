@@ -21,8 +21,19 @@ object StreamQueries {
     "q_stream_window" -> ((s, d) => {
       val agg = StreamPipeline.windowedCounts(
         StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_stream_window").toString
+      // Deterministic per-sf scratch dir, wiped before each run — repeated
+      // invocations reuse one directory instead of leaking a tempdir each.
+      val out = {
+        val h = Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_stream_window_$h")
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        p.toString
+      }
       StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"))
         // terminal decimal → double for engine-stable hashing (exact value)
         .withColumn("total_value", col("total_value").cast("double"))

@@ -77,6 +77,7 @@ object StreamPipeline {
     * data batch; [[drainAndStop]] waits for it. */
   def runAppendToDir(spark: SparkSession, agg: DataFrame, outDir: String,
                      partitionCols: Seq[String]): DataFrame = {
+    val schema = agg.schema
     val q = agg.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0))
@@ -86,20 +87,45 @@ object StreamPipeline {
       }
       .start()
     drainAndStop(q)
-    spark.read.parquet(outDir)
+    // No window may have closed (watermark never passed a window end) —
+    // then no batch wrote and the dir has no parquet to infer from.
+    val wrote = {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    if (wrote) spark.read.parquet(outDir)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
   /** processAllAvailable returns when all source data is committed, but
     * watermark eviction happens in a trailing NO-DATA micro-batch —
-    * wait until the engine goes quiescent so Append output is final. */
+    * wait until the engine goes quiescent so Append output is final.
+    *
+    * Quiescence is judged on PROGRESS, not instantaneous status:
+    * `q.status` can show both flags false in the gap between the last
+    * data batch and the eviction batch, so a status poll may exit
+    * before the final windows are emitted (the round-3 flaky-hash
+    * race). Instead, stop only when (batchId, watermark) is UNCHANGED
+    * across two consecutive drains — a still-pending eviction batch
+    * must bump batchId, so identical observations mean the engine has
+    * nothing left to do. */
   private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     try {
       q.processAllAvailable()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while ((q.status.isDataAvailable || q.status.isTriggerActive) &&
-             System.nanoTime() < deadline) {
+      def observe(): (Long, String) = {
+        val p = q.lastProgress
+        if (p == null) (-1L, "")
+        else (p.batchId, String.valueOf(p.eventTime.get("watermark")))
+      }
+      var last = observe()
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
         Thread.sleep(50)
         q.processAllAvailable()
+        val cur = observe()
+        if (cur == last) stable = true else last = cur
       }
     } finally q.stop()
   }

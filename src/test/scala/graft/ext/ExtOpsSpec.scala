@@ -158,6 +158,42 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall") // 4/16 cells probed
   }
 
+  test("indexed ivf matches the in-memory form and prunes the scan to probed cells") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Ivf.buildIndex(emb, "vec_id", "embedding", dir, k = 16, iters = 2)
+    // idempotent: second build must be a no-op (train-once contract)
+    val corpusFiles = new java.io.File(s"$dir/corpus").list().sorted.toSeq
+    Ivf.buildIndex(emb, "vec_id", "embedding", dir, k = 16, iters = 2)
+    assert(new java.io.File(s"$dir/corpus").list().sorted.toSeq == corpusFiles)
+
+    val indexed = Ivf.topKIndexed(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    // same model → identical results to the in-memory form
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val direct = Ivf.topK(emb, "vec_id", "embedding", queries, model, 5, nProbe = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(indexed) == rows(direct))
+
+    // the corpus scan must carry a partition filter on `cell` (DPP) —
+    // probing 8 of 16 cells without reading the rest
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"no partition pruning on the indexed scan:\n$plan")
+  }
+
+  test("declared ANN recall contracts hold on the sf0.001 corpus") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q_knn_lsh", "q_knn_ivf")) {
+      val out = graft.SparkEntry.queries(q)(spark, d).collect()
+      assert(out.length == 10, s"$q should report all 10 query ids")
+      assert(out.forall(_.getBoolean(1)), s"$q recall contract violated: ${out.mkString(",")}")
+    }
+  }
+
   test("winnowing guarantees shared fingerprints for long shared substrings") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val a = Winnowing.fingerprints(base + " alpha beta gamma")
