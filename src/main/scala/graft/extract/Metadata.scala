@@ -17,7 +17,17 @@ object Metadata {
   val MaxAttributes = 5000
   val MaxValueLength = 2048
 
-  def extract(bytes: Array[Byte], filename: String): Map[String, String] = {
+  /** The processor's four config properties (56409-tika.xml:1726-1760):
+    * attribute-count / value-length caps, `Metadata Key Filter` (regex a
+    * key must fully match to be kept; None keeps all), and `Metadata Key
+    * Prefix` (prepended to every surviving key). */
+  final case class Options(maxAttributes: Int = MaxAttributes,
+                           maxValueLength: Int = MaxValueLength,
+                           keyFilter: Option[String] = None,
+                           keyPrefix: String = "")
+
+  def extract(bytes: Array[Byte], filename: String,
+              opts: Options = Options()): Map[String, String] = {
     val mime = MimeDetect.detect(bytes, filename)
     val base = Map("Content-Type" -> mime, "Content-Length" -> bytes.length.toString)
     val specific = mime match {
@@ -26,28 +36,43 @@ object Metadata {
       case MimeDetect.Doc  => docProps(bytes)
       case _               => Map.empty[String, String]
     }
-    cap(base ++ specific)
+    cap(base ++ specific, opts)
   }
 
-  private def cap(m: Map[String, String]): Map[String, String] =
-    m.take(MaxAttributes).map { case (k, v) =>
-      k -> (if (v.length > MaxValueLength) v.substring(0, MaxValueLength) else v)
+  private def cap(m: Map[String, String], opts: Options): Map[String, String] = {
+    val kept = opts.keyFilter match {
+      case Some(re) =>
+        val p = java.util.regex.Pattern.compile(re)
+        m.filter { case (k, _) => p.matcher(k).matches() }
+      case None => m
     }
+    kept.take(opts.maxAttributes).map { case (k, v) =>
+      (opts.keyPrefix + k) ->
+        (if (v.length > opts.maxValueLength) v.substring(0, opts.maxValueLength) else v)
+    }
+  }
 
   private val PdfInfoKeys =
     List("Title", "Author", "Subject", "Keywords", "Creator", "Producer",
       "CreationDate", "ModDate")
 
   private def pdfInfo(bytes: Array[Byte]): Map[String, String] = {
-    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    PdfInfoKeys.flatMap { key =>
-      val p = java.util.regex.Pattern.compile("/" + key + "\\s*\\(((?:[^()\\\\]|\\\\.)*)\\)")
-      val m = p.matcher(txt)
-      if (m.find()) {
-        val v = unescapePdf(m.group(1)).trim
-        if (v.nonEmpty) Some(key -> v) else None
-      } else None
-    }.toMap
+    // Raw scan sees uncompressed Info dicts; writers that compress the
+    // xref (PDF 1.5+) serialize Info inside a /ObjStm, so scan those
+    // inflated too. Raw wins on key collision (it is the newer
+    // incremental-update generation when both exist).
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objStm = PdfText.objectStreamText(bytes)
+    def scan(txt: String): Map[String, String] =
+      PdfInfoKeys.flatMap { key =>
+        val p = java.util.regex.Pattern.compile("/" + key + "\\s*\\(((?:[^()\\\\]|\\\\.)*)\\)")
+        val m = p.matcher(txt)
+        if (m.find()) {
+          val v = unescapePdf(m.group(1)).trim
+          if (v.nonEmpty) Some(key -> v) else None
+        } else None
+      }.toMap
+    scan(objStm) ++ scan(raw)
   }
 
   private def unescapePdf(s: String): String =
@@ -99,14 +124,27 @@ object Metadata {
     try {
       val cf = new Cfb.CompoundFile(bytes)
       val summary = cf.stream("\u0005SummaryInformation")
-        .map(parsePropertySet).getOrElse(Map.empty)
-      summary ++ Map("Cfb-Streams" ->
+        .map(parsePropertySet(_, SummaryPropNames)).getOrElse(Map.empty)
+      val docSummary = cf.stream("\u0005DocumentSummaryInformation")
+        .map(parsePropertySet(_, DocSummaryPropNames)).getOrElse(Map.empty)
+      summary ++ docSummary ++ Map("Cfb-Streams" ->
         cf.entries.filter(_.objType == 2).map(_.name.filter(_ >= ' ')).sorted.mkString(","))
     } catch { case _: Exception => Map.empty }
 
+  // [MS-OLEPS] DocumentSummaryInformation ids (the second OLE property
+  // set Word writes) → POI/Tika-style names
+  private val DocSummaryPropNames = Map(
+    2 -> "Category", 3 -> "PresentationTarget", 4 -> "ByteCount",
+    5 -> "LineCount", 6 -> "ParCount", 7 -> "SlideCount", 8 -> "NoteCount",
+    9 -> "HiddenCount", 10 -> "MMClipCount", 11 -> "ScaleCrop",
+    14 -> "Manager", 15 -> "Company", 16 -> "LinksUpToDate",
+    17 -> "CharCountWithSpaces", 19 -> "SharedDoc", 22 -> "HyperlinksChanged",
+    23 -> "AppVersion")
+
   /** Minimal [MS-OLEPS] property-set reader: first section's VT_LPSTR /
-    * VT_I2 / VT_I4 / VT_FILETIME properties by id. */
-  private def parsePropertySet(si: Array[Byte]): Map[String, String] = {
+    * VT_I2 / VT_I4 / VT_BOOL / VT_FILETIME properties by id. */
+  private def parsePropertySet(si: Array[Byte],
+                               names: Map[Int, String]): Map[String, String] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def u32(off: Int): Int = ByteBuffer.wrap(si, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
     def u64(off: Int): Long = ByteBuffer.wrap(si, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
@@ -117,7 +155,7 @@ object Metadata {
       val pid = u32(secOff + 8 + i * 8)
       val pOff = secOff + u32(secOff + 12 + i * 8)
       if (pOff + 4 > si.length) None
-      else SummaryPropNames.get(pid).flatMap { name =>
+      else names.get(pid).flatMap { name =>
         u32(pOff) match {
           case 30 => // VT_LPSTR: CodePage string, NUL-terminated
             val cch = u32(pOff + 4)
@@ -129,6 +167,8 @@ object Metadata {
               if (v.nonEmpty) Some(name -> v) else None
             }
           case 2 | 3 => Some(name -> u32(pOff + 4).toString) // VT_I2/VT_I4
+          case 11 => // VT_BOOL: 0xFFFF true / 0x0000 false
+            Some(name -> ((u32(pOff + 4) & 0xffff) != 0).toString)
           case 64 => // VT_FILETIME: 100ns ticks since 1601-01-01
             val ticks = u64(pOff + 4)
             if (ticks == 0) None

@@ -35,8 +35,23 @@ object PdfText {
   }
 
   /** All decodable stream bodies, in document order. */
-  private def decodeStreams(bytes: Array[Byte]): List[Array[Byte]] = {
-    val acc = new scala.collection.mutable.ListBuffer[Array[Byte]]
+  private def decodeStreams(bytes: Array[Byte]): List[Array[Byte]] =
+    rawStreams(bytes).map(_._2)
+
+  /** Inflated bodies of `/ObjStm` (PDF 1.5+ compressed object) streams
+    * as latin-1 text — where writers that compress the xref park the
+    * `/Info` dictionary. Text extraction ignores these (object streams
+    * hold serialized dictionaries, not content); [[Metadata]] scans
+    * them for Info keys the raw-byte regex can't see. */
+  private[extract] def objectStreamText(bytes: Array[Byte]): String =
+    rawStreams(bytes).collect {
+      case (dict, data) if dict.contains("/ObjStm") =>
+        new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }.mkString("\n")
+
+  /** (dictionary-text, decoded body) of every stream object. */
+  private def rawStreams(bytes: Array[Byte]): List[(String, Array[Byte])] = {
+    val acc = new scala.collection.mutable.ListBuffer[(String, Array[Byte])]
     var from = 0
     while (from < bytes.length) {
       val s = indexOf(bytes, StreamKw, from)
@@ -55,7 +70,7 @@ object PdfText {
             if (dict.contains("/FlateDecode")) inflate(raw)
             else if (dict.contains("Decode")) null // other filters: not text
             else raw
-          if (data != null && data.nonEmpty) acc += data
+          if (data != null && data.nonEmpty) acc += ((dict, data))
           from = e + EndstreamKw.length
         }
       }

@@ -33,6 +33,15 @@ object Udfs {
   val extractMetadata = udf((content: Array[Byte], filename: String) =>
     Metadata.extract(content, filename))
 
+  /** T5 with the processor's `Metadata Key Filter` (regex a key must
+    * fully match; empty = keep all) and `Metadata Key Prefix`
+    * properties (56409-tika.xml:1740-1750). */
+  val extractMetadataOpts = udf(
+    (content: Array[Byte], filename: String, keyFilter: String, keyPrefix: String) =>
+      Metadata.extract(content, filename, Metadata.Options(
+        keyFilter = Option(keyFilter).filter(_.nonEmpty),
+        keyPrefix = Option(keyPrefix).getOrElse(""))))
+
   /** N2 sentiment (UDF form; prefer Sentiment.sentimentCol in plans). */
   val sentiment = udf((sentence: String) => Sentiment.label(sentence))
 
@@ -56,4 +65,7 @@ object Udfs {
     extractDoc(content, filename, maxLen, html)
   def extract_metadata(content: Column, filename: Column): Column =
     extractMetadata(content, filename)
+  def extract_metadata(content: Column, filename: Column,
+                       keyFilter: Column, keyPrefix: Column): Column =
+    extractMetadataOpts(content, filename, keyFilter, keyPrefix)
 }

@@ -115,6 +115,20 @@ object PipelineQueries {
       Udfs.cleanColumnNames(dirty).orderBy(col("doc_id"))
     }),
 
+    // T5 with Metadata Key Filter + Metadata Key Prefix
+    // (tika.xml:1740-1750): only full-regex-matching keys survive, each
+    // prefixed. Output is fully deterministic (fixture sizes + MIME
+    // detection), so the oracle is the golden row set itself — the
+    // reference's own assert-on-observable-output test style.
+    "q_extract_metadata_filtered" -> ((s, _) => {
+      val docs = DocPipeline.ingest(s, FixtureDir)
+        .withColumn("filename", element_at(split(col("path"), "/"), -1))
+      docs.select(col("filename"),
+          explode(Udfs.extract_metadata(col("content"), col("filename"),
+            lit("^Content-.*"), lit("media."))).as(Seq("key", "value")))
+        .orderBy(col("filename"), col("key"))
+    }),
+
     // A2 InferAvroSchema: the inferred AVRO schema document of the JSON
     // records — record name PDF, pretty JSON, matching the template's
     // inferred.avro.schema attribute (deterministic string; rows-only)
@@ -150,6 +164,18 @@ object PipelineQueries {
          |GROUP BY sentiment, lang ORDER BY sentiment, lang""".stripMargin,
     "q_clean_attr_names" ->
       """SELECT doc_id, lang AS lang_code, n_chars AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_extract_metadata_filtered" ->
+      """SELECT * FROM (VALUES
+        |  ('big.pdf',     'media.Content-Length', '905553'),
+        |  ('big.pdf',     'media.Content-Type',   'application/pdf'),
+        |  ('simple.doc',  'media.Content-Length', '24064'),
+        |  ('simple.doc',  'media.Content-Type',   'application/msword'),
+        |  ('simple.docx', 'media.Content-Length', '14871'),
+        |  ('simple.docx', 'media.Content-Type',
+        |   'application/vnd.openxmlformats-officedocument.wordprocessingml.document'),
+        |  ('simple.pdf',  'media.Content-Length', '3028'),
+        |  ('simple.pdf',  'media.Content-Type',   'application/pdf')
+        |) AS t(filename, "key", "value") ORDER BY filename, "key"""".stripMargin
   )
 }

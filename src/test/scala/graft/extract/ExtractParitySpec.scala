@@ -131,6 +131,51 @@ class ExtractParitySpec extends AnyFunSuite {
     assert(m.get("LastSaveDtm").exists(_.startsWith("2018-")))
   }
 
+  // T5 parity depth: the second OLE property set Word writes
+  test("simple.doc metadata includes DocumentSummaryInformation properties") {
+    val m = Metadata.extract(read("simple.doc"), "simple.doc")
+    assert(m.get("LineCount").contains("6"))
+    assert(m.get("ParCount").contains("1"))
+    assert(m.get("CharCountWithSpaces").contains("933"))
+    assert(m.get("AppVersion").contains("983040")) // 0xF0000 = Word 15.0
+    assert(m.get("ScaleCrop").contains("false"))
+  }
+
+  // tika.xml:1740-1750 Metadata Key Filter (full-match regex) + Prefix
+  test("metadata key filter and prefix apply after extraction") {
+    val m = Metadata.extract(read("simple.doc"), "simple.doc",
+      Metadata.Options(keyFilter = Some("^Content-.*"), keyPrefix = "media."))
+    assert(m.keySet == Set("media.Content-Type", "media.Content-Length"))
+    assert(m("media.Content-Type") == "application/msword")
+    // filter is a FULL match: a substring-only regex drops everything
+    val none = Metadata.extract(read("simple.doc"), "simple.doc",
+      Metadata.Options(keyFilter = Some("Content")))
+    assert(none.isEmpty)
+  }
+
+  // PDF 1.5+ writers park /Info inside a Flate-compressed /ObjStm where
+  // a raw-byte scan can't see it; neither fixture does, so pin the path
+  // with a synthetic document.
+  test("pdf /Info inside a compressed object stream is extracted") {
+    val objStm = "12 0 << /Title (ObjStm Title) /Author (Obj Author) >>"
+      .getBytes("ISO-8859-1")
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(objStm); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf)
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n2 0 obj << /Type /ObjStm /N 1 /First 5 /Filter /FlateDecode >>\nstream\n"
+      .getBytes("ISO-8859-1"))
+    out.write(deflated)
+    out.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
+    val m = Metadata.extract(out.toByteArray, "objstm.pdf")
+    assert(m.get("Title").contains("ObjStm Title"))
+    assert(m.get("Author").contains("Obj Author"))
+  }
+
   test("simple.docx metadata includes OOXML core properties") {
     val m = Metadata.extract(read("simple.docx"), "simple.docx")
     assert(m.contains("Content-Length"))
