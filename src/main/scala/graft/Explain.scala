@@ -9,7 +9,9 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q_agg_pricing", "q_join_revenue_by_nation", "q_filter_topn")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q_agg_pricing", "q_join_revenue_by_nation", "q_filter_topn")
+    for (q <- qs) {
       println(s"========== $q ==========")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

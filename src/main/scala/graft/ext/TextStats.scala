@@ -18,14 +18,16 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "y", "es", "que"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
 
-  private def stopCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+  /** Codegen'd stopword counting (see [[graft.functions.TokenSetCount]]
+    * — the higher-order `filter()` form it replaces broke whole-stage
+    * codegen on the hot per-record path). */
+  private def stopCount(text: Column, words: Seq[String]): Column =
+    graft.functions.TokenSetCount.token_set_count(text, words)
 
   /** Predicted language: argmax stopword hits, ties to the earlier set,
     * 'unknown' when nothing matches. */
   def langIdCol(text: Column): Column = {
-    val toks = split(lower(text), " ")
-    val counts = Stopwords.map { case (lang, ws) => lang -> stopCount(toks, ws) }
+    val counts = Stopwords.map { case (lang, ws) => lang -> stopCount(text, ws) }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("unknown"): Column) { case ((lang, c), acc) =>
       when(c === best && best > 0, lit(lang)).otherwise(acc)
@@ -50,7 +52,7 @@ object TextStats {
     val nWords = size(toks)
     val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
     val stopScore = least(
-      stopCount(split(lower(text), " "), Stopwords.flatMap(_._2)).cast("double") * 10.0
+      stopCount(text, Stopwords.flatMap(_._2)).cast("double") * 10.0
         / greatest(nWords, lit(1)).cast("double"), lit(1.0))
     val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")

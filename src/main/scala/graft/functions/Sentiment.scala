@@ -25,12 +25,12 @@ object Sentiment {
   val PositiveWords: Seq[String] = Seq("fast", "small", "good", "great", "best")
   val NegativeWords: Seq[String] = Seq("slow", "big", "bad", "poor", "worst")
 
-  /** Codegen-friendly column form: no UDF, stays inside whole-stage
-    * codegen (SURVEY.md §4.2). */
+  /** Codegen column form: [[TokenSetCount]] keeps the word counting
+    * inside whole-stage codegen (the higher-order `filter()` it
+    * replaces evaluated its lambda interpreted — SURVEY.md §4.2). */
   def sentimentCol(text: Column): Column = {
-    val toks = split(lower(text), " ")
-    val p = size(filter(toks, t => t.isin(PositiveWords: _*)))
-    val n = size(filter(toks, t => t.isin(NegativeWords: _*)))
+    val p = TokenSetCount.token_set_count(text, PositiveWords)
+    val n = TokenSetCount.token_set_count(text, NegativeWords)
     when(p > n, Positive).when(n > p, Negative).otherwise(Neutral)
   }
 
