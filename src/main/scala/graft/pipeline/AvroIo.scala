@@ -143,12 +143,24 @@ object AvroIo {
   /** Decode an Avro container payload back to its records (test /
     * consumer side of the round-trip contract). */
   def readContainer(bytes: Array[Byte]): (Schema, Seq[GenericRecord]) = {
+    val (schema, _, records) = readContainerWithMeta(bytes)
+    (schema, records)
+  }
+
+  /** As [[readContainer]], also surfacing the container's string file
+    * metadata (where [[writeAvroBinsBy]] stamps the merged bin's
+    * correlation value and common attributes). */
+  def readContainerWithMeta(
+      bytes: Array[Byte]): (Schema, Map[String, String], Seq[GenericRecord]) = {
     val in = new DataFileStream[GenericRecord](
       new java.io.ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord]())
     val records = in.iterator().asScala.toVector
     val schema = in.getSchema
+    val meta = in.getMetaKeys.asScala
+      .filterNot(k => k.startsWith("avro."))
+      .map(k => k -> in.getMetaString(k)).toMap
     in.close()
-    (schema, records)
+    (schema, meta, records)
   }
 
   /** MergeContent(Avro) + PutFile: write the DataFrame as Avro container
@@ -204,6 +216,99 @@ object AvroIo {
     }
     // Driver-side commit marker: written even for an empty DataFrame so
     // "ignore" semantics match parquet mode("ignore") on empty results.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
+  }
+
+  /** MergeContent with `Correlation Attribute Name` + `Attribute
+    * Strategy=Keep Only Common Attributes` (tika.xml:1325-1362): bins
+    * group records sharing the correlation attribute's value, and each
+    * merged bin keeps only the attributes whose value is identical
+    * across every member.
+    *
+    * Spark mapping: one hash shuffle on the correlation column
+    * co-locates each value's records, a sort within partitions makes
+    * values contiguous, and each task rolls to a new Avro container
+    * whenever the value changes (or the bin cap fills) — one bin per
+    * correlation value per cap-window, never a bin spanning values.
+    * The merged flowfile's attributes become Avro file METADATA:
+    * `merge.correlation` = the bin's value, plus `common.<col>` for
+    * every scalar column constant across the bin (the Keep Only Common
+    * Attributes / Do Not Merge Uncommon Metadata contract). A bin is
+    * buffered in memory to find its common columns — bounded by
+    * `maxRecordsPerFile`, the same bound NiFi's in-memory bins have.
+    * Same tmp-name + rename + `_SUCCESS` commit protocol as
+    * [[writeAvroBins]]. */
+  def writeAvroBinsBy(df: DataFrame, dir: String, correlationCol: String,
+                      recordName: String = "PDF",
+                      maxRecordsPerFile: Long = 15000): Unit = {
+    val st = df.schema
+    val corrIdx = st.fieldIndex(correlationCol)
+    // attribute candidates: scalar columns (attributes are scalar-like;
+    // binary/array/map/struct are content, not attributes)
+    def isScalar(dt: DataType): Boolean = dt match {
+      case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+      case _ => true
+    }
+    val scalarIdx = st.fields.zipWithIndex.collect {
+      case (f, i) if isScalar(f.dataType) => i
+    }
+    val schemaJson = avroSchemaFor(st, recordName).toString
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val arranged = df.repartition(org.apache.spark.sql.functions.col(correlationCol))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col(correlationCol))
+    arranged.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        val fs = dirPath.getFileSystem(hadoopConf.value)
+        fs.mkdirs(dirPath)
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        var fileNo = 0
+
+        def flush(bin: Seq[Row]): Unit = {
+          if (bin.isEmpty) return
+          val finalPath =
+            new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$fileNo%03d.avro")
+          val tmpPath = new org.apache.hadoop.fs.Path(
+            dir, f".part-$pid%05d-$fileNo%03d-$attempt.avro.tmp")
+          val out = fs.create(tmpPath, true)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          val corrValue = bin.head.get(corrIdx)
+          w.setMeta("merge.correlation", String.valueOf(corrValue))
+          scalarIdx.foreach { i =>
+            val v0 = bin.head.get(i)
+            if (v0 != null && bin.forall(r => v0 == r.get(i)))
+              w.setMeta("common." + st.fields(i).name, String.valueOf(v0))
+          }
+          w.create(schema, out)
+          bin.foreach(r => w.append(toRecord(r, st, schema)))
+          w.close()
+          fs.delete(finalPath, false)
+          fs.rename(tmpPath, finalPath)
+          fileNo += 1
+        }
+
+        val bin = new scala.collection.mutable.ArrayBuffer[Row]()
+        var current: Any = null
+        while (rows.hasNext) {
+          val r = rows.next()
+          val corr = r.get(corrIdx)
+          if (bin.nonEmpty && (corr != current || bin.length >= maxRecordsPerFile)) {
+            flush(bin.toSeq); bin.clear()
+          }
+          current = corr
+          bin += r
+        }
+        flush(bin.toSeq)
+      }
+    }
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)

@@ -133,6 +133,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(fromKafka.map(_.get("sentence").toString).sorted.sameElements(wantSentences))
   }
 
+  test("correlation-attribute bins group by value and keep only common attributes") {
+    // tika.xml:1325-1362 Correlation Attribute + Keep Only Common Attributes
+    val enriched = DocPipeline.enrich(DocPipeline.ingest(spark, fixtures))
+    val records = DocPipeline.tag(DocPipeline.toLines(
+        enriched.filter(col("error").isNull)))
+      .select(col("filename"), col("mime_type"), col("line_no"),
+        col("sentence"), col("sentiment"))
+    val dir = tmp() + "/avro_corr_bins"
+    AvroIo.writeAvroBinsBy(records, dir, correlationCol = "filename")
+
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val decodedBins = files.toSeq.map { f =>
+      AvroIo.readContainerWithMeta(java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    // one bin per correlation value; every record in a bin shares it and
+    // the bin metadata announces it
+    val binCorrs = decodedBins.map { case (_, meta, recs) =>
+      val vals = recs.map(_.get("filename").toString).distinct
+      assert(vals.length == 1, s"bin spans correlation values: $vals")
+      assert(meta("merge.correlation") == vals.head)
+      vals.head
+    }
+    assert(binCorrs.sorted == binCorrs.distinct.sorted) // no split bins
+    assert(binCorrs.toSet ==
+      records.select("filename").distinct().collect().map(_.getString(0)).toSet)
+    // Keep Only Common Attributes: constant-within-bin columns surface
+    // as common.<col>; per-record columns don't
+    decodedBins.foreach { case (_, meta, recs) =>
+      assert(meta.get("common.filename").contains(meta("merge.correlation")))
+      assert(meta.get("common.mime_type").contains(recs.head.get("mime_type").toString))
+      assert(!meta.contains("common.line_no"), "line_no varies per record")
+      assert(!meta.contains("common.sentence"))
+    }
+    // total record count is preserved across the bins
+    assert(decodedBins.map(_._3.length).sum == records.count().toInt)
+  }
+
   test("merge policy maps bin config to bounded partition counts") {
     assert(MergePolicy.partitionsFor(0) == 1)
     assert(MergePolicy.partitionsFor(10) == 1)       // below maxEntries
