@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation:
+  * hash-threshold (Bernoulli) sampling, per-stratum rate control, and
+  * hash-ordered k-per-stratum selection. A curation pipeline needs
+  * samples that are (a) reproducible across runs and engines — no RNG
+  * state, no partition-order dependence — and (b) consistent under
+  * re-partitioning, so the same document is kept whether the corpus is
+  * read as 10 files or 10 000.
+  *
+  * The selector is `md5(key)` compared lexicographically against a hex
+  * threshold prefix: P(md5 < prefix) = prefix/16^len to within 16^-8.
+  * md5 of the same UTF-8 bytes is identical in Spark and DuckDB, and
+  * lowercase-hex strings compare bytewise in both, so every operator
+  * here is mirrored 1:1 by an ANSI SQL oracle.
+  *
+  * Scale shape (100 TB): threshold sampling is a map-only filter — no
+  * shuffle, no state, arbitrarily parallel. k-per-stratum needs a
+  * per-stratum order; a window over raw strata would sort whole strata
+  * (terabytes each when the stratum cardinality is low), so the scale
+  * form pre-filters with an over-sampling threshold first — survivors
+  * per stratum concentrate near E = rate·|stratum| ≫ k rows — and only
+  * then ranks. Pick rate ≈ 20·k/|stratum| so the chance of a stratum
+  * losing rows below k is negligible; the pre-filter is part of the
+  * operator's declared semantics (the oracle applies the same one), so
+  * determinism is preserved even in the unlucky tail.
+  */
+object Sampling {
+
+  /** Deterministic per-row selector in hex: uniform on [0, 16^32). */
+  def selector(key: Column): Column = md5(key.cast("string").cast("binary"))
+
+  /** Hex-prefix threshold for a keep-rate in [0, 1]: 8 hex digits =
+    * rate·2^32 rounded, zero-padded ("80000000" ≈ 0.5). */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    val v = math.min(math.round(rate * 4294967296.0), 4294967295L)
+    f"$v%08x"
+  }
+
+  /** Bernoulli sample at `rate`, keyed on `keyCol` — same rows kept on
+    * every run, engine, and partitioning of the input. */
+  def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(selector(col(keyCol)) < lit(thresholdHex(rate)))
+
+  /** Stratified sample: per-stratum keep-rates with a default for
+    * strata not listed. One map-only filter — no shuffle. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldRight(lit(thresholdHex(defaultRate)): Column) {
+      case ((stratum, rate), acc) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(selector(col(keyCol)) < threshold)
+  }
+
+  /** The `k` rows with the smallest hash per stratum — a deterministic
+    * uniform-without-replacement sample of exactly k (or the whole
+    * stratum when smaller). `prefilterRate` is the scale guard: rank
+    * only hash-threshold survivors (see scaladoc above); strata where
+    * the pre-filter leaves fewer than k rows yield the survivors.
+    * Emits (all input columns, rank) ordered within stratum. */
+  def topKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                     k: Int, prefilterRate: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors =
+      if (prefilterRate >= 1.0) df
+      else df.filter(selector(col(keyCol)) < lit(thresholdHex(prefilterRate)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(selector(col(keyCol)), col(keyCol))
+    survivors
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Redact every match of `pattern` (Java regex, RE2-compatible subset
+    * so the oracle's regexp_replace agrees) with `replacement` —
+    * term-list scrubbing / PII-style redaction as pure column algebra
+    * (codegen'd, map-only). */
+  def redact(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  /** Token vocabulary with counts: whitespace tokens, empties dropped.
+    * Partial (map-side) aggregation then a single shuffle on token —
+    * vocabulary cardinality, not corpus size, bounds the reduce side. */
+  def vocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+}

@@ -207,8 +207,52 @@ object ExtQueries {
       Multimodal.decodeMeta(withBin, "doc_id", "payload")
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic sampling (reproducible across engines) -------
+    // per-stratum keep-rates, map-only filter — no shuffle at any scale
+    "q_sample_stratified" -> ((s, d) => {
+      graft.ext.Sampling.stratifiedSample(Tables.documents(s, d),
+          "doc_id", "source", SampleRates, defaultRate = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // exactly-k-per-stratum via smallest-hash rank, with the 0.5
+    // over-sampling pre-filter that makes the shape scale (see
+    // Sampling scaladoc); the oracle applies the identical pre-filter
+    "q_sample_per_source" -> ((s, d) => {
+      graft.ext.Sampling.topKPerStratum(Tables.documents(s, d),
+          "doc_id", "source", k = 5, prefilterRate = 0.5)
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    }),
+    // term-list scrubbing (PII-style redaction shape): map-only,
+    // codegen'd regexp over the corpus
+    "q_redact_terms" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ext.Sampling.redact(col("text"), RedactPattern, "<TERM>")
+            .as("red_text"))
+        .orderBy(col("doc_id"))
+    }),
+    // vocabulary building (BPE-precursor token counts): partial agg +
+    // one shuffle bounded by vocabulary cardinality, deterministic
+    // truncation (count desc, token asc)
+    "q_vocab_topn" -> ((s, d) => {
+      graft.ext.Sampling.vocab(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20)
     })
   )
+
+  /** Per-source keep-rates for the stratified-sample query: up-sample
+    * the first five sources, mid-rate the next five, default the rest.
+    * (Mirrored verbatim into the oracle SQL below.) */
+  private val SampleRates: Map[String, Double] =
+    ((0 to 4).map(i => s"src$i" -> 0.5) ++ (5 to 9).map(i => s"src$i" -> 0.25)).toMap
+
+  /** Term-list redaction pattern — RE2-compatible so DuckDB agrees. */
+  private val RedactPattern = "\\b(customer|value|table)\\b"
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -280,6 +324,32 @@ object ExtQueries {
         |  cast(64 + (ascii(substr(text, 1, 1)) * 3) % 512 AS INT) AS height,
         |  'rgb8' AS format,
         |  cast(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // deterministic sampling: md5 hex compared lexicographically — the
+    // thresholds are Sampling.thresholdHex(rate) values verbatim
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '80000000'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
+        |       ELSE '20000000' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_per_source" ->
+      """SELECT doc_id, source, rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000') t
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q_redact_terms" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(customer|value|table)\b', '<TERM>', 'g') AS red_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_topn" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |WHERE tok <> '' GROUP BY tok
+        |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic-sampling invariants: reproducibility, partition
+  * independence, rate accuracy, per-stratum exactness.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  private def docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("thresholdHex maps rates to zero-padded 8-hex prefixes") {
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(0.125) == "20000000")
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(1.0) == "ffffffff")
+    // small rates keep leading zeros — lexicographic compare depends on it
+    assert(Sampling.thresholdHex(1.0 / 4096).length == 8)
+  }
+
+  test("sample is reproducible and independent of partitioning") {
+    val a = Sampling.sample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.sample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("sample rate lands near the target on 500 keys") {
+    val n = docs.count().toDouble
+    val kept = Sampling.sample(docs, "doc_id", 0.3).count().toDouble
+    // binomial 3-sigma at n=500, p=0.3 → ±~0.06
+    assert(math.abs(kept / n - 0.3) < 0.07, s"kept ${kept / n}")
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val out = Sampling.stratifiedSample(docs, "doc_id", "source", rates, 0.5)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == full("src0"))      // rate 1.0 keeps all
+    assert(!bySrc.contains("src1"))            // rate 0.0 keeps none
+    val others = (bySrc - "src0").values.sum.toDouble /
+      (full - "src0" - "src1").values.sum
+    assert(math.abs(others - 0.5) < 0.1, s"default-rate strata kept $others")
+  }
+
+  test("topKPerStratum yields exactly k rows per stratum, ranked by hash") {
+    val out = Sampling.topKPerStratum(docs, "doc_id", "source", k = 3)
+    val counts = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.length == 20 && counts.forall(_ == 3L))
+    // ranks are 1..k and the selected ids are the k smallest hashes
+    val src0 = out.filter(col("source") === "src0")
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id"))
+    val expected = docs.filter(col("source") === "src0")
+      .withColumn("h", Sampling.selector(col("doc_id")))
+      .orderBy("h").limit(3).collect().map(_.getAs[Long]("doc_id"))
+    assert(src0.sameElements(expected))
+  }
+
+  test("topKPerStratum pre-filter only drops rows the rank would drop") {
+    // 0.5 pre-filter leaves ~12 of 25 per stratum ≫ k=3 → same result
+    val plain = Sampling.topKPerStratum(docs, "doc_id", "source", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val guarded = Sampling.topKPerStratum(docs, "doc_id", "source", k = 3,
+        prefilterRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(plain.sameElements(guarded))
+  }
+
+  test("redact scrubs every term occurrence") {
+    import spark.implicits._
+    val df = Seq((1L, "the customer paid full value at the table"),
+                 (2L, "tablecloth is untouched")).toDF("doc_id", "text")
+    val out = df.select(Sampling.redact(col("text"),
+        "\\b(customer|value|table)\\b", "<TERM>").as("r"))
+      .as[String].collect()
+    assert(out(0) == "the <TERM> paid full <TERM> at the <TERM>")
+    assert(out(1) == "tablecloth is untouched") // word boundary respected
+  }
+
+  test("vocab counts tokens and drops empties") {
+    import spark.implicits._
+    val df = Seq((1L, "a b  a"), (2L, "b c")).toDF("doc_id", "text")
+    val m = Sampling.vocab(df, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L)) // "" from double space dropped
+  }
+}
