@@ -40,13 +40,27 @@ object Dedup {
     * Pure column ops: split → slice/concat per position → explode.
     * Semantics identical to the relational tok-self-join form used in
     * the DuckDB oracle. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    rawShingleRows(df, idCol, textCol, n).distinct()
+
+  /** Shingles before the distinct — positional duplicates included. */
+  private def rawShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     val shingles = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
-    df.select(col(idCol).as("id"), explode(shingles).as("s")).distinct()
+    df.select(col(idCol).as("id"), explode(shingles).as("s"))
   }
+
+  /** Distinct (id, xxhash64(shingle)) — the join-ready hashed form.
+    * Hashing BEFORE the distinct keeps the dedup exchange at 16 bytes
+    * per row instead of the string form's variable-width shingles;
+    * equivalent to `shingleRows + xxhash64` under the same
+    * collisions-are-~0 contract as [[jaccardPairs]]. */
+  def hashedShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    rawShingleRows(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("s")).as("s"))
+      .distinct()
 
   /** All-pairs exact n-gram Jaccard ≥ minJ via inverted-index self-join.
     * The join key is xxhash64(shingle), not the string: identical join
@@ -60,8 +74,7 @@ object Dedup {
     // `sizes` recomputes the (narrow, cheap) shingling. Caching the
     // exploded shingle relation (~n× the corpus) would spill at scale
     // and leaked here before (callers could never unpersist).
-    val sh = shingleRows(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("s")).as("s"))
+    val sh = hashedShingleRows(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -242,6 +242,18 @@ object ExtQueries {
       graft.ext.Sampling.vocab(Tables.documents(s, d), "text")
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)
+    }),
+    // train/test contamination screen: src0 plays the benchmark suite,
+    // the rest of the corpus is the training candidate set; benchmark
+    // n-grams broadcast — no shuffle of candidate content
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Contamination.screen(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3, threshPct = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -350,6 +362,23 @@ object ExtQueries {
       """SELECT tok, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
-        |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    // contamination: distinct 3-grams per doc (same tok-self-join form
+    // as the dedup oracles), benchmark = src0, flag at ≥10% overlap via
+    // integer compare so engines can't disagree on rounding
+    "q_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, generate_subscripts(t,1) pos, unnest(t) w
+        |  FROM (SELECT doc_id, source, string_split(text,' ') t FROM documents)),
+        |sh AS (SELECT DISTINCT a.doc_id, a.source, a.w || ' ' || b.w || ' ' || c.w AS s
+        |       FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+        |                  JOIN tok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        |cand AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+        |SELECT cand.doc_id, count(*) AS n_sh, count(bench.s) AS n_hit,
+        |  (count(bench.s) * 100 >= count(*) * 10) AS contaminated
+        |FROM cand LEFT JOIN bench ON cand.s = bench.s
+        |GROUP BY cand.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

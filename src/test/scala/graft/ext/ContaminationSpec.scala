@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Contamination-screen invariants on planted overlaps. */
+class ContaminationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixtures = {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "beta gamma delta epsilon"),     // fully inside the benchmark
+      (2L, "zeta eta theta iota kappa"),    // disjoint vocabulary
+      (3L, "alpha beta gamma zeta eta theta iota") // leading overlap only
+    ).toDF("doc_id", "text")
+    (cands, bench)
+  }
+
+  test("screen counts benchmark n-gram hits per candidate") {
+    val (cands, bench) = fixtures
+    val out = Contamination.screen(cands, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 1: 2 shingles, both in benchmark
+    assert(out(1L) == ((2L, 2L, true)))
+    // doc 2: 3 shingles, none hit
+    assert(out(2L) == ((3L, 0L, false)))
+    // doc 3: 5 shingles, only "alpha beta gamma" hits → 20% ≥ 10%
+    assert(out(3L) == ((5L, 1L, true)))
+  }
+
+  test("shuffle-join form equals the broadcast form") {
+    val (cands, bench) = fixtures
+    val a = Contamination.screen(cands, bench, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Contamination.screen(cands, bench, "doc_id", "text",
+        broadcastBench = false)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("threshold flag is an integer compare at the boundary") {
+    import spark.implicits._
+    // 10 shingles, exactly 1 hit → 10% — flagged at threshPct=10,
+    // clean at threshPct=11 (no float round-off at the boundary)
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val cand = Seq((1L, "a b c x1 x2 x3 x4 x5 x6 x7 x8 x9")).toDF("doc_id", "text")
+    def flag(p: Int) = Contamination.screen(cand, bench, "doc_id", "text",
+        threshPct = p).collect().head.getBoolean(3)
+    assert(flag(10))
+    assert(!flag(11))
+  }
+}
