@@ -45,6 +45,31 @@ object StreamQueries {
       StreamPipeline.sessionize(Tables.events(s, d))
         .toDF()
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // streaming exact dedup through the real engine: the source dir
+    // holds TWO copies of events.parquet, so every event is a planted
+    // duplicate the in-stream state must drop; output = the distinct
+    // key set, which the batch DISTINCT oracle reproduces
+    "q_stream_dedup" -> ((s, d) => {
+      val dir = {
+        val h = Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_stream_dedup_$h")
+        java.nio.file.Files.createDirectories(p)
+        val src = java.nio.file.Paths.get(d, "events.parquet")
+        for (name <- Seq("a.parquet", "b.parquet")) {
+          val dst = p.resolve(name)
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        p.toString
+      }
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+      StreamPipeline.runAppendToMemory(s,
+          StreamPipeline.dedupEvents(stream), s"dedup_${d.hashCode.abs}")
+        .orderBy(col("user_id"), col("tus"), col("event_type"))
     })
   )
 
@@ -77,6 +102,10 @@ object StreamQueries {
         |  count(*) AS n_events,
         |  cast((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_sec
         |FROM sessions GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // the doubled stream deduped = the distinct key set of the original
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |FROM events ORDER BY user_id, tus, event_type""".stripMargin
   )
 }

@@ -130,6 +130,37 @@ object StreamPipeline {
     } finally q.stop()
   }
 
+  /** Streaming exact dedup: event-time watermark + `dropDuplicates`
+    * over (key, event time) — first arrival is emitted immediately
+    * (Append mode; dedup never waits on the watermark), and the state
+    * store holds one entry per distinct key which EVICTS once the
+    * watermark passes its event time — the unbounded-stream guarantee
+    * the batch `distinct` doesn't need. Duplicates arriving later than
+    * the watermark delay are dropped unseen (documented late-data
+    * contract, same as windowed aggregation). */
+  def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withColumn("etime", eventTime("ts"))
+      .withWatermark("etime", watermark)
+      .dropDuplicates("user_id", "etime", "event_type")
+      .select(col("user_id"), unix_micros(col("etime")).as("tus"), col("event_type"))
+
+  /** Drains a streaming transform that emits on DATA batches (dedup,
+    * map-like ops) through a memory sink in Append mode. No eviction
+    * wait needed — output is complete when the sources are committed.
+    * TEST/ORACLE HARNESS; the scale sink is [[runAppendToDir]]'s
+    * foreachBatch form. */
+  def runAppendToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   // ---- sessionization ------------------------------------------------
 
   final case class Event(user_id: Long, ts: Long)

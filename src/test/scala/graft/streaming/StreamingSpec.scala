@@ -144,4 +144,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.head == StreamPipeline.Session(1L, 1, 2, 1))
     } finally q.stop()
   }
+
+  test("streaming dedup drops duplicates arriving in a LATER micro-batch") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // two files, forced into separate micro-batches: the duplicate key
+    // in file 2 must be dropped by state carried from file 1
+    Seq((1L, 1000000000L, "click"), (2L, 2000000000L, "view"))
+      .toDF("user_id", "ts", "event_type").write.parquet(dir + "/f1")
+    Seq((1L, 1000000000L, "click"), (3L, 3000000000L, "click"))
+      .toDF("user_id", "ts", "event_type").write.parquet(dir + "/f2")
+    val in = spark.readStream.schema("user_id LONG, ts LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/f*/")
+    val out = StreamPipeline.runAppendToMemory(spark,
+      StreamPipeline.dedupEvents(in), "dedupspec")
+    val keys = out.select("user_id").as[Long].collect().sorted
+    assert(keys.sameElements(Array(1L, 2L, 3L))) // the re-sent (1, click) is gone
+  }
 }
