@@ -243,6 +243,21 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)
     }),
+    // the end-to-end curation funnel: language gate → quality gate →
+    // exact dedup → deterministic 50% sample, composed in ONE Catalyst
+    // plan — both filters fuse into the scan stage, the dedup window is
+    // the only shuffle, and the sample filter is map-only on its output
+    "q_curation_funnel" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("source"),
+        TextStats.langIdCol(col("text")).as("lang_pred"),
+        TextStats.qualityCol(col("text")).as("quality"))
+      val gated = scored.filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      graft.ext.Sampling.sample(
+          Dedup.exactKeepFirst(gated, "doc_id", "text"), "doc_id", 0.5)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // train/test contamination screen: src0 plays the benchmark suite,
     // the rest of the corpus is the training candidate set; benchmark
     // n-grams broadcast — no shuffle of candidate content
@@ -363,6 +378,21 @@ object ExtQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    // curation funnel: each stage reuses its already-proven SQL mirror
+    "q_curation_funnel" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, source,
+         |    ${TextStats.langIdSql("text")} AS lang_pred,
+         |    ${TextStats.qualitySql("text")} AS quality
+         |  FROM documents),
+         |gated AS (
+         |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |  FROM gated)
+         |SELECT doc_id, source, quality FROM deduped
+         |WHERE rn = 1 AND md5(CAST(doc_id AS VARCHAR)) < '80000000'
+         |ORDER BY doc_id""".stripMargin,
     // contamination: distinct 3-grams per doc (same tok-self-join form
     // as the dedup oracles), benchmark = src0, flag at ≥10% overlap via
     // integer compare so engines can't disagree on rounding
