@@ -42,7 +42,7 @@ object TextExtractor {
           b.result()
       }
       if (htmlOutput)
-        Extracted(HtmlRender.render(text, filename), TextHtml, mime, null)
+        Extracted(HtmlRender.render(text, filename, mime), TextHtml, mime, null)
       else
         Extracted(text, TextPlain, mime, null)
     } catch {

@@ -36,6 +36,9 @@ class ExtractParitySpec extends AnyFunSuite {
     assert(r.origMimeType == "application/pdf")
     assert(r.text.contains("<html"))
     assert(r.text.contains("A Simple PDF File"))
+    // Tika ToXMLContentHandler envelope: XML decl + Content-Type meta
+    assert(r.text.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"))
+    assert(r.text.contains("<meta name=\"Content-Type\" content=\"application/pdf\"/>"))
   }
 
   // ETPTest.java:77-99 — legacy DOC
