@@ -243,6 +243,23 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)
     }),
+    // per-source corpus statistics (curation reporting): one groupBy
+    // shuffle; EXACT percentile is a per-group buffering aggregate, so
+    // this form is for bounded group sizes (reports, samples) — at
+    // 100 TB swap percentile→approx_percentile (sketch, fixed memory).
+    // Quartiles on integer inputs interpolate on exact binary fractions
+    // (.25/.5/.75), so Spark and DuckDB agree bit-for-bit.
+    "q_corpus_stats" -> ((s, d) => {
+      Tables.documents(s, d).groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("total_chars"),
+          percentile(col("n_chars"), lit(0.25)).as("q1_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+          percentile(col("n_chars"), lit(0.75)).as("q3_chars"))
+        .orderBy(col("source"))
+    }),
     // the end-to-end curation funnel: language gate → quality gate →
     // exact dedup → deterministic 50% sample, composed in ONE Catalyst
     // plan — both filters fuse into the scan stage, the dedup window is
@@ -378,6 +395,14 @@ object ExtQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  quantile_cont(n_chars, 0.25) AS q1_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  quantile_cont(n_chars, 0.75) AS q3_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // curation funnel: each stage reuses its already-proven SQL mirror
     "q_curation_funnel" ->
       s"""WITH scored AS (
