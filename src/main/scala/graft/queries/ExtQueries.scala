@@ -243,6 +243,38 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)
     }),
+    // within-doc repetition signals (the Gopher-style quality rule):
+    // token and trigram duplication counts, pure column algebra —
+    // map-only, integer outputs so the gate can't hinge on rounding
+    "q_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+        .otherwise(array().cast("array<int>"))
+      val tris = transform(idx, i => concat_ws(" ", slice(toks, i, lit(3))))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("n_tok"),
+          size(array_distinct(toks)).as("n_tok_uniq"),
+          size(tris).as("n_tri"),
+          size(array_distinct(tris)).as("n_tri_uniq"))
+        .withColumn("repetitive", col("n_tok_uniq") * 2 < col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+    // data-quality constraint report (the pre-ship validation step):
+    // one map-side-combined aggregate emitting the checked invariants
+    "q_data_quality" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("text")).as("n_text_nonnull"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("n_rows"), col("n_text_nonnull"), col("n_ids"),
+          col("min_chars"), col("max_chars"),
+          (col("n_ids") === col("n_rows")).as("id_unique"),
+          (col("n_text_nonnull") === col("n_rows")).as("text_complete"),
+          (col("min_chars") >= 1 && col("max_chars") <= 100000).as("chars_in_range"))
+    }),
     // per-source corpus statistics (curation reporting): one groupBy
     // shuffle; EXACT percentile is a per-group buffering aggregate, so
     // this form is for bounded group sizes (reports, samples) — at
@@ -395,6 +427,30 @@ object ExtQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |w AS (SELECT doc_id, a,
+        |        CASE WHEN len(a) >= 3
+        |          THEN list_transform(generate_series(1, len(a)-2),
+        |                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+        |          ELSE []::VARCHAR[] END AS tri
+        |      FROM t)
+        |SELECT doc_id,
+        |  cast(len(a) AS INT) AS n_tok,
+        |  cast(len(list_distinct(a)) AS INT) AS n_tok_uniq,
+        |  cast(len(tri) AS INT) AS n_tri,
+        |  cast(len(list_distinct(tri)) AS INT) AS n_tri_uniq,
+        |  (len(list_distinct(a)) * 2 < len(a)) AS repetitive
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q_data_quality" ->
+      """SELECT count(*) AS n_rows,
+        |  count(text) AS n_text_nonnull,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  (count(DISTINCT doc_id) = count(*)) AS id_unique,
+        |  (count(text) = count(*)) AS text_complete,
+        |  (min(n_chars) >= 1 AND max(n_chars) <= 100000) AS chars_in_range
+        |FROM documents""".stripMargin,
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
