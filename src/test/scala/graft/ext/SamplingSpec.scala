@@ -42,6 +42,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept / n - 0.3) < 0.07, s"kept ${kept / n}")
   }
 
+  test("samples are nested: a higher rate keeps a superset") {
+    // the property that makes threshold sampling operationally useful —
+    // growing a 10% sample to 30% only ADDS documents, never swaps them
+    val r10 = Sampling.sample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r30 = Sampling.sample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r10.subsetOf(r30))
+    assert(r10.size < r30.size)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)
     val out = Sampling.stratifiedSample(docs, "doc_id", "source", rates, 0.5)
