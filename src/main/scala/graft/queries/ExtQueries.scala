@@ -243,6 +243,14 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)
     }),
+    // sequence packing: per-source token-budget bins via a running-sum
+    // window — strata pack independently (no global order), content
+    // never enters the window
+    "q_pack_sequences" -> ((s, d) => {
+      graft.ext.Packing.packByStratum(Tables.documents(s, d),
+          "doc_id", "source", "text", budget = 500)
+        .orderBy(col("source"), col("doc_id"))
+    }),
     // within-doc repetition signals (the Gopher-style quality rule):
     // token and trigram duplication counts, pure column algebra —
     // map-only, integer outputs so the gate can't hinge on rounding
@@ -427,6 +435,16 @@ object ExtQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, cum,
+        |  (cum - n_tok) // 500 AS bin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |w AS (SELECT doc_id, a,

@@ -90,6 +90,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(plain.sameElements(guarded))
   }
 
+  test("packing fills bins greedily without splitting documents") {
+    val out = Packing.packByStratum(docs, "doc_id", "source", "text", budget = 500)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // bins never decrease in doc order
+      assert(ordered.map(_._4).sameElements(ordered.map(_._4).sorted))
+      // greedy boundary property: within a bin, every document except
+      // the last fits inside the budget (only the final one overflows)
+      ordered.groupBy(_._4).foreach { case (_, binRows) =>
+        val toks = binRows.sortBy(_._2).map(_._3.toLong)
+        assert(toks.dropRight(1).sum < 500)
+      }
+    }
+    assert(out.map(_._4).max > 0) // the budget actually splits the corpus
+  }
+
   test("redact scrubs every term occurrence") {
     import spark.implicits._
     val df = Seq((1L, "the customer paid full value at the table"),
