@@ -23,6 +23,33 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   }
   private val sf = "/root/testdata/sf0.001"
 
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("stratified sampling plans as a shuffle-free scan + filter") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Sampling.stratifiedSample(
+      docs, "doc_id", "source", Map("src0" -> 0.5), 0.125))
+    assert(!plan.contains("Exchange"), plan) // map-only at any scale
+  }
+
+  test("contamination screen broadcasts the benchmark side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Contamination.screen(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // candidate document content never shuffles: the only exchanges are
+    // the two shingle-distincts (16-byte hashed rows) and the final agg
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("vocabulary building aggregates partially before its one shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Sampling.vocab(docs, "text"))
+    assert(plan.contains("partial_count"), plan) // map-side combine
+  }
+
   test("salted aggregation equals direct groupBy (skew-safe two-phase)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val dec = col("value").cast("decimal(18,2)") // exact: order-independent
