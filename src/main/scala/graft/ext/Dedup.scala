@@ -236,4 +236,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
   }
+
+  // ---- cluster assignment (after pairwise dedup) ---------------------
+
+  /** Connected components over near-dup pairs: every node gets the
+    * MINIMUM id in its component as `cluster_id` — the canonical
+    * document the group keeps. Iterative min-label propagation
+    * (Pregel-style): each round joins current labels across the
+    * symmetric edge set and takes the elementwise minimum, converging
+    * in O(component diameter) rounds — near-dup clusters are shallow
+    * (dup groups, not social graphs), so rounds stay single-digit at
+    * any corpus size. Each round is one distributed join + aggregate;
+    * the driver only sees the converged/changed COUNT (control plane,
+    * like AQE), never the labels. Each round's result is
+    * `localCheckpoint`ed: without lineage truncation the plan embeds
+    * the previous round's plan twice and grows 2^rounds. `maxIters`
+    * bounds the loop; hitting it raises rather than returning a
+    * half-propagated labeling. */
+  def clusterAssignments(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                         maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("j") === labels("id"))
+        .groupBy(col("i")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.as("l")
+        .join(prop, col("l.id") === prop("i"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"clusterAssignments did not converge in $maxIters rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

@@ -68,6 +68,22 @@ object ExtQueries {
         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
         |ORDER BY i, j""".stripMargin
 
+  /** Transitive closure over the jaccard-pair edges (recursive CTE) —
+    * min reachable id per node = the cluster canonical. */
+  private val clusterOracle =
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+      """,dpairs AS (
+        |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
+        |                         JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
+        |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) => {
@@ -98,6 +114,16 @@ object ExtQueries {
       Similarity.lshNearDups(plantedNearDupCorpus(Tables.embeddings(s, d)),
           "vec_id", "embedding", minCos = 0.9, planes = 16, tables = 128)
         .orderBy(col("i"), col("j"))
+    }),
+
+    // cluster assignment after pairwise dedup: connected components of
+    // the jaccard pairs via min-label propagation (O(diameter) rounds)
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.8)
+      Dedup.clusterAssignments(docs.select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // ---- similarity search ------------------------------------------
@@ -350,6 +376,7 @@ object ExtQueries {
     // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
+    "q_dedup_clusters" -> clusterOracle,
     "q_dedup_embed" -> embedPairsOracle,
     // the LSH+verify path must reproduce the exact all-pairs result at
     // its own threshold over the planted-dup corpus

@@ -37,6 +37,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!scalaSide.exists(_._1 == 2L)) // < n tokens → no shingles
   }
 
+  test("cluster assignment propagates min labels across chains") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    // chain 1-2-3, pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("i", "j")
+    val out = Dedup.clusterAssignments(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("cluster assignment converges on a deep path graph") {
+    import spark.implicits._
+    val n = 12L // diameter 11 — needs multiple propagation rounds
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("i", "j")
+    val out = Dedup.clusterAssignments(nodes, "id", pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(out.sameElements(Array(1L))) // one component, canonical = min id
+  }
+
   test("minhash near-dups equal exact jaccard pairs on the corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
