@@ -255,8 +255,12 @@ object Dedup {
     * half-propagated labeling. */
   def clusterAssignments(nodes: DataFrame, idCol: String, pairs: DataFrame,
                          maxIters: Int = 20): DataFrame = {
+    // checkpoint edges too: pairs usually carries an expensive lineage
+    // (e.g. the jaccard shingle self-join) that would otherwise
+    // recompute on every propagation round
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(true)
     var iter = 0

@@ -87,12 +87,25 @@ object Ivf {
     udf((vec: Seq[Double]) => model.nearest(vec, nProbe))
 
   /** Deterministic on-disk location for a corpus's inverted file —
-    * keyed by corpus path + index parameters (+ a format version so a
-    * layout change invalidates old indexes instead of misreading them). */
+    * keyed by corpus path + CONTENT signature (file names, lengths,
+    * mtimes) + index parameters (+ a format version so a layout change
+    * invalidates old indexes instead of misreading them). The content
+    * part matters: a corpus regenerated at the same path must key to a
+    * NEW directory, not silently reuse the stale index built from the
+    * old data. One driver-side metadata listing, no data read. */
   def indexDirFor(corpusDir: String, k: Int, iters: Int,
                   root: String = sys.props("java.io.tmpdir")): String = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val sig =
+      if (fs.exists(p))
+        fs.listStatus(p).sortBy(_.getPath.toString)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .mkString("|")
+      else ""
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(corpusDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .digest(s"$corpusDir|$sig".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     s"$root/graft_ivf_v1_${h}_k${k}_i$iters"
   }
 

@@ -34,11 +34,15 @@ object Sampling {
   def selector(key: Column): Column = md5(key.cast("string").cast("binary"))
 
   /** Hex-prefix threshold for a keep-rate in [0, 1]: 8 hex digits =
-    * rate·2^32 rounded, zero-padded ("80000000" ≈ 0.5). */
+    * rate·2^32 rounded, zero-padded ("80000000" ≈ 0.5). Rate 1.0 maps
+    * to "g" — lexicographically above every hex digest — so keep-all
+    * really keeps ALL rows ("ffffffff" would drop the ~2^-32 of keys
+    * whose digest starts with those 8 chars, a real loss at corpus
+    * scale). The same string compare holds in the DuckDB mirror. */
   def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
-    val v = math.min(math.round(rate * 4294967296.0), 4294967295L)
-    f"$v%08x"
+    if (rate >= 1.0) "g"
+    else f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
   }
 
   /** Bernoulli sample at `rate`, keyed on `keyCol` — same rows kept on

@@ -39,10 +39,15 @@ object Metadata {
     cap(base ++ specific, opts)
   }
 
+  // compiled keyFilter patterns, memoized per executor — cap() runs per
+  // ROW inside the metadata UDF, and Pattern.compile per row is pure waste
+  private val filterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
   private def cap(m: Map[String, String], opts: Options): Map[String, String] = {
     val kept = opts.keyFilter match {
       case Some(re) =>
-        val p = java.util.regex.Pattern.compile(re)
+        val p = filterCache.computeIfAbsent(re, java.util.regex.Pattern.compile(_))
         m.filter { case (k, _) => p.matcher(k).matches() }
       case None => m
     }
@@ -72,7 +77,26 @@ object Metadata {
           if (v.nonEmpty) Some(key -> v) else None
         } else None
       }.toMap
-    scan(objStm) ++ scan(raw)
+    scan(infoDictSlices(objStm)) ++ scan(raw)
+  }
+
+  /** Object streams serialize EVERY kind of dictionary — outlines also
+    * carry `/Title` — so restrict the ObjStm scan to dictionary slices
+    * that look like an Info dict: at least two distinct Info keys
+    * present. (Slices are cut `<<`-to-next-`<<`; Info dicts don't nest
+    * in practice.) */
+  private def infoDictSlices(txt: String): String = {
+    val out = new StringBuilder
+    var s = txt.indexOf("<<")
+    while (s >= 0) {
+      val next = txt.indexOf("<<", s + 2)
+      val end = math.min(if (next < 0) txt.length else next, s + 2000)
+      val slice = txt.substring(s, end)
+      if (PdfInfoKeys.count(k => slice.contains("/" + k)) >= 2)
+        out.append(slice).append('\n')
+      s = next
+    }
+    out.toString
   }
 
   private def unescapePdf(s: String): String =

@@ -175,13 +175,23 @@ object AvroIo {
     * collides and a failed attempt leaves only an ignorable `.tmp`. The
     * driver stamps `_SUCCESS` after the job completes — readers and the
     * PutFile "ignore" check key on the marker, not bare existence, so
-    * partial output from a failed job is never mistaken for complete. */
+    * partial output from a failed job is never mistaken for complete.
+    * An uncommitted directory (exists, no `_SUCCESS`) is wiped before
+    * writing: a rerun may produce fewer/different part files (e.g. a
+    * different partitioning), and stale non-colliding parts from the
+    * failed run must not be legitimized by the new run's marker. */
   def writeAvroBins(df: DataFrame, dir: String, recordName: String = "PDF",
                     maxRecordsPerFile: Long = 15000): Unit = {
     val st = df.schema
     val schemaJson = avroSchemaFor(st, recordName).toString
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    locally {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")
+      if (fs.exists(dirPath) && !fs.exists(marker)) fs.delete(dirPath, true)
+    }
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
@@ -209,7 +219,9 @@ object AvroIo {
           w.close() // closes the stream
           // last attempt to finish wins; both attempts hold identical bytes
           fs.delete(finalPath, false)
-          fs.rename(tmpPath, finalPath)
+          if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+            throw new java.io.IOException(
+              s"commit rename failed: $tmpPath -> $finalPath")
           fileNo += 1
         }
       }
@@ -258,6 +270,12 @@ object AvroIo {
     val schemaJson = avroSchemaFor(st, recordName).toString
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    locally { // wipe an uncommitted directory — see writeAvroBins
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")
+      if (fs.exists(dirPath) && !fs.exists(marker)) fs.delete(dirPath, true)
+    }
     val arranged = df.repartition(org.apache.spark.sql.functions.col(correlationCol))
       .sortWithinPartitions(org.apache.spark.sql.functions.col(correlationCol))
     arranged.foreachPartition { (rows: Iterator[Row]) =>
@@ -291,7 +309,9 @@ object AvroIo {
           bin.foreach(r => w.append(toRecord(r, st, schema)))
           w.close()
           fs.delete(finalPath, false)
-          fs.rename(tmpPath, finalPath)
+          if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+            throw new java.io.IOException(
+              s"commit rename failed: $tmpPath -> $finalPath")
           fileNo += 1
         }
 

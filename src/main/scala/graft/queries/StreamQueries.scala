@@ -29,8 +29,10 @@ object StreamQueries {
           sys.props("java.io.tmpdir"), s"graft_stream_window_$h")
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          val walk = java.nio.file.Files.walk(p) // must close: holds dir FDs
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
         }
         p.toString
       }

@@ -106,10 +106,15 @@ object StreamPipeline {
     * `q.status` can show both flags false in the gap between the last
     * data batch and the eviction batch, so a status poll may exit
     * before the final windows are emitted (the round-3 flaky-hash
-    * race). Instead, stop only when (batchId, watermark) is UNCHANGED
-    * across two consecutive drains — a still-pending eviction batch
-    * must bump batchId, so identical observations mean the engine has
-    * nothing left to do. */
+    * race). Stability of (batchId, watermark) across polls is ALSO not
+    * enough on its own: batchId only bumps once the eviction batch
+    * RUNS, so a pending-but-slow batch keeps lastProgress unchanged.
+    * The condition that closes the race is observing a COMPLETED
+    * no-data batch (`lastProgress.numInputRows == 0`): watermark
+    * eviction happens in the first no-data batch after the last data
+    * batch, so once one has finished AND the observation is stable
+    * across two consecutive drains with no trigger active, the Append
+    * output is final. */
   private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     try {
       q.processAllAvailable()
@@ -119,13 +124,24 @@ object StreamPipeline {
         if (p == null) (-1L, "")
         else (p.batchId, String.valueOf(p.eventTime.get("watermark")))
       }
+      // NOTE: deliberately no q.status check here — with
+      // Trigger.ProcessingTime(0) the engine is almost always inside a
+      // (no-op) source poll, so isTriggerActive flickers true and
+      // gating on it retries for seconds. A completed no-data batch
+      // plus batchId stability is sufficient: the input is bounded and
+      // drained (processAllAvailable returned), so no later data batch
+      // can exist, and a second eviction batch would bump batchId.
+      def evictionRan(): Boolean = {
+        val p = q.lastProgress
+        p != null && p.numInputRows == 0
+      }
       var last = observe()
       var stable = false
       while (!stable && System.nanoTime() < deadline) {
         Thread.sleep(50)
         q.processAllAvailable()
         val cur = observe()
-        if (cur == last) stable = true else last = cur
+        if (cur == last && evictionRan()) stable = true else last = cur
       }
     } finally q.stop()
   }

@@ -21,7 +21,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.thresholdHex(0.25) == "40000000")
     assert(Sampling.thresholdHex(0.125) == "20000000")
     assert(Sampling.thresholdHex(0.0) == "00000000")
-    assert(Sampling.thresholdHex(1.0) == "ffffffff")
+    assert(Sampling.thresholdHex(1.0) == "g") // above any hex → keep-all
     // small rates keep leading zeros — lexicographic compare depends on it
     assert(Sampling.thresholdHex(1.0 / 4096).length == 8)
   }
