@@ -72,6 +72,40 @@ object StreamQueries {
       StreamPipeline.runAppendToMemory(s,
           StreamPipeline.dedupEvents(stream), s"dedup_${d.hashCode.abs}")
         .orderBy(col("user_id"), col("tus"), col("event_type"))
+    }),
+
+    // the curation funnel running THROUGH the streaming engine over a
+    // doubled corpus: language + quality gates, in-stream exact dedup,
+    // deterministic sample — every output column is TEXT-derived (fp,
+    // quality) and the sample keys on fp, so whichever duplicate
+    // arrives first the result is identical (arrival order is not
+    // deterministic across partitions; doc_id must not leak through)
+    "q_stream_funnel" -> ((s, d) => {
+      val dir = {
+        val h = Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_stream_funnel_$h")
+        java.nio.file.Files.createDirectories(p)
+        val src = java.nio.file.Paths.get(d, "documents.parquet")
+        for (name <- Seq("a.parquet", "b.parquet"))
+          java.nio.file.Files.copy(src, p.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        p.toString
+      }
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+      val gated = stream.select(col("text"),
+          graft.ext.TextStats.langIdCol(col("text")).as("lang_pred"),
+          graft.ext.TextStats.qualityCol(col("text")).as("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .withColumn("fp", sha2(col("text"), 256))
+        .dropDuplicates("fp")
+      val sampled = gated
+        .filter(graft.ext.Sampling.selector(col("fp")) <
+          lit(graft.ext.Sampling.thresholdHex(0.5)))
+        .select(col("fp"), col("quality"))
+      StreamPipeline.runAppendToMemory(s, sampled, s"funnel_${d.hashCode.abs}")
+        .orderBy(col("fp"))
     })
   )
 
@@ -108,6 +142,18 @@ object StreamQueries {
     // the doubled stream deduped = the distinct key set of the original
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS tus, event_type
-        |FROM events ORDER BY user_id, tus, event_type""".stripMargin
+        |FROM events ORDER BY user_id, tus, event_type""".stripMargin,
+    // text-derived columns only: whichever duplicate wins in-stream,
+    // (fp, quality) is the same — DISTINCT over the batch mirror
+    "q_stream_funnel" ->
+      s"""WITH scored AS (
+         |  SELECT text,
+         |    ${graft.ext.TextStats.langIdSql("text")} AS lang_pred,
+         |    ${graft.ext.TextStats.qualitySql("text")} AS quality
+         |  FROM documents)
+         |SELECT DISTINCT sha256(text) AS fp, quality FROM scored
+         |WHERE lang_pred = 'en' AND quality >= 0.5
+         |  AND md5(sha256(text)) < '80000000'
+         |ORDER BY fp""".stripMargin
   )
 }
