@@ -52,27 +52,58 @@ object Bench {
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
     // host's throughput varies severalfold (SCALE.md), so a single run
     // can misreport a query by 20-40× in either direction.
+    //
+    // Iterations run ROUND-ROBIN across queries (round 1 of every query,
+    // then round 2, …) rather than back-to-back per query: a sustained
+    // host-contention window then shifts ONE sample of every query —
+    // which the median discards — instead of swallowing all samples of
+    // whichever query it happened to land on (BENCH_r04 reported
+    // q_contamination at 82 s this way while an idle-host re-time
+    // measured 2.3-2.8 s).
+    //
+    // A fixed constant-work sentinel is timed before every query slot;
+    // if the sentinel's own spread (max/min) exceeds 3×, the run is
+    // flagged "contended": true so the record is never silently wrong.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 8L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("sum(id * 2654435761) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // warm the sentinel plan itself so its first timing is comparable
+
+    val samples =
+      scala.collection.mutable.Map(headline.map(_ -> Vector.empty[Double]): _*)
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters; name <- headline) {
+      sentinels += sentinel()
+      // drop caches persisted inside operators (route fan-out, shingle
+      // index) so queries don't inherit each other's memory pressure
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try run(name) catch { case _: Throwable => }
+      samples.update(name, samples(name) :+ (System.nanoTime() - t0) / 1e9)
+    }
     val results = headline.map { name =>
-      val times = (1 to iters).map { _ =>
-        // drop caches persisted inside operators (route fan-out, shingle
-        // index) so queries don't inherit each other's memory pressure
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+      val times = samples(name).sorted
+      val n = times.length
       val median =
-        if (iters % 2 == 1) times(iters / 2)
-        else (times(iters / 2 - 1) + times(iters / 2)) / 2
+        if (n % 2 == 1) times(n / 2)
+        else (times(n / 2 - 1) + times(n / 2)) / 2
       (name, median, times.head)
     }
+    val sMin = sentinels.min
+    val sMax = sentinels.max
+    val contended = sMin > 0 && sMax / sMin > 3.0
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map(r => r._1 -> r._2))
     val qsMin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"contended":$contended,"sentinel_min":$sMin,"sentinel_max":$sMax,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,10 @@ object Dedup {
   /** Exact dedup: keep the lowest id per content digest.
     * sha2-256 matches DuckDB's sha256 for the oracle. */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // emits all input columns + `fp` (and uses `rn` internally) — a
+    // same-named input column would be silently overwritten
+    require(!df.columns.contains("fp") && !df.columns.contains("rn"),
+      "exactKeepFirst emits 'fp' and uses 'rn'; rename those input columns first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col(idCol))
     df.withColumn("fp", sha2(col(textCol), 256))

@@ -86,9 +86,32 @@ object Ivf {
   private def assignUdf(model: Model, nProbe: Int) =
     udf((vec: Seq[Double]) => model.nearest(vec, nProbe))
 
+  private def md5hex(s: String, nBytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(nBytes).map("%02x".format(_)).mkString
+
+  /** Session Hadoop config when available (s3a credentials etc. live
+    * there), else a default — index-dir resolution must see the same
+    * filesystems the session does. */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** The per-corpus-PATH name prefix every index for `corpusDir` shares
+    * regardless of content signature or parameters — the GC key:
+    * [[buildIndex]] deletes stale same-prefix siblings (indexes of
+    * earlier generations of the same corpus, unreachable forever once
+    * the content signature changed). */
+  private[ext] def indexPrefixFor(corpusDir: String): String =
+    s"graft_ivf_v1_${md5hex(corpusDir, 6)}"
+
   /** Deterministic on-disk location for a corpus's inverted file —
-    * keyed by corpus path + CONTENT signature (file names, lengths,
-    * mtimes) + index parameters (+ a format version so a layout change
+    * keyed by corpus path + CONTENT signature (RECURSIVE file listing:
+    * paths, lengths, mtimes — nested part files rewritten in place must
+    * change the signature even when top-level entries don't churn) +
+    * index parameters (+ a format version so a layout change
     * invalidates old indexes instead of misreading them). The content
     * part matters: a corpus regenerated at the same path must key to a
     * NEW directory, not silently reuse the stale index built from the
@@ -96,17 +119,18 @@ object Ivf {
   def indexDirFor(corpusDir: String, k: Int, iters: Int,
                   root: String = sys.props("java.io.tmpdir")): String = {
     val p = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val sig =
-      if (fs.exists(p))
-        fs.listStatus(p).sortBy(_.getPath.toString)
-          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-          .mkString("|")
-      else ""
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$corpusDir|$sig".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    s"$root/graft_ivf_v1_${h}_k${k}_i$iters"
+      if (fs.exists(p)) {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(p, true) // recursive
+        while (it.hasNext) {
+          val s = it.next()
+          buf += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+        }
+        buf.sorted.mkString("|")
+      } else ""
+    s"$root/${indexPrefixFor(corpusDir)}_${md5hex(sig, 8)}_k${k}_i$iters"
   }
 
   /** Train-once / query-many: build the inverted file ON DISK — the
@@ -122,9 +146,24 @@ object Ivf {
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                  k: Int = 16, iters: Int = 3, sampleTarget: Int = 4096): Unit = {
     val spark = emb.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS"))) return
+    // GC: the content-signature key means a regenerated corpus gets a
+    // NEW index dir and its predecessors are unreachable forever —
+    // delete same-corpus siblings (same path-hash prefix, different
+    // signature/params) so the index root doesn't grow unboundedly.
+    val prefixRe = "^(graft_ivf_v1_[0-9a-f]+_).*".r
+    dirPath.getName match {
+      case prefixRe(prefix) =>
+        val parent = dirPath.getParent
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent)
+            .filter(s => s.getPath.getName.startsWith(prefix) &&
+              s.getPath.getName != dirPath.getName)
+            .foreach(s => fs.delete(s.getPath, true))
+      case _ => () // caller-chosen dir name: nothing safe to GC
+    }
     val model = train(emb, idCol, vecCol, k, iters, sampleTarget)
     import spark.implicits._
     model.centroids.toSeq.zipWithIndex

@@ -69,6 +69,10 @@ object Sampling {
     * Emits (all input columns, rank) ordered within stratum. */
   def topKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
                      k: Int, prefilterRate: Double = 1.0): DataFrame = {
+    // the contract says ALL input columns pass through + `rank` — a
+    // same-named input column would be silently overwritten
+    require(!df.columns.contains("rank"),
+      "topKPerStratum emits a 'rank' column; rename the input's 'rank' first")
     import org.apache.spark.sql.expressions.Window
     val survivors =
       if (prefilterRate >= 1.0) df

@@ -176,10 +176,12 @@ object AvroIo {
     * driver stamps `_SUCCESS` after the job completes — readers and the
     * PutFile "ignore" check key on the marker, not bare existence, so
     * partial output from a failed job is never mistaken for complete.
-    * An uncommitted directory (exists, no `_SUCCESS`) is wiped before
-    * writing: a rerun may produce fewer/different part files (e.g. a
-    * different partitioning), and stale non-colliding parts from the
-    * failed run must not be legitimized by the new run's marker. */
+    * ANY existing target directory is wiped before writing (overwrite
+    * semantics): a rerun may produce fewer/different part files (e.g. a
+    * different partitioning), and stale parts — whether from a failed
+    * run or a previously COMMITTED one — must not sit next to the new
+    * run's files under its fresh marker. Callers wanting skip-if-done
+    * semantics check the marker first (see `Sinks.putFile`). */
   def writeAvroBins(df: DataFrame, dir: String, recordName: String = "PDF",
                     maxRecordsPerFile: Long = 15000): Unit = {
     val st = df.schema
@@ -189,8 +191,7 @@ object AvroIo {
     locally {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")
-      if (fs.exists(dirPath) && !fs.exists(marker)) fs.delete(dirPath, true)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
     }
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
@@ -270,11 +271,10 @@ object AvroIo {
     val schemaJson = avroSchemaFor(st, recordName).toString
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    locally { // wipe an uncommitted directory — see writeAvroBins
+    locally { // wipe any existing target (overwrite) — see writeAvroBins
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")
-      if (fs.exists(dirPath) && !fs.exists(marker)) fs.delete(dirPath, true)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
     }
     val arranged = df.repartition(org.apache.spark.sql.functions.col(correlationCol))
       .sortWithinPartitions(org.apache.spark.sql.functions.col(correlationCol))

@@ -41,8 +41,12 @@ object Sinks {
     * tests observe the payloads without a broker. */
   trait KafkaLike {
     /** Publishes `df` as Avro container messages; returns the number of
-      * RECORDS published (summed across containers) — the count callers
-      * reconcile against their input, not the container-message count. */
+      * RECORDS published (summed across containers) — not the
+      * container-message count. The count is APPROXIMATE on the real
+      * broker sink: it accumulates during the send pass, so task retries
+      * or speculative attempts can over-count. Treat it as a telemetry
+      * lower-bound check, not a reconciliation source of truth — exact
+      * once-only counts belong to the broker's committed offsets. */
     def publish(df: DataFrame, topic: String): Long
   }
 

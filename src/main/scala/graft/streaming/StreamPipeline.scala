@@ -135,6 +135,11 @@ object StreamPipeline {
         val p = q.lastProgress
         p != null && p.numInputRows == 0
       }
+      // Empty source: no batch ever ran (lastProgress stays null), so
+      // there is nothing in state to evict — quiescent immediately
+      // rather than spinning the full deadline waiting for a no-data
+      // batch that can never come.
+      if (q.lastProgress == null) return
       var last = observe()
       var stable = false
       while (!stable && System.nanoTime() < deadline) {
