@@ -66,11 +66,16 @@ object Bench {
     // flagged "contended": true so the record is never silently wrong.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
 
+    // bit_xor, not sum: summing id * large-constant over 8M rows
+    // overflows Long, which under Spark 4's default ANSI mode throws
+    // ARITHMETIC_OVERFLOW (this killed BENCH_r05). xor does the same
+    // constant per-row work with no overflow semantics.
     def sentinel(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0, 8L * 1000 * 1000, 1, cpus.toInt)
-        .selectExpr("sum(id * 2654435761) AS s")
+      try spark.range(0, 8L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("bit_xor(id * 2654435761) AS s")
         .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
     sentinel() // warm the sentinel plan itself so its first timing is comparable
