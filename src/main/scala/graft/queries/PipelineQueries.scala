@@ -165,6 +165,14 @@ object PipelineQueries {
     "q_clean_attr_names" ->
       """SELECT doc_id, lang AS lang_code, n_chars AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Fixture-driven extraction stages: inputs are the reference's own
+    // immutable test fixtures, so the observable output is a constant —
+    // the oracle is the golden row set itself (see FixtureGolden).
+    "q_extract_fixtures"      -> FixtureGolden.extractFixtures,
+    "q_extract_fixtures_html" -> FixtureGolden.extractFixturesHtml,
+    "q_extract_metadata"      -> FixtureGolden.extractMetadata,
+    "q_entities_fixtures"     -> FixtureGolden.entitiesFixtures,
+    "q_infer_schema"          -> FixtureGolden.inferSchema,
     "q_extract_metadata_filtered" ->
       """SELECT * FROM (VALUES
         |  ('big.pdf',     'media.Content-Length', '905553'),
