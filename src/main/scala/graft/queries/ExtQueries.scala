@@ -99,9 +99,33 @@ object ExtQueries {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", n = 3, minJ = 0.8)
         .orderBy(col("i"), col("j"))
     }),
+    // SimHash is an engine-specific 64-bit signature (no SQL mirror
+    // exists), so its gate is a PLANTED-DUPLICATE CONTRACT: the corpus
+    // is tripled with (a) an exact copy of every doc — hamming 0, found
+    // with certainty because the 8-chunk pigeonhole join is complete to
+    // hamming 7 — and (b) a one-token-appended near-copy. A single
+    // appended token flips exactly the bits whose bit-plane vote is at
+    // a sign boundary, which on this 10-100-token corpus exceeds
+    // hamming 7 for ~2% of docs (measured 97.6-98.2% detected at
+    // sf0.001/0.01/0.1), so the near-dup half is an aggregate ≥95%
+    // recall floor rather than a per-doc claim.
     "q_dedup_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 7)
-        .orderBy(col("i"), col("j"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionAll(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" xq")).as("text")))
+      val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 7)
+        .filter(col("i") < 1000000L)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nExact = pairs.filter(col("j") === col("i") + 1000000L)
+        .agg(count(lit(1)).as("n_exact"))
+      val nPert = pairs.filter(col("j") === col("i") + 2000000L)
+        .agg(count(lit(1)).as("n_pert"))
+      nDocs.crossJoin(nExact).crossJoin(nPert).select(
+        col("n_docs"),
+        (col("n_exact") === col("n_docs")).as("exact_complete"),
+        (col("n_pert") * 100 >= col("n_docs") * 95).as("pert_recall_ok"))
     }),
     "q_dedup_embed" -> ((s, d) => {
       Similarity.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding", minCos = 0.35)
@@ -167,11 +191,26 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
-    // rolling-hash (winnowing) fingerprint overlap — near-dup pairs
+    // Winnowing fingerprints are also engine-specific, but carry a
+    // PROVABLE planted contract: every k-gram window of a document is
+    // an identical window of that document extended with a suffix, so
+    // fp(doc) ⊆ fp(doc ++ suffix) and the overlap coefficient
+    // |A∩B|/min(|A|,|B|) = |A|/|A| is exactly 1.0 — per doc, not in
+    // aggregate (all docs ≥ 44 chars > the w+k-1 = 23-char floor).
     "q_winnow_pairs" -> ((s, d) => {
-      graft.ext.Winnowing.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zqx zqx zqx")).as("text")))
+      val planted = graft.ext.Winnowing.overlapPairs(corpus, "doc_id", "text",
           minOverlap = 0.5)
-        .orderBy(col("i"), col("j"))
+        .filter(col("j") === col("i") + 1000000L)
+      docs.select(col("doc_id"))
+        .join(planted, col("doc_id") === col("i"), "left")
+        .select(col("doc_id"),
+          col("i").isNotNull.as("planted_found"),
+          coalesce(col("overlap") === 1.0, lit(false)).as("overlap_exact"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- text analysis ----------------------------------------------
@@ -199,11 +238,32 @@ object ExtQueries {
     }),
 
     // ---- sketch aggregate: per-source minhash-union similarity ------
-    // (custom Aggregator; estimates carry ±1/sqrt(64) error → rows-only)
+    // The sketch estimates carry ±1/sqrt(64) error, so raw estimates
+    // have no SQL mirror — but the SKETCH ALGEBRA does: the signature
+    // is a pure function of the group's text set, so (a) a cloned
+    // source must estimate J = 1.0 against its original exactly, and
+    // (b) the clone's estimate against every third source must equal
+    // the original's bit-for-bit. Both are hard invariants of a
+    // correct merge-able sketch (the property that makes it safe to
+    // combine partial aggregates across 1000 executors).
     "q_source_similarity" -> ((s, d) => {
-      graft.ext.MinHashAgg.groupSimilarity(Tables.documents(s, d), "source", "text")
-        .filter(col("est_jaccard") >= 0.05)
-        .orderBy(col("g1"), col("g2"))
+      val docs = Tables.documents(s, d)
+      val cloned = docs.filter(col("source") === "src0")
+        .withColumn("source", lit("zsrc_clone"))
+      val sims = graft.ext.MinHashAgg.groupSimilarity(
+        docs.unionByName(cloned), "source", "text")
+      val cloneOk = sims
+        .filter(col("g1") === "src0" && col("g2") === "zsrc_clone")
+        .select(lit("clone_exact").as("g"), (col("est_jaccard") === 1.0).as("ok"))
+      val vsClone = sims.filter(col("g2") === "zsrc_clone" && col("g1") =!= "src0")
+        .select(col("g1").as("g"), col("est_jaccard").as("e1"))
+      val vsSrc0 = sims.filter(col("g1") === "src0" && col("g2") =!= "zsrc_clone")
+        .select(col("g2").as("g"), col("est_jaccard").as("e2"))
+        .unionByName(sims.filter(col("g2") === "src0")
+          .select(col("g1").as("g"), col("est_jaccard").as("e2")))
+      val invOk = vsClone.join(vsSrc0, "g")
+        .select(col("g"), (col("e1") === col("e2")).as("ok"))
+      cloneOk.unionByName(invOk).orderBy(col("g"))
     }),
 
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
@@ -401,6 +461,20 @@ object ExtQueries {
     "q_knn_ivf" ->
       """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    // planted-duplicate contracts for the engine-specific-hash dedup
+    // ops (see the query scaladocs for why each bound is what it is)
+    "q_dedup_simhash" ->
+      """SELECT count(*) AS n_docs, true AS exact_complete, true AS pert_recall_ok
+        |FROM documents""".stripMargin,
+    "q_winnow_pairs" ->
+      """SELECT doc_id, true AS planted_found, true AS overlap_exact
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_similarity" ->
+      """SELECT g, true AS ok FROM (
+        |  SELECT 'clone_exact' AS g
+        |  UNION ALL
+        |  SELECT DISTINCT source FROM documents WHERE source <> 'src0')
+        |ORDER BY g""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
