@@ -17,7 +17,26 @@ import graft.streaming.StreamPipeline
   */
 object StreamQueries {
 
+  private val FixtureDir = "/root/reference/nifi-extracttext-processors/src/test/resources"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's always-on pipeline as a DECLARED streaming query:
+    // binaryFile file-source (ListFile's seen-files state) → the SAME
+    // enrich DAG as batch (MIME detect, text extract, metadata) →
+    // QueryRecord's sentiment route, all through the real streaming
+    // engine with a memory sink. Inputs are the immutable reference
+    // fixtures, so the oracle is the golden row set (FixtureGolden
+    // style) — batch/stream unification made hash-checkable.
+    "q_stream_doc_pipeline" -> ((s, _) => {
+      val schema = s.read.format("binaryFile").load(FixtureDir).schema
+      val stream = s.readStream.format("binaryFile").schema(schema).load(FixtureDir)
+      val routed = graft.pipeline.DocPipeline.enrich(stream)
+        .select(col("filename"), col("mime_type"), col("orig_mime_type"),
+          length(col("text")).as("text_chars"),
+          graft.functions.Sentiment.sentimentCol(col("text")).as("sentiment"))
+      StreamPipeline.runAppendToMemory(s, routed, "q_stream_doc_pipeline")
+        .orderBy(col("filename"))
+    }),
     "q_stream_window" -> ((s, d) => {
       val agg = StreamPipeline.windowedCounts(
         StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"))
@@ -110,6 +129,16 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // immutable fixture inputs → golden row set (see FixtureGolden)
+    "q_stream_doc_pipeline" ->
+      """SELECT * FROM (VALUES
+        |  ('big.pdf', 'text/plain', 'application/pdf', 65599, 'POSITIVE'),
+        |  ('simple.doc', 'text/plain', 'application/msword', 931, 'POSITIVE'),
+        |  ('simple.docx', 'text/plain',
+        |   'application/vnd.openxmlformats-officedocument.wordprocessingml.document', 934, 'POSITIVE'),
+        |  ('simple.pdf', 'text/plain', 'application/pdf', 949, 'POSITIVE')
+        |) AS t(filename, mime_type, orig_mime_type, text_chars, sentiment)
+        |ORDER BY filename""".stripMargin,
     // watermark-closed windows only: end ≤ max(event time) − 30 min.
     // All arithmetic in integer micros (hour = 3 600 000 000 µs).
     "q_stream_window" ->
