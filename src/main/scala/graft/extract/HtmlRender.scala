@@ -5,28 +5,48 @@ package graft.extract
   * Tika SAX → identity transformer, `method=html, indent=yes, UTF-8`).
   * The shape follows Tika's ToXMLContentHandler envelope — XML
   * declaration, xhtml namespace, `Content-Type` meta in head, title,
-  * `<p>` body paragraphs — minus per-page `<div class="page">` wrappers
-  * (our PDF extractor emits a single text stream, not page events).
-  * The reference's tests pin only `mime.type=text/html`
+  * `<p>` body paragraphs — with per-page `<div class="page">` wrappers
+  * for paged formats ([[renderPages]]; Tika's PDF handler emits one div
+  * per page). The reference's tests pin only `mime.type=text/html`
   * (ExtractTextProcessorTest.java:189), not the markup bytes.
   */
 object HtmlRender {
 
-  def render(text: String, title: String, contentType: String = null): String = {
-    val sb = new java.lang.StringBuilder(text.length + 256)
+  def render(text: String, title: String, contentType: String = null): String =
+    renderBody(title, contentType) { sb =>
+      appendParagraphs(sb, text)
+    }
+
+  /** Paged variant: each segment's paragraphs wrapped in Tika's
+    * `<div class="page">` envelope element. */
+  def renderPages(pages: Seq[String], title: String, contentType: String = null): String =
+    renderBody(title, contentType) { sb =>
+      pages.foreach { page =>
+        sb.append("<div class=\"page\">\n")
+        appendParagraphs(sb, page)
+        sb.append("</div>\n")
+      }
+    }
+
+  private def renderBody(title: String, contentType: String)
+                        (body: java.lang.StringBuilder => Unit): String = {
+    val sb = new java.lang.StringBuilder(1024)
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
       .append("<html xmlns=\"http://www.w3.org/1999/xhtml\">\n<head>\n")
     if (contentType != null)
       sb.append("<meta name=\"Content-Type\" content=\"")
         .append(escape(contentType)).append("\"/>\n")
     sb.append("<title>").append(escape(title)).append("</title>\n</head>\n<body>\n")
+    body(sb)
+    sb.append("</body>\n</html>\n")
+    sb.toString
+  }
+
+  private def appendParagraphs(sb: java.lang.StringBuilder, text: String): Unit =
     text.split("\n", -1).foreach { line =>
       val t = line.trim
       if (t.nonEmpty) sb.append("<p>").append(escape(t)).append("</p>\n")
     }
-    sb.append("</body>\n</html>\n")
-    sb.toString
-  }
 
   def escape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)

@@ -34,6 +34,35 @@ object PdfText {
     out.result().trim
   }
 
+  /** Per-CONTENT-STREAM text segments — the page approximation behind
+    * the XHTML renderer's `<div class="page">` wrappers (Tika emits one
+    * div per page; a PDF page's `/Contents` is one stream, or several
+    * concatenated, so stream boundaries are page boundaries for the
+    * overwhelming single-stream-per-page case without a page-tree
+    * resolution pass). Concatenating the segments with newlines yields
+    * the same text [[extract]] produces, under the same max-length
+    * early-stop contract. */
+  def extractPages(bytes: Array[Byte], maxLen: Int): List[String] = {
+    val streams = decodeStreams(bytes)
+    val cmap = parseCMaps(streams)
+    val pages = new scala.collection.mutable.ListBuffer[String]
+    var remaining = maxLen
+    val it = streams.iterator
+    while ((maxLen < 0 || remaining > 0) && it.hasNext) {
+      val data = it.next()
+      if (looksLikeContent(data)) {
+        val out = new Bounded(remaining) // -1 stays unlimited
+        extractOps(data, out, cmap)
+        val t = out.result().trim
+        if (t.nonEmpty) {
+          pages += t
+          if (maxLen >= 0) remaining = math.max(0, remaining - t.length - 1)
+        }
+      }
+    }
+    pages.toList
+  }
+
   /** All decodable stream bodies, in document order. */
   private def decodeStreams(bytes: Array[Byte]): List[Array[Byte]] =
     rawStreams(bytes).map(_._2)

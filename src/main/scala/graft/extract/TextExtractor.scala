@@ -22,6 +22,12 @@ object TextExtractor {
       return Extracted(null, null, null, "null content")
     val mime = MimeDetect.detect(bytes, filename)
     try {
+      // Paged XHTML path: PDF page segments each get Tika's
+      // <div class="page"> wrapper (HtmlRender.renderPages).
+      if (htmlOutput && mime == MimeDetect.Pdf) {
+        val pages = PdfText.extractPages(bytes, maxLen)
+        return Extracted(HtmlRender.renderPages(pages, filename, mime), TextHtml, mime, null)
+      }
       val text = mime match {
         case MimeDetect.Pdf  => PdfText.extract(bytes, maxLen)
         case MimeDetect.Docx => DocxText.extract(bytes, maxLen)

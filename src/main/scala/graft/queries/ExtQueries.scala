@@ -386,6 +386,30 @@ object ExtQueries {
           percentile(col("n_chars"), lit(0.75)).as("q3_chars"))
         .orderBy(col("source"))
     }),
+    // the SKETCH path of corpus stats — what q_corpus_stats' scaladoc
+    // prescribes at 100 TB: approx_percentile is a fixed-memory,
+    // merge-able KLL-style sketch (no per-group buffering), so it
+    // scales where exact percentile cannot. Its value is engine-
+    // specific, but its accuracy bound is not: with accuracy 100 the
+    // returned element's rank is within n/100 of the target, which the
+    // plan itself verifies by re-ranking the sketch's answer against
+    // the group (n_lt ≤ 0.51n and n_le ≥ 0.49n, integer compares) —
+    // the oracle asserts the bound holds for every source.
+    "q_corpus_stats_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val appx = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("am"))
+      val ranks = docs.join(appx.select(col("source"), col("am")), "source")
+        .groupBy(col("source"))
+        .agg(sum(when(col("n_chars") < col("am"), 1).otherwise(0)).as("n_lt"),
+             sum(when(col("n_chars") <= col("am"), 1).otherwise(0)).as("n_le"))
+      appx.join(ranks, "source").select(
+          col("source"), col("n_docs"),
+          (col("n_lt") * 100 <= col("n_docs") * 51 &&
+            col("n_le") * 100 >= col("n_docs") * 49).as("median_rank_ok"))
+        .orderBy(col("source"))
+    }),
     // the end-to-end curation funnel: language gate → quality gate →
     // exact dedup → deterministic 50% sample, composed in ONE Catalyst
     // plan — both filters fuse into the scan stage, the dedup window is
@@ -570,6 +594,9 @@ object ExtQueries {
         |  (count(text) = count(*)) AS text_complete,
         |  (min(n_chars) >= 1 AND max(n_chars) <= 100000) AS chars_in_range
         |FROM documents""".stripMargin,
+    "q_corpus_stats_approx" ->
+      """SELECT source, count(*) AS n_docs, true AS median_rank_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

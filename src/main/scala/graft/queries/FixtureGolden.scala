@@ -23,10 +23,10 @@ object FixtureGolden {
 
   val extractFixturesHtml: String =
     """SELECT * FROM (VALUES
-      ('big.pdf', 'text/html', 97001),
+      ('big.pdf', 'text/html', 97729),
       ('simple.doc', 'text/html', 1178),
       ('simple.docx', 'text/html', 1234),
-      ('simple.pdf', 'text/html', 1233)
+      ('simple.pdf', 'text/html', 1285)
     ) AS t(filename, mime_type, html_chars)
     ORDER BY filename"""
 

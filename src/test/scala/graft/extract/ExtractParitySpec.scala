@@ -39,6 +39,23 @@ class ExtractParitySpec extends AnyFunSuite {
     // Tika ToXMLContentHandler envelope: XML decl + Content-Type meta
     assert(r.text.startsWith("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"))
     assert(r.text.contains("<meta name=\"Content-Type\" content=\"application/pdf\"/>"))
+    // Tika's PDF handler wraps each page in <div class="page">
+    assert(r.text.contains("<div class=\"page\">"))
+  }
+
+  test("PDF page segments concatenate to the single-stream extraction") {
+    for (f <- Seq("simple.pdf", "big.pdf")) {
+      val bytes = read(f)
+      val pages = PdfText.extractPages(bytes, maxLen = -1)
+      assert(pages.nonEmpty, f)
+      // segments are individually trimmed, so compare modulo whitespace
+      // runs: no text lost, duplicated, or reordered across boundaries
+      def ws(s: String) = s.replaceAll("\\s+", " ").trim
+      assert(ws(pages.mkString("\n")) == ws(PdfText.extract(bytes, maxLen = -1)), f)
+    }
+    // multi-page fixture really exercises the wrapper: big.pdf has many
+    // content streams, one div each
+    assert(PdfText.extractPages(read("big.pdf"), -1).length > 1)
   }
 
   // ETPTest.java:77-99 — legacy DOC
