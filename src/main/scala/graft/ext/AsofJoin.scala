@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the payload
+  * of the LATEST right row with the same key and time ≤ the left row's
+  * time (inclusive) — the lookup shape behind feature stores, slowly
+  * changing dimensions and market-data alignment.
+  *
+  * Spark has no asof operator, and the naive range join
+  * (`l.key = r.key AND r.t <= l.t` + per-left max) explodes to
+  * |L|×|R| comparisons per key before aggregating. This is instead the
+  * UNION-TAG form — the composition of existing operators that keeps
+  * asof sub-quadratic and single-shuffle:
+  *
+  *   1. union left and right rows, tagged by side, right's payload
+  *      packed in one nullable struct;
+  *   2. one hash shuffle on the key (the only shuffle in the plan);
+  *   3. within each key partition, sort by (time, side) — right sorts
+  *      BEFORE left at equal times, which is what makes the join
+  *      inclusive — and carry the last non-null payload struct forward
+  *      with a running `last(ignoreNulls)` window;
+  *   4. keep only left rows, unpack the struct.
+  *
+  * Cost: O((|L|+|R|) log) for the per-partition sort, payload moves
+  * once; at 1000 executors the watermark-free window never
+  * re-partitions. Left rows with no prior right row keep a null
+  * payload (left-join semantics).
+  *
+  * Right rows must be unique per (key, time) — at equal (key, time)
+  * the carried winner would otherwise be sort-nondeterministic; callers
+  * dedupe first (`row_number` keep-one), as q_asof_join's corpus
+  * guarantees.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+    val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == time)
+    val leftSchema = left.schema
+    val packed = struct(payload.map(col): _*)
+    val lU = left.select(
+      Seq(col(key), col(time), lit(1).as("__side")) ++
+        extraLeft.map(col) :+
+        lit(null).cast(right.select(packed).schema.head.dataType).as("__asof"): _*)
+    val rU = right.select(
+      Seq(col(key), col(time), lit(0).as("__side")) ++
+        extraLeft.map(c => lit(null).cast(leftSchema(c).dataType).as(c)) :+
+        packed.as("__asof"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lU.unionByName(rU)
+      .withColumn("__carried", last(col("__asof"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(
+        Seq(col(key), col(time)) ++
+          extraLeft.map(col) ++
+          payload.map(c => col(s"__carried.$c").as(s"$outPrefix$c")): _*)
+  }
+}

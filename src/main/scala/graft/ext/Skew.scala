@@ -30,4 +30,23 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
   }
+
+  /** Skew-safe inner equi-join of a skewed fact side against a small
+    * dimension side: the fact side salts its key `saltBuckets` ways
+    * (deterministic content hash), the dimension side REPLICATES once
+    * per salt (explode of a literal range — |dim|×buckets rows, cheap
+    * because dims are small), and the join key becomes (key, salt) —
+    * a hot key's rows now land on `saltBuckets` reducers instead of
+    * one. Result is row-identical to the plain join (the oracle checks
+    * that). AQE's skew-join split covers sort-merge plans after the
+    * fact; this form PRE-spreads the hash, which also works for the
+    * broadcast-ineligible dim-too-big-to-broadcast middle ground. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

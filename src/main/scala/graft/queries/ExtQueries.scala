@@ -266,6 +266,77 @@ object ExtQueries {
       cloneOk.unionByName(invOk).orderBy(col("g"))
     }),
 
+    // ---- sketch cardinality (HLL++) ---------------------------------
+    // The 100 TB "how many distinct X" answer: approx_count_distinct is
+    // a fixed-size merge-able HLL++ sketch (exact countDistinct is a
+    // full shuffle of the distinct set). Exact counts are hash-checked
+    // against DuckDB; the sketch's answers are gated by the documented
+    // error bound — rsd 0.05, asserted at 3σ (15%, integer compare;
+    // measured ≤ 8% across sf0.001/0.01/0.1).
+    "q_approx_distinct" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val t = toks.groupBy(col("source")).agg(
+        countDistinct(col("tok")).as("n_tok_exact"),
+        approx_count_distinct(col("tok"), 0.05).as("atok"))
+      val i = docs.groupBy(col("source")).agg(
+        countDistinct(col("doc_id")).as("n_id_exact"),
+        approx_count_distinct(col("doc_id"), 0.05).as("aid"))
+      t.join(i, "source").select(col("source"), col("n_tok_exact"), col("n_id_exact"),
+          (abs(col("atok") - col("n_tok_exact")) * 100 <= col("n_tok_exact") * 15)
+            .as("tok_sketch_ok"),
+          (abs(col("aid") - col("n_id_exact")) * 100 <= col("n_id_exact") * 15)
+            .as("id_sketch_ok"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- tf-idf term ranking (corpus indexing / relevance) ----------
+    // Per-document top-3 terms by tf·idf. Shape: tf is the one big
+    // shuffle (map-side combined on (doc, tok)); df is bounded by
+    // vocabulary cardinality and BROADCAST back, as is the one-row
+    // corpus count — document content never shuffles twice. Ranking
+    // sorts on the ROUNDED score (then term) so the order never hinges
+    // on a final-ulp disagreement between engines.
+    "q_tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + lit(1)).cast("double") /
+            (col("df") + lit(1)).cast("double")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- as-of join (point-in-time lookup) --------------------------
+    // for each click, the user's most recent purchase at-or-before it
+    // (inclusive); union-tag + running window — ONE shuffle, no range
+    // explosion (see AsofJoin scaladoc). The oracle is DuckDB's native
+    // ASOF JOIN — an independent implementation of the same semantics.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      graft.ext.AsofJoin.asofJoin(clicks, purchases, "user_id", "ts",
+          payload = Seq("pts", "value"), outPrefix = "prior_")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"),
+          expr("prior_pts div 1000").as("prior_tus"),
+          col("prior_value"))
+        .orderBy(col("user_id"), col("tus"))
+    }),
+
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
     "q_salted_agg" -> ((s, d) => {
       graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
@@ -273,6 +344,24 @@ object ExtQueries {
         // terminal decimal → double for engine-stable hashing (exact value)
         .withColumn("total", col("total").cast("double"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- skew-safe join (hot fact keys × small dim) -----------------
+    // events has only 5 distinct event_types — every key is hot, the
+    // adversarial case for a hash join. The salted form spreads each
+    // key over 16 reducers and must reproduce the plain join exactly
+    // (aggregated per dim attribute so the gate stays compact).
+    "q_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_code", substring(md5(col("event_type")), 1, 8))
+      graft.ext.Skew.saltedJoin(
+          ev.select(col("event_type"), col("event_id"), col("value")),
+          dim, "event_type", saltBuckets = 16)
+        .groupBy(col("type_code"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("type_code"))
     }),
 
     // ---- multimodal (decode STUB, real plumbing) --------------------
@@ -512,11 +601,48 @@ object ExtQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id",
+    "q_approx_distinct" ->
+      """WITH t AS (
+        |  SELECT source, count(DISTINCT tok) AS n_tok_exact
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY source),
+        |i AS (SELECT source, count(DISTINCT doc_id) AS n_id_exact
+        |      FROM documents GROUP BY source)
+        |SELECT source, n_tok_exact, n_id_exact,
+        |  true AS tok_sketch_ok, true AS id_sketch_ok
+        |FROM t JOIN i USING (source) ORDER BY source""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, tok) AS rank FROM scored)
+        |SELECT doc_id, tok, tf, df, score, cast(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // DuckDB's native ASOF JOIN: an independent engine's implementation
+    // of the same inclusive point-in-time semantics
+    "q_asof_join" ->
+      """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
+        |  epoch_ns(p.ts) // 1000 AS prior_tus, p.value AS prior_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, tus""".stripMargin,
     // the salted two-phase form must equal the direct aggregate
     "q_salted_agg" ->
       """SELECT event_type, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the salted join must equal the plain join (aggregated compactly)
+    "q_salted_join" ->
+      """SELECT substring(md5(event_type), 1, 8) AS type_code, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the payload is ASCII text, so byte slicing == char slicing and
     // md5(VARCHAR) hashes the same bytes as Spark's md5(BINARY slice)
     "q_multimodal_frames" ->

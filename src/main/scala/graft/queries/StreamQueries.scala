@@ -62,6 +62,36 @@ object StreamQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // stream-stream interval join through the real engine: clicks
+    // inner-join purchases of the same user within the preceding hour.
+    // Both sides carry 30-min watermarks, and the time-range predicate
+    // is what lets the engine BOUND the join state (each side's rows
+    // evict once the other side's watermark passes the interval) — the
+    // unbounded-input analogue of the batch interval join the oracle
+    // runs.
+    "q_stream_join" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          StreamPipeline.eventTime("ts").as("ctime"))
+        .withWatermark("ctime", "30 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"),
+          StreamPipeline.eventTime("ts").as("ptime"), col("value"))
+        .withWatermark("ptime", "30 minutes")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_uid") &&
+            col("ptime") <= col("ctime") &&
+            col("ptime") >= col("ctime") - expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ctime")).as("tus"),
+          unix_micros(col("ptime")).as("ptus"), col("value"))
+      StreamPipeline.runAppendToMemory(s, joined, s"sjoin_${d.hashCode.abs}")
+        .orderBy(col("user_id"), col("tus"), col("ptus"))
+    }),
+
     "q_sessionize" -> ((s, d) => {
       StreamPipeline.sessionize(Tables.events(s, d))
         .toDF()
@@ -150,6 +180,15 @@ object StreamQueries {
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
+    // the batch interval join the stream-stream join must reproduce
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id, epoch_ns(c.ts) // 1000 AS tus,
+        |  epoch_ns(p.ts) // 1000 AS ptus, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY c.user_id, tus, ptus""".stripMargin,
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, epoch_ns(ts) AS tns,
