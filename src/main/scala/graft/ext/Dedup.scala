@@ -196,7 +196,10 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes weighted by term frequency. */
+  /** 64-bit SimHash over token hashes weighted by term frequency.
+    * Scala reference form; the hot path uses the codegen'd
+    * [[graft.functions.SimHash64]] Catalyst expression (bit-identical —
+    * asserted in TokenSetCountSpec/ExtOpsSpec lockstep tests). */
   private[ext] def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
     val toks = text.split(" ", -1)
@@ -218,13 +221,12 @@ object Dedup {
     out
   }
 
-  private val simUdf = udf((text: String) => simhash64(text))
-
   /** Near-dup pairs with hamming(simhash) ≤ maxHamming (≤ 7 is complete
     * via the 8-chunk pigeonhole join; higher values may miss pairs). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 7): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simUdf(col(textCol)).as("sim"))
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64Col(col(textCol)).as("sim"))
     val chunked = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(7))).as("ci"))
       .withColumn("chunk", expr("shiftrightunsigned(sim, ci * 8)").bitwiseAND(lit(0xffL)))

@@ -134,6 +134,20 @@ object RelationalQueries {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
+    // PIVOT: wide per-user counts of the 5 event types — one shuffle,
+    // pivot columns resolved from an explicit value list (no extra
+    // distinct-scan job, the form that scales: an unlisted pivot first
+    // collects the key domain to the driver).
+    "q_pivot_events" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    }),
+
     // Correlated scalar subquery, through the spark.sql text path.
     "q_corr_subquery" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -234,6 +248,15 @@ object RelationalQueries {
         |  cast(sum(cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // conditional-aggregation mirror of the pivot
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click')    AS click,
+        |  count(*) FILTER (event_type = 'error')    AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup')   AS signup,
+        |  count(*) FILTER (event_type = 'view')     AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_rollup_lineitem" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -74,6 +74,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(Dedup.simhash64(t) ^ near) < 16)
   }
 
+  test("codegen'd SimHash64 expression is bit-identical to the Scala form") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val mismatches = docs
+      .select(col("text"),
+        graft.functions.SimHash64.simhash64Col(col("text")).as("expr_sim"))
+      .as[(String, Long)].collect()
+      .count { case (text, got) => got != Dedup.simhash64(text) }
+    assert(mismatches == 0)
+    // edge shapes: empty tokens, leading/trailing spaces, empty string
+    for (t <- Seq("", " ", "a", " a  b ", "a b c")) {
+      val got = Seq(t).toDF("text")
+        .select(graft.functions.SimHash64.simhash64Col(col("text")))
+        .head().getLong(0)
+      assert(got == Dedup.simhash64(t), s"text=<$t>")
+    }
+  }
+
   test("exact dedup keeps lowest id per duplicated text") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
