@@ -35,6 +35,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("asof join matches a naive per-row reference on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, rnd.nextInt))
+      // unique (key, time) on the right, as the operator contract requires
+      val right = rnd.shuffle(
+        (for (k <- 0L to 4L; t <- 0L to 49L) yield (k, t)).toVector)
+        .take(40).map { case (k, t) => (k, t, rnd.nextDouble()) }
+      val got = AsofJoin.asofJoin(
+          left.toDF("k", "t", "tag"), right.toDF("k", "t", "v"), "k", "t", Seq("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      for ((k, t, tag) <- left) {
+        val expected = right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got((k, t, tag)) == expected, s"trial=$trial k=$k t=$t")
+      }
+    }
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val fact = Seq.tabulate(100)(i => (s"k${i % 3}", i.toLong)).toDF("key", "x")
