@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("detect_mime"),
       new ExpressionInfo(classOf[DetectMime].getName, "detect_mime"),
       (exprs: Seq[Expression]) => DetectMime(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

@@ -31,6 +31,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT detect_mime(cast('just some text' AS BINARY), 'note.txt') AS m")
         .head().getString(0)
       assert(txt == "text/plain")
+      val sim = spark.sql("SELECT simhash64('spark rows data') AS s")
+        .head().getLong(0)
+      assert(sim == SimHash64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("spark rows data")))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
