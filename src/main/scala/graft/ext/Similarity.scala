@@ -23,7 +23,8 @@ object Similarity {
 
   /** cosine(a, b) for two array<float> columns, in double precision.
     * Declarative form — kept for one-off use; the pairwise operators
-    * below precompute norms and use [[dotUdf]] instead: higher-order
+    * below precompute norms and use [[graft.functions.DotProduct]]
+    * instead: higher-order
     * array functions are interpreted (not codegen'd) and allocate per
     * call, which at N² pairs dominates the runtime (measured 100 s →
     * ~3 s on 2M pairs at sf0.1). */
@@ -35,16 +36,14 @@ object Similarity {
     dot(da, db) / sqrt(dot(da, da) * dot(db, db))
   }
 
-  /** Primitive-loop dot product: same left-to-right double summation as
-    * the declarative form (and DuckDB's list_cosine_similarity), so
-    * results are bit-identical — just without per-pair allocation. */
-  private[ext] val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
+  /** Codegen'd primitive-loop dot product (graft.functions.DotProduct):
+    * same left-to-right double summation as the declarative form (and
+    * DuckDB's list_cosine_similarity), so results are bit-identical —
+    * without per-pair Seq boxing or a whole-stage-codegen fence. The
+    * per-pair similarity loop is the engine's hottest scalar; see the
+    * expression's scaladoc. */
+  private[ext] def dotUdf(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotCol(a, b)
 
   /** (id, v: array<double>, n2: ‖v‖²) — norms computed once per vector,
     * not once per pair. */
