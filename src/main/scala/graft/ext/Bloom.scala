@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter membership screen: flag every candidate row whose key
+  * MIGHT belong to a member set, without shuffling the candidates —
+  * the semi-join pre-filter for cross-corpus overlap checks (has this
+  * URL/document/fingerprint been seen in another crawl?) when the
+  * member set is too big to broadcast exactly but its sketch is not.
+  *
+  * Scale shape: the filter is built in ONE distributed pass over the
+  * member side (`DataFrameStatFunctions.bloomFilter` tree-aggregates
+  * fixed-size bit arrays), and only the sketch — `-n·ln(fpp)/ln(2)²`
+  * bits, e.g. ~1.2 GB for 10⁹ members at 1% fpp — reaches the driver
+  * and ships back in the task closure. The candidate side is then a
+  * narrow map: no shuffle, no join, at any corpus size. Downstream,
+  * rows that survive the screen (a small fraction when overlap is
+  * rare) proceed to the exact join; the sketch's one-sided error makes
+  * that safe:
+  *
+  *   - NO false negatives, ever — a true member is always flagged.
+  *     This is the contract `q_bloom_screen`'s oracle checks per row.
+  *   - False positives at ≤ fpp — they cost exact-join work, never
+  *     correctness.
+  */
+object Bloom {
+
+  /** Adds `hitCol` (boolean) to `candidates`: true iff the long-typed
+    * `keyCol` might be in `members`' key set. `expectedItems` sizes the
+    * sketch — overestimate rather than under (an undersized filter
+    * degrades fpp, never the no-false-negative side). */
+  def screenByLongKey(candidates: DataFrame, members: DataFrame, keyCol: String,
+                      expectedItems: Long, fpp: Double = 0.01,
+                      hitCol: String = "bloom_hit"): DataFrame = {
+    val bf = members.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val hit = udf((k: Long) => bf.mightContainLong(k))
+    candidates.withColumn(hitCol, hit(col(keyCol)))
+  }
+}

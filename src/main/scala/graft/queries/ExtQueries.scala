@@ -380,6 +380,53 @@ object ExtQueries {
         .orderBy(col("type_code"))
     }),
 
+    // ---- bucketed range join (point-in-interval, equi-join plan) ----
+    // clicks within 12 hours after each purchase, per user; the
+    // bucket rewrite keeps the plan a hash join (ScaleTechniquesSpec
+    // asserts no BroadcastNestedLoopJoin). Oracle = DuckDB's plain
+    // inequality join — an independent evaluation of the predicate.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // ts is long nanos (nanosAsLong) — convert to epoch micros
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("cus"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("lo"),
+          (expr("ts div 1000") + RangeJoinWindowUs).as("hi"),
+          col("event_id").as("purchase_id"))
+      graft.ext.RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+          "cus", "lo", "hi", bucketWidth = RangeJoinWindowUs)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("cus")).as("first_click_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // ---- sliding-window chunking (training-sequence windows) --------
+    // 64-token windows, 16-token overlap; map-only — no shuffle at any
+    // corpus size; rows carry (id, idx, count, md5), never the text
+    "q_chunk_docs" -> ((s, d) =>
+      graft.ext.Chunking.slidingChunks(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // ---- bloom membership screen (cross-corpus overlap) -------------
+    // member set = texts of every 7th doc; candidates = the whole
+    // corpus. The sketch's error is one-sided: the oracle pins exact
+    // membership per row plus the no-false-negative invariant — a
+    // missed member flips a boolean and fails the gate. (The exact fp
+    // join here exists to CHECK the contract; production screens only
+    // exact-join the survivors.)
+    "q_bloom_screen" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("fp", xxhash64(col("text")))
+      val members = docs.filter(col("doc_id") % 7 === 0).select(col("fp")).distinct()
+      graft.ext.Bloom.screenByLongKey(docs, members, "fp", expectedItems = 100000L)
+        .join(members.withColumn("__m", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("__m").isNotNull.as("is_member"),
+          (col("bloom_hit") || col("__m").isNull).as("no_false_negative"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal (decode STUB, real plumbing) --------------------
     // frame sampling: every 2nd 32-byte frame of the payload
     "q_multimodal_frames" -> ((s, d) => {
@@ -553,6 +600,10 @@ object ExtQueries {
   /** Term-list redaction pattern — RE2-compatible so DuckDB agrees. */
   private val RedactPattern = "\\b(customer|value|table)\\b"
 
+  /** 12 hours in epoch micros — both the q_range_join window span and
+    * its bucket width (span == width keeps interval replication ≤ 2×). */
+  private val RangeJoinWindowUs = 12L * 60 * 60 * 1000 * 1000
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id, fp FROM (
@@ -663,6 +714,37 @@ object ExtQueries {
       """SELECT substring(md5(event_type), 1, 8) AS type_code, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // plain inequality join — DuckDB evaluates the range predicate
+    // directly (no bucketing), an independent check of the rewrite
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        |  min(epoch_ns(c.ts) // 1000) AS first_click_us
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_ns(c.ts) // 1000
+        |     BETWEEN epoch_ns(p.ts) // 1000
+        |         AND epoch_ns(p.ts) // 1000 + 43200000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same window arithmetic (64-token chunks, stride 48), same
+    // single-space tokenization as the Spark side
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |          ELSE CAST(ceil((len(toks) - 64)::DOUBLE / 48) AS BIGINT) + 1 END)) AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // exact membership is SQL; the sketch's one-sided-error invariant
+    // is the boolean the engine must never flip
+    "q_bloom_screen" ->
+      """SELECT doc_id,
+        |  text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS is_member,
+        |  true AS no_false_negative
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the payload is ASCII text, so byte slicing == char slicing and
     // md5(VARCHAR) hashes the same bytes as Spark's md5(BINARY slice)
     "q_multimodal_frames" ->

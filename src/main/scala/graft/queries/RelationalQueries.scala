@@ -148,6 +148,32 @@ object RelationalQueries {
         .orderBy($"user_id")
     }),
 
+    // CUBE grouping sets: all four (lang, source) marginal combinations
+    // in one pass — partial aggregation expands grouping sets map-side,
+    // one shuffle on the expanded keys.
+    "q_cube_docs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .cube($"lang", $"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+        .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+    }),
+
+    // UNPIVOT: wide per-source metrics → long (metric, value) rows —
+    // a narrow projection+expand, no shuffle beyond the source agg.
+    "q_unpivot_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          countDistinct($"lang").as("n_langs"))
+        .unpivot(Array(col("source")),
+          Array(col("n_docs"), col("total_chars"), col("n_langs")),
+          "metric", "value")
+        .orderBy($"source", $"metric")
+    }),
+
     // Correlated scalar subquery, through the spark.sql text path.
     "q_corr_subquery" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -262,6 +288,20 @@ object RelationalQueries {
         |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube_docs" ->
+      """SELECT lang, source, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // UNION ALL mirror of the unpivot
+    "q_unpivot_stats" ->
+      """WITH w AS (SELECT source, count(*) AS n_docs,
+        |             cast(sum(n_chars) AS BIGINT) AS total_chars,
+        |             count(DISTINCT lang) AS n_langs
+        |           FROM documents GROUP BY 1)
+        |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+        |UNION ALL SELECT source, 'n_langs', n_langs FROM w
+        |UNION ALL SELECT source, 'total_chars', total_chars FROM w
+        |ORDER BY source, metric""".stripMargin,
     "q_corr_subquery" ->
       """SELECT c_custkey,
         |  (SELECT max(o_totalprice)
