@@ -427,6 +427,25 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- int8 embedding quantization (×4 store shrink) --------------
+    // integer-exact gate: positional checksum + L1 norm of the
+    // quantized vector (half-up floor — identical bits cross-engine),
+    // plus the reconstruction-cosine contract the quantizer must meet
+    "q_embed_quantize" -> ((s, d) => {
+      val q = graft.ext.Quantize.int8(Tables.embeddings(s, d), "embedding")
+      val weighted = transform(col("qvec"),
+        (qi, i) => qi.cast("long") * (i.cast("long") + 1L))
+      val l1terms = transform(col("qvec"), qi => abs(qi).cast("long"))
+      def asum(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0L), (acc, x) => acc + x)
+      q.select(col("vec_id"),
+          asum(weighted).as("checksum"),
+          asum(l1terms).as("l1"),
+          (graft.ext.Quantize.reconCosine("embedding", "qvec") >= 0.99)
+            .as("recon_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multimodal (decode STUB, real plumbing) --------------------
     // frame sampling: every 2nd 32-byte frame of the payload
     "q_multimodal_frames" -> ((s, d) => {
@@ -745,6 +764,24 @@ object ExtQueries {
         |  text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS is_member,
         |  true AS no_false_negative
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same symmetric scheme (scale = 127/max|v|, half-up floor) in
+    // DuckDB list algebra; checksum/l1 are integer-exact, recon cosine
+    // is far from its 0.99 bound (int8 error is O(1/254) per element)
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
+        |         THEN 127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |         ELSE 0.0 END AS scale
+        |  FROM embeddings),
+        |qq AS (SELECT vec_id, v,
+        |         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qvec
+        |       FROM q)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(qvec, (x, i) -> x * i)) AS BIGINT) AS checksum,
+        |  CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS l1,
+        |  list_cosine_similarity(v, qvec::DOUBLE[]) >= 0.99 AS recon_ok
+        |FROM qq ORDER BY vec_id""".stripMargin,
     // the payload is ASCII text, so byte slicing == char slicing and
     // md5(VARCHAR) hashes the same bytes as Spark's md5(BINARY slice)
     "q_multimodal_frames" ->
