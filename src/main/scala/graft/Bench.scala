@@ -43,7 +43,7 @@ object Bench {
       "q_token_stats", "q_fingerprint", "q_salted_agg",
       "q_sample_stratified", "q_vocab_topn", "q_contamination",
       "q_curation_funnel", "q_asof_join", "q_range_join", "q_tfidf_topk",
-      "q_chunk_docs", "q_bloom_screen",
+      "q_chunk_docs", "q_bloom_screen", "q_embed_quantize",
       "q_multimodal_frames", "q_stream_window", "q_sessionize")
       .filter(SparkEntry.queries.contains)
 

@@ -172,6 +172,23 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
+    // top-k over the QUANTIZED store: both sides int8 (the 100 TB
+    // serving shape — ×4 less IO; cosine is scale-invariant so the
+    // integer vectors score directly), recall contract vs the exact
+    // float top-k. Quantization distorts cosine by O(1/254)/element,
+    // far below this corpus's neighbor gaps → deterministic booleans.
+    "q_knn_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val quant = graft.ext.Quantize.int8(emb, "embedding")
+        .select(col("vec_id"), col("qvec"))
+      val queries = quant.filter(col("vec_id") < 10)
+      val annQ = Similarity.bruteForceTopK(quant, "vec_id", "qvec", queries, k = 5)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), k = 5)
+      Similarity.recallAtK(annQ, brute, k = 5, minRecall = 0.8)
+        .orderBy(col("qid"))
+    }),
+
     // IVF probes its persisted index (train-once: buildIndex is a
     // _SUCCESS-guarded no-op after the first call; topKIndexed has no
     // count/collect — the scan prunes to probed cells via DPP). The
@@ -658,6 +675,9 @@ object ExtQueries {
       """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "q_knn_ivf" ->
+      """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "q_knn_quantized" ->
       """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     // planted-duplicate contracts for the engine-specific-hash dedup

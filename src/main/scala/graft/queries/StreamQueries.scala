@@ -92,6 +92,24 @@ object StreamQueries {
         .orderBy(col("user_id"), col("tus"), col("ptus"))
     }),
 
+    // stream-static enrichment join: the unbounded event stream joins a
+    // bounded dimension built once in batch. Spark BROADCASTS the
+    // static side into every micro-batch — no state store at all (vs
+    // the stream-stream join's watermark-bounded state), which is why
+    // this is the right shape for dimension lookups at any stream rate.
+    "q_stream_enrich" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val dim = Tables.events(s, d).select(col("event_type")).distinct()
+        .withColumn("type_code", substring(md5(col("event_type")), 1, 8))
+      val enriched = stream.join(broadcast(dim), Seq("event_type"))
+        .select(col("event_id"), col("type_code"),
+          expr("ts div 1000").as("tus"))
+      StreamPipeline.runAppendToMemory(s, enriched, s"enrich_${d.hashCode.abs}")
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, d) => {
       StreamPipeline.sessionize(Tables.events(s, d))
         .toDF()
@@ -180,6 +198,12 @@ object StreamQueries {
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
+    // the enrichment join is stateless, so the oracle is the plain
+    // batch join over the same dimension derivation
+    "q_stream_enrich" ->
+      """SELECT event_id, substring(md5(event_type), 1, 8) AS type_code,
+        |  epoch_ns(ts) // 1000 AS tus
+        |FROM events ORDER BY event_id""".stripMargin,
     // the batch interval join the stream-stream join must reproduce
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id, epoch_ns(c.ts) // 1000 AS tus,
