@@ -185,6 +185,28 @@ object RelationalQueries {
           |FROM customer_v ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Set intersection: customers that are both F-status orderers and
+    // negative-balance (INTERSECT distinct semantics).
+    "q_intersect_keys" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+        .intersect(Tables.customer(s, d).filter($"c_acctbal" < 0).select($"c_custkey".as("k")))
+        .orderBy($"k")
+    }),
+
+    // LAG/LEAD analytic windows: per-user gap to the previous event and
+    // the next event's type — one shuffle on the partition key, the
+    // window evaluates in a single per-partition sort pass.
+    "q_lag_lead_events" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"), $"event_type")
+        .withColumn("prev_gap_us", $"tus" - lag($"tus", 1).over(w))
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .orderBy($"user_id", $"tus", $"event_id")
+    }),
+
     // Set difference: parts never ordered (EXCEPT).
     "q_except_unordered_parts" -> ((s, d) => {
       import s.implicits._
@@ -307,6 +329,18 @@ object RelationalQueries {
         |  (SELECT max(o_totalprice)
         |   FROM orders WHERE o_custkey = c_custkey) AS max_order
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_intersect_keys" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""".stripMargin,
+    "q_lag_lead_events" ->
+      """SELECT user_id, event_id, tus,  event_type,
+        |  tus - lag(tus, 1) OVER w AS prev_gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
+        |ORDER BY user_id, tus, event_id""".stripMargin,
     "q_except_unordered_parts" ->
       """SELECT p_partkey AS k FROM part
         |EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k""".stripMargin,
