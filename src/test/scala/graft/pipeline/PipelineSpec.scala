@@ -171,6 +171,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(decodedBins.map(_._3.length).sum == records.count().toInt)
   }
 
+  test("corpus ship: curation funnel → correlation-binned Avro → PutFile") {
+    // the round-trip the reference runs as QueryRecord → MergeContent →
+    // PutFile (56409-tika.xml:52), here fed by the training-data
+    // funnel: lang/quality gates → exact dedup → deterministic sample,
+    // shipped as per-source Avro bins with merge metadata
+    import graft.ext.{Dedup, Sampling, TextStats}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gated = docs.select(col("doc_id"), col("text"), col("source"),
+        TextStats.langIdCol(col("text")).as("lang_pred"),
+        TextStats.qualityCol(col("text")).as("quality"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+    val shipped = Sampling.sample(
+        Dedup.exactKeepFirst(gated, "doc_id", "text"), "doc_id", 0.5)
+      .select(col("doc_id"), col("source"), col("quality"))
+    val want = shipped.collect().map(_.getLong(0)).sorted
+
+    val dir = tmp() + "/corpus_ship"
+    AvroIo.writeAvroBinsBy(shipped, dir, correlationCol = "source")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val decodedBins = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).toSeq
+      .map(f => AvroIo.readContainerWithMeta(
+        java.nio.file.Files.readAllBytes(f.toPath)))
+    // bins partition the funnel output by source, metadata intact
+    decodedBins.foreach { case (_, meta, recs) =>
+      val srcs = recs.map(_.get("source").toString).distinct
+      assert(srcs.length == 1 && meta("merge.correlation") == srcs.head)
+    }
+    val shippedIds = decodedBins.flatMap(_._3)
+      .map(_.get("doc_id").asInstanceOf[Long]).sorted
+    assert(shippedIds.sameElements(want), "ship lost or duplicated docs")
+  }
+
   test("merge policy maps bin config to bounded partition counts") {
     assert(MergePolicy.partitionsFor(0) == 1)
     assert(MergePolicy.partitionsFor(10) == 1)       // below maxEntries
