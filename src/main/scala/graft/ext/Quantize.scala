@@ -33,7 +33,12 @@ object Quantize {
     val v = transform(col(vecCol), x => x.cast("double"))
     val maxabs = array_max(transform(v, x => abs(x)))
     val scale = when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0))
-    df.withColumn("scale", scale)
+    // explode(array(·)) emits scale through a Generate node — an
+    // optimizer barrier. A plain withColumn alias is referenced once by
+    // the qvec lambda, so CollapseProject INLINES it into the lambda
+    // body and the array_max re-evaluates per ELEMENT (O(d²)/vector,
+    // plan-verified); behind Generate it binds once per row.
+    df.select(col("*"), explode(array(scale)).as("scale"))
       .withColumn("qvec",
         transform(v, x => floor(x * col("scale") + 0.5).cast("int")))
   }
