@@ -463,6 +463,29 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- incremental-ingest dedup (new batch vs existing corpus) ----
+    // the cross-RUN sibling of q_dedup_exact: docs with doc_id%3==0
+    // play the incoming batch, the rest the already-ingested corpus.
+    // Bloom fast path: a !bloom_hit row is PROVABLY new (no false
+    // negatives) and skips the join entirely; only bloom-hit rows —
+    // true dups plus ≤fpp false positives — exact-anti-join the
+    // existing fingerprints. At 100 TB the anti-join input shrinks
+    // from |incoming| to |dups| + fpp·|incoming|; correctness rides on
+    // the sketch's one-sided error, which is exactly what the oracle's
+    // independent NOT IN evaluates.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("fp", xxhash64(col("text")))
+      val existing = docs.filter(col("doc_id") % 3 =!= 0).select(col("fp")).distinct()
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+      val screened = graft.ext.Bloom.screenByLongKey(incoming, existing, "fp",
+        expectedItems = 100000L)
+      val provablyNew = screened.filter(!col("bloom_hit"))
+      val survivors = screened.filter(col("bloom_hit"))
+        .join(existing, Seq("fp"), "left_anti")
+      provablyNew.unionByName(survivors)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal (decode STUB, real plumbing) --------------------
     // frame sampling: every 2nd 32-byte frame of the payload
     "q_multimodal_frames" -> ((s, d) => {
@@ -784,6 +807,12 @@ object ExtQueries {
         |  text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS is_member,
         |  true AS no_false_negative
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // independent evaluation: plain NOT IN against the existing texts
+    "q_dedup_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 3 = 0
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+        |ORDER BY doc_id""".stripMargin,
     // same symmetric scheme (scale = 127/max|v|, half-up floor) in
     // DuckDB list algebra; checksum/l1 are integer-exact, recon cosine
     // is far from its 0.99 bound (int8 error is O(1/254) per element)
