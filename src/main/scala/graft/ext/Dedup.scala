@@ -93,6 +93,46 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Df-capped candidate form of [[jaccardPairs]] — the inverted-index
+    * scale lever SCALE.md commits to: candidate pairs come only from
+    * shingles with document frequency ≤ `dfCap`, then the FULL Jaccard
+    * is recomputed over all shingles of each surviving pair. The
+    * all-pairs self-join blows up as Σ df(shingle)²; boilerplate
+    * shingles (navigation chrome, license headers) dominate that sum
+    * while carrying no dedup signal — capping df bounds the join at
+    * dfCap·Σdf and the verify join at |candidates|·shingles-per-doc.
+    *
+    * Recall semantics (deliberate, matched by the oracle): a pair is
+    * found iff it shares at least one sub-cap shingle. A true near-dup
+    * pair ALL of whose shared shingles are ≥dfCap-common is missed —
+    * at minJ ≥ 0.8 such a pair is boilerplate by construction, the
+    * standard stop-shingle trade. The gate stays hash-exact because
+    * the DuckDB oracle applies the identical df rule independently. */
+  def jaccardPairsDfCapped(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minJ: Double = 0.8,
+                           dfCap: Int = 20): DataFrame = {
+    val sh = hashedShingleRows(df, idCol, textCol, n)
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("s")),
+      Seq("s"))
+    val candidates = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("sa"), col("i") === col("sa.id"))
+      .join(sh.as("sb"), col("j") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("za"), col("i") === col("za.id"))
+      .join(sizes.as("zb"), col("j") === col("zb.id"))
+      .select(col("i"), col("j"),
+        (col("c") / (col("za.n_sh") + col("zb.n_sh") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------
 
   val NumHashes = 64

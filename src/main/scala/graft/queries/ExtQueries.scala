@@ -68,6 +68,25 @@ object ExtQueries {
         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
         |ORDER BY i, j""".stripMargin
 
+  /** Df-capped mirror of [[jaccardOracle]]: candidates only from
+    * shingles with df ≤ 20, full Jaccard on the survivors — the same
+    * deliberate recall rule as `Dedup.jaccardPairsDfCapped`. */
+  private val jaccardCappedOracle =
+    shingleCte +
+      """,dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         JOIN dfreq f ON f.s = a.s
+        |         WHERE f.df <= 20),
+        |cinter AS (SELECT c.i, c.j, count(*) cnt
+        |           FROM cand c JOIN sh a ON a.doc_id = c.i
+        |                       JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+        |           GROUP BY 1, 2)
+        |SELECT i, j, round(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), 4) AS jaccard
+        |FROM cinter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |WHERE cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) >= 0.8
+        |ORDER BY i, j""".stripMargin
+
   /** Transitive closure over the jaccard-pair edges (recursive CTE) —
     * min reachable id per node = the cluster canonical. */
   private val clusterOracle =
@@ -97,6 +116,15 @@ object ExtQueries {
     }),
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", n = 3, minJ = 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+    // df-capped inverted index: candidates from shingles with df ≤ 20
+    // only (boilerplate shingles carry no dedup signal but dominate
+    // the Σdf² pair blowup), full Jaccard re-verified on survivors;
+    // the oracle applies the identical df rule independently
+    "q_dedup_ngram_capped" -> ((s, d) => {
+      Dedup.jaccardPairsDfCapped(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJ = 0.8, dfCap = 20)
         .orderBy(col("i"), col("j"))
     }),
     // SimHash is an engine-specific 64-bit signature (no SQL mirror
@@ -671,6 +699,7 @@ object ExtQueries {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" -> jaccardOracle,
+    "q_dedup_ngram_capped" -> jaccardCappedOracle,
     // LSH candidate recall at J≥0.8 with 16 bands × 4 rows is
     // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
     // output equals the exact all-pairs result (checked at sf0.01).

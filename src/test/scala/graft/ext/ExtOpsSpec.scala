@@ -67,6 +67,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(mh == exact)
   }
 
+  test("df-capped jaccard equals all-pairs on real data and prunes boilerplate") {
+    import spark.implicits._
+    // on the corpus: every true near-dup pair shares rare shingles, so
+    // the capped form loses nothing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairsDfCapped(docs, "doc_id", "text", dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == full)
+
+    // boilerplate corpus: 40 docs share one ubiquitous header (df=40 >
+    // cap) plus private tails → the capped candidate join must see NO
+    // pairs (header pairs are the Σdf² blowup), while each true dup
+    // pair (same tail, df=2) survives
+    val header = "terms of service apply to all content on this site"
+    val boiler = (0 until 40).map { i =>
+      (i.toLong, s"$header unique tail $i ${"x" + i} ${"y" + i} ${"z" + i}")
+    } ++ Seq((100L, s"$header shared tail copy one two three four five"),
+      (101L, s"$header shared tail copy one two three four five"))
+    val bdf = boiler.toDF("doc_id", "text")
+    val bcapped = Dedup.jaccardPairsDfCapped(bdf, "doc_id", "text", dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bcapped == Set((100L, 101L)))
+  }
+
   test("simhash: identical texts collide, near-dups are hamming-close") {
     val t = "spark group query row data slow small filter"
     assert(Dedup.simhash64(t) == Dedup.simhash64(t))
