@@ -84,6 +84,43 @@ object Sampling {
       .filter(col("rank") <= k)
   }
 
+  /** Data-mixture (token-balanced) sampling: compute per-stratum
+    * keep-rates so every stratum contributes the SAME expected token
+    * count — the smallest source keeps everything (rate 1.0), larger
+    * sources down-sample to match it — then apply the deterministic
+    * hash-threshold filter at those rates. This is the mixing step of
+    * a training pipeline: re-weighting heterogeneous sources to a
+    * target composition without an RNG.
+    *
+    * The rates are DATA-DEPENDENT, so the threshold is computed as a
+    * column mirroring [[thresholdHex]] exactly: `floor(x + 0.5)` (what
+    * `math.round` does) instead of `round()` — Spark rounds half-up,
+    * DuckDB half-even, and the oracle must land on identical hex.
+    * Integer token totals → IEEE-exact double division → identical
+    * thresholds in both engines.
+    *
+    * Scale shape: two aggregates bounded by stratum cardinality, a
+    * broadcast of |strata| (stratum, threshold) rows back onto the
+    * corpus, and the same map-only filter as [[stratifiedSample]] —
+    * the corpus itself is never shuffled. */
+  def tokenBalancedSample(df: DataFrame, keyCol: String, strataCol: String,
+                          textCol: String): DataFrame = {
+    val ntok = size(split(col(textCol), " ")).cast("long")
+    val totals = df.groupBy(col(strataCol)).agg(sum(ntok).as("t_s"))
+    val m = totals.agg(min(col("t_s")).as("m"))
+    val rate = col("m").cast("double") / col("t_s").cast("double")
+    val thresholds = totals.crossJoin(m)
+      .withColumn("__thresh",
+        when(rate >= 1.0, lit("g")).otherwise(
+          format_string("%08x",
+            least(floor(rate * 4294967296.0 + 0.5).cast("long"),
+              lit(4294967295L)))))
+      .select(col(strataCol), col("__thresh"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(selector(col(keyCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Redact every match of `pattern` (Java regex, RE2-compatible subset
     * so the oracle's regexp_replace agrees) with `replacement` —
     * term-list scrubbing / PII-style redaction as pure column algebra

@@ -551,6 +551,17 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("rank"))
         .orderBy(col("source"), col("rank"))
     }),
+    // data-mixture sampling: per-source keep-rates computed IN-PLAN so
+    // every source contributes equal expected tokens, then the same
+    // map-only hash-threshold filter; rates broadcast back — the
+    // corpus never shuffles
+    "q_mix_sources" -> ((s, d) => {
+      graft.ext.Sampling.tokenBalancedSample(Tables.documents(s, d),
+          "doc_id", "source", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // term-list scrubbing (PII-style redaction shape): map-only,
     // codegen'd regexp over the corpus
     "q_redact_terms" -> ((s, d) => {
@@ -886,6 +897,23 @@ object ExtQueries {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
         |       ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
+    // identical rate → threshold derivation: integer token totals,
+    // IEEE double division, floor(x+0.5) (NOT round(): Spark half-up
+    // vs DuckDB half-even), %08x hex — bit-identical thresholds
+    "q_mix_sources" ->
+      """WITH tot AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_s
+        |             FROM documents GROUP BY 1),
+        |m AS (SELECT min(t_s) AS m FROM tot),
+        |th AS (SELECT source,
+        |         CASE WHEN CAST(m.m AS DOUBLE) / CAST(t_s AS DOUBLE) >= 1.0 THEN 'g'
+        |              ELSE printf('%08x', CAST(least(
+        |                floor(CAST(m.m AS DOUBLE) / CAST(t_s AS DOUBLE) * 4294967296.0 + 0.5),
+        |                4294967295.0) AS BIGINT)) END AS thresh
+        |       FROM tot, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN th USING (source)
+        |WHERE md5(CAST(d.doc_id AS VARCHAR)) < th.thresh
+        |ORDER BY d.doc_id""".stripMargin,
     "q_sample_per_source" ->
       """SELECT doc_id, source, rank FROM (
         |  SELECT doc_id, source,

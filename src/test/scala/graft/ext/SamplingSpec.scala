@@ -90,6 +90,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(plain.sameElements(guarded))
   }
 
+  test("token-balanced mix equalizes expected source token counts") {
+    import spark.implicits._
+    // skewed synthetic corpus: srcA 10× the tokens of srcC
+    val rows = (1 to 400).map(i => (i.toLong, "srcA", Seq.fill(50)("w").mkString(" "))) ++
+      (401 to 600).map(i => (i.toLong, "srcB", Seq.fill(40)("w").mkString(" "))) ++
+      (601 to 700).map(i => (i.toLong, "srcC", Seq.fill(20)("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "source", "text")
+    val kept = Sampling.tokenBalancedSample(df, "doc_id", "source", "text")
+    // the smallest source keeps EVERYTHING (rate 1.0 → 'g' threshold)
+    assert(kept.filter($"source" === "srcC").count() == 100)
+    // every source's kept tokens land near the smallest source's total
+    // (2000 tokens). Binomial 3σ: srcA keeps Bin(400, 0.1) docs of 50
+    // tokens → σ = 6 docs = 300 tokens; srcB Bin(200, 0.25) of 40 →
+    // σ ≈ 6.1 docs ≈ 245 tokens. Deterministic hash — a pass is a pass
+    // forever — but the bound states what "balanced" promises: ±3σ.
+    val tokensBySrc = kept
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " "))).as("t")).as[(String, Long)]
+      .collect().toMap
+    assert(tokensBySrc("srcC") == 2000L)
+    assert(math.abs(tokensBySrc("srcA") - 2000L) <= 900, s"srcA: ${tokensBySrc("srcA")}")
+    assert(math.abs(tokensBySrc("srcB") - 2000L) <= 735, s"srcB: ${tokensBySrc("srcB")}")
+    // deterministic under re-partitioning, like every sampler here
+    val again = Sampling.tokenBalancedSample(df.repartition(13),
+        "doc_id", "source", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(
+      kept.select("doc_id").as[Long].collect().sorted))
+  }
+
   test("packing fills bins greedily without splitting documents") {
     val out = Packing.packByStratum(docs, "doc_id", "source", "text", budget = 500)
       .orderBy("source", "doc_id").collect()
