@@ -551,6 +551,29 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("rank"))
         .orderBy(col("source"), col("rank"))
     }),
+    // heavy hitters via the freqItems sketch (Karp/Misra-Gries family):
+    // one pass, ≤1/support counters per partition, merged — only the
+    // ≤40-item summary reaches the driver. Its error is one-sided
+    // (a SUPERSET of every token with share > support), so the gate
+    // emits the exact-heavy tokens (share > 2.5%, comfortably under
+    // the corpus max ~3.5%) with a found-in-sketch boolean the
+    // guarantee forces true — extras the sketch may carry are not
+    // emitted, so run-order variance can't leak into the result.
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sketch = toks.stat.freqItems(Seq("tok"), 0.025)
+        .head().getSeq[String](0).toSet
+      val foundUdf = udf((t: String) => sketch.contains(t))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") > col("total") / lit(40.0))
+        .select(col("tok"), col("cnt"), foundUdf(col("tok")).as("found"))
+        .orderBy(col("tok"))
+    }),
+
     // data-mixture sampling: per-source keep-rates computed IN-PLAN so
     // every source contributes equal expected tokens, then the same
     // map-only hash-threshold filter; rates broadcast back — the
@@ -897,6 +920,16 @@ object ExtQueries {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
         |       ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
+    // the exact heavy set is SQL; found=true is the sketch's
+    // no-false-negative guarantee
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |n AS (SELECT count(*) AS c FROM tt)
+        |SELECT tok, count(*) AS cnt, true AS found
+        |FROM tt, n GROUP BY tok, n.c
+        |HAVING count(*) > n.c / 40.0
+        |ORDER BY tok""".stripMargin,
     // identical rate → threshold derivation: integer token totals,
     // IEEE double division, floor(x+0.5) (NOT round(): Spark half-up
     // vs DuckDB half-even), %08x hex — bit-identical thresholds
