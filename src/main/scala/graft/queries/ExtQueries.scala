@@ -551,6 +551,23 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("rank"))
         .orderBy(col("source"), col("rank"))
     }),
+    // relative quality gate: keep each source's top quality quartile —
+    // percentile-based curation thresholds adapt per source instead of
+    // hard-coding one global cutoff. One shuffle on source; ntile /
+    // percent_rank evaluate in the same per-partition sort pass.
+    "q_quality_topquartile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextStats.qualityCol(col("text")).as("quality"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("q4", ntile(4).over(w))
+        .filter(col("q4") === 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // heavy hitters via the freqItems sketch (Karp/Misra-Gries family):
     // one pass, ≤1/support counters per partition, merged — only the
     // ≤40-item summary reaches the driver. Its error is one-sided
@@ -920,6 +937,15 @@ object ExtQueries {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
         |       ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
+    "q_quality_topquartile" ->
+      s"""WITH q AS (SELECT doc_id, source, ${TextStats.qualitySql("text")} AS quality
+         |           FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |        percent_rank() OVER w AS pr, ntile(4) OVER w AS q4
+         |      FROM q
+         |      WINDOW w AS (PARTITION BY source ORDER BY quality DESC, doc_id ASC))
+         |SELECT doc_id, source, quality, pr, CAST(q4 AS INT) AS q4
+         |FROM r WHERE q4 = 1 ORDER BY doc_id""".stripMargin,
     // the exact heavy set is SQL; found=true is the sketch's
     // no-false-negative guarantee
     "q_heavy_hitters" ->
