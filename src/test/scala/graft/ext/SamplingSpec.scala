@@ -120,6 +120,15 @@ class SamplingSpec extends AnyFunSuite {
       kept.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("token-balanced mix broadcasts thresholds onto the corpus filter") {
+    val plan = Sampling.tokenBalancedSample(docs, "doc_id", "source", "text")
+      .queryExecution.executedPlan.toString
+    // the corpus-side filter join must be broadcast (|strata| rows),
+    // never a sort-merge that would shuffle the corpus by source
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("packing fills bins greedily without splitting documents") {
     val out = Packing.packByStratum(docs, "doc_id", "source", "text", budget = 500)
       .orderBy("source", "doc_id").collect()
