@@ -551,6 +551,27 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("rank"))
         .orderBy(col("source"), col("rank"))
     }),
+    // unigram log-probability scoring (the CCNet-style LM-quality
+    // proxy): train the unigram model on the corpus itself (one
+    // token-bounded agg), score each doc by its mean token log-prob —
+    // fluent/common text scores high, gibberish and rare-token noise
+    // low. Two bounded shuffles: tok join (corpus tokens), doc re-agg.
+    "q_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("n"))
+      val scored = toks.join(freq, Seq("tok")).crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          avg(log(col("cnt").cast("double") / col("n").cast("double")))
+            .as("mean_logp"))
+      scored.select(col("doc_id"), col("n_tok"),
+          round(col("mean_logp"), 4).as("mean_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // relative quality gate: keep each source's top quality quartile —
     // percentile-based curation thresholds adapt per source instead of
     // hard-coding one global cutoff. One shuffle on source; ntile /
@@ -937,6 +958,17 @@ object ExtQueries {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
         |       ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
+    // same unigram model trained in SQL; ln/avg over identical doubles
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM freq)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(avg(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE))), 4) AS mean_logp
+        |FROM tt JOIN freq USING (tok) CROSS JOIN n
+        |GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin,
     "q_quality_topquartile" ->
       s"""WITH q AS (SELECT doc_id, source, ${TextStats.qualitySql("text")} AS quality
          |           FROM documents),
