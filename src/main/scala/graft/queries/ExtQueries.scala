@@ -612,6 +612,19 @@ object ExtQueries {
         .orderBy(col("tok"))
     }),
 
+    // deterministic train/val/test assignment: disjoint md5-selector
+    // ranges (80/10/10) — every engine, run, and partitioning assigns
+    // each document to the same split; map-only, no shuffle, and
+    // adding documents never reassigns existing ones
+    "q_split_assign" -> ((s, d) => {
+      val sel = graft.ext.Sampling.selector(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"),
+          when(sel < lit(graft.ext.Sampling.thresholdHex(0.8)), "train")
+            .when(sel < lit(graft.ext.Sampling.thresholdHex(0.9)), "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // data-mixture sampling: per-source keep-rates computed IN-PLAN so
     // every source contributes equal expected tokens, then the same
     // map-only hash-threshold filter; rates broadcast back — the
@@ -988,6 +1001,13 @@ object ExtQueries {
         |FROM tt, n GROUP BY tok, n.c
         |HAVING count(*) > n.c / 40.0
         |ORDER BY tok""".stripMargin,
+    // the same 80/10/10 selector ranges as thresholdHex(0.8/0.9)
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccd' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identical rate → threshold derivation: integer token totals,
     // IEEE double division, floor(x+0.5) (NOT round(): Spark half-up
     // vs DuckDB half-even), %08x hex — bit-identical thresholds
