@@ -455,6 +455,28 @@ object ExtQueries {
           chunkSize = 64, overlap = 16)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ---- chunk → pack composition (sequence prep end to end) --------
+    // sliding windows feed token-budget bins per source: the full
+    // training-sequence materialization path, still without the chunk
+    // text ever entering a shuffle (only (ids, counts) move; the
+    // writer re-slices text from the co-partitioned source)
+    "q_chunk_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = graft.ext.Chunking.slidingChunks(docs, "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      chunks
+        .withColumn("cum", sum(col("chunk_tokens").cast("long")).over(w))
+        .withColumn("bin", expr("(cum - chunk_tokens) div 512"))
+        .select(col("doc_id"), col("chunk_idx"), col("source"),
+          col("chunk_tokens"), col("bin"))
+        .orderBy(col("source"), col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -914,6 +936,22 @@ object ExtQueries {
         |  CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS chunk_tokens,
         |  md5(array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same windows, same running-sum binning, all integers
+    "q_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |        unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |          ELSE CAST(ceil((len(toks) - 64)::DOUBLE / 48) AS BIGINT) + 1 END)) AS chunk_idx
+        |      FROM t),
+        |ch AS (SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+        |         CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS chunk_tokens
+        |       FROM c)
+        |SELECT doc_id, chunk_idx, source, chunk_tokens,
+        |  (CAST(sum(chunk_tokens) OVER w AS BIGINT) - chunk_tokens) // 512 AS bin
+        |FROM ch
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY source, doc_id, chunk_idx""".stripMargin,
     // exact membership is SQL; the sketch's one-sided-error invariant
     // is the boolean the engine must never flip
     "q_bloom_screen" ->
