@@ -38,6 +38,9 @@ object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                payload: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+    val internal = Set("__side", "__asof", "__carried")
+    require(!(left.columns ++ right.columns).exists(internal),
+      s"asofJoin uses internal columns ${internal.mkString(", ")}; rename the inputs' first")
     val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == time)
     val leftSchema = left.schema
     val packed = struct(payload.map(col): _*)

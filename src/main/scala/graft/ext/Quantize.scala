@@ -30,6 +30,8 @@ object Quantize {
     * one-line concern. All-zero vectors quantize to all-zero with
     * scale 0 (the dequantized form is exact for them). */
   def int8(df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("scale") && !df.columns.contains("qvec"),
+      "int8 emits 'scale' and 'qvec' columns; rename the input's first")
     val v = transform(col(vecCol), x => x.cast("double"))
     val maxabs = array_max(transform(v, x => abs(x)))
     val scale = when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0))

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * stays ≤ 2×. What scale buys back: the join becomes a standard
   * shuffled (or broadcast) hash join on (keys…, bucket) — partition
   * pruning, AQE skew splitting, and map-side broadcast all apply, none
-  * of which a nested-loop plan gets. RangeJoinSpec asserts the executed
+  * of which a nested-loop plan gets. RangeChunkBloomSpec asserts the executed
   * plan contains a hash join and NO BroadcastNestedLoopJoin.
   */
 object RangeJoin {

@@ -105,6 +105,8 @@ object Sampling {
     * the corpus itself is never shuffled. */
   def tokenBalancedSample(df: DataFrame, keyCol: String, strataCol: String,
                           textCol: String): DataFrame = {
+    require(!df.columns.contains("__thresh"),
+      "tokenBalancedSample uses an internal '__thresh' column; rename the input's first")
     val ntok = size(split(col(textCol), " ")).cast("long")
     val totals = df.groupBy(col(strataCol)).agg(sum(ntok).as("t_s"))
     val m = totals.agg(min(col("t_s")).as("m"))

@@ -22,6 +22,8 @@ object Skew {
     * `df.groupBy(key).agg(sum(valueCol), count(*))`. */
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: Column,
                 saltBuckets: Int = 16): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "saltedAgg uses an internal '_salt' column; rename the input's first")
     val salted = df.withColumn("_salt",
       pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     salted
@@ -43,6 +45,8 @@ object Skew {
     * broadcast-ineligible dim-too-big-to-broadcast middle ground. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
                  saltBuckets: Int = 16): DataFrame = {
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin uses an internal '_salt' column; rename the inputs' first")
     val salted = fact.withColumn("_salt",
       pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val replicated = dim.withColumn("_salt",

@@ -13,14 +13,14 @@ package graft.extract
 object HtmlRender {
 
   def render(text: String, title: String, contentType: String = null): String =
-    renderBody(title, contentType) { sb =>
+    renderBody(title, contentType, text.length + 256) { sb =>
       appendParagraphs(sb, text)
     }
 
   /** Paged variant: each segment's paragraphs wrapped in Tika's
     * `<div class="page">` envelope element. */
   def renderPages(pages: Seq[String], title: String, contentType: String = null): String =
-    renderBody(title, contentType) { sb =>
+    renderBody(title, contentType, pages.iterator.map(_.length + 32).sum + 256) { sb =>
       pages.foreach { page =>
         sb.append("<div class=\"page\">\n")
         appendParagraphs(sb, page)
@@ -28,9 +28,11 @@ object HtmlRender {
       }
     }
 
-  private def renderBody(title: String, contentType: String)
+  // sizeHint ≈ escaped-output length: presized once so a ~100 KB doc
+  // doesn't pay repeated buffer doublings on the per-document hot path
+  private def renderBody(title: String, contentType: String, sizeHint: Int)
                         (body: java.lang.StringBuilder => Unit): String = {
-    val sb = new java.lang.StringBuilder(1024)
+    val sb = new java.lang.StringBuilder(math.max(sizeHint, 1024))
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
       .append("<html xmlns=\"http://www.w3.org/1999/xhtml\">\n<head>\n")
     if (contentType != null)

@@ -45,22 +45,26 @@ object PdfText {
   def extractPages(bytes: Array[Byte], maxLen: Int): List[String] = {
     val streams = decodeStreams(bytes)
     val cmap = parseCMaps(streams)
-    val pages = new scala.collection.mutable.ListBuffer[String]
-    var remaining = maxLen
+    // ONE shared Bounded — the budget counts exactly the chars
+    // [[extract]] counts (raw, untrimmed), so both paths stop at the
+    // same point; pages are the per-stream slices of that one buffer
+    val out = new Bounded(maxLen)
+    val cuts = new scala.collection.mutable.ListBuffer[Int]
     val it = streams.iterator
-    while ((maxLen < 0 || remaining > 0) && it.hasNext) {
+    while (!out.isFull && it.hasNext) {
       val data = it.next()
       if (looksLikeContent(data)) {
-        val out = new Bounded(remaining) // -1 stays unlimited
         extractOps(data, out, cmap)
-        val t = out.result().trim
-        if (t.nonEmpty) {
-          pages += t
-          if (maxLen >= 0) remaining = math.max(0, remaining - t.length - 1)
-        }
+        cuts += out.length
       }
     }
-    pages.toList
+    val full = out.result()
+    var prev = 0
+    cuts.toList.flatMap { end =>
+      val seg = full.substring(prev, end).trim
+      prev = end
+      if (seg.nonEmpty) Some(seg) else None
+    }
   }
 
   /** All decodable stream bodies, in document order. */

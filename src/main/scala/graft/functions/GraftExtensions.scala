@@ -24,5 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct.build(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_set_count"),
+      new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        // the word set is part of the EXPRESSION (compiled into codegen),
+        // so the SQL form takes it as a comma-separated string literal
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          TokenSetCount(exprs.head,
+            s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case _ => throw new IllegalArgumentException(
+          "token_set_count(text, 'w1,w2,…') requires a literal word list")
+      }))
   }
 }

@@ -395,7 +395,7 @@ object ExtQueries {
           expr("ts div 1000").as("tus"),
           expr("prior_pts div 1000").as("prior_tus"),
           col("prior_value"))
-        .orderBy(col("user_id"), col("tus"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
@@ -427,7 +427,7 @@ object ExtQueries {
 
     // ---- bucketed range join (point-in-interval, equi-join plan) ----
     // clicks within 12 hours after each purchase, per user; the
-    // bucket rewrite keeps the plan a hash join (ScaleTechniquesSpec
+    // bucket rewrite keeps the plan a hash join (RangeChunkBloomSpec
     // asserts no BroadcastNestedLoopJoin). Oracle = DuckDB's plain
     // inequality join — an independent evaluation of the predicate.
     "q_range_join" -> ((s, d) => {
@@ -584,13 +584,19 @@ object ExtQueries {
         .filter(col("tok") =!= "")
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("n"))
-      val scored = toks.join(freq, Seq("tok")).crossJoin(broadcast(total))
+      // per-token logp is rounded to 6 decimals THEN summed as exact
+      // decimal: a raw double sum would depend on partition merge
+      // order (the repo's oracle-stability rule — see the
+      // RelationalQueries scaladoc); each rounded per-token value is
+      // deterministic, the decimal sum is order-free, and only the
+      // terminal mean converts back to double
+      val logp6 = round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
+        .cast("decimal(14,6)")
+      toks.join(freq, Seq("tok")).crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          avg(log(col("cnt").cast("double") / col("n").cast("double")))
-            .as("mean_logp"))
-      scored.select(col("doc_id"), col("n_tok"),
-          round(col("mean_logp"), 4).as("mean_logp"))
+        .agg(count(lit(1)).as("n_tok"), sum(logp6).as("slog"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("slog").cast("double") / col("n_tok"), 4).as("mean_logp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -901,7 +907,7 @@ object ExtQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.user_id, tus""".stripMargin,
+        |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
     // the salted two-phase form must equal the direct aggregate
     "q_salted_agg" ->
       """SELECT event_type, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
@@ -1009,7 +1015,8 @@ object ExtQueries {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
         |       ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
-    // same unigram model trained in SQL; ln/avg over identical doubles
+    // same unigram model in SQL; per-token round → exact decimal sum
+    // (order-free) → terminal double, mirroring the Spark side
     "q_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),
@@ -1017,7 +1024,8 @@ object ExtQueries {
         |freq AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM freq)
         |SELECT doc_id, count(*) AS n_tok,
-        |  round(avg(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE))), 4) AS mean_logp
+        |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+        |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*), 4) AS mean_logp
         |FROM tt JOIN freq USING (tok) CROSS JOIN n
         |GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin,
     "q_quality_topquartile" ->

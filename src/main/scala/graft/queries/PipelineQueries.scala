@@ -7,7 +7,8 @@ import graft.pipeline.{DocPipeline, Router}
 
 /** The reference pipeline's operator surface as verifiable queries over
   * the synthetic `documents` table (plus the four reference binary
-  * fixtures for the extraction stages, which have no SQL oracle).
+  * fixtures for the extraction stages, whose oracles are frozen golden
+  * row sets — see FixtureGolden).
   * SURVEY.md §2.2-§2.5 mapping noted per query.
   */
 object PipelineQueries {
@@ -73,7 +74,8 @@ object PipelineQueries {
     }),
 
     // T1-T4 ExtractTextProcessor over the reference's own fixtures
-    // (binary → text; no SQL oracle — rows-only check + ScalaTest parity)
+    // (binary → text; oracle = FixtureGolden golden row set + ScalaTest
+    // parity — change extraction behavior and the golden must move too)
     "q_extract_fixtures" -> ((s, _) => {
       val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir))
       enriched.select(col("filename"), col("mime_type"), col("orig_mime_type"),
@@ -81,7 +83,7 @@ object PipelineQueries {
         .orderBy(col("filename"))
     }),
 
-    // T3 HTML output mode over the fixtures (rows-only)
+    // T3 HTML output mode over the fixtures (FixtureGolden oracle)
     "q_extract_fixtures_html" -> ((s, _) => {
       val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir),
         DocPipeline.ExtractConfig(htmlOutput = true))
@@ -90,14 +92,14 @@ object PipelineQueries {
         .orderBy(col("filename"))
     }),
 
-    // T5 ExtractMediaMetadata over the fixtures (rows-only)
+    // T5 ExtractMediaMetadata over the fixtures (FixtureGolden oracle)
     "q_extract_metadata" -> ((s, _) => {
       val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir))
       enriched.select(col("filename"), explode(col("meta")).as(Seq("key", "value")))
         .orderBy(col("filename"), col("key"))
     }),
 
-    // N1 entity extraction over extracted fixture lines (rows-only)
+    // N1 entity extraction over extracted fixture lines (FixtureGolden oracle)
     "q_entities_fixtures" -> ((s, _) => {
       val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir))
       val lines = DocPipeline.toLines(enriched.filter(col("error").isNull))
@@ -131,7 +133,7 @@ object PipelineQueries {
 
     // A2 InferAvroSchema: the inferred AVRO schema document of the JSON
     // records — record name PDF, pretty JSON, matching the template's
-    // inferred.avro.schema attribute (deterministic string; rows-only)
+    // inferred.avro.schema attribute (deterministic string; FixtureGolden-style VALUES oracle)
     "q_infer_schema" -> ((s, d) => {
       import s.implicits._
       val json = docsWithSentiment(s, d)

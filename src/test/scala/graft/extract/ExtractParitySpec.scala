@@ -58,6 +58,22 @@ class ExtractParitySpec extends AnyFunSuite {
     assert(PdfText.extractPages(read("big.pdf"), -1).length > 1)
   }
 
+  test("PDF page segments honor the SAME max-length budget as extract") {
+    def ws(s: String) = s.replaceAll("\\s+", " ").trim
+    for {
+      f <- Seq("simple.pdf", "big.pdf")
+      maxLen <- Seq(50, 500, 5000)
+    } {
+      val bytes = read(f)
+      val pages = PdfText.extractPages(bytes, maxLen)
+      // one shared budget → pages concat to exactly extract()'s capped
+      // output (modulo per-segment trims), never more and never less
+      assert(ws(pages.mkString("\n")) == ws(PdfText.extract(bytes, maxLen)),
+        s"$f maxLen=$maxLen")
+      assert(pages.map(_.length).sum <= maxLen, s"$f maxLen=$maxLen budget")
+    }
+  }
+
   // ETPTest.java:77-99 — legacy DOC
   test("simple.doc extracts text starting 'A Simple WORD DOC File'") {
     val r = TextExtractor.extract(read("simple.doc"), "simple.doc")

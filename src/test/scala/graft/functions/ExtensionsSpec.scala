@@ -35,6 +35,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getLong(0)
       assert(sim == SimHash64.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("spark rows data")))
+      val tsc = spark.sql(
+        "SELECT token_set_count('the cat and the dog', 'the,and') AS c")
+        .head().getInt(0)
+      assert(tsc == 3)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
