@@ -40,4 +40,48 @@ object Contamination {
       .select(col("id"), col("n_sh"), col("n_hit"),
         (col("n_hit") * 100 >= col("n_sh") * threshPct).as("contaminated"))
   }
+
+  /** Decontamination by EXCISION: instead of flagging whole documents,
+    * REMOVE every token that participates in any n-gram shared with
+    * the benchmark — the surgical form used when dropping the document
+    * would cost too much good text (benchmark strings quoted inside
+    * otherwise-clean pages). A token at 1-based position p is cut iff
+    * some shared n-gram starts in [p-n+1, p].
+    *
+    * Scale shape: candidate (id, pos, gramHash) relations join the
+    * broadcast benchmark grams map-side; only (id, bad-positions)
+    * rows shuffle — document text never does — and the per-doc
+    * bad-start array joins back by id (broadcast when contamination is
+    * sparse). The per-token `exists` over that array is O(bad) per
+    * token, fine while excisions per doc are few; a sorted-array
+    * binary search is the lever if they are not.
+    *
+    * Emits (idCol, clean_text, n_removed) for every candidate with
+    * ≥ 1 token. */
+  def excise(candidates: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(!candidates.columns.exists(Set("__eid", "__bad", "bad_starts")),
+      "excise uses internal columns __eid/__bad/bad_starts; rename the input's first")
+    val toks = split(col(textCol), " ")
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    def gramHash(i: org.apache.spark.sql.Column) =
+      xxhash64(concat_ws(" ", slice(toks, i, lit(n))))
+    val benchGrams = broadcast(
+      benchmark.select(explode(transform(idx, gramHash(_))).as("g")).distinct())
+    val candGrams = candidates.select(col(idCol).as("__eid"),
+      explode(transform(idx, i => struct(i.as("pos"), gramHash(i).as("g")))).as("pg"))
+      .select(col("__eid"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val bad = candGrams.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("__eid")).agg(collect_set(col("pos")).as("bad_starts"))
+    val kept = filter(
+      transform(toks, (t, i0) => struct((i0 + 1).as("p"), t.as("t"))),
+      s => !exists(col("__bad"),
+        b => b >= s.getField("p") - (n - 1) && b <= s.getField("p")))
+    candidates.join(bad, col(idCol) === col("__eid"), "left")
+      .withColumn("__bad", coalesce(col("bad_starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(transform(kept, s => s.getField("t")), " ").as("clean_text"),
+        (size(toks) - size(kept)).cast("int").as("n_removed"))
+  }
 }

@@ -788,6 +788,18 @@ object ExtQueries {
           "doc_id", "text", n = 3, threshPct = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // decontamination by EXCISION: shared 3-gram spans are cut from
+    // the candidate text instead of dropping whole documents; bench
+    // grams broadcast, only (id, positions) shuffle, text never does
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Contamination.excise(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1164,6 +1176,32 @@ object ExtQueries {
         |  (count(bench.s) * 100 >= count(*) * 10) AS contaminated
         |FROM cand LEFT JOIN bench ON cand.s = bench.s
         |GROUP BY cand.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // excision: same shared-3-gram rule; a token at 1-based position p
+    // is cut iff a shared gram starts in [p-2, p]
+    "q_decontaminate" ->
+      """WITH cand AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents WHERE source <> 'src0'),
+        |bench AS (SELECT DISTINCT array_to_string(toks[i : i + 2], ' ') AS g
+        |          FROM (SELECT string_split(text, ' ') AS toks
+        |                FROM documents WHERE source = 'src0'),
+        |               unnest(CASE WHEN len(toks) >= 3 THEN generate_series(1, len(toks) - 2)
+        |                           ELSE [] END) AS u(i)),
+        |candg AS (SELECT doc_id, i AS pos, array_to_string(toks[i : i + 2], ' ') AS g
+        |          FROM cand,
+        |               unnest(CASE WHEN len(toks) >= 3 THEN generate_series(1, len(toks) - 2)
+        |                           ELSE [] END) AS u(i)),
+        |bad AS (SELECT doc_id, list(DISTINCT pos) AS bad_starts
+        |        FROM candg JOIN bench USING (g) GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT c.doc_id,
+        |    list_filter(c.toks, (t, p) ->
+        |      len(list_filter(coalesce(b.bad_starts, []), x -> x >= p - 2 AND x <= p)) = 0) AS kept,
+        |    len(c.toks) AS n_tok
+        |  FROM cand c LEFT JOIN bad b USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(n_tok - len(kept) AS INT) AS n_removed
+        |FROM cleaned ORDER BY doc_id""".stripMargin
   )
 }

@@ -56,4 +56,26 @@ class ContaminationSpec extends AnyFunSuite {
     assert(flag(10))
     assert(!flag(11))
   }
+
+  test("excision cuts exactly the tokens covered by shared n-grams") {
+    import spark.implicits._
+    val cand = Seq(
+      (1L, "a b c d e f g h"),      // one shared gram "c d e" → cut 3,4,5
+      (2L, "p q r s t"),            // no overlap → untouched
+      (3L, "c d e x y z")).toDF("doc_id", "text") // shared prefix cut only
+    val bench = Seq((9L, "c d e x0 y0 z0")).toDF("doc_id", "text")
+    val out = Contamination.excise(cand, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("a b f g h", 3)))
+    assert(out(2L) == (("p q r s t", 0)))
+    assert(out(3L) == (("x y z", 3)))
+  }
+
+  test("excision of a doc fully contained in the benchmark empties it") {
+    import spark.implicits._
+    val cand = Seq((1L, "m n o p q")).toDF("doc_id", "text")
+    val bench = Seq((9L, "m n o p q")).toDF("doc_id", "text")
+    val r = Contamination.excise(cand, bench, "doc_id", "text").collect()(0)
+    assert(r.getString(1) == "" && r.getInt(2) == 5)
+  }
 }
