@@ -64,7 +64,21 @@ def main(sf_dir, out_dir):
                             break
                     results[name] = f"VALUE-MISMATCH {diff}" if diff else "OK(strcast)"
                 else:
-                    results[name] = "OK"
+                    # values match after row-sorting; ALSO require the
+                    # emitted row ORDER to agree — the driver's compare
+                    # is order-sensitive, so a non-total ORDER BY can
+                    # pass the sorted check here yet flake the gate
+                    # (round-7 lesson: q_asof_join microsecond ties)
+                    gu = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+                    eu = exp.reindex(sorted(exp.columns), axis=1).reset_index(drop=True)
+                    if not gu.astype(str).equals(eu.astype(str)):
+                        neq = (gu.astype(str) != eu.astype(str)).any(axis=1)
+                        i = neq.idxmax()
+                        results[name] = (f"ROW-ORDER-MISMATCH first at row {i} "
+                                         "(values equal after sorting — ORDER BY "
+                                         "is not a total order)")
+                    else:
+                        results[name] = "OK"
             except Exception as ex:
                 results[name] = f"COMPARE-ERROR: {ex}"
     bad = 0
