@@ -178,6 +178,20 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- SEMANTIC dedup clusters: embedding near-dup pairs → the
+    // same min-label propagation as the text clusters (q_dedup_clusters
+    // composes jaccard pairs; this composes cosine pairs — planted
+    // corpus so the 0.9 threshold genuinely groups base+planted twins)
+    "q_dedup_embed_clusters" -> ((s, d) => {
+      val corpus = plantedNearDupCorpus(Tables.embeddings(s, d))
+      val pairs = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+        minCos = 0.9)
+      Dedup.clusterAssignments(corpus.select(col("vec_id")), "vec_id",
+          pairs.select(col("i"), col("j")))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search ------------------------------------------
     "q_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -830,6 +844,24 @@ object ExtQueries {
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
     "q_dedup_clusters" -> clusterOracle,
+    // semantic clusters: recursive closure over the SAME planted-corpus
+    // cosine edges q_dedup_embed_lsh proves hash-exact
+    "q_dedup_embed_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.05)
+        |  FROM embeddings),
+        |dpairs AS (SELECT a.vec_id AS i, b.vec_id AS j FROM corpus a JOIN corpus b
+        |           ON a.vec_id < b.vec_id
+        |           WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+        |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
+        |reach(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM corpus
+        |  UNION
+        |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j)
+        |SELECT id AS vec_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" -> embedPairsOracle,
     // the LSH+verify path must reproduce the exact all-pairs result at
     // its own threshold over the planted-dup corpus
