@@ -44,6 +44,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("decontamination excision broadcasts the benchmark gram side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(Contamination.excise(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text"))
+    // the candidate-gram semi-join must broadcast the bench grams — a
+    // sort-merge here would shuffle one (id, pos, hash) row per
+    // candidate token
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("vocabulary building aggregates partially before its one shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Sampling.vocab(docs, "text"))
