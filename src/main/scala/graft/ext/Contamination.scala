@@ -49,26 +49,33 @@ object Contamination {
     * some shared n-gram starts in [p-n+1, p].
     *
     * Scale shape: candidate (id, pos, gramHash) relations join the
-    * broadcast benchmark grams map-side; only (id, bad-positions)
-    * rows shuffle — document text never does — and the per-doc
-    * bad-start array joins back by id (broadcast when contamination is
-    * sparse). The per-token `exists` over that array is O(bad) per
-    * token, fine while excisions per doc are few; a sorted-array
-    * binary search is the lever if they are not.
+    * broadcast benchmark grams map-side (`broadcastBench=false` falls
+    * back to a hash join for oversized benchmarks, like [[screen]]);
+    * only (id, bad-positions) rows shuffle into the per-doc aggregate.
+    * The bad-start arrays then join back by id: when contamination is
+    * SPARSE (the norm) that side is small and AQE broadcasts it, so
+    * document text never shuffles; under dense contamination the
+    * back-join degrades to one sort-merge pass over the text — the
+    * honest worst case. The per-token `exists` over the bad array is
+    * O(bad) per token, fine while excisions per doc are few; a
+    * sorted-array binary search is the lever if they are not.
     *
     * Emits (idCol, clean_text, n_removed) for every candidate with
     * ≥ 1 token. */
   def excise(candidates: DataFrame, benchmark: DataFrame,
-             idCol: String, textCol: String, n: Int = 3): DataFrame = {
+             idCol: String, textCol: String, n: Int = 3,
+             broadcastBench: Boolean = true): DataFrame = {
     require(!candidates.columns.exists(Set("__eid", "__bad", "bad_starts")),
       "excise uses internal columns __eid/__bad/bad_starts; rename the input's first")
+    // gram construction is Dedup's — the SAME windows/tokens/hashes as
+    // hashedShingleRows, so screen's flags and excise's cuts can't drift
     val toks = split(col(textCol), " ")
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
+    val idx = Dedup.gramStartIdx(toks, n)
     def gramHash(i: org.apache.spark.sql.Column) =
-      xxhash64(concat_ws(" ", slice(toks, i, lit(n))))
-    val benchGrams = broadcast(
-      benchmark.select(explode(transform(idx, gramHash(_))).as("g")).distinct())
+      xxhash64(Dedup.gramAt(toks, i, n))
+    val benchRaw =
+      benchmark.select(explode(transform(idx, gramHash(_))).as("g")).distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchRaw) else benchRaw
     val candGrams = candidates.select(col(idCol).as("__eid"),
       explode(transform(idx, i => struct(i.as("pos"), gramHash(i).as("g")))).as("pg"))
       .select(col("__eid"), col("pg.pos").as("pos"), col("pg.g").as("g"))
@@ -81,7 +88,10 @@ object Contamination {
     candidates.join(bad, col(idCol) === col("__eid"), "left")
       .withColumn("__bad", coalesce(col("bad_starts"), array().cast("array<int>")))
       .select(col(idCol),
-        array_join(transform(kept, s => s.getField("t")), " ").as("clean_text"),
+        // '' (not null) for null-text inputs, matching the oracle's
+        // coalesce of DuckDB's null empty-list array_to_string
+        coalesce(array_join(transform(kept, s => s.getField("t")), " "), lit(""))
+          .as("clean_text"),
         (size(toks) - size(kept)).cast("int").as("n_removed"))
   }
 }

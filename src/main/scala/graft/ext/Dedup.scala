@@ -48,11 +48,21 @@ object Dedup {
     rawShingleRows(df, idCol, textCol, n).distinct()
 
   /** Shingles before the distinct — positional duplicates included. */
+  /** 1-based start positions of every n-gram of `toks` — THE positional
+    * gram definition, shared by every shingle consumer (jaccard forms,
+    * contamination screen and excision) so tokenization/windowing can
+    * never silently diverge between them. */
+  private[ext] def gramStartIdx(toks: Column, n: Int): Column =
+    when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+
+  /** The n-gram starting at 1-based position `i` of `toks`. */
+  private[ext] def gramAt(toks: Column, i: Column, n: Int): Column =
+    concat_ws(" ", slice(toks, i, lit(n)))
+
   private def rawShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val shingles = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
+    val shingles = transform(gramStartIdx(toks, n), i => gramAt(toks, i, n))
     df.select(col(idCol).as("id"), explode(shingles).as("s"))
   }
 

@@ -52,8 +52,8 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} duckdb={len(e)}"
         else:
             try:
-                eq = g.equals(e)
-                if not eq:
+                verdict = None
+                if not g.equals(e):
                     # find first differing cell for debugging
                     diff = None
                     for c in g.columns:
@@ -62,23 +62,25 @@ def main(sf_dir, out_dir):
                             i = neq.idxmax()
                             diff = f"col={c} row={i} spark={g[c][i]!r} duckdb={e[c][i]!r}"
                             break
-                    results[name] = f"VALUE-MISMATCH {diff}" if diff else "OK(strcast)"
+                    if diff:
+                        results[name] = f"VALUE-MISMATCH {diff}"
+                        continue
+                    verdict = "OK(strcast)"
+                # values match after row-sorting (bitwise or str-cast);
+                # ALSO require the emitted row ORDER to agree — the
+                # driver's compare is order-sensitive, so a non-total
+                # ORDER BY can pass the sorted check here yet flake the
+                # gate (round-7 lesson: q_asof_join microsecond ties)
+                gu = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+                eu = exp.reindex(sorted(exp.columns), axis=1).reset_index(drop=True)
+                if not gu.astype(str).equals(eu.astype(str)):
+                    neq = (gu.astype(str) != eu.astype(str)).any(axis=1)
+                    i = neq.idxmax()
+                    results[name] = (f"ROW-ORDER-MISMATCH first at row {i} "
+                                     "(values equal after sorting — ORDER BY "
+                                     "is not a total order)")
                 else:
-                    # values match after row-sorting; ALSO require the
-                    # emitted row ORDER to agree — the driver's compare
-                    # is order-sensitive, so a non-total ORDER BY can
-                    # pass the sorted check here yet flake the gate
-                    # (round-7 lesson: q_asof_join microsecond ties)
-                    gu = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
-                    eu = exp.reindex(sorted(exp.columns), axis=1).reset_index(drop=True)
-                    if not gu.astype(str).equals(eu.astype(str)):
-                        neq = (gu.astype(str) != eu.astype(str)).any(axis=1)
-                        i = neq.idxmax()
-                        results[name] = (f"ROW-ORDER-MISMATCH first at row {i} "
-                                         "(values equal after sorting — ORDER BY "
-                                         "is not a total order)")
-                    else:
-                        results[name] = "OK"
+                    results[name] = verdict or "OK"
             except Exception as ex:
                 results[name] = f"COMPARE-ERROR: {ex}"
     bad = 0
