@@ -570,6 +570,18 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // resize stub: deterministic re-dimension (truncate/zero-pad) of
+    // the binary payload — the fixed-size-output contract a codec
+    // implementation must keep; map-only
+    "q_multimodal_resize" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.resizeStub(withBin, "payload", targetBytes = 64)
+        .select(col("doc_id"), hex(col("payload_resized")).as("resized_hex"),
+          length(col("payload_resized")).cast("int").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic sampling (reproducible across engines) -------
     // per-stratum keep-rates, map-only filter — no shuffle at any scale
     "q_sample_stratified" -> ((s, d) => {
@@ -1049,6 +1061,13 @@ object ExtQueries {
         |  cast(64 + (ascii(substr(text, 1, 1)) * 3) % 512 AS INT) AS height,
         |  'rgb8' AS format,
         |  cast(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // hex-domain mirror of truncate-or-zero-pad to 64 bytes (DuckDB
+    // 1.0 can't slice BLOBs; both engines emit UPPERCASE hex)
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  substring(hex(encode(text)) || repeat('00', 64), 1, 128) AS resized_hex,
+        |  CAST(64 AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // deterministic sampling: md5 hex compared lexicographically — the
     // thresholds are Sampling.thresholdHex(rate) values verbatim
