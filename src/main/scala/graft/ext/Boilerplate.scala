@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document repeated-segment removal — the CCNet/RefinedWeb
+  * "line-level dedup" curation step: segments that recur across many
+  * documents (headers, footers, navigation chrome, license
+  * boilerplate) are cut from EVERY document, and the surviving
+  * segments are reassembled in order. This is distinct from
+  * document-level dedup (whole docs dropped — `Dedup`) and from
+  * benchmark decontamination (only spans shared with a benchmark cut —
+  * `Contamination.excise`): here the removal signal is the corpus
+  * itself, via per-segment document frequency.
+  *
+  * Documents are segmented into fixed-width non-overlapping token
+  * windows (the corpus carries no newlines; splitting on '\n' is the
+  * one-line-per-segment special case of the same operator — pass the
+  * pre-split lines as tokens). Deterministic segmentation keeps the
+  * operator reproducible across runs, engines, and partitionings, so
+  * a DuckDB oracle can mirror it 1:1.
+  *
+  * Scale shape (100 TB): segmentation is a narrow map (one generate
+  * per doc). The document-frequency count moves only (xxhash64(seg),
+  * id) pairs — 16-byte rows, never the text. The boilerplate set
+  * (df ≥ maxDf) is by construction the FREQUENT minority of distinct
+  * segments, so it broadcasts, and the removal is a broadcast
+  * LEFT ANTI join — candidate text never shuffles for the filter.
+  * The single full-width shuffle is the final reassembly groupBy(id),
+  * inherent to re-gluing documents. xxhash64 collisions merge two
+  * distinct segments with probability ≈ N²/2^65 — at 10^12 segments a
+  * handful of rare segments would be over-dropped, an acceptable
+  * curation error mode (never a correctness error on the df count
+  * itself, which keys on the same hash both sides).
+  */
+object Boilerplate {
+
+  /** (id, seg, segtext) — non-overlapping `segTokens`-token windows in
+    * document order. Map-only; null text reads as empty. */
+  private[ext] def segments(df: DataFrame, idCol: String, textCol: String,
+                            segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    val arr = split(coalesce(col(textCol), lit("")), " ")
+    // split() never yields an empty array (worst case [""]), so the
+    // segment count ceil(|arr|/segTokens) is always ≥ 1 and the
+    // sequence() endpoints stay ascending.
+    val nSeg = ceil(size(arr) / lit(segTokens.toDouble)).cast("int")
+    df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nSeg - 1),
+        j => concat_ws(" ", slice(arr, j * segTokens + 1, lit(segTokens)))))
+        .as(Seq("seg", "segtext")))
+  }
+
+  /** Removes every segment whose corpus-wide document frequency is
+    * ≥ `maxDf` and reassembles the survivors in order. Emits one row
+    * per input document: (id, clean_text, kept_segs, total_segs) —
+    * fully-boilerplate documents survive with clean_text = '' so the
+    * caller decides whether to drop them (row-count stability makes
+    * the gate auditable). */
+  def dropRepeatedSegments(df: DataFrame, idCol: String, textCol: String,
+                           segTokens: Int, maxDf: Long): DataFrame = {
+    val segs = segments(df, idCol, textCol, segTokens)
+      .withColumn("h", xxhash64(col("segtext")))
+    // document frequency over 16-byte (h, id) rows; the distinct
+    // pre-pass and the count shuffle on the same key h, so the second
+    // exchange collapses (ReuseExchange / same partitioning)
+    val docFreq = segs.select(col("h"), col("id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val boiler = docFreq.filter(col("df") >= maxDf).select(col("h"))
+    // broadcast anti-join: text stays put; only the small boilerplate
+    // set moves
+    val kept = segs.join(broadcast(boiler), Seq("h"), "left_anti")
+    val totals = segs.groupBy(col("id")).agg(count(lit(1)).as("total_segs"))
+    val clean = kept.groupBy(col("id")).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg"), col("segtext")))),
+        x => x.getField("segtext"))).as("clean_text"),
+      count(lit(1)).as("kept_segs"))
+    totals.join(clean, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        col("total_segs"))
+  }
+}

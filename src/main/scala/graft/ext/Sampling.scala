@@ -137,4 +137,50 @@ object Sampling {
     df.select(explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** PII-class patterns, written in the Java-regex ∩ RE2 common subset
+    * (no lookaround, no backreferences) so the DuckDB oracle applies
+    * the IDENTICAL strings. `\b` and bounded repetition behave the
+    * same in both engines on ASCII input. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Scrubs the standard PII classes — email, IPv4, NANP-style phone —
+    * with typed placeholders. Pure column algebra (three chained
+    * codegen'd regexp_replace), map-only, no shuffle. Replacement
+    * ORDER is part of the contract: emails first (their local parts
+    * may contain digits), then dotted quads, then phone numbers, so an
+    * earlier placeholder can never be re-matched by a later class. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * (shard, pos) address that is pseudorandom in the md5 selector yet
+    * identical across runs, engines, and input partitionings — the
+    * "shuffle the corpus once, read it back in shard-interleaved
+    * order" step of a training pipeline, with no RNG state to persist.
+    *
+    * shard = first hex digit of the selector (16 shards); pos = rank
+    * of the remaining 31 digits within the shard. Scale shape: the
+    * only work is one window per shard — each shard sorts |corpus|/16
+    * rows of (selector, key) pairs, never the content; at cluster
+    * scale widen to 2–3 hex digits (256 / 4 096 shards) so the
+    * per-shard sort stays executor-sized. The oracle mirrors the
+    * digit→int map with strpos('0123456789abcdef', …) — equal to conv
+    * base-16 on one digit. */
+  def shuffleOrder(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = selector(col(keyCol))
+    val shard = conv(substring(sel, 1, 1), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(substring(sel, 2, 31), col(keyCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

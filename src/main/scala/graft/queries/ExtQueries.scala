@@ -699,6 +699,40 @@ object ExtQueries {
             .as("red_text"))
         .orderBy(col("doc_id"))
     }),
+    // cross-document boilerplate removal (CCNet-style line-level dedup
+    // over fixed 8-token segments): df counted over 16-byte hashed
+    // rows, boilerplate set broadcast anti-joined — candidate text
+    // never shuffles for the filter; the one full-width shuffle is the
+    // inherent reassembly groupBy(id)
+    "q_line_dedup" -> ((s, d) => {
+      graft.ext.Boilerplate.dropRepeatedSegments(Tables.documents(s, d),
+          "doc_id", "text", segTokens = 8, maxDf = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // PII-class scrubbing (email / IPv4 / phone with typed
+    // placeholders): the corpus text carries no PII, so the query
+    // plants deterministic instances per row — the operator itself is
+    // three chained codegen'd regexp_replace, map-only
+    "q_pii_scrub" -> ((s, d) => {
+      val ptext = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 or 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ext.Sampling.scrubPii(ptext).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+    // deterministic training-order shuffle: every doc gets a
+    // reproducible pseudorandom (shard, pos) address; one bounded
+    // window per shard, content never enters the sort
+    "q_shuffle_order" -> ((s, d) => {
+      graft.ext.Sampling.shuffleOrder(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
     // vocabulary building (BPE-precursor token counts): partial agg +
     // one shuffle bounded by vocabulary cardinality, deterministic
     // truncation (count desc, token asc)
@@ -1146,6 +1180,45 @@ object ExtQueries {
       """SELECT doc_id,
         |  regexp_replace(text, '\b(customer|value|table)\b', '<TERM>', 'g') AS red_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS arr
+        |           FROM documents),
+        |e AS (SELECT doc_id, arr,
+        |        unnest(range(CAST(ceil(len(arr)/8.0) AS BIGINT))) AS seg
+        |      FROM d),
+        |s AS (SELECT doc_id, seg,
+        |        array_to_string(arr[(seg*8+1):(seg*8+8)],' ') AS segtext
+        |      FROM e),
+        |f AS (SELECT segtext, count(DISTINCT doc_id) AS df FROM s GROUP BY 1),
+        |k AS (SELECT s.doc_id, s.seg, s.segtext
+        |      FROM s JOIN f USING (segtext) WHERE f.df < 2),
+        |c AS (SELECT doc_id, string_agg(segtext,' ' ORDER BY seg) AS clean_text,
+        |        count(*) AS kept_segs FROM k GROUP BY 1),
+        |t AS (SELECT doc_id, count(*) AS total_segs FROM s GROUP BY 1)
+        |SELECT t.doc_id, coalesce(c.clean_text,'') AS clean_text,
+        |  CAST(coalesce(c.kept_segs,0) AS BIGINT) AS kept_segs,
+        |  CAST(t.total_segs AS BIGINT) AS total_segs
+        |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |         '@example.com at 10.0.', CAST(doc_id % 256 AS VARCHAR),
+        |         '.7 or 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sel
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(strpos('0123456789abcdef', substr(sel,1,1)) - 1 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(sel,1,1)
+        |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "q_vocab_topn" ->
       """SELECT tok, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t

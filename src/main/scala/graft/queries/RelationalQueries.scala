@@ -159,6 +159,19 @@ object RelationalQueries {
         .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
     }),
 
+    // explicit GROUPING SETS (the general form under ROLLUP/CUBE):
+    // per-lang and per-source marginals plus the grand total in ONE
+    // pass — the Expand operator replicates rows map-side, still a
+    // single shuffle on the expanded keys (no per-set re-scan).
+    "q_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupingSets(Seq(Seq($"lang"), Seq($"source"), Seq()),
+          $"lang", $"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+        .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+    }),
+
     // UNPIVOT: wide per-source metrics → long (metric, value) rows —
     // a narrow projection+expand, no shuffle beyond the source agg.
     "q_unpivot_stats" -> ((s, d) => {
@@ -313,6 +326,10 @@ object RelationalQueries {
     "q_cube_docs" ->
       """SELECT lang, source, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     // UNION ALL mirror of the unpivot
     "q_unpivot_stats" ->

@@ -165,4 +165,33 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L)) // "" from double space dropped
   }
+
+  test("scrubPii replaces email, IPv4, and phone with typed placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org then 192.168.001.1 then 555-0199"),
+      // non-PII lookalikes survive: version strings aren't dotted quads,
+      // 2-4 digit pairs aren't NANP-shaped, bare @ is not an address
+      (2L, "v1.2.3 released, 12-34 items, meet @ noon")
+    ).toDF("doc_id", "text")
+    val out = df.orderBy("doc_id")
+      .select(Sampling.scrubPii(col("text")).as("s")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> then <IP> then <PHONE>")
+    assert(out(1) == "v1.2.3 released, 12-34 items, meet @ noon")
+  }
+
+  test("shuffleOrder addresses are deterministic, dense, and partition-independent") {
+    val a = Sampling.shuffleOrder(docs, "doc_id")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Sampling.shuffleOrder(docs.repartition(11), "doc_id")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.sorted.sameElements(0L until 16L)) // all 16 shards hit at n=500
+    // positions are dense 1..k within every shard — a reader can range-scan
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+  }
 }
