@@ -79,4 +79,15 @@ object TextStats {
 
   /** Content fingerprint: sha-256 hex (= DuckDB sha256). */
   def fingerprintCol(text: Column): Column = sha2(text, 256)
+
+  /** Canonical text form for fuzzy-as-exact dedup: case-fold, map
+    * punctuation to spaces, collapse runs, trim. Two documents that
+    * differ only in casing/punctuation/spacing normalize to the same
+    * string, so CANONICAL dedup is plain exact dedup downstream — the
+    * standard trick that keeps "fuzzy" dedup map-only (no pairwise
+    * comparison). Pure codegen'd column algebra; the regexes live in
+    * the Java-regex ∩ RE2 subset so the oracle mirrors them verbatim. */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 }

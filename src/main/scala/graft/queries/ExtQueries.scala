@@ -699,6 +699,22 @@ object ExtQueries {
             .as("red_text"))
         .orderBy(col("doc_id"))
     }),
+    // canonical-form ("fuzzy-as-exact") dedup: normalize casing /
+    // punctuation / spacing, then plain exact dedup on the canonical
+    // string — map-only normalization + the one sha-256 shuffle. The
+    // lowercase corpus normalizes to itself, so the query plants an
+    // UPPERCASED-and-punctuated variant per doc; every variant must
+    // collapse onto its original (the smaller id wins keep-first)
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variant = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+      val canon = docs.unionByName(variant)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+      Dedup.exactKeepFirst(canon, "doc_id", "norm")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     // cross-document boilerplate removal (CCNet-style line-level dedup
     // over fixed 8-token segments): df counted over 16-byte hashed
     // rows, boilerplate set broadcast anti-joined — candidate text
@@ -1180,6 +1196,19 @@ object ExtQueries {
       """SELECT doc_id,
         |  regexp_replace(text, '\b(customer|value|table)\b', '<TERM>', 'g') AS red_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, concat('  ', upper(text), '!!') FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM c),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |      FROM n)
+        |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS arr
         |           FROM documents),

@@ -180,6 +180,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("normalizeCol canonicalizes case, punctuation, and spacing") {
+    import spark.implicits._
+    val df = Seq(
+      ("  Hello,   WORLD!! ", "hello world"),
+      ("a-b c_d", "a b c d"),            // punctuation → token boundary
+      ("already clean 42", "already clean 42"),
+      ("!!!", "")                        // all-punctuation → empty
+    ).toDF("raw", "want")
+    val wrong = df.select(TextStats.normalizeCol(col("raw")).as("got"), col("want"))
+      .filter(col("got") =!= col("want")).collect()
+    assert(wrong.isEmpty, wrong.mkString(", "))
+    // idempotence: normalizing a normalized string is the identity
+    val twice = df.select(TextStats.normalizeCol(col("raw")).as("once"))
+      .select(TextStats.normalizeCol(col("once")).as("twice"), col("once"))
+      .filter(col("twice") =!= col("once")).count()
+    assert(twice == 0)
+  }
+
   test("minhash union aggregator == signature of the union shingle set") {
     import spark.implicits._
     val docs = Seq(
