@@ -626,6 +626,43 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram conditional LM (the n-gram step up from the unigram
+    // proxy): p(w2|w1) = C(w1 w2) / C(w1 ·), both counts trained on
+    // the corpus itself in one pass — every document bigram is in the
+    // model, so MLE needs no smoothing. Same determinism discipline as
+    // the unigram score: per-bigram logp rounded to 6 decimals, summed
+    // as exact decimal (order-free), terminal mean as double. Shuffles
+    // are bounded by distinct-bigram cardinality, never corpus size;
+    // docs with < 2 tokens have no bigrams and no row (both sides).
+    "q_bigram_logprob" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val bidx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>"))
+      val bigr = Tables.documents(s, d).select(col("doc_id"),
+          explode(transform(bidx, i => concat_ws(" ", slice(toks, i, lit(2)))))
+            .as("bg"))
+      val bgFreq = bigr.groupBy(col("bg")).agg(count(lit(1)).as("cnt2"))
+      val ctxFreq = bgFreq
+        .groupBy(split(col("bg"), " ")(0).as("w1"))
+        .agg(sum(col("cnt2")).as("cnt1"))
+      val model = bgFreq
+        .withColumn("w1", split(col("bg"), " ")(0))
+        .join(ctxFreq, Seq("w1"))
+      val logp6 =
+        round(log(col("cnt2").cast("double") / col("cnt1").cast("double")), 6)
+          .cast("decimal(14,6)")
+      // terminal mean via floor(x·10^4 + 0.5): round() of a double is
+      // engine-specific exactly at .xxxx5 ties (hit at sf0.1); floor,
+      // IEEE multiply, and divide are bit-exact everywhere
+      bigr.join(model, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"), sum(logp6).as("slog"))
+        .select(col("doc_id"), col("n_bg"),
+          (floor(col("slog").cast("double") / col("n_bg") * 1e4 + 0.5) / 1e4)
+            .as("mean_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // relative quality gate: keep each source's top quality quartile —
     // percentile-based curation thresholds adapt per source instead of
     // hard-coding one global cutoff. One shuffle on source; ntile /
@@ -1141,6 +1178,24 @@ object ExtQueries {
         |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*), 4) AS mean_logp
         |FROM tt JOIN freq USING (tok) CROSS JOIN n
         |GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin,
+    // same bigram model in SQL; cnt1 = sum of bigram counts sharing the
+    // context word (DuckDB sum(BIGINT) is HUGEINT — cast back)
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(a)-1),
+        |                              i -> a[i] || ' ' || a[i+1])) AS bg
+        |      FROM t WHERE len(a) >= 2),
+        |f2 AS (SELECT bg, count(*) AS cnt2 FROM b GROUP BY 1),
+        |f1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |         CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM f2 GROUP BY 1),
+        |m AS (SELECT f2.bg, f2.cnt2, f1.cnt1
+        |      FROM f2 JOIN f1 ON string_split(f2.bg, ' ')[1] = f1.w1)
+        |SELECT doc_id, count(*) AS n_bg,
+        |  floor(CAST(sum(CAST(round(ln(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)), 6)
+        |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+        |    AS mean_logp
+        |FROM b JOIN m USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quality_topquartile" ->
       s"""WITH q AS (SELECT doc_id, source, ${TextStats.qualitySql("text")} AS quality
          |           FROM documents),
