@@ -141,6 +141,51 @@ object StreamQueries {
         .orderBy(col("user_id"), col("tus"), col("event_type"))
     }),
 
+    // streaming canonical-form dedup: the source dir holds the corpus
+    // PLUS an uppercased-and-punctuated variant copy — in-stream state
+    // must collapse every variant onto its original's canonical
+    // fingerprint. Output is the text-derived fp ONLY, so whichever
+    // duplicate arrives first the result is identical. dropDuplicates
+    // without watermark = unbounded state: the right shape for this
+    // bounded backfill harness; a continuous feed would use
+    // dropDuplicatesWithinWatermark like dedupEvents.
+    "q_stream_canonical_dedup" -> ((s, d) => {
+      val dir = {
+        val h = Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_stream_canon_$h")
+        // rebuild from scratch: a stale variant part file from an
+        // earlier corpus generation would pollute the stream
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+          f.delete(); ()
+        }
+        deleteRec(p.toFile)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(d, "documents.parquet"),
+          p.resolve("a.parquet"))
+        val build = p.resolve("variant_build")
+        s.read.parquet(s"$d/documents.parquet")
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("!!")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .coalesce(1).write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles).getOrElse(Array.empty[java.io.File])
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, p.resolve("b.parquet"))
+        deleteRec(build.toFile)
+        p.toString
+      }
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+      val canon = stream
+        .select(sha2(graft.ext.TextStats.normalizeCol(col("text")), 256).as("fp"))
+        .dropDuplicates("fp")
+      StreamPipeline.runAppendToMemory(s, canon, s"canon_${d.hashCode.abs}")
+        .orderBy(col("fp"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -235,6 +280,17 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS tus, event_type
         |FROM events ORDER BY user_id, tus, event_type""".stripMargin,
+    // canonical fingerprints of the doubled corpus = distinct
+    // canonical fps of the original (every variant collapses)
+    "q_stream_canonical_dedup" ->
+      """WITH c AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT concat('  ', upper(text), '!!') FROM documents),
+        |n AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM c)
+        |SELECT DISTINCT sha256(norm) AS fp FROM n ORDER BY fp""".stripMargin,
     // text-derived columns only: whichever duplicate wins in-stream,
     // (fp, quality) is the same — DISTINCT over the batch mirror
     "q_stream_funnel" ->
