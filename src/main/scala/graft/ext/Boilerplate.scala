@@ -70,7 +70,12 @@ object Boilerplate {
     // broadcast anti-join: text stays put; only the small boilerplate
     // set moves
     val kept = segs.join(broadcast(boiler), Seq("h"), "left_anti")
-    val totals = segs.groupBy(col("id")).agg(count(lit(1)).as("total_segs"))
+    // per-doc totals need no explode: the segment count IS
+    // ceil(|tokens|/segTokens) — a map-only scalar per document
+    // (saves a third full Generate + aggregation pass over the corpus)
+    val arr = split(coalesce(col(textCol), lit("")), " ")
+    val totals = df.select(col(idCol).as("id"),
+      ceil(size(arr) / lit(segTokens.toDouble)).cast("long").as("total_segs"))
     val clean = kept.groupBy(col("id")).agg(
       concat_ws(" ", transform(
         array_sort(collect_list(struct(col("seg"), col("segtext")))),
