@@ -626,6 +626,28 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // out-of-vocabulary rate per document (tokenizer-prep signal: how
+    // much of each doc a fixed vocabulary covers). The top-100
+    // vocabulary is derived IN-PLAN (count desc, token asc — a
+    // deterministic cut) and broadcast to a token-level left join;
+    // the only shuffles are the vocab agg (bounded by vocabulary
+    // cardinality) and the per-doc count re-agg. The rate is a single
+    // long/long IEEE division — bit-exact cross-engine, no rounding.
+    "q_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = graft.ext.Sampling.vocab(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("tok")).limit(100)
+        .select(col("tok"), lit(true).as("invocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          (count(lit(1)) - count(col("invocab"))).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tok")).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
     // bigram conditional LM (the n-gram step up from the unigram
     // proxy): p(w2|w1) = C(w1 w2) / C(w1 ·), both counts trained on
     // the corpus itself in one pass — every document bigram is in the
@@ -1178,6 +1200,19 @@ object ExtQueries {
         |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*), 4) AS mean_logp
         |FROM tt JOIN freq USING (tok) CROSS JOIN n
         |GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin,
+    "q_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |v AS (SELECT tok, true AS invocab FROM (
+        |        SELECT tok, count(*) AS c FROM tt GROUP BY 1
+        |        ORDER BY c DESC, tok LIMIT 100)),
+        |j AS (SELECT tt.doc_id, tt.tok, v.invocab
+        |      FROM tt LEFT JOIN v USING (tok))
+        |SELECT doc_id, count(*) AS n_tok,
+        |  count(*) - count(invocab) AS n_oov,
+        |  CAST(count(*) - count(invocab) AS DOUBLE) / count(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same bigram model in SQL; cnt1 = sum of bigram counts sharing the
     // context word (DuckDB sum(BIGINT) is HUGEINT — cast back)
     "q_bigram_logprob" ->
