@@ -44,6 +44,7 @@ object Bench {
       "q_sample_stratified", "q_vocab_topn", "q_contamination",
       "q_curation_funnel", "q_asof_join", "q_range_join", "q_tfidf_topk",
       "q_chunk_docs", "q_bloom_screen", "q_embed_quantize",
+      "q_line_dedup", "q_self_excise",
       "q_multimodal_frames", "q_stream_window", "q_sessionize")
       .filter(SparkEntry.queries.contains)
 

@@ -65,21 +65,65 @@ object Contamination {
   def excise(candidates: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, n: Int = 3,
              broadcastBench: Boolean = true): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idx = Dedup.gramStartIdx(toks, n)
+    val benchRaw = benchmark
+      .select(explode(transform(idx, i => xxhash64(Dedup.gramAt(toks, i, n))))
+        .as("g"))
+      .distinct()
+    exciseByGrams(candidates,
+      if (broadcastBench) broadcast(benchRaw) else benchRaw,
+      idCol, textCol, n)
+  }
+
+  /** Exact-substring SELF-dedup (the Lee et al. '22 "Deduplicating
+    * Training Data" policy in its deterministic form): every n-gram
+    * occurring in ≥ `minDf` DISTINCT documents is excised from ALL of
+    * them. The repeated-gram set is the corpus's own benchmark — no
+    * external reference needed. Unlike [[graft.ext.Boilerplate]]'s
+    * fixed windows this is alignment-free: a shared span is found at
+    * ANY token offset.
+    *
+    * Scale shape: the repeated-gram set is by construction the
+    * frequent MINORITY of distinct grams (broadcast, with the same
+    * opt-out as [[screen]]); the df count moves only (gram, id) 16-byte
+    * rows. Downstream is [[exciseByGrams]]'s shape — text shuffles only
+    * in the final back-join, broadcast under sparse repetition. */
+  def selfExcise(corpus: DataFrame, idCol: String, textCol: String,
+                 n: Int = 8, minDf: Long = 2,
+                 broadcastGrams: Boolean = true): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idx = Dedup.gramStartIdx(toks, n)
+    val repeated = corpus
+      .select(col(idCol).as("__gid"),
+        explode(transform(idx, i => xxhash64(Dedup.gramAt(toks, i, n))))
+          .as("g"))
+      .distinct() // one (gram, doc) row per doc — df counts documents
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    exciseByGrams(corpus,
+      if (broadcastGrams) broadcast(repeated) else repeated,
+      idCol, textCol, n)
+  }
+
+  /** Shared excision core: cut every token of `candidates` covered by
+    * an n-gram whose xxhash64 appears in `grams` (a single-column `g`
+    * relation). Gram construction is Dedup's — the SAME windows/
+    * tokens/hashes as hashedShingleRows, so flags and cuts can't
+    * drift. A token at 1-based position p is cut iff a listed n-gram
+    * starts in [p-n+1, p]. */
+  private def exciseByGrams(candidates: DataFrame, grams: DataFrame,
+                            idCol: String, textCol: String, n: Int): DataFrame = {
     require(!candidates.columns.exists(Set("__eid", "__bad", "bad_starts")),
       "excise uses internal columns __eid/__bad/bad_starts; rename the input's first")
-    // gram construction is Dedup's — the SAME windows/tokens/hashes as
-    // hashedShingleRows, so screen's flags and excise's cuts can't drift
     val toks = split(col(textCol), " ")
     val idx = Dedup.gramStartIdx(toks, n)
     def gramHash(i: org.apache.spark.sql.Column) =
       xxhash64(Dedup.gramAt(toks, i, n))
-    val benchRaw =
-      benchmark.select(explode(transform(idx, gramHash(_))).as("g")).distinct()
-    val benchGrams = if (broadcastBench) broadcast(benchRaw) else benchRaw
     val candGrams = candidates.select(col(idCol).as("__eid"),
       explode(transform(idx, i => struct(i.as("pos"), gramHash(i).as("g")))).as("pg"))
       .select(col("__eid"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    val bad = candGrams.join(benchGrams, Seq("g"), "left_semi")
+    val bad = candGrams.join(grams, Seq("g"), "left_semi")
       .groupBy(col("__eid")).agg(collect_set(col("pos")).as("bad_starts"))
     val kept = filter(
       transform(toks, (t, i0) => struct((i0 + 1).as("p"), t.as("t"))),

@@ -935,6 +935,17 @@ object ExtQueries {
           docs.filter(col("source") === "src0"),
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // exact-substring SELF-dedup (Lee et al. '22 policy, deterministic
+    // form): 8-grams occurring in ≥ 2 distinct docs are excised from
+    // all of them — alignment-free, unlike the fixed-window line dedup.
+    // The corpus is its own benchmark; the repeated-gram minority
+    // broadcasts, df counted over 16-byte (gram, id) rows.
+    "q_self_excise" -> ((s, d) => {
+      graft.ext.Contamination.selfExcise(Tables.documents(s, d),
+          "doc_id", "text", n = 8, minDf = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1442,6 +1453,28 @@ object ExtQueries {
         |      len(list_filter(coalesce(b.bad_starts, []), x -> x >= p - 2 AND x <= p)) = 0) AS kept,
         |    len(c.toks) AS n_tok
         |  FROM cand c LEFT JOIN bad b USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(n_tok - len(kept) AS INT) AS n_removed
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+    // self-excision: same cut rule, the repeated-gram set (df ≥ 2 over
+    // distinct docs) replacing the external benchmark
+    "q_self_excise" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cg AS (SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+        |       FROM d, unnest(CASE WHEN len(toks) >= 8 THEN generate_series(1, len(toks) - 7)
+        |                           ELSE [] END) AS u(i)),
+        |rep AS (SELECT g FROM (
+        |          SELECT g, count(DISTINCT doc_id) AS df FROM cg GROUP BY 1) t
+        |        WHERE df >= 2),
+        |bad AS (SELECT doc_id, list(DISTINCT pos) AS bad_starts
+        |        FROM cg JOIN rep USING (g) GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT d.doc_id,
+        |    list_filter(d.toks, (t, p) ->
+        |      len(list_filter(coalesce(b.bad_starts, []), x -> x >= p - 7 AND x <= p)) = 0) AS kept,
+        |    len(d.toks) AS n_tok
+        |  FROM d LEFT JOIN bad b USING (doc_id))
         |SELECT doc_id,
         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
         |  CAST(n_tok - len(kept) AS INT) AS n_removed

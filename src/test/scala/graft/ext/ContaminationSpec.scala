@@ -78,4 +78,33 @@ class ContaminationSpec extends AnyFunSuite {
     val r = Contamination.excise(cand, bench, "doc_id", "text").collect()(0)
     assert(r.getString(1) == "" && r.getInt(2) == 5)
   }
+
+  test("selfExcise cuts cross-doc repeated grams at ANY offset, from all docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "u1 u2 shared a b c u3 u4"),   // shared 3-gram mid-doc
+      (2L, "shared a b c v1 v2 v3 v4"),   // same gram at offset 0 — alignment-free
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")     // all unique → untouched
+    ).toDF("doc_id", "text")
+    val out = Contamination.selfExcise(corpus, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // the 4-token window "shared a b c" holds two repeated 3-grams; the
+    // cut covers every token either participates in
+    assert(out(1L) == (("u1 u2 u3 u4", 4)))
+    assert(out(2L) == (("v1 v2 v3 v4", 4)))
+    assert(out(3L) == (("w1 w2 w3 w4 w5 w6 w7 w8", 0)))
+  }
+
+  test("selfExcise repetition WITHIN one doc does not reach minDf") {
+    import spark.implicits._
+    // the same 3-gram twice in ONE doc: df counts distinct docs, so it
+    // survives (within-doc repetition is q_repetition's signal, not
+    // dedup's)
+    val corpus = Seq(
+      (1L, "r s t r s t z1 z2"),
+      (2L, "y1 y2 y3 y4 y5 y6")).toDF("doc_id", "text")
+    val out = Contamination.selfExcise(corpus, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 0 && out(2L) == 0)
+  }
 }
