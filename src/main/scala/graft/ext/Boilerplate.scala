@@ -61,9 +61,10 @@ object Boilerplate {
                            segTokens: Int, maxDf: Long): DataFrame = {
     val segs = segments(df, idCol, textCol, segTokens)
       .withColumn("h", xxhash64(col("segtext")))
-    // document frequency over 16-byte (h, id) rows; the distinct
-    // pre-pass and the count shuffle on the same key h, so the second
-    // exchange collapses (ReuseExchange / same partitioning)
+    // document frequency over 16-byte (h, id) rows: two exchanges —
+    // the distinct pre-pass partitions on (h, id), the count on h
+    // (HashPartitioning(h, id) does NOT satisfy clustering by h alone)
+    // — but both move only the compact hashed rows, never the text
     val docFreq = segs.select(col("h"), col("id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val boiler = docFreq.filter(col("df") >= maxDf).select(col("h"))

@@ -65,12 +65,9 @@ object Contamination {
   def excise(candidates: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, n: Int = 3,
              broadcastBench: Boolean = true): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val idx = Dedup.gramStartIdx(toks, n)
-    val benchRaw = benchmark
-      .select(explode(transform(idx, i => xxhash64(Dedup.gramAt(toks, i, n))))
-        .as("g"))
-      .distinct()
+    // bench grams via the ONE shared gram pipeline (same as screen's)
+    val benchRaw = Dedup.hashedShingleRows(benchmark, idCol, textCol, n)
+      .select(col("s").as("g")).distinct()
     exciseByGrams(candidates,
       if (broadcastBench) broadcast(benchRaw) else benchRaw,
       idCol, textCol, n)
@@ -92,15 +89,11 @@ object Contamination {
   def selfExcise(corpus: DataFrame, idCol: String, textCol: String,
                  n: Int = 8, minDf: Long = 2,
                  broadcastGrams: Boolean = true): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val idx = Dedup.gramStartIdx(toks, n)
-    val repeated = corpus
-      .select(col(idCol).as("__gid"),
-        explode(transform(idx, i => xxhash64(Dedup.gramAt(toks, i, n))))
-          .as("g"))
-      .distinct() // one (gram, doc) row per doc — df counts documents
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("g"))
+    // hashedShingleRows is distinct per (id, gram), so the count IS
+    // document frequency
+    val repeated = Dedup.hashedShingleRows(corpus, idCol, textCol, n)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("s").as("g"))
     exciseByGrams(corpus,
       if (broadcastGrams) broadcast(repeated) else repeated,
       idCol, textCol, n)

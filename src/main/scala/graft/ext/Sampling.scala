@@ -176,6 +176,10 @@ object Sampling {
     * base-16 on one digit. */
   def shuffleOrder(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // emits shard + pos alongside all input columns — a same-named
+    // input column would be silently overwritten
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "shuffleOrder emits 'shard' and 'pos'; rename those input columns first")
     val sel = selector(col(keyCol))
     val shard = conv(substring(sel, 1, 1), 16, 10).cast("long")
     val w = Window.partitionBy(col("shard"))

@@ -90,4 +90,10 @@ object TextStats {
   def normalizeCol(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** DuckDB mirror of [[normalizeCol]] — interpolate into oracle SQL so
+    * the two can't drift (the file's *Sql lockstep convention). */
+  def normalizeSql(textCol: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($textCol), " +
+      s"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 }

@@ -767,7 +767,11 @@ object ExtQueries {
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val variant = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+        // coalesce inside the plant: Spark concat null-propagates while
+        // DuckDB concat skips NULLs — '' on both sides keeps the
+        // mirrors aligned for null-text rows
+        concat(lit("  "), upper(coalesce(col("text"), lit(""))), lit("!!"))
+          .as("text"))
       val canon = docs.unionByName(variant)
         .withColumn("norm", TextStats.normalizeCol(col("text")))
       Dedup.exactKeepFirst(canon, "doc_id", "norm")
@@ -790,7 +794,7 @@ object ExtQueries {
     // plants deterministic instances per row — the operator itself is
     // three chained codegen'd regexp_replace, map-only
     "q_pii_scrub" -> ((s, d) => {
-      val ptext = concat(col("text"),
+      val ptext = concat(coalesce(col("text"), lit("")),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com at 10.0."),
         (col("doc_id") % 256).cast("string"), lit(".7 or 555-01"),
@@ -1298,18 +1302,17 @@ object ExtQueries {
         |  regexp_replace(text, '\b(customer|value|table)\b', '<TERM>', 'g') AS red_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_canonical" ->
-      """WITH c AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, concat('  ', upper(text), '!!') FROM documents),
-        |n AS (SELECT doc_id,
-        |        trim(regexp_replace(regexp_replace(lower(text),
-        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-        |      FROM c),
-        |r AS (SELECT doc_id,
-        |        row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
-        |      FROM n)
-        |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH c AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat('  ', upper(coalesce(text, '')), '!!')
+         |  FROM documents),
+         |n AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
+         |      FROM c),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |      FROM n)
+         |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS arr
         |           FROM documents),
@@ -1331,7 +1334,7 @@ object ExtQueries {
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
-        |  concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |  concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),
         |         '@example.com at 10.0.', CAST(doc_id % 256 AS VARCHAR),
         |         '.7 or 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS ptext
         |  FROM documents)

@@ -19,6 +19,40 @@ object StreamQueries {
 
   private val FixtureDir = "/root/reference/nifi-extracttext-processors/src/test/resources"
 
+  /** Scratch dir holding `table`.parquet TWICE — verbatim (every row a
+    * planted exact duplicate) or once verbatim + once through
+    * `variant` (planted transformed duplicates) — the doubled-source
+    * harness shared by the planted-duplicate streaming queries.
+    * Rebuilt from scratch every run: a stale file from an earlier
+    * corpus generation (or an earlier variant definition) would
+    * pollute the stream. */
+  private def doubledSourceDir(s: SparkSession, d: String, table: String,
+      suffix: String, variant: Option[DataFrame => DataFrame] = None): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${suffix}_${Integer.toHexString(d.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    val src = java.nio.file.Paths.get(d, s"$table.parquet")
+    java.nio.file.Files.copy(src, p.resolve("a.parquet"))
+    variant match {
+      case None =>
+        java.nio.file.Files.copy(src, p.resolve("b.parquet")); ()
+      case Some(f) =>
+        val build = p.resolve("variant_build")
+        f(s.read.parquet(src.toString)).coalesce(1).write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles).getOrElse(Array.empty[java.io.File])
+          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, p.resolve("b.parquet"))
+        deleteRec(build.toFile)
+    }
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The reference's always-on pipeline as a DECLARED streaming query:
     // binaryFile file-source (ListFile's seen-files state) → the SAME
@@ -121,19 +155,7 @@ object StreamQueries {
     // duplicate the in-stream state must drop; output = the distinct
     // key set, which the batch DISTINCT oracle reproduces
     "q_stream_dedup" -> ((s, d) => {
-      val dir = {
-        val h = Integer.toHexString(d.hashCode)
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft_stream_dedup_$h")
-        java.nio.file.Files.createDirectories(p)
-        val src = java.nio.file.Paths.get(d, "events.parquet")
-        for (name <- Seq("a.parquet", "b.parquet")) {
-          val dst = p.resolve(name)
-          java.nio.file.Files.copy(src, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-        p.toString
-      }
+      val dir = doubledSourceDir(s, d, "events", "dedup")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(dir)
       StreamPipeline.runAppendToMemory(s,
@@ -150,33 +172,13 @@ object StreamQueries {
     // bounded backfill harness; a continuous feed would use
     // dropDuplicatesWithinWatermark like dedupEvents.
     "q_stream_canonical_dedup" -> ((s, d) => {
-      val dir = {
-        val h = Integer.toHexString(d.hashCode)
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft_stream_canon_$h")
-        // rebuild from scratch: a stale variant part file from an
-        // earlier corpus generation would pollute the stream
-        def deleteRec(f: java.io.File): Unit = {
-          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-          f.delete(); ()
-        }
-        deleteRec(p.toFile)
-        java.nio.file.Files.createDirectories(p)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(d, "documents.parquet"),
-          p.resolve("a.parquet"))
-        val build = p.resolve("variant_build")
-        s.read.parquet(s"$d/documents.parquet")
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat(lit("  "), upper(col("text")), lit("!!")).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-          .coalesce(1).write.parquet(build.toString)
-        val part = Option(build.toFile.listFiles).getOrElse(Array.empty[java.io.File])
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written under $build"))
-        java.nio.file.Files.move(part.toPath, p.resolve("b.parquet"))
-        deleteRec(build.toFile)
-        p.toString
-      }
+      val dir = doubledSourceDir(s, d, "documents", "canon", Some(docs =>
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          // coalesce inside the plant: Spark concat null-propagates,
+          // DuckDB concat skips NULLs — align the mirrors
+          concat(lit("  "), upper(coalesce(col("text"), lit(""))), lit("!!"))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))))
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(schema).parquet(dir)
       val canon = stream
@@ -193,17 +195,7 @@ object StreamQueries {
     // arrives first the result is identical (arrival order is not
     // deterministic across partitions; doc_id must not leak through)
     "q_stream_funnel" -> ((s, d) => {
-      val dir = {
-        val h = Integer.toHexString(d.hashCode)
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft_stream_funnel_$h")
-        java.nio.file.Files.createDirectories(p)
-        val src = java.nio.file.Paths.get(d, "documents.parquet")
-        for (name <- Seq("a.parquet", "b.parquet"))
-          java.nio.file.Files.copy(src, p.resolve(name),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        p.toString
-      }
+      val dir = doubledSourceDir(s, d, "documents", "funnel")
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(schema).parquet(dir)
       val gated = stream.select(col("text"),
@@ -283,14 +275,13 @@ object StreamQueries {
     // canonical fingerprints of the doubled corpus = distinct
     // canonical fps of the original (every variant collapses)
     "q_stream_canonical_dedup" ->
-      """WITH c AS (
-        |  SELECT text FROM documents
-        |  UNION ALL
-        |  SELECT concat('  ', upper(text), '!!') FROM documents),
-        |n AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
-        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-        |      FROM c)
-        |SELECT DISTINCT sha256(norm) AS fp FROM n ORDER BY fp""".stripMargin,
+      s"""WITH c AS (
+         |  SELECT text FROM documents
+         |  UNION ALL
+         |  SELECT concat('  ', upper(coalesce(text, '')), '!!') FROM documents),
+         |n AS (SELECT ${graft.ext.TextStats.normalizeSql("text")} AS norm
+         |      FROM c)
+         |SELECT DISTINCT sha256(norm) AS fp FROM n ORDER BY fp""".stripMargin,
     // text-derived columns only: whichever duplicate wins in-stream,
     // (fp, quality) is the same — DISTINCT over the batch mirror
     "q_stream_funnel" ->
