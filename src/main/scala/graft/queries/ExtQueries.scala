@@ -941,6 +941,30 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // curation funnel v2 — the ROUND-7 operators composed in one plan:
+    // canonical-form dedup (normalize → keep-first) → cross-document
+    // boilerplate removal → an integer-compare retention gate (keep
+    // docs retaining ≥ half their segments) → deterministic
+    // training-order shuffle. Every stage is individually
+    // oracle-verified; this query proves they COMPOSE (clean_text is
+    // computed but unused, so Catalyst prunes the reassembly concat
+    // out of the final plan).
+    "q_curation_funnel2" -> ((s, d) => {
+      val canon = Tables.documents(s, d)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+      val deduped = Dedup.exactKeepFirst(canon, "doc_id", "norm")
+        .select(col("doc_id"), col("norm"))
+      val cleaned = graft.ext.Boilerplate.dropRepeatedSegments(
+        deduped, "doc_id", "norm", segTokens = 8, maxDf = 2)
+      val gated = cleaned
+        .filter(col("kept_segs") > 0 && col("kept_segs") * 2 >= col("total_segs"))
+        .select(col("id").as("doc_id"), col("kept_segs"), col("total_segs"))
+      graft.ext.Sampling.shuffleOrder(gated, "doc_id")
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("kept_segs"), col("total_segs"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // exact-substring SELF-dedup (Lee et al. '22 policy, deterministic
     // form): 8-grams occurring in ≥ 2 distinct docs are excised from
     // all of them — alignment-free, unlike the fixed-window line dedup.
@@ -1460,6 +1484,41 @@ object ExtQueries {
         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
         |  CAST(n_tok - len(kept) AS INT) AS n_removed
         |FROM cleaned ORDER BY doc_id""".stripMargin,
+    // v2 funnel: the four stage mirrors chained as CTEs
+    "q_curation_funnel2" ->
+      s"""WITH n0 AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
+         |            FROM documents),
+         |dd AS (SELECT doc_id, norm FROM (
+         |         SELECT doc_id, norm,
+         |           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |         FROM n0) t
+         |       WHERE rn = 1),
+         |d AS (SELECT doc_id, string_split(coalesce(norm,''),' ') AS arr FROM dd),
+         |e AS (SELECT doc_id, arr,
+         |        unnest(range(CAST(ceil(len(arr)/8.0) AS BIGINT))) AS seg
+         |      FROM d),
+         |s AS (SELECT doc_id, seg,
+         |        array_to_string(arr[(seg*8+1):(seg*8+8)],' ') AS segtext
+         |      FROM e),
+         |f AS (SELECT segtext, count(DISTINCT doc_id) AS df FROM s GROUP BY 1),
+         |k AS (SELECT s.doc_id FROM s JOIN f USING (segtext) WHERE f.df < 2),
+         |c AS (SELECT doc_id, count(*) AS kept_segs FROM k GROUP BY 1),
+         |t AS (SELECT doc_id, CAST(ceil(len(arr)/8.0) AS BIGINT) AS total_segs
+         |      FROM d),
+         |g AS (SELECT t.doc_id,
+         |        CAST(coalesce(c.kept_segs,0) AS BIGINT) AS kept_segs,
+         |        t.total_segs
+         |      FROM t LEFT JOIN c USING (doc_id)
+         |      WHERE coalesce(c.kept_segs,0) > 0
+         |        AND coalesce(c.kept_segs,0)*2 >= t.total_segs),
+         |sh AS (SELECT doc_id, kept_segs, total_segs,
+         |         md5(CAST(doc_id AS VARCHAR)) AS sel FROM g)
+         |SELECT doc_id,
+         |  CAST(strpos('0123456789abcdef', substr(sel,1,1)) - 1 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY substr(sel,1,1)
+         |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos,
+         |  kept_segs, total_segs
+         |FROM sh ORDER BY shard, pos""".stripMargin,
     // self-excision: same cut rule, the repeated-gram set (df ≥ 2 over
     // distinct docs) replacing the external benchmark
     "q_self_excise" ->
