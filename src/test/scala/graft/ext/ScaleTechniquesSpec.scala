@@ -56,6 +56,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("self-excision broadcasts the repeated-gram side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(
+      Contamination.selfExcise(docs, "doc_id", "text", n = 8, minDf = 2))
+    // same contract as benchmark excision: the gram semi-join must
+    // broadcast, never sort-merge one row per candidate token
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("funnel v2 prunes the unused text reassembly from the plan") {
+    val spark2 = spark
+    val plan = planOf(graft.queries.ExtQueries
+      .queries("q_curation_funnel2")(spark2, sf))
+    // the funnel never emits clean_text, so the collect_list/array_sort
+    // reassembly aggregate must be column-pruned away — the composed
+    // plan moves counts and selectors, never document text
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("array_sort"), plan)
+  }
+
   test("vocabulary building aggregates partially before its one shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(Sampling.vocab(docs, "text"))
