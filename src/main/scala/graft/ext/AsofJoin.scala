@@ -36,8 +36,17 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** `direction`: "backward" (default) attaches the LATEST right row
+    * with r.time ≤ l.time; "forward" attaches the EARLIEST right row
+    * with r.time ≥ l.time — the same union-tag plan with the
+    * per-partition sort reversed (descending time carries the nearest
+    * FOLLOWING payload backward through the window). Identical cost
+    * profile either way: one shuffle, one sort. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               payload: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+               payload: Seq[String], outPrefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"unknown asof direction: $direction")
     val internal = Set("__side", "__asof", "__carried")
     require(!(left.columns ++ right.columns).exists(internal),
       s"asofJoin uses internal columns ${internal.mkString(", ")}; rename the inputs' first")
@@ -52,8 +61,11 @@ object AsofJoin {
       Seq(col(key), col(time), lit(0).as("__side")) ++
         extraLeft.map(c => lit(null).cast(leftSchema(c).dataType).as(c)) :+
         packed.as("__asof"): _*)
+    // right (side 0) sorts before left at EQUAL times in both
+    // directions — that tie order is what makes the join inclusive
+    val timeOrder = if (direction == "backward") col(time).asc else col(time).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lU.unionByName(rU)
       .withColumn("__carried", last(col("__asof"), ignoreNulls = true).over(w))

@@ -412,6 +412,24 @@ object ExtQueries {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // forward direction: each click attaches its NEXT purchase (the
+    // attribution-window shape); oracle = DuckDB's native forward ASOF
+    "q_asof_join_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      graft.ext.AsofJoin.asofJoin(clicks, purchases, "user_id", "ts",
+          payload = Seq("pts", "value"), outPrefix = "next_",
+          direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"),
+          expr("next_pts div 1000").as("next_tus"),
+          col("next_value"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
     "q_salted_agg" -> ((s, d) => {
       graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
@@ -1111,6 +1129,13 @@ object ExtQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
+    "q_asof_join_fwd" ->
+      """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
+        |  epoch_ns(p.ts) // 1000 AS next_tus, p.value AS next_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
     // the salted two-phase form must equal the direct aggregate
     "q_salted_agg" ->

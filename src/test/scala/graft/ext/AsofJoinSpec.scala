@@ -57,6 +57,29 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward asof matches a naive per-row reference on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, rnd.nextInt))
+      val right = rnd.shuffle(
+        (for (k <- 0L to 4L; t <- 0L to 49L) yield (k, t)).toVector)
+        .take(40).map { case (k, t) => (k, t, rnd.nextDouble()) }
+      val got = AsofJoin.asofJoin(
+          left.toDF("k", "t", "tag"), right.toDF("k", "t", "v"), "k", "t",
+          Seq("v"), direction = "forward")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      for ((k, t, tag) <- left) {
+        // earliest right row at-or-after the left time (inclusive)
+        val expected = right.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        assert(got((k, t, tag)) == expected, s"trial=$trial k=$k t=$t")
+      }
+    }
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val fact = Seq.tabulate(100)(i => (s"k${i % 3}", i.toLong)).toDF("key", "x")
