@@ -45,6 +45,48 @@ object Quantize {
         transform(v, x => floor(x * col("scale") + 0.5).cast("int")))
   }
 
+  /** Johnson–Lindenstrauss random projection to `dOut` dims with a
+    * Rademacher (±1) sign matrix — the dimensionality-reduction step
+    * before LSH/ANN when the embedding width itself is the cost. Two
+    * determinism devices make it oracle-mirrorable:
+    *
+    *   - the sign matrix derives from md5("i_k") first-hex-digit
+    *     parity, so DuckDB rebuilds the IDENTICAL matrix in SQL (same
+    *     md5, same strings) — no RNG state anywhere;
+    *   - inputs are fixed-point quantized first (floor(x·2^20) —
+    *     power-of-two scaling is exact in IEEE doubles), so every
+    *     projection sum is INTEGER arithmetic: order-free, no float
+    *     summation drift between engines or partitionings.
+    *
+    * Map-only, no shuffle. Emits (idCol, k, p) — one row per output
+    * dimension; ±1 signs keep E[p·p'] proportional to the original
+    * dot product (the JL guarantee). The quantized vector binds once
+    * per row behind a Generate barrier (see int8's CollapseProject
+    * note — inlined, the transform would re-evaluate per (k, i)). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                dIn: Int, dOut: Int): DataFrame = {
+    require(!df.columns.contains("__q"),
+      "jlProject uses an internal '__q' column; rename the input's first")
+    val signs: Array[Long] = Array.tabulate(dOut * dIn) { idx =>
+      val k = idx / dIn
+      val i = idx % dIn
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${k}".getBytes("UTF-8"))
+      // first hex digit 0-7 → +1, 8-f → -1 (top bit of the first byte)
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+    val signsLit = typedlit(signs)
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+    df.select(col(idCol), explode(array(q)).as("__q"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(dOut - 1)), k =>
+          aggregate(sequence(lit(0), lit(dIn - 1)), lit(0L), (acc, i) =>
+            acc + element_at(col("__q"), i + 1) *
+              element_at(signsLit, k * dIn + i + 1))))
+          .as(Seq("k", "p")))
+  }
+
   /** cosine(original, dequantized) — scale-invariant, so it compares
     * the original against the quantized INTEGER vector directly; uses
     * the codegen'd DotProduct. */

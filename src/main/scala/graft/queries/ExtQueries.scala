@@ -430,6 +430,15 @@ object ExtQueries {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // JL random projection 64 → 16 dims: md5-derived ±1 signs (the
+    // oracle rebuilds the same matrix in SQL), fixed-point inputs so
+    // the projection sums are exact integers — map-only, no shuffle
+    "q_embed_project" -> ((s, d) => {
+      graft.ext.Quantize.jlProject(Tables.embeddings(s, d),
+          "vec_id", "embedding", dIn = 64, dOut = 16)
+        .orderBy(col("vec_id"), col("k"))
+    }),
+
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
     "q_salted_agg" -> ((s, d) => {
       graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
@@ -1130,6 +1139,20 @@ object ExtQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
+    // identical sign matrix from the same md5 parity; integer sums
+    // can't drift
+    "q_embed_project" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |s AS (SELECT k, i,
+        |        CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1)
+        |               BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sgn
+        |      FROM range(16) t1(k), range(64) t2(i))
+        |SELECT e.vec_id, CAST(s.k AS INT) AS k,
+        |  CAST(sum(s.sgn * e.q[s.i + 1]) AS BIGINT) AS p
+        |FROM e, s GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin,
     "q_asof_join_fwd" ->
       """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
         |  epoch_ns(p.ts) // 1000 AS next_tus, p.value AS next_value

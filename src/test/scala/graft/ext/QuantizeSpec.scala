@@ -62,4 +62,43 @@ class QuantizeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("jlProject of a one-hot vector reads out the sign matrix exactly") {
+    import spark.implicits._
+    // e_0 quantizes to [2^20, 0, ...]: every projection is
+    // sign(0, k) · 2^20 — the sign matrix made directly observable
+    val oneHot = Seq((1L, 1.0f +: Array.fill(63)(0.0f))).toDF("vec_id", "embedding")
+    val p = Quantize.jlProject(oneHot, "vec_id", "embedding", 64, 16)
+      .orderBy("k").collect().map(_.getLong(2))
+    assert(p.length == 16)
+    assert(p.forall(v => v == 1048576L || v == -1048576L), p.mkString(","))
+    // both signs occur over 16 draws (chance of not: ≈ 2·2^-16)
+    assert(p.exists(_ > 0) && p.exists(_ < 0))
+  }
+
+  test("jlProject approximately preserves cosine structure") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // plant a near-duplicate of vector 0 and project everything
+    val base = emb.select(col("vec_id"), transform(col("embedding"),
+      x => x.cast("double")).as("embedding"))
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + 0.05).as("embedding"))
+    val p = Quantize.jlProject(base.unionByName(dup), "vec_id", "embedding", 64, 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2).toDouble) }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val near = cos(p(0L), p(1000000L))
+    // JL at 16 dims distorts, but a planted near-dup (cos ≈ 0.93 in
+    // 64d) must stay far above the random-pair noise floor
+    assert(near > 0.7, s"projected near-dup cosine $near")
+    val noise = p.keys.filter(k => k != 0L && k != 1000000L).take(20)
+      .map(k => math.abs(cos(p(0L), p(k)))).max
+    assert(near > noise, s"near $near vs noise $noise")
+  }
 }
