@@ -64,9 +64,17 @@ object Quantize {
     * per row behind a Generate barrier (see int8's CollapseProject
     * note — inlined, the transform would re-evaluate per (k, i)). */
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
-                dIn: Int, dOut: Int): DataFrame = {
-    require(!df.columns.contains("__q"),
-      "jlProject uses an internal '__q' column; rename the input's first")
+                dIn: Int, dOut: Int): DataFrame =
+    jlProjectVec(df, idCol, vecCol, dIn, dOut)
+      .select(col(idCol), posexplode(col("pvec")).as(Seq("k", "p")))
+
+  /** [[jlProject]] in vector form: (idCol, pvec: array<long> of length
+    * dOut) — the shape the ANN family consumes (cosine on the integer
+    * projections directly; scale-invariant like the int8 path). */
+  def jlProjectVec(df: DataFrame, idCol: String, vecCol: String,
+                   dIn: Int, dOut: Int): DataFrame = {
+    require(!df.columns.contains("__q") && !df.columns.contains("pvec"),
+      "jlProjectVec uses '__q' and emits 'pvec'; rename the input's first")
     val signs: Array[Long] = Array.tabulate(dOut * dIn) { idx =>
       val k = idx / dIn
       val i = idx % dIn
@@ -80,11 +88,10 @@ object Quantize {
       x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
     df.select(col(idCol), explode(array(q)).as("__q"))
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(dOut - 1)), k =>
+        transform(sequence(lit(0), lit(dOut - 1)), k =>
           aggregate(sequence(lit(0), lit(dIn - 1)), lit(0L), (acc, i) =>
             acc + element_at(col("__q"), i + 1) *
-              element_at(signsLit, k * dIn + i + 1))))
-          .as(Seq("k", "p")))
+              element_at(signsLit, k * dIn + i + 1))).as("pvec"))
   }
 
   /** cosine(original, dequantized) — scale-invariant, so it compares

@@ -439,6 +439,27 @@ object ExtQueries {
         .orderBy(col("vec_id"), col("k"))
     }),
 
+    // ANN served from the PROJECTED store: top-1 search runs on the
+    // 16-dim integer projections (×4 dot-product shrink). The raw
+    // corpus's neighbors are noise-level (near-random unit vectors),
+    // so the contract is on the planted near-dup corpus: ≥ 99% of
+    // queries must rank their planted duplicate (cos ≈ 0.93 in 64d)
+    // top-1 after projection — measured 100% at sf0.01, 99.9% at
+    // sf0.1 (integer-compare aggregate, no float threshold)
+    "q_knn_projected" -> ((s, d) => {
+      val corpus = plantedNearDupCorpus(Tables.embeddings(s, d))
+      val proj = graft.ext.Quantize.jlProjectVec(corpus,
+        "vec_id", "embedding", dIn = 64, dOut = 16)
+      val queries = proj.filter(col("vec_id") < 1000000L)
+      val top1 = Similarity.bruteForceTopK(proj, "vec_id", "pvec", queries, k = 1)
+      top1.agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("nid") === col("qid") + 1000000L, 1L).otherwise(0L))
+            .as("hits"))
+        .select(col("n_queries"),
+          (col("hits") * 100L >= col("n_queries") * 99L).as("jl_top1_ok"))
+    }),
+
     // ---- skew-safe aggregation (oracle = the direct groupBy) --------
     "q_salted_agg" -> ((s, d) => {
       graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
@@ -1153,6 +1174,11 @@ object ExtQueries {
         |SELECT e.vec_id, CAST(s.k AS INT) AS k,
         |  CAST(sum(s.sgn * e.q[s.i + 1]) AS BIGINT) AS p
         |FROM e, s GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin,
+    // aggregate planted-dup contract (the per-query booleans would be
+    // engine-specific at the 0.1% tail — see the query scaladoc)
+    "q_knn_projected" ->
+      """SELECT count(*) AS n_queries, true AS jl_top1_ok
+        |FROM embeddings""".stripMargin,
     "q_asof_join_fwd" ->
       """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
         |  epoch_ns(p.ts) // 1000 AS next_tus, p.value AS next_value
