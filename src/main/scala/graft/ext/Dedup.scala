@@ -38,6 +38,25 @@ object Dedup {
       .drop("rn")
   }
 
+  /** [[exactKeepFirst]] with a QUALITY policy: within each duplicate
+    * group (same `keyCol` value — pass a canonical/normalized column
+    * for fuzzy-as-exact groups), keep the row with the HIGHEST
+    * `scoreCol`, id ascending as the tie-break. The curation choice
+    * when duplicates differ in their raw form (boilerplate, casing,
+    * truncation): keep the best copy, not the earliest. Same single
+    * sha-256 shuffle as keep-first. */
+  def exactKeepBest(df: DataFrame, idCol: String, keyCol: String,
+                    scoreCol: String): DataFrame = {
+    require(!df.columns.contains("fp") && !df.columns.contains("rn"),
+      "exactKeepBest emits 'fp' and uses 'rn'; rename those input columns first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("fp", sha2(col(keyCol), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   // ---- word n-gram shingles (shared) --------------------------------
 
   /** Distinct word n-gram shingles, one row per (id, shingle).

@@ -826,6 +826,38 @@ object ExtQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    // keep-BEST dedup: within each canonical group keep the highest
+    // raw-quality copy (not the earliest) — the planted variants carry
+    // extra punctuation, so raw quality genuinely differs inside each
+    // group and the policy is exercised, not vacuous
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variant = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(coalesce(col("text"), lit(""))), lit("!!"))
+          .as("text"))
+      val corpus = docs.unionByName(variant)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+        .withColumn("quality", TextStats.qualityCol(col("text")))
+      Dedup.exactKeepBest(corpus, "doc_id", "norm", "quality")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // rule-ensemble quality vote (the DCLM/Gopher pattern of combining
+    // independent signals): absolute quality, within-doc repetition,
+    // and a word-count band each vote; keep = majority. Integer and
+    // boolean outputs only — no float threshold can drift
+    "q_quality_ensemble" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          (TextStats.qualityCol(col("text")) >= 0.5).as("q_ok"),
+          (size(array_distinct(toks)) * 2 >= size(toks)).as("rep_ok"),
+          (size(toks) >= 20 && size(toks) <= 1000).as("len_ok"))
+        .withColumn("votes", col("q_ok").cast("int") +
+          col("rep_ok").cast("int") + col("len_ok").cast("int"))
+        .withColumn("keep", col("votes") >= 2)
+        .orderBy(col("doc_id"))
+    }),
     // cross-document boilerplate removal (CCNet-style line-level dedup
     // over fixed 8-token segments): df counted over 16-byte hashed
     // rows, boilerplate set broadcast anti-joined — candidate text
@@ -1411,6 +1443,35 @@ object ExtQueries {
          |        row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
          |      FROM n)
          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat('  ', upper(coalesce(text, '')), '!!')
+         |  FROM documents),
+         |q AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm,
+         |        ${TextStats.qualitySql("text")} AS quality
+         |      FROM c),
+         |r AS (SELECT doc_id, quality,
+         |        row_number() OVER (PARTITION BY norm
+         |          ORDER BY quality DESC, doc_id ASC) AS rn
+         |      FROM q)
+         |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_quality_ensemble" ->
+      s"""WITH t AS (SELECT doc_id, ${TextStats.qualitySql("text")} AS q,
+         |             string_split(text, ' ') AS a
+         |           FROM documents)
+         |SELECT doc_id,
+         |  q >= 0.5 AS q_ok,
+         |  len(list_distinct(a)) * 2 >= len(a) AS rep_ok,
+         |  len(a) BETWEEN 20 AND 1000 AS len_ok,
+         |  CAST(CAST(q >= 0.5 AS INT) +
+         |       CAST(len(list_distinct(a)) * 2 >= len(a) AS INT) +
+         |       CAST(len(a) BETWEEN 20 AND 1000 AS INT) AS INT) AS votes,
+         |  (CAST(q >= 0.5 AS INT) +
+         |   CAST(len(list_distinct(a)) * 2 >= len(a) AS INT) +
+         |   CAST(len(a) BETWEEN 20 AND 1000 AS INT)) >= 2 AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS arr
         |           FROM documents),

@@ -180,6 +180,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("exactKeepBest keeps the highest score, id ascending on ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "k1", 0.3), (2L, "k1", 0.9),  // higher score wins
+      (3L, "k2", 0.5), (4L, "k2", 0.5),  // tie → smaller id
+      (5L, "k3", 0.1)                    // singleton survives
+    ).toDF("doc_id", "key", "score")
+    val kept = Dedup.exactKeepBest(df, "doc_id", "key", "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L, 5L)))
+  }
+
   test("normalizeCol canonicalizes case, punctuation, and spacing") {
     import spark.implicits._
     val df = Seq(
