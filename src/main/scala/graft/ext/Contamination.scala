@@ -65,9 +65,9 @@ object Contamination {
   def excise(candidates: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, n: Int = 3,
              broadcastBench: Boolean = true): DataFrame = {
-    // bench grams via the ONE shared gram pipeline (same as screen's)
-    val benchRaw = Dedup.hashedShingleRows(benchmark, idCol, textCol, n)
-      .select(col("s").as("g")).distinct()
+    // bench grams via the shared gram pipeline; the id-free set form —
+    // the benchmark needs only textCol (one distinct, no id exchange)
+    val benchRaw = Dedup.hashedShingleSet(benchmark, textCol, n)
     exciseByGrams(candidates,
       if (broadcastBench) broadcast(benchRaw) else benchRaw,
       idCol, textCol, n)

@@ -25,14 +25,21 @@ object Dedup {
 
   /** Exact dedup: keep the lowest id per content digest.
     * sha2-256 matches DuckDB's sha256 for the oracle. */
-  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepOne(df, textCol, Seq(col(idCol).asc))
+
+  /** Shared keep-one core: sha-256 fingerprint the key, keep the first
+    * row of each group under `ordering` (which must be total — end it
+    * with the id). Emits all input columns + `fp`; one shuffle. */
+  private def keepOne(df: DataFrame, keyCol: String,
+                      ordering: Seq[org.apache.spark.sql.Column]): DataFrame = {
     // emits all input columns + `fp` (and uses `rn` internally) — a
     // same-named input column would be silently overwritten
     require(!df.columns.contains("fp") && !df.columns.contains("rn"),
-      "exactKeepFirst emits 'fp' and uses 'rn'; rename those input columns first")
+      "keep-one dedup emits 'fp' and uses 'rn'; rename those input columns first")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col(idCol))
-    df.withColumn("fp", sha2(col(textCol), 256))
+      .partitionBy(col("fp")).orderBy(ordering: _*)
+    df.withColumn("fp", sha2(col(keyCol), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -46,16 +53,8 @@ object Dedup {
     * truncation): keep the best copy, not the earliest. Same single
     * sha-256 shuffle as keep-first. */
   def exactKeepBest(df: DataFrame, idCol: String, keyCol: String,
-                    scoreCol: String): DataFrame = {
-    require(!df.columns.contains("fp") && !df.columns.contains("rn"),
-      "exactKeepBest emits 'fp' and uses 'rn'; rename those input columns first")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.withColumn("fp", sha2(col(keyCol), 256))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+                    scoreCol: String): DataFrame =
+    keepOne(df, keyCol, Seq(col(scoreCol).desc, col(idCol).asc))
 
   // ---- word n-gram shingles (shared) --------------------------------
 
@@ -94,6 +93,17 @@ object Dedup {
     rawShingleRows(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("s")).as("s"))
       .distinct()
+
+  /** Distinct xxhash64 gram SET of a corpus — the id-free single-column
+    * form consumed as a join/broadcast side (one distinct, no id
+    * needed on the input). Same gram construction as every other
+    * shingle consumer. */
+  def hashedShingleSet(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(explode(transform(gramStartIdx(toks, n),
+        i => xxhash64(gramAt(toks, i, n)))).as("g"))
+      .distinct()
+  }
 
   /** All-pairs exact n-gram Jaccard ≥ minJ via inverted-index self-join.
     * The join key is xxhash64(shingle), not the string: identical join

@@ -47,6 +47,11 @@ object TextStats {
   /** Heuristic quality score in [0,1]: length saturation + stopword
     * presence + alpha ratio, equal thirds. The formula itself is the
     * contract (deterministic, documented), not a learned model. */
+  // quality's terminal rounding is floor(x·10^4 + 0.5), NOT round():
+  // rounding a double at a .xxxx5 tie is engine-specific (Spark
+  // BigDecimal HALF_UP vs DuckDB's std round), and the score now
+  // drives cross-engine DECISIONS (keep-best ordering, ensemble
+  // gates) — floor/multiply/divide are bit-exact IEEE everywhere
   def qualityCol(text: Column): Column = {
     val toks = split(text, " ")
     val nWords = size(toks)
@@ -56,17 +61,17 @@ object TextStats {
         / greatest(nWords, lit(1)).cast("double"), lit(1.0))
     val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
-    round((lenScore + stopScore + alphaRatio) / 3.0, 4)
+    floor((lenScore + stopScore + alphaRatio) / 3.0 * 1e4 + 0.5) / 1e4
   }
 
   def qualitySql(textCol: String): String = {
     val allStops = Stopwords.flatMap(_._2).map(w => s"'$w'").mkString(",")
-    s"""round((
+    s"""floor((
        |  least(len(string_split($textCol, ' ')) / 50.0, 1.0) +
        |  least(len(list_filter(string_split(lower($textCol), ' '), x -> x IN ($allStops))) * 10.0
        |        / greatest(len(string_split($textCol, ' ')), 1), 1.0) +
        |  len(regexp_replace($textCol, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(len($textCol), 1)
-       |) / 3.0, 4)""".stripMargin
+       |) / 3.0 * 1e4 + 0.5) / 1e4""".stripMargin
   }
 
   /** Whitespace tokens and BPE-ish subword pieces (letter runs, digit
@@ -96,4 +101,15 @@ object TextStats {
   def normalizeSql(textCol: String): String =
     s"trim(regexp_replace(regexp_replace(lower($textCol), " +
       s"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** The planted case/punctuation variant the canonical-dedup fixtures
+    * inject (it must normalize back onto its original) — Scala and SQL
+    * forms in lockstep like the other *Sql pairs; previously six
+    * hand-copied sites. coalesce inside the plant: Spark concat
+    * null-propagates while DuckDB concat skips NULLs. */
+  def plantedVariantCol(text: Column): Column =
+    concat(lit("  "), upper(coalesce(text, lit(""))), lit("!!"))
+
+  def plantedVariantSql(textCol: String): String =
+    s"concat('  ', upper(coalesce($textCol, '')), '!!')"
 }

@@ -815,11 +815,7 @@ object ExtQueries {
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val variant = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        // coalesce inside the plant: Spark concat null-propagates while
-        // DuckDB concat skips NULLs — '' on both sides keeps the
-        // mirrors aligned for null-text rows
-        concat(lit("  "), upper(coalesce(col("text"), lit(""))), lit("!!"))
-          .as("text"))
+        TextStats.plantedVariantCol(col("text")).as("text"))
       val canon = docs.unionByName(variant)
         .withColumn("norm", TextStats.normalizeCol(col("text")))
       Dedup.exactKeepFirst(canon, "doc_id", "norm")
@@ -833,8 +829,7 @@ object ExtQueries {
     "q_dedup_keep_best" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val variant = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("  "), upper(coalesce(col("text"), lit(""))), lit("!!"))
-          .as("text"))
+        TextStats.plantedVariantCol(col("text")).as("text"))
       val corpus = docs.unionByName(variant)
         .withColumn("norm", TextStats.normalizeCol(col("text")))
         .withColumn("quality", TextStats.qualityCol(col("text")))
@@ -1435,7 +1430,7 @@ object ExtQueries {
       s"""WITH c AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, concat('  ', upper(coalesce(text, '')), '!!')
+         |  SELECT doc_id + 1000000, ${TextStats.plantedVariantSql("text")}
          |  FROM documents),
          |n AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
          |      FROM c),
@@ -1447,7 +1442,7 @@ object ExtQueries {
       s"""WITH c AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, concat('  ', upper(coalesce(text, '')), '!!')
+         |  SELECT doc_id + 1000000, ${TextStats.plantedVariantSql("text")}
          |  FROM documents),
          |q AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm,
          |        ${TextStats.qualitySql("text")} AS quality

@@ -174,10 +174,7 @@ object StreamQueries {
     "q_stream_canonical_dedup" -> ((s, d) => {
       val dir = doubledSourceDir(s, d, "documents", "canon", Some(docs =>
         docs.select((col("doc_id") + 1000000L).as("doc_id"),
-          // coalesce inside the plant: Spark concat null-propagates,
-          // DuckDB concat skips NULLs — align the mirrors
-          concat(lit("  "), upper(coalesce(col("text"), lit(""))), lit("!!"))
-            .as("text"),
+          graft.ext.TextStats.plantedVariantCol(col("text")).as("text"),
           col("lang"), col("source"), col("n_chars"))))
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(schema).parquet(dir)
@@ -278,7 +275,7 @@ object StreamQueries {
       s"""WITH c AS (
          |  SELECT text FROM documents
          |  UNION ALL
-         |  SELECT concat('  ', upper(coalesce(text, '')), '!!') FROM documents),
+         |  SELECT ${graft.ext.TextStats.plantedVariantSql("text")} FROM documents),
          |n AS (SELECT ${graft.ext.TextStats.normalizeSql("text")} AS norm
          |      FROM c)
          |SELECT DISTINCT sha256(norm) AS fp FROM n ORDER BY fp""".stripMargin,
