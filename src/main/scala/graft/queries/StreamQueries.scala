@@ -150,6 +150,35 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // NATIVE session windows (the declarative sibling of sessionize's
+    // flatMapGroupsWithState): gap-merged sessions through the real
+    // engine, watermark-bounded state, Append emits each session once
+    // it CLOSES (watermark past last event + gap). The oracle is the
+    // same gaps-and-islands SQL restricted to closed sessions — the
+    // q_stream_window convention applied to variable-length windows.
+    "q_stream_session_window" -> ((s, d) => {
+      val ev = StreamPipeline.readEvents(s, d)
+        .withColumn("etime", StreamPipeline.eventTime("ts"))
+      val agg = ev.withWatermark("etime", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+      val out = {
+        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_stream_sesswin_${Integer.toHexString(d.hashCode)}")
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+          f.delete(); ()
+        }
+        deleteRec(p.toFile)
+        p.toString
+      }
+      StreamPipeline.runAppendToDir(s, agg, out, Seq.empty)
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // streaming exact dedup through the real engine: the source dir
     // holds TWO copies of events.parquet, so every event is a planted
     // duplicate the in-stream state must drop; output = the distinct
@@ -232,6 +261,31 @@ object StreamQueries {
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
+    // same gap rule as q_sessionize (new session when diff > gap), in
+    // MICROS; only sessions closed under the watermark emit in Append:
+    // last event + gap (session end) ≤ max(event time) − delay
+    "q_stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |marked AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |           > 1800000000
+        |         OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, session_idx, min(tus) AS session_start_us,
+        |    max(tus) AS last_us, count(*) AS n_events
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, session_start_us, n_events
+        |FROM agg, (SELECT max(tus) AS mx FROM e) m
+        |WHERE last_us + 1800000000 + 1800000000 <= m.mx
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // the enrichment join is stateless, so the oracle is the plain
     // batch join over the same dimension derivation
     "q_stream_enrich" ->
