@@ -77,6 +77,25 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"rn")
     }),
 
+    // RANGE frame (value-based window bounds, vs the ROWS frames used
+    // elsewhere): each order aggregates its customer's orders within
+    // ±3 DAYS — the frame widens/narrows with the data, one shuffle on
+    // the partition key, decimal sum inside the frame (order-free)
+    "q_window_range_orders" -> ((s, d) => {
+      import s.implicits._
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the cast a
+      // same-instant reinterpretation, matching DuckDB's naive epoch_us
+      val od = expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val w = Window.partitionBy($"o_custkey").orderBy(od)
+        .rangeBetween(-3L, 3L)
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", od.as("od"),
+          count(lit(1)).over(w).as("n_near"),
+          sum($"o_totalprice".cast(dec)).over(w).cast("double").as("near_total"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Filter + projection pushed to parquet scan; global sort + limit.
     "q_filter_topn" -> ((s, d) => {
       import s.implicits._
@@ -331,6 +350,16 @@ object RelationalQueries {
       """SELECT lang, source, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_window_range_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_us(o_orderdate) // 86400000000 AS od,
+        |  count(*) OVER w AS n_near,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY epoch_us(o_orderdate) // 86400000000
+        |             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     // UNION ALL mirror of the unpivot
     "q_unpivot_stats" ->
       """WITH w AS (SELECT source, count(*) AS n_docs,
