@@ -96,6 +96,30 @@ object StreamQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // SLIDING windows (1 h length, 30 min slide): every event lands in
+    // exactly length/slide = 2 windows — the overlapping-window shape
+    // between tumbling (q_stream_window) and session
+    // (q_stream_session_window). Same watermark-closed Append contract.
+    "q_stream_sliding" -> ((s, d) => {
+      val agg = StreamPipeline.windowedCounts(
+        StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"),
+        slide = Some("30 minutes"))
+      val out = {
+        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_stream_sliding_${Integer.toHexString(d.hashCode)}")
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+          f.delete(); ()
+        }
+        deleteRec(p.toFile)
+        p.toString
+      }
+      StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .select("window_start_us", "event_type", "n", "total_value")
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     // stream-stream interval join through the real engine: clicks
     // inner-join purchases of the same user within the preceding hour.
     // Both sides carry 30-min watermarks, and the time-range predicate
@@ -258,6 +282,22 @@ object StreamQueries {
         |  event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM e
+        |GROUP BY 1, 2
+        |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
+        |ORDER BY window_start_us, event_type""".stripMargin,
+    // each event expands to its 2 covering window starts (the second
+    // is always valid: tus − wstart ∈ [30 min, 60 min) < length);
+    // watermark-closed filter as in q_stream_window
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value
+        |           FROM events),
+        |w AS (SELECT tus, event_type, value,
+        |        unnest([(tus // 1800000000) * 1800000000,
+        |                (tus // 1800000000) * 1800000000 - 1800000000]) AS window_start_us
+        |      FROM e)
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,

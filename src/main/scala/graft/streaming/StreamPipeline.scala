@@ -36,10 +36,16 @@ object StreamPipeline {
     * shape. Pass `watermark` to bound state for Append-mode output;
     * None leaves state unbounded (Complete-mode test harness). */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
-                     watermark: Option[String] = None): DataFrame = {
+                     watermark: Option[String] = None,
+                     slide: Option[String] = None): DataFrame = {
     val timed = events.withColumn("etime", eventTime("ts"))
+    // slide < length = overlapping (sliding) windows: each event lands
+    // in length/slide windows — state grows by the same factor, still
+    // watermark-bounded
+    val win = slide.fold(window(col("etime"), windowLen))(
+      s => window(col("etime"), windowLen, s))
     watermark.fold(timed)(d => timed.withWatermark("etime", d))
-      .groupBy(window(col("etime"), windowLen), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
