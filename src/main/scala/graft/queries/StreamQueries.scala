@@ -96,6 +96,21 @@ object StreamQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // COMPLETE output mode (the third mode beside the Append used
+    // everywhere else): an unwindowed global aggregation re-emits its
+    // full state each trigger — right for small always-current
+    // rollups (dashboards), never for corpus-sized state. On bounded
+    // input the final emission must equal the batch GROUP BY.
+    "q_stream_complete" -> ((s, d) => {
+      val agg = StreamPipeline.readEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      StreamPipeline.runToCompletion(s, agg, s"complete_${d.hashCode.abs}")
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy(col("n").desc, col("event_type"))
+    }),
+
     // SLIDING windows (1 h length, 30 min slide): every event lands in
     // exactly length/slide = 2 windows — the overlapping-window shape
     // between tumbling (q_stream_window) and session
@@ -285,6 +300,11 @@ object StreamQueries {
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
+    // bounded input: the last Complete emission IS the batch aggregate
+    "q_stream_complete" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin,
     // each event expands to its 2 covering window starts (the second
     // is always valid: tus − wstart ∈ [30 min, 60 min) < length);
     // watermark-closed filter as in q_stream_window
