@@ -19,6 +19,22 @@ object StreamQueries {
 
   private val FixtureDir = "/root/reference/nifi-extracttext-processors/src/test/resources"
 
+  /** Deterministic per-sf scratch path, WIPED — every streaming query
+    * that writes a sink or source dir funnels through this one wipe
+    * implementation (previously four divergent inline copies). Returns
+    * the path without recreating it; callers that need the directory
+    * to exist call createDirectories. */
+  private def freshScratchDir(d: String, suffix: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${suffix}_${Integer.toHexString(d.hashCode)}")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(p.toFile)
+    p
+  }
+
   /** Scratch dir holding `table`.parquet TWICE — verbatim (every row a
     * planted exact duplicate) or once verbatim + once through
     * `variant` (planted transformed duplicates) — the doubled-source
@@ -28,13 +44,11 @@ object StreamQueries {
     * pollute the stream. */
   private def doubledSourceDir(s: SparkSession, d: String, table: String,
       suffix: String, variant: Option[DataFrame => DataFrame] = None): String = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_${suffix}_${Integer.toHexString(d.hashCode)}")
+    val p = freshScratchDir(d, suffix)
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
       f.delete(); ()
     }
-    deleteRec(p.toFile)
     java.nio.file.Files.createDirectories(p)
     val src = java.nio.file.Paths.get(d, s"$table.parquet")
     java.nio.file.Files.copy(src, p.resolve("a.parquet"))
@@ -76,19 +90,7 @@ object StreamQueries {
         StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"))
       // Deterministic per-sf scratch dir, wiped before each run — repeated
       // invocations reuse one directory instead of leaking a tempdir each.
-      val out = {
-        val h = Integer.toHexString(d.hashCode)
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft_stream_window_$h")
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(p) // must close: holds dir FDs
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
-        p.toString
-      }
+      val out = freshScratchDir(d, "window").toString
       StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"))
         // terminal decimal → double for engine-stable hashing (exact value)
         .withColumn("total_value", col("total_value").cast("double"))
@@ -119,16 +121,7 @@ object StreamQueries {
       val agg = StreamPipeline.windowedCounts(
         StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"),
         slide = Some("30 minutes"))
-      val out = {
-        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_stream_sliding_${Integer.toHexString(d.hashCode)}")
-        def deleteRec(f: java.io.File): Unit = {
-          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-          f.delete(); ()
-        }
-        deleteRec(p.toFile)
-        p.toString
-      }
+      val out = freshScratchDir(d, "sliding").toString
       StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"))
         .withColumn("total_value", col("total_value").cast("double"))
         .select("window_start_us", "event_type", "n", "total_value")
@@ -204,16 +197,7 @@ object StreamQueries {
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"))
-      val out = {
-        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_stream_sesswin_${Integer.toHexString(d.hashCode)}")
-        def deleteRec(f: java.io.File): Unit = {
-          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-          f.delete(); ()
-        }
-        deleteRec(p.toFile)
-        p.toString
-      }
+      val out = freshScratchDir(d, "sesswin").toString
       StreamPipeline.runAppendToDir(s, agg, out, Seq.empty)
         .orderBy(col("user_id"), col("session_start_us"))
     }),
@@ -322,8 +306,14 @@ object StreamQueries {
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
     // same gap rule as q_sessionize (new session when diff > gap), in
-    // MICROS; only sessions closed under the watermark emit in Append:
-    // last event + gap (session end) ≤ max(event time) − delay
+    // MICROS; only sessions closed under the watermark emit in Append.
+    // The cutoff mirrors the ENGINE's emission rule exactly: Spark
+    // floors max event time to MILLISECONDS before subtracting the
+    // delay, and holds a session whose end equals the watermark
+    // (strict <, demonstrated on 4.1.2) — session ends carry arbitrary
+    // microsecond offsets, so unlike the aligned tumbling/sliding
+    // window ends the inclusive micro-exact form would diverge on data
+    // landing in the sub-millisecond boundary band
     "q_stream_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
         |marked AS (
@@ -344,7 +334,7 @@ object StreamQueries {
         |  FROM sessions GROUP BY 1, 2)
         |SELECT user_id, session_start_us, n_events
         |FROM agg, (SELECT max(tus) AS mx FROM e) m
-        |WHERE last_us + 1800000000 + 1800000000 <= m.mx
+        |WHERE last_us + 1800000000 < (m.mx // 1000) * 1000 - 1800000000
         |ORDER BY user_id, session_start_us""".stripMargin,
     // the enrichment join is stateless, so the oracle is the plain
     // batch join over the same dimension derivation
