@@ -123,7 +123,11 @@ object Bench {
     val qs = obj(results.map(r => r._1 -> r._2))
     val qsMin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"contended":$contended,"sentinel_min":$sMin,"sentinel_p50":$sP50,"sentinel_max":$sMax,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    // Field order is deliberate: the bulky per-query maps print FIRST
+    // and the verdict-bearing scalars (total/contended/sentinels) LAST,
+    // so a tail-window capture that truncates the line eats per-query
+    // detail, never the headline (BENCH_r07 lost its total this way).
+    println(s"""{"metric":"total","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"sentinel_min":$sMin,"sentinel_p50":$sP50,"sentinel_max":$sMax,"contended":$contended,"unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -29,11 +29,23 @@ object Bloom {
   /** Adds `hitCol` (boolean) to `candidates`: true iff the long-typed
     * `keyCol` might be in `members`' key set. `expectedItems` sizes the
     * sketch — overestimate rather than under (an undersized filter
-    * degrades fpp, never the no-false-negative side). */
+    * degrades fpp, never the no-false-negative side). Pass a
+    * non-positive value (the default) to MEASURE the member count
+    * first: one cheap count-only pass (the scan prunes to `keyCol`,
+    * the aggregate is a single long) guarantees the sketch is sized
+    * for the corpus actually screened — a hardcoded guess that a 100 TB
+    * member set has outgrown silently degrades fpp, turning the screen
+    * into a pass-through that pushes all the work to the exact join.
+    * 10% headroom covers growth between the count and the build on a
+    * live table. */
   def screenByLongKey(candidates: DataFrame, members: DataFrame, keyCol: String,
-                      expectedItems: Long, fpp: Double = 0.01,
+                      expectedItems: Long = -1L, fpp: Double = 0.01,
                       hitCol: String = "bloom_hit"): DataFrame = {
-    val bf = members.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(64L, (members.count() * 11L) / 10L)
+    val bf = members.stat.bloomFilter(keyCol, n, fpp)
+    // per-ROW boxed UDF, deliberately off the per-pair hot path; fine
+    // for a screen that runs once per candidate
     val hit = udf((k: Long) => bf.mightContainLong(k))
     candidates.withColumn(hitCol, hit(col(keyCol)))
   }

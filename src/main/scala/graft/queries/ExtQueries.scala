@@ -549,7 +549,7 @@ object ExtQueries {
     "q_bloom_screen" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("fp", xxhash64(col("text")))
       val members = docs.filter(col("doc_id") % 7 === 0).select(col("fp")).distinct()
-      graft.ext.Bloom.screenByLongKey(docs, members, "fp", expectedItems = 100000L)
+      graft.ext.Bloom.screenByLongKey(docs, members, "fp") // sized from members.count()
         .join(members.withColumn("__m", lit(true)), Seq("fp"), "left")
         .select(col("doc_id"), col("__m").isNotNull.as("is_member"),
           (col("bloom_hit") || col("__m").isNull).as("no_false_negative"))
@@ -589,8 +589,7 @@ object ExtQueries {
       val docs = Tables.documents(s, d).withColumn("fp", xxhash64(col("text")))
       val existing = docs.filter(col("doc_id") % 3 =!= 0).select(col("fp")).distinct()
       val incoming = docs.filter(col("doc_id") % 3 === 0)
-      val screened = graft.ext.Bloom.screenByLongKey(incoming, existing, "fp",
-        expectedItems = 100000L)
+      val screened = graft.ext.Bloom.screenByLongKey(incoming, existing, "fp")
       val provablyNew = screened.filter(!col("bloom_hit"))
       val survivors = screened.filter(col("bloom_hit"))
         .join(existing, Seq("fp"), "left_anti")
@@ -666,11 +665,16 @@ object ExtQueries {
       // terminal mean converts back to double
       val logp6 = round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
         .cast("decimal(14,6)")
+      // terminal mean via floor(x·10^4 + 0.5), not round(): round() of
+      // a double ties engine-specifically at .xxxx5 (the same hazard
+      // hit at sf0.1 in q_bigram_logprob); floor, IEEE multiply, and
+      // divide are bit-exact everywhere
       toks.join(freq, Seq("tok")).crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(logp6).as("slog"))
         .select(col("doc_id"), col("n_tok"),
-          round(col("slog").cast("double") / col("n_tok"), 4).as("mean_logp"))
+          (floor(col("slog").cast("double") / col("n_tok") * 1e4 + 0.5) / 1e4)
+            .as("mean_logp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1336,8 +1340,9 @@ object ExtQueries {
         |freq AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM freq)
         |SELECT doc_id, count(*) AS n_tok,
-        |  round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
-        |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*), 4) AS mean_logp
+        |  floor(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+        |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+        |    AS mean_logp
         |FROM tt JOIN freq USING (tok) CROSS JOIN n
         |GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin,
     "q_oov_rate" ->

@@ -275,6 +275,11 @@ object StreamQueries {
         |ORDER BY filename""".stripMargin,
     // watermark-closed windows only: end ≤ max(event time) − 30 min.
     // All arithmetic in integer micros (hour = 3 600 000 000 µs).
+    // This inclusive µs-exact cutoff IS the engine rule for ALIGNED
+    // window ends — a window whose end equals the ms-floored watermark
+    // EMITS (probed boundary-exact in EmissionRuleSpec; sessions below
+    // differ: strict <). No ms-floor is needed here because for an
+    // ms-aligned end+delay, floor_ms(max) ≥ X ⇔ max ≥ X.
     "q_stream_window" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events)
         |SELECT (tus // 3600000000) * 3600000000 AS window_start_us,
@@ -291,7 +296,9 @@ object StreamQueries {
         |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin,
     // each event expands to its 2 covering window starts (the second
     // is always valid: tus − wstart ∈ [30 min, 60 min) < length);
-    // watermark-closed filter as in q_stream_window
+    // watermark-closed filter as in q_stream_window — same inclusive
+    // engine-exact cutoff (sliding windows share StateStoreSaveExec's
+    // aligned-end eviction; EmissionRuleSpec pins the boundary)
     "q_stream_sliding" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value
         |           FROM events),
