@@ -597,7 +597,7 @@ object ExtQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
-    // ---- multimodal (decode STUB, real plumbing) --------------------
+    // ---- multimodal (real javax.imageio codec path) -----------------
     // frame sampling: every 2nd 32-byte frame of the payload
     "q_multimodal_frames" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
@@ -609,23 +609,29 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL codec decode: each doc carries a genuine PNG or BMP payload
+    // (javax.imageio) whose dims/pixels/container are planted
+    // closed-form in doc_id; the query runs the actual ImageIO
+    // auto-detect + raster decode and emits what it FOUND. The oracle
+    // predicts every value analytically — it can only match if a real
+    // encode→decode round trip preserved the planted raster.
     "q_multimodal_decode" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
       Multimodal.decodeMeta(withBin, "doc_id", "payload")
         .toDF()
         .orderBy(col("doc_id"))
     }),
 
-    // resize stub: deterministic re-dimension (truncate/zero-pad) of
-    // the binary payload — the fixed-size-output contract a codec
-    // implementation must keep; map-only
+    // REAL resize: decode the PNG/BMP payload, nearest-neighbor
+    // resample the decoded raster to 8×8, checksum the OUTPUT pixels
+    // (positional + plain sums — integer-exact, no rounding hazard);
+    // map-only, the payload never shuffles
     "q_multimodal_resize" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
-      Multimodal.resizeStub(withBin, "payload", targetBytes = 64)
-        .select(col("doc_id"), hex(col("payload_resized")).as("resized_hex"),
-          length(col("payload_resized")).cast("int").as("n_bytes"))
+        .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+      Multimodal.resizeChecksum(withBin, "doc_id", "payload", tw = 8, th = 8)
+        .toDF()
         .orderBy(col("doc_id"))
     }),
 
@@ -1308,20 +1314,35 @@ object ExtQueries {
         |        unnest(range(0, cast(ceil(length(text) / 32.0) AS BIGINT), 2)) AS frame_idx
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // analytic mirror of the planted raster: dims, container, and the
+    // gray sum over the w×h grid are closed-form in doc_id (see
+    // Multimodal.plantedW/H/Gray) — matching is only possible if
+    // Spark's ImageIO round trip preserved every planted pixel
     "q_multimodal_decode" ->
-      """SELECT doc_id,
-        |  cast(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-        |  cast(64 + (ascii(substr(text, 1, 1)) * 3) % 512 AS INT) AS height,
-        |  'rgb8' AS format,
-        |  cast(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // hex-domain mirror of truncate-or-zero-pad to 64 bytes (DuckDB
-    // 1.0 can't slice BLOBs; both engines emit UPPERCASE hex)
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |                   8 + (doc_id * 7) % 25 AS h FROM documents),
+        |px  AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |  CAST(sum((x * 3 + y * 5 + doc_id) % 256) AS BIGINT) AS px_sum
+        |FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // nearest-neighbor to 8×8 with sx = i·w // 8, sy = j·h // 8 (the
+    // integer-division convention the engine implements); positional
+    // checksum Σ (j·8+i+1)·gray is order-sensitive, so a transposed or
+    // off-by-one resample cannot pass
     "q_multimodal_resize" ->
-      """SELECT doc_id,
-        |  substring(hex(encode(text)) || repeat('00', 64), 1, 128) AS resized_hex,
-        |  CAST(64 AS INT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |                   8 + (doc_id * 7) % 25 AS h FROM documents),
+        |ci  AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS i FROM d),
+        |cij AS (SELECT doc_id, w, h, i, unnest(range(0, 8)) AS j FROM ci)
+        |SELECT doc_id,
+        |  CAST(sum((j * 8 + i + 1) *
+        |           ((((i * w) // 8) * 3 + ((j * h) // 8) * 5 + doc_id) % 256))
+        |       AS BIGINT) AS px_checksum,
+        |  CAST(sum((((i * w) // 8) * 3 + ((j * h) // 8) * 5 + doc_id) % 256)
+        |       AS BIGINT) AS px_sum
+        |FROM cij GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // deterministic sampling: md5 hex compared lexicographically — the
     // thresholds are Sampling.thresholdHex(rate) values verbatim
     "q_sample_stratified" ->

@@ -161,16 +161,52 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cands >= exact.size)
   }
 
-  test("multimodal decode stub is deterministic and schema-typed") {
+  test("multimodal decode round-trips real PNG and BMP rasters") {
     import spark.implicits._
-    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+    // 7 → png, 8 → bmp: both JDK codecs through the auto-detect path
+    val df = Seq(7L, 8L).toDF("doc_id")
+      .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
+    for (m <- meta) {
+      val id = m.doc_id
+      assert(m.width == Multimodal.plantedW(id))
+      assert(m.height == Multimodal.plantedH(id))
+      assert(m.format == Multimodal.plantedFormat(id))
+      val expectSum = (for {
+        y <- 0 until Multimodal.plantedH(id)
+        x <- 0 until Multimodal.plantedW(id)
+      } yield Multimodal.plantedGray(id, x, y).toLong).sum
+      assert(m.px_sum == expectSum, s"gray sum mismatch for doc $id")
+    }
+    // the payload really is the named container (magic bytes)
+    val payloads = df.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(payloads(7L).take(8).sameElements(
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+    assert(payloads(8L).take(2).sameElements("BM".getBytes))
+  }
+
+  test("multimodal nearest-neighbor resize checksums the decoded raster") {
+    import spark.implicits._
+    val id = 13L
+    val df = Seq(id).toDF("doc_id")
+      .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+    val r = Multimodal.resizeChecksum(df, "doc_id", "payload", tw = 8, th = 8)
+      .collect().head
+    val (w, h) = (Multimodal.plantedW(id), Multimodal.plantedH(id))
+    val grid = for { j <- 0 until 8; i <- 0 until 8 }
+      yield Multimodal.plantedGray(id, i * w / 8, j * h / 8).toLong
+    assert(r.px_sum == grid.sum)
+    assert(r.px_checksum == grid.zipWithIndex.map { case (g, k) => (k + 1) * g }.sum)
+  }
+
+  test("multimodal decode degrades to the error row on junk bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "not an image")).toDF("doc_id", "text")
       .withColumn("payload", col("text").cast("binary"))
-    val meta = Multimodal.decodeMeta(df, "doc_id", "payload").collect()
-    assert(meta.length == 1)
-    val m = meta.head
-    assert(m.width == 64 + ("hello world".length % 512))
-    assert(m.height == 64 + ('h'.toInt * 3 % 512))
-    assert(m.format == "rgb8")
+    val m = Multimodal.decodeMeta(df, "doc_id", "payload").collect().head
+    assert((m.width, m.height, m.format, m.px_sum) == (-1, -1, "unknown", -1L))
   }
 
   test("quality score stays in [0,1]") {
