@@ -1,0 +1,145 @@
+package graft.extract
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Synthetic legacy-Office documents: minimal BIFF8 `.xls` and `.ppt`
+  * files assembled from the public [MS-XLS]/[MS-PPT] record structure
+  * inside a [[CfbWriter]] container. These are the extraction
+  * fixtures for [[XlsText]]/[[PptText]] (the reference has no binary
+  * fixtures for these formats — same approach as the in-test OOXML
+  * zips in OoxmlSpec): deterministic bytes, golden-pinned text.
+  */
+object LegacyOffice {
+
+  private def u16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def i32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def f64(v: Double): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+  private def rec(typ: Int, data: Array[Byte]): Array[Byte] =
+    cat(u16(typ), u16(data.length), data)
+
+  // ---- BIFF8 ---------------------------------------------------------
+
+  private def bof(dt: Int): Array[Byte] =
+    rec(0x0809, cat(u16(0x0600), u16(dt), u16(0x0dbb), u16(0x07cc), i32(0), i32(0)))
+  private val eof = rec(0x000a, Array.empty)
+
+  /** XLUnicodeRichExtendedString: compressed when latin-1 suffices,
+    * UTF-16LE otherwise. */
+  private def sstString(s: String): Array[Byte] = {
+    val wide = s.exists(_ > 0xff)
+    if (wide)
+      cat(u16(s.length), Array(0x01.toByte),
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    else
+      cat(u16(s.length), Array(0x00.toByte),
+        s.map(_.toByte).toArray)
+  }
+
+  private def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
+    rec(0x00fd, cat(u16(row), u16(col), u16(0), i32(isst)))
+  private def number(row: Int, col: Int, v: Double): Array[Byte] =
+    rec(0x0203, cat(u16(row), u16(col), u16(0), f64(v)))
+  private def rkInt(v: Int): Int = (v << 2) | 0x02
+  private def rk(row: Int, col: Int, rkVal: Int): Array[Byte] =
+    rec(0x027e, cat(u16(row), u16(col), u16(0), i32(rkVal)))
+  private def mulRk(row: Int, colFirst: Int, rkVals: Seq[Int]): Array[Byte] =
+    rec(0x00bd, cat(
+      cat(u16(row), u16(colFirst)),
+      cat(rkVals.map(v => cat(u16(0), i32(v))): _*),
+      u16(colFirst + rkVals.size - 1)))
+
+  /** Two-sheet workbook exercising LabelSst, Number, RK, MulRk, and a
+    * UTF-16 SST entry. Extracted text (the golden the oracle pins):
+    * {{{
+    * Region\tRevenue
+    * north\t1500.25
+    * south\t42
+    * 7\t8
+    * café π note
+    * }}} */
+  def sampleXls(): Array[Byte] = {
+    val strings = Seq("Region", "Revenue", "north", "south", "café π note")
+    val sst = rec(0x00fc,
+      cat(Seq(i32(strings.length), i32(strings.length)) ++ strings.map(sstString): _*))
+    // BoundSheet8 positions are not load-bearing for the linear-walk
+    // reader; point both at 0 (readers that seek would re-derive them)
+    def boundSheet(name: String): Array[Byte] =
+      rec(0x0085, cat(i32(0), u16(0),
+        Array(name.length.toByte, 0x00.toByte), name.map(_.toByte).toArray))
+    val globals = cat(bof(0x0005), boundSheet("Data"), boundSheet("Notes"), sst, eof)
+    val sheet1 = cat(bof(0x0010),
+      labelSst(0, 0, 0), labelSst(0, 1, 1),
+      labelSst(1, 0, 2), number(1, 1, 1500.25),
+      labelSst(2, 0, 3), rk(2, 1, rkInt(42)),
+      mulRk(3, 0, Seq(rkInt(7), rkInt(8))),
+      eof)
+    val sheet2 = cat(bof(0x0010), labelSst(0, 0, 4), eof)
+    CfbWriter.write(Seq("Workbook" -> cat(globals, sheet1, sheet2)))
+  }
+
+  /** Workbook whose SST spills into Continue records (split at string
+    * boundaries, the common writer behavior): `n` strings "s000000"…,
+    * each referenced once in row-major cells. */
+  def manyStringsXls(n: Int): Array[Byte] = {
+    val strings = (0 until n).map(i => f"s$i%06d")
+    val encoded = strings.map(sstString)
+    // first record: header + as many whole strings as fit in 8224 bytes
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cur = scala.collection.mutable.ArrayBuffer[Array[Byte]](
+      i32(n), i32(n))
+    var curLen = 8
+    for (e <- encoded) {
+      if (curLen + e.length > 8224) {
+        chunks += cat(cur.toSeq: _*)
+        cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        curLen = 0
+      }
+      cur += e; curLen += e.length
+    }
+    chunks += cat(cur.toSeq: _*)
+    val sst = cat(
+      (rec(0x00fc, chunks.head) +: chunks.tail.map(c => rec(0x003c, c))).toSeq: _*)
+    val cells = (0 until n).map(i => labelSst(i / 8, i % 8, i))
+    val wb = cat(bof(0x0005), sst, eof,
+      cat(bof(0x0010) +: cells :+ eof: _*))
+    CfbWriter.write(Seq("Workbook" -> wb))
+  }
+
+  // ---- PPT -----------------------------------------------------------
+
+  private def pptAtom(typ: Int, data: Array[Byte]): Array[Byte] =
+    cat(u16(0x0000), u16(typ), i32(data.length), data)
+  private def pptContainer(typ: Int, children: Array[Byte]*): Array[Byte] = {
+    val body = cat(children: _*)
+    cat(u16(0x000f), u16(typ), i32(body.length), body)
+  }
+
+  /** DocumentContainer → SlideListWithText → text atoms (one UTF-16
+    * TextCharsAtom, one ANSI TextBytesAtom with a \r paragraph mark).
+    * Extracted text: "Legacy Deck\nFirst point\nSecond point". */
+  def samplePpt(): Array[Byte] = {
+    val doc = pptContainer(0x03e8, // DocumentContainer
+      pptContainer(0x0ff0,         // SlideListWithText
+        pptAtom(0x0fa0, "Legacy Deck"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_16LE)),
+        pptAtom(0x0fa8, "First point\rSecond point"
+          .getBytes(java.nio.charset.Charset.forName("windows-1252")))))
+    CfbWriter.write(Seq("PowerPoint Document" -> doc))
+  }
+
+  /** Writes the two fixtures into `dir` (for pipeline-level queries
+    * that ingest a directory of files). */
+  def writeFixtures(dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("legacy.xls"), sampleXls())
+    java.nio.file.Files.write(dir.resolve("legacy.ppt"), samplePpt())
+  }
+}

@@ -11,6 +11,8 @@ package graft.extract
 object MimeDetect {
   val Pdf  = "application/pdf"
   val Doc  = "application/msword"
+  val Xls  = "application/vnd.ms-excel"
+  val Ppt  = "application/vnd.ms-powerpoint"
   val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
   val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
@@ -26,7 +28,7 @@ object MimeDetect {
   def detect(bytes: Array[Byte], filename: String): String = {
     if (bytes == null || bytes.isEmpty) return OctetStream
     if (startsWith(bytes, "%PDF".getBytes)) return Pdf
-    if (startsWith(bytes, OleMagic)) return oleSubtype(filename)
+    if (startsWith(bytes, OleMagic)) return oleSubtype(bytes, filename)
     if (startsWith(bytes, Array[Byte]('P', 'K', 3, 4))) return zipSubtype(bytes, filename)
     if (startsWith(bytes, "{\\rtf".getBytes)) return Rtf
     val head = new String(bytes, 0, math.min(bytes.length, 512),
@@ -36,12 +38,23 @@ object MimeDetect {
     if (isMostlyText(bytes)) Text else OctetStream
   }
 
-  private def oleSubtype(filename: String): String = {
-    val f = Option(filename).getOrElse("").toLowerCase
-    if (f.endsWith(".doc")) Doc
-    else if (f.endsWith(".xls")) "application/vnd.ms-excel"
-    else if (f.endsWith(".ppt")) "application/vnd.ms-powerpoint"
-    else Doc // reference pipeline only routes Word documents through OLE2
+  /** OLE2 subtype from the container's own directory entries — the
+    * authoritative signal Tika's container detector uses (the marker
+    * stream names are fixed by each format's spec); filename extension
+    * only as fallback for containers we can't parse. */
+  private def oleSubtype(bytes: Array[Byte], filename: String): String = {
+    val names: Set[String] =
+      try new Cfb.CompoundFile(bytes).entries.map(_.name).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    if (names("WordDocument")) Doc
+    else if (names("Workbook") || names("Book")) Xls
+    else if (names("PowerPoint Document")) Ppt
+    else {
+      val f = Option(filename).getOrElse("").toLowerCase
+      if (f.endsWith(".xls")) Xls
+      else if (f.endsWith(".ppt")) Ppt
+      else Doc // reference pipeline default-routes OLE2 as Word
+    }
   }
 
   /** OOXML files are zips; the content type lives in the inner paths. */

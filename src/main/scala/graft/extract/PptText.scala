@@ -1,0 +1,71 @@
+package graft.extract
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Text extraction from legacy PowerPoint (.ppt) files via the public
+  * [MS-PPT] spec: the `PowerPoint Document` stream is a tree of
+  * records — header `recVerAndInstance` u16 / `recType` u16 / `recLen`
+  * i32, containers marked by recVer 0xF — and slide text lives in
+  * TextCharsAtom (0x0FA0, UTF-16LE) and TextBytesAtom (0x0FA8, ANSI)
+  * leaves. A depth-first walk in file order yields the text in
+  * presentation order; PPT's `\r` paragraph marks normalize to `\n`,
+  * matching the text shape of the other extractors.
+  */
+object PptText {
+
+  private val TextCharsAtom = 0x0fa0
+  private val TextBytesAtom = 0x0fa8
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  def extract(bytes: Array[Byte], maxLen: Int): String = {
+    val cf = new Cfb.CompoundFile(bytes)
+    val ppt = cf.stream("PowerPoint Document")
+      .getOrElse(throw new IllegalArgumentException("ppt: no PowerPoint Document stream"))
+
+    val atoms = new scala.collection.mutable.ArrayBuffer[String]
+    walk(ppt, 0, ppt.length, atoms, depth = 0)
+    require(atoms.nonEmpty || ppt.nonEmpty, "ppt: empty document stream")
+
+    val text = atoms.map(normalize).filter(_.nonEmpty).mkString("\n")
+    val out = new Bounded(maxLen)
+    out.append(text)
+    out.result().trim
+  }
+
+  private def walk(buf: Array[Byte], from: Int, to: Int,
+                   out: scala.collection.mutable.ArrayBuffer[String], depth: Int): Unit = {
+    if (depth > 32) return // malformed nesting guard
+    var off = from
+    while (off + 8 <= to) {
+      val verInst = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
+      val typ = (buf(off + 2) & 0xff) | ((buf(off + 3) & 0xff) << 8)
+      val len = ByteBuffer.wrap(buf, off + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      if (len < 0 || off + 8 + len > to) return // truncated record: stop
+      if ((verInst & 0x0f) == 0x0f) // container: recurse in file order
+        walk(buf, off + 8, off + 8 + len, out, depth + 1)
+      else if (typ == TextCharsAtom)
+        out += new String(buf, off + 8, len - (len % 2),
+          java.nio.charset.StandardCharsets.UTF_16LE)
+      else if (typ == TextBytesAtom)
+        out += new String(buf, off + 8, len, Cp1252)
+      off += 8 + len
+    }
+  }
+
+  /** `\r` paragraph mark and `\x0b` soft break → `\n`; drop control
+    * chars PPT embeds in text runs. */
+  private def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\r' => sb.append('\n')
+        case c if c.toInt == 0x0b => sb.append('\n')
+        case c if c >= 0x20 || c == '\n' || c == '\t' => sb.append(c)
+        case _ =>
+      }
+      i += 1
+    }
+    sb.toString.trim
+  }
+}

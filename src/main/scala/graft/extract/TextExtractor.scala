@@ -34,6 +34,8 @@ object TextExtractor {
         case MimeDetect.Doc  => DocText.extract(bytes, maxLen)
         case MimeDetect.Xlsx => XlsxText.extract(bytes, maxLen)
         case MimeDetect.Pptx => PptxText.extract(bytes, maxLen)
+        case MimeDetect.Xls  => XlsText.extract(bytes, maxLen)
+        case MimeDetect.Ppt  => PptText.extract(bytes, maxLen)
         case MimeDetect.Zip =>
           throw new IllegalArgumentException(s"unsupported container type $mime")
         case MimeDetect.OctetStream =>

@@ -1,0 +1,174 @@
+package graft.extract
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Text extraction from legacy Excel (.xls) BIFF8 files via the public
+  * [MS-XLS] spec: the `Workbook` stream inside the CFB container, the
+  * shared-string table (SST record 0x00FC with Continue 0x003C
+  * spillover, including strings that restart their flags byte
+  * mid-string across the record boundary), and the cell records that
+  * carry values — LabelSst (0x00FD), Label (0x0204), Number (0x0203),
+  * RK (0x027E), and MulRk (0x00BD).
+  *
+  * Output contract matches [[XlsxText]]: cells sorted by (sheet, row,
+  * column), tab-joined within a row, newline-joined across rows — the
+  * same tabular text shape the reference's Tika path emits for
+  * spreadsheets (auto-detected at ETP.java:174-175).
+  */
+object XlsText {
+
+  def extract(bytes: Array[Byte], maxLen: Int): String = {
+    val cf = new Cfb.CompoundFile(bytes)
+    val wb = cf.stream("Workbook").orElse(cf.stream("Book"))
+      .getOrElse(throw new IllegalArgumentException("xls: no Workbook stream"))
+
+    def u16(off: Int): Int = (wb(off) & 0xff) | ((wb(off + 1) & 0xff) << 8)
+    def i32(off: Int): Int =
+      ByteBuffer.wrap(wb, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    def f64(off: Int): Double =
+      ByteBuffer.wrap(wb, off, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+
+    require(wb.length >= 4 && u16(0) == 0x0809, "xls: Workbook does not start with BOF")
+
+    val sst = new scala.collection.mutable.ArrayBuffer[String]
+    // (sheet, row, col) -> text; BIFF stores cells row-major per sheet
+    // but sorting makes no ordering assumption
+    val cells = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int, String)]
+    var sheet = -1 // incremented at each worksheet-substream BOF
+
+    var off = 0
+    while (off + 4 <= wb.length) {
+      val typ = u16(off)
+      val len = u16(off + 2)
+      val data = off + 4
+      if (data + len > wb.length) { off = wb.length } // truncated tail: stop
+      else {
+        typ match {
+          case 0x0809 => // BOF: dt field distinguishes globals/worksheet
+            if (len >= 4 && u16(data + 2) == 0x0010) sheet += 1
+          case 0x00fc => // SST (+ following Continue records)
+            parseSst(wb, data, len, sst)
+          case 0x00fd => // LabelSst
+            val isst = i32(data + 6)
+            if (isst >= 0 && isst < sst.length)
+              cells += ((sheet, u16(data), u16(data + 2), sst(isst)))
+          case 0x0204 => // Label (pre-SST inline string)
+            val cch = u16(data + 6)
+            val high = len > 8 && (wb(data + 8) & 0x01) != 0
+            val s =
+              if (high) new String(wb, data + 9, cch * 2,
+                java.nio.charset.StandardCharsets.UTF_16LE)
+              else new String(wb, data + 9, cch, java.nio.charset.Charset.forName("windows-1252"))
+            cells += ((sheet, u16(data), u16(data + 2), s))
+          case 0x0203 => // Number: IEEE double
+            cells += ((sheet, u16(data), u16(data + 2), formatNum(f64(data + 6))))
+          case 0x027e => // RK
+            cells += ((sheet, u16(data), u16(data + 2), formatNum(decodeRk(i32(data + 6)))))
+          case 0x00bd => // MulRk: run of RKs sharing a row
+            val row = u16(data)
+            val colFirst = u16(data + 2)
+            val nRk = (len - 6) / 6
+            for (k <- 0 until nRk)
+              cells += ((sheet, row, colFirst + k,
+                formatNum(decodeRk(i32(data + 4 + k * 6 + 2)))))
+          case _ => // formatting, calc-chain, etc. carry no cell text
+        }
+        off = data + len
+      }
+    }
+
+    val text = cells.sortBy(c => (c._1, c._2, c._3))
+      .groupBy(c => (c._1, c._2)).toSeq.sortBy(_._1)
+      .map(_._2.map(_._4).mkString("\t"))
+      .mkString("\n")
+    val out = new Bounded(maxLen)
+    out.append(text)
+    out.result().trim
+  }
+
+  /** SST payload spans the SST record plus any immediately-following
+    * Continue records; a string cut mid-characters RESTARTS with a
+    * fresh flags byte at the continue boundary ([MS-XLS] 2.5.293) —
+    * so compressed/wide encoding can flip per fragment. */
+  private def parseSst(wb: Array[Byte], sstData: Int, sstLen: Int,
+                       out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    def u16(off: Int): Int = (wb(off) & 0xff) | ((wb(off + 1) & 0xff) << 8)
+    // chunk list: (start, end) of SST data then each Continue's data
+    val chunks = scala.collection.mutable.ArrayBuffer((sstData, sstData + sstLen))
+    var off = sstData + sstLen
+    while (off + 4 <= wb.length && u16(off) == 0x003c) {
+      val l = u16(off + 2)
+      chunks += ((off + 4, math.min(off + 4 + l, wb.length)))
+      off = off + 4 + l
+    }
+    var ci = 0
+    var p = chunks(ci)._1
+    def remaining: Int = chunks(ci)._2 - p
+    def nextChunk(): Boolean = {
+      ci += 1
+      if (ci >= chunks.length) false else { p = chunks(ci)._1; true }
+    }
+    def readU8(): Int = {
+      if (remaining == 0 && !nextChunk()) return -1
+      val v = wb(p) & 0xff; p += 1; v
+    }
+    def readU16(): Int = { val lo = readU8(); val hi = readU8(); lo | (hi << 8) }
+    def readI32(): Int = readU16() | (readU16() << 16)
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        if (remaining == 0 && !nextChunk()) return
+        val take = math.min(left, remaining)
+        p += take; left -= take
+      }
+    }
+
+    val cstUnique = { skip(4); readI32() } // cstTotal skipped
+    var k = 0
+    while (k < cstUnique && ci < chunks.length) {
+      val cch = readU16()
+      var flags = readU8()
+      if (flags < 0) return // truncated
+      val fRich = (flags & 0x08) != 0
+      val fExt = (flags & 0x04) != 0
+      val cRun = if (fRich) readU16() else 0
+      val cbExt = if (fExt) readI32() else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var got = 0
+      while (got < cch) {
+        if (remaining == 0) {
+          if (!nextChunk()) { got = cch } // truncated: bail
+          else flags = readU8()           // continue fragment re-declares width
+        } else if ((flags & 0x01) != 0) {
+          if (remaining >= 2) { sb.append(charU16(wb, p)); p += 2; got += 1 }
+          else { p = chunks(ci)._2 } // lone byte at boundary: force next chunk
+        } else {
+          sb.append(cp1252(wb(p))); p += 1; got += 1
+        }
+      }
+      skip(cRun * 4 + cbExt)
+      out += sb.toString
+      k += 1
+    }
+  }
+
+  private def charU16(wb: Array[Byte], off: Int): Char =
+    (((wb(off) & 0xff) | ((wb(off + 1) & 0xff) << 8)).toChar)
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private def cp1252(b: Byte): Char =
+    new String(Array(b), Cp1252).charAt(0)
+
+  /** RK number: bit0 = ×1/100, bit1 = int-vs-truncated-double. */
+  private def decodeRk(rk: Int): Double = {
+    val v =
+      if ((rk & 0x02) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xfffffffcL) << 32)
+    if ((rk & 0x01) != 0) v / 100.0 else v
+  }
+
+  /** Whole doubles print integral ("42"), others via Double.toString
+    * ("1500.25") — the same shape XLSX's raw cell values carry. */
+  private def formatNum(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+}

@@ -87,6 +87,19 @@ object FixtureGolden {
     ) AS t(filename, "key", "value")
     ORDER BY filename, "key""""
 
+  /** Synthetic legacy .xls/.ppt fixtures (LegacyOffice — deterministic
+    * bytes, see LegacyOfficeSpec): the full extracted text is the
+    * golden. DuckDB e'' escape strings carry the tab/newline cell
+    * separators. */
+  val extractLegacy: String =
+    """SELECT * FROM (VALUES
+      ('legacy.ppt', 'text/plain', 'application/vnd.ms-powerpoint',
+       e'Legacy Deck\nFirst point\nSecond point'),
+      ('legacy.xls', 'text/plain', 'application/vnd.ms-excel',
+       e'Region\tRevenue\nnorth\t1500.25\nsouth\t42\n7\t8\ncafé π note')
+    ) AS t(filename, mime_type, orig_mime_type, text)
+    ORDER BY filename"""
+
   val entitiesFixtures: String =
     """SELECT "entity", CAST(n AS BIGINT) AS n FROM (VALUES
       ('FlowFile', 90),

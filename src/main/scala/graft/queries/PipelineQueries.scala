@@ -109,6 +109,23 @@ object PipelineQueries {
         .orderBy(desc("n"), col("entity"))
     }),
 
+    // T2 legacy binary formats: BIFF8 .xls and .ppt through the same
+    // pipeline (the reference extracts ANY Tika-detected type,
+    // ETP.java:174-175 — these are the still-common legacy containers
+    // its auto-detect would route). Fixtures are synthetic CFB files
+    // built from the public [MS-XLS]/[MS-PPT] record structure
+    // (deterministic bytes), so the full extracted TEXT is
+    // golden-pinned — the strongest oracle the format allows.
+    "q_extract_legacy" -> ((s, _) => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_legacy_fixtures")
+      graft.extract.LegacyOffice.writeFixtures(dir)
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, dir.toString))
+      enriched.select(col("filename"), col("mime_type"),
+          col("orig_mime_type"), col("text"))
+        .orderBy(col("filename"))
+    }),
+
     // T7 AttributeCleaner: sanitize illegal column names
     "q_clean_attr_names" -> ((s, d) => {
       val dirty = Tables.documents(s, d)
@@ -171,6 +188,7 @@ object PipelineQueries {
     // immutable test fixtures, so the observable output is a constant —
     // the oracle is the golden row set itself (see FixtureGolden).
     "q_extract_fixtures"      -> FixtureGolden.extractFixtures,
+    "q_extract_legacy"        -> FixtureGolden.extractLegacy,
     "q_extract_fixtures_html" -> FixtureGolden.extractFixturesHtml,
     "q_extract_metadata"      -> FixtureGolden.extractMetadata,
     "q_entities_fixtures"     -> FixtureGolden.entitiesFixtures,
