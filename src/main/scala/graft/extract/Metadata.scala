@@ -34,6 +34,9 @@ object Metadata {
       case MimeDetect.Pdf  => pdfInfo(bytes)
       case MimeDetect.Docx => docxProps(bytes)
       case MimeDetect.Doc  => docProps(bytes)
+      case MimeDetect.Jpeg => jpegMeta(bytes)
+      case MimeDetect.Png  => pngMeta(bytes)
+      case MimeDetect.Gif  => gifMeta(bytes)
       case _               => Map.empty[String, String]
     }
     cap(base ++ specific, opts)
@@ -136,6 +139,150 @@ object Metadata {
     } finally r.close()
     out.toMap
   }
+
+  // ---- image metadata (ExtractMediaMetadata's media-first usage) -----
+
+  /** JPEG: segment walk for SOF dimensions + APP1 "Exif" TIFF tags
+    * (orientation, make/model, timestamps). Stops at SOS (entropy
+    * data); tolerant of missing EXIF (plain JFIF). */
+  private def jpegMeta(bytes: Array[Byte]): Map[String, String] =
+    try {
+      def u16be(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      var out = Map.empty[String, String]
+      var off = 2 // past SOI
+      var done = false
+      while (!done && off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xff) != 0xff) { done = true }
+        else {
+          val marker = bytes(off + 1) & 0xff
+          if (marker == 0xff) off += 1 // fill byte
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+          else {
+            val len = u16be(off + 2)
+            val seg = off + 4
+            marker match {
+              case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+                // SOFn: precision u8, height u16, width u16
+                out += ("Image-Height" -> u16be(seg + 1).toString)
+                out += ("Image-Width" -> u16be(seg + 3).toString)
+              case 0xe1 if seg + 6 <= bytes.length &&
+                  new String(bytes, seg, 4, java.nio.charset.StandardCharsets.US_ASCII) == "Exif" =>
+                out ++= tiffTags(bytes, seg + 6, seg + len - 2)
+              case 0xda => done = true // SOS: compressed data follows
+              case _ =>
+            }
+            off += 2 + len
+          }
+        }
+      }
+      out
+    } catch { case _: Exception => Map.empty }
+
+  private val TiffTagNames = Map(
+    0x010e -> "ImageDescription", 0x010f -> "Make", 0x0110 -> "Model",
+    0x0112 -> "Orientation", 0x0132 -> "DateTime",
+    0x9003 -> "DateTimeOriginal", 0x9004 -> "DateTimeDigitized")
+
+  /** Minimal TIFF IFD reader (EXIF baseline): II/MM endianness, IFD0's
+    * ASCII/SHORT/LONG tags, and one hop through the Exif-IFD pointer
+    * (0x8769) where DateTimeOriginal lives. */
+  private def tiffTags(bytes: Array[Byte], tiff: Int, end: Int): Map[String, String] =
+    try {
+      val le = bytes(tiff) == 'I' && bytes(tiff + 1) == 'I'
+      def u16(off: Int): Int =
+        if (le) (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+        else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      def u32(off: Int): Int =
+        if (le) (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+        else ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (u16(tiff + 2) != 42) return Map.empty
+
+      def readIfd(ifdOff: Int, depth: Int): Map[String, String] = {
+        if (depth > 2 || tiff + ifdOff + 2 > end) return Map.empty
+        val base = tiff + ifdOff
+        val n = u16(base)
+        (0 until n).foldLeft(Map.empty[String, String]) { (acc, i) =>
+          val e = base + 2 + i * 12
+          if (e + 12 > end) acc
+          else {
+            val tag = u16(e)
+            val typ = u16(e + 2)
+            val count = u32(e + 4)
+            if (tag == 0x8769 && typ == 4) acc ++ readIfd(u32(e + 8), depth + 1)
+            else TiffTagNames.get(tag) match {
+              case Some(name) if typ == 2 && count > 0 => // ASCII
+                val vOff = if (count <= 4) e + 8 else tiff + u32(e + 8)
+                if (vOff + count > end + 1) acc
+                else {
+                  val v = new String(bytes, vOff, math.min(count, end - vOff),
+                    java.nio.charset.StandardCharsets.US_ASCII)
+                    .takeWhile(_ != '\u0000').trim
+                  if (v.nonEmpty) acc + (name -> v) else acc
+                }
+              case Some(name) if typ == 3 => acc + (name -> u16(e + 8).toString)
+              case Some(name) if typ == 4 => acc + (name -> u32(e + 8).toString)
+              case _ => acc
+            }
+          }
+        }
+      }
+      readIfd(u32(tiff + 4), 0)
+    } catch { case _: Exception => Map.empty }
+
+  /** PNG: IHDR dimensions/bit-depth/color-type + uncompressed tEXt
+    * key-value chunks (keyword-namespaced to avoid colliding with the
+    * structural keys). */
+  private def pngMeta(bytes: Array[Byte]): Map[String, String] =
+    try {
+      def u32be(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      var out = Map.empty[String, String]
+      var off = 8 // past signature
+      var done = false
+      while (!done && off + 8 <= bytes.length) {
+        val len = u32be(off)
+        val typ = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val data = off + 8
+        if (len < 0 || data + len > bytes.length) done = true
+        else {
+          typ match {
+            case "IHDR" if len >= 13 =>
+              out += ("Image-Width" -> u32be(data).toString)
+              out += ("Image-Height" -> u32be(data + 4).toString)
+              out += ("Bit-Depth" -> (bytes(data + 8) & 0xff).toString)
+              out += ("Color-Type" -> (bytes(data + 9) & 0xff).toString)
+            case "tEXt" =>
+              val nul = (data until data + len).indexWhere(bytes(_) == 0) match {
+                case -1 => -1
+                case k  => data + k
+              }
+              if (nul > data) {
+                val k = new String(bytes, data, nul - data,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                val v = new String(bytes, nul + 1, data + len - nul - 1,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                out += (s"tEXt:$k" -> v)
+              }
+            case "IEND" => done = true
+            case _ =>
+          }
+          off = data + len + 4 // skip CRC
+        }
+      }
+      out
+    } catch { case _: Exception => Map.empty }
+
+  /** GIF: logical-screen dimensions from the fixed header. */
+  private def gifMeta(bytes: Array[Byte]): Map[String, String] =
+    try {
+      if (bytes.length < 10) Map.empty
+      else Map(
+        "Image-Width" -> ((bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)).toString,
+        "Image-Height" -> ((bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)).toString)
+    } catch { case _: Exception => Map.empty }
 
   // [MS-OLEPS] SummaryInformation property ids → Tika-style names
   private val SummaryPropNames = Map(

@@ -21,6 +21,9 @@ object MimeDetect {
   val Rtf  = "application/rtf"
   val Html = "text/html"
   val Text = "text/plain"
+  val Jpeg = "image/jpeg"
+  val Png  = "image/png"
+  val Gif  = "image/gif"
   val OctetStream = "application/octet-stream"
 
   private val OleMagic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
@@ -31,6 +34,10 @@ object MimeDetect {
     if (startsWith(bytes, OleMagic)) return oleSubtype(bytes, filename)
     if (startsWith(bytes, Array[Byte]('P', 'K', 3, 4))) return zipSubtype(bytes, filename)
     if (startsWith(bytes, "{\\rtf".getBytes)) return Rtf
+    if (startsWith(bytes, Array(0xff, 0xd8, 0xff).map(_.toByte))) return Jpeg
+    if (startsWith(bytes, Array(0x89, 'P', 'N', 'G').map(_.toByte))) return Png
+    if (startsWith(bytes, "GIF87a".getBytes) ||
+        startsWith(bytes, "GIF89a".getBytes)) return Gif
     val head = new String(bytes, 0, math.min(bytes.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val lower = head.toLowerCase

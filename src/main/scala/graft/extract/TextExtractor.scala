@@ -38,6 +38,9 @@ object TextExtractor {
         case MimeDetect.Ppt  => PptText.extract(bytes, maxLen)
         case MimeDetect.Zip =>
           throw new IllegalArgumentException(s"unsupported container type $mime")
+        case MimeDetect.Jpeg | MimeDetect.Png | MimeDetect.Gif =>
+          "" // images carry no text body (Tika parity: empty text +
+             // metadata attributes; ExtractMediaMetadata is the payload)
         case MimeDetect.OctetStream =>
           throw new IllegalArgumentException("binary content with no known text structure")
         case MimeDetect.Rtf  => RtfText.extract(bytes, maxLen)

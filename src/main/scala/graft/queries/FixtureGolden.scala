@@ -100,6 +100,32 @@ object FixtureGolden {
     ) AS t(filename, mime_type, orig_mime_type, text)
     ORDER BY filename"""
 
+  /** Image fixtures (MediaFixtures): planted EXIF/tEXt values and
+    * encoder-deterministic dimensions; Content-Length filtered out by
+    * the query's own key filter. */
+  val extractMediaMetadata: String =
+    """SELECT * FROM (VALUES
+      ('anim.gif', 'Content-Type', 'image/gif'),
+      ('anim.gif', 'Image-Height', '5'),
+      ('anim.gif', 'Image-Width', '11'),
+      ('chart.png', 'Bit-Depth', '8'),
+      ('chart.png', 'Color-Type', '2'),
+      ('chart.png', 'Content-Type', 'image/png'),
+      ('chart.png', 'Image-Height', '7'),
+      ('chart.png', 'Image-Width', '9'),
+      ('chart.png', 'tEXt:Author', 'graft'),
+      ('chart.png', 'tEXt:Title', 'Quarterly Chart'),
+      ('photo.jpg', 'Content-Type', 'image/jpeg'),
+      ('photo.jpg', 'DateTime', '2024:05:06 07:08:09'),
+      ('photo.jpg', 'DateTimeOriginal', '2024:05:06 07:08:01'),
+      ('photo.jpg', 'Image-Height', '6'),
+      ('photo.jpg', 'Image-Width', '8'),
+      ('photo.jpg', 'Make', 'GraftCam'),
+      ('photo.jpg', 'Model', 'GC-100'),
+      ('photo.jpg', 'Orientation', '6')
+    ) AS t(filename, "key", "value")
+    ORDER BY filename, "key""""
+
   val entitiesFixtures: String =
     """SELECT "entity", CAST(n AS BIGINT) AS n FROM (VALUES
       ('FlowFile', 90),

@@ -126,6 +126,26 @@ object PipelineQueries {
         .orderBy(col("filename"))
     }),
 
+    // T5 ExtractMediaMetadata pointed at actual MEDIA (its namesake
+    // usage, tika.xml:1726-1761): JPEG EXIF/SOF, PNG IHDR/tEXt, GIF
+    // header over synthetic fixtures (MediaFixtures — deterministic
+    // bytes). The allowlist keyFilter drops Content-Length (an encoder
+    // implementation detail, not a planted fact) via the processor's
+    // own filter property rather than post-hoc projection.
+    "q_extract_media_metadata" -> ((s, _) => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_media_fixtures")
+      graft.extract.MediaFixtures.writeFixtures(dir)
+      val docs = DocPipeline.ingest(s, dir.toString)
+        .withColumn("filename", element_at(split(col("path"), "/"), -1))
+      docs.select(col("filename"),
+          explode(Udfs.extract_metadata(col("content"), col("filename"),
+            lit("^(Content-Type|Image-.*|Bit-Depth|Color-Type|Orientation|" +
+              "Make|Model|DateTime|DateTimeOriginal|tEXt:.*)$"),
+            lit(""))).as(Seq("key", "value")))
+        .orderBy(col("filename"), col("key"))
+    }),
+
     // T7 AttributeCleaner: sanitize illegal column names
     "q_clean_attr_names" -> ((s, d) => {
       val dirty = Tables.documents(s, d)
@@ -189,6 +209,7 @@ object PipelineQueries {
     // the oracle is the golden row set itself (see FixtureGolden).
     "q_extract_fixtures"      -> FixtureGolden.extractFixtures,
     "q_extract_legacy"        -> FixtureGolden.extractLegacy,
+    "q_extract_media_metadata" -> FixtureGolden.extractMediaMetadata,
     "q_extract_fixtures_html" -> FixtureGolden.extractFixturesHtml,
     "q_extract_metadata"      -> FixtureGolden.extractMetadata,
     "q_entities_fixtures"     -> FixtureGolden.entitiesFixtures,
