@@ -237,6 +237,37 @@ object StreamQueries {
         .orderBy(col("fp"))
     }),
 
+    // the WATERMARKED form of streaming canonical dedup — the
+    // continuous-feed production path q_stream_canonical_dedup's
+    // comment promises: dropDuplicatesWithinWatermark bounds the state
+    // store (a key's entry evicts once the watermark passes its event
+    // time; StreamingSpec proves the eviction behaviorally). Duplicates
+    // carry the SAME synthetic event time as their originals (derived
+    // from doc_id mod the variant offset), so every planted duplicate
+    // is in-watermark by construction and the emitted set equals the
+    // distinct canonical fps under ANY micro-batch split — late
+    // re-emission, the one behavior that differs from plain
+    // dropDuplicates, cannot trigger here and is pinned in the spec
+    // instead.
+    "q_stream_dedup_watermark" -> ((s, d) => {
+      val dir = doubledSourceDir(s, d, "documents", "wmdedup", Some(docs =>
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          graft.ext.TextStats.plantedVariantCol(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+      val canon = stream
+        .select(sha2(graft.ext.TextStats.normalizeCol(col("text")), 256).as("fp"),
+          timestamp_micros(
+            lit(1700000000000000L) + (col("doc_id") % 1000000L) * 1000000L)
+            .as("etime"))
+        .withWatermark("etime", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .select("fp")
+      StreamPipeline.runAppendToMemory(s, canon, s"wmdedup_${d.hashCode.abs}")
+        .orderBy(col("fp"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -383,6 +414,16 @@ object StreamQueries {
     // canonical fingerprints of the doubled corpus = distinct
     // canonical fps of the original (every variant collapses)
     "q_stream_canonical_dedup" ->
+      s"""WITH c AS (
+         |  SELECT text FROM documents
+         |  UNION ALL
+         |  SELECT ${graft.ext.TextStats.plantedVariantSql("text")} FROM documents),
+         |n AS (SELECT ${graft.ext.TextStats.normalizeSql("text")} AS norm
+         |      FROM c)
+         |SELECT DISTINCT sha256(norm) AS fp FROM n ORDER BY fp""".stripMargin,
+    // watermarked dedup, planted duplicates all in-watermark → same
+    // distinct-canonical-fp contract as the unbounded-state form
+    "q_stream_dedup_watermark" ->
       s"""WITH c AS (
          |  SELECT text FROM documents
          |  UNION ALL

@@ -162,4 +162,38 @@ class StreamingSpec extends AnyFunSuite {
     val keys = out.select("user_id").as[Long].collect().sorted
     assert(keys.sameElements(Array(1L, 2L, 3L))) // the re-sent (1, click) is gone
   }
+
+  test("dropDuplicatesWithinWatermark EVICTS key state once the watermark passes") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val t0 = 1700000000L * 1000000L // µs
+    def write(sub: String, rows: (String, Long)*): Unit =
+      rows.toSeq.toDF("k", "tus").write.parquet(s"$dir/$sub")
+    write("f1", ("k1", t0))
+    val in = spark.readStream.schema("k STRING, tus LONG").parquet(dir + "/f*/")
+      .withColumn("etime", timestamp_micros(col("tus")))
+      .withWatermark("etime", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = in.select("k").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("wmevict").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wmevict").as[String].collect().toSeq == Seq("k1"))
+      // in-watermark duplicate: dropped by state
+      write("f2", ("k1", t0 + 60L * 1000000L))
+      q.processAllAvailable()
+      assert(spark.table("wmevict").count() == 1)
+      // advance the watermark an hour past k1's entry → eviction
+      write("f3", ("other", t0 + 3600L * 1000000L))
+      q.processAllAvailable()
+      // the same key re-sent AFTER eviction is re-admitted and
+      // RE-EMITTED — the bounded-state trade-off that distinguishes
+      // this operator from unbounded dropDuplicates
+      write("f4", ("k1", t0 + 3600L * 1000000L))
+      q.processAllAvailable()
+      val ks = spark.table("wmevict").as[String].collect().sorted.toSeq
+      assert(ks == Seq("k1", "k1", "other"))
+    } finally q.stop()
+  }
 }
