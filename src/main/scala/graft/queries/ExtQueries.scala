@@ -250,6 +250,37 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
+    // IVF at its SERVING shape: real ANN queries are near the corpus
+    // manifold (a perturbed document, a paraphrase embedding), not
+    // fresh isotropic noise. Each query is a corpus vector under a
+    // deterministic ±8% per-component hash jitter (cos(q, source)
+    // ≈ 0.999 vs a corpus-wide max inter-vector cosine of ~0.51), and
+    // the contract is exact: the top-1 through the inverted file IS
+    // the planted source, per query, probing nProbe=4 of 16 cells —
+    // 25% of the index. (Raising the UNIFORM-query recall@5 contract
+    // to 0.9 at ≤25% probing is not achievable on this corpus: the
+    // embeddings are isotropic — mean pairwise cosine 0.00, p99 0.29 —
+    // so "true" 5-NN sets are noise-level and any IVF's recall tracks
+    // its scan fraction; the 0.6-at-50% contract above is the honest
+    // adversarial bound, this query is the honest serving bound.)
+    "q_knn_ivf_planted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val jitter = (i: org.apache.spark.sql.Column) =>
+        (conv(substring(md5(concat_ws("_", col("vec_id"), i)), 1, 6), 16, 10)
+          .cast("long") % 2001L - 1000L).cast("double") / 1000.0
+      val queries = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.08) * jitter(i))).as("embedding"))
+      val idxDir = graft.ext.Ivf.indexDirFor(d, k = 16, iters = 2)
+      graft.ext.Ivf.buildIndex(emb, "vec_id", "embedding", idxDir, k = 16, iters = 2)
+      graft.ext.Ivf.topKIndexed(s, idxDir, queries,
+          "vec_id", "embedding", k = 1, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select(col("qid"), (col("nid") === col("qid") - 1000000L).as("top1_ok"))
+        .orderBy(col("qid"))
+    }),
+
     // Winnowing fingerprints are also engine-specific, but carry a
     // PROVABLE planted contract: every k-gram window of a document is
     // an identical window of that document extended with a suffix, so
@@ -1131,6 +1162,10 @@ object ExtQueries {
     "q_knn_ivf" ->
       """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    // serving-shape contract: the planted source IS the top-1, exactly
+    "q_knn_ivf_planted" ->
+      """SELECT vec_id + 1000000 AS qid, true AS top1_ok FROM embeddings
+        |WHERE vec_id < 50 ORDER BY qid""".stripMargin,
     "q_knn_quantized" ->
       """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
