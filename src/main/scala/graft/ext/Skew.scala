@@ -53,4 +53,19 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
   }
+
+  /** The AQE-native counterpart to [[saltedJoin]]: declare the plain
+    * sort-merge equi-join and let `OptimizeSkewedJoin` split the hot
+    * partitions AT RUNTIME from the actual shuffle statistics — no
+    * salt column, no dim replication, and the split adapts to whatever
+    * key turns out hot in production rather than the one you predicted
+    * at write time. The `merge` hint pins the shuffled plan so the
+    * demo is the 100 TB shape (a dim too big to broadcast);
+    * ScaleTechniquesSpec executes this under skew-scaled thresholds
+    * and asserts the finalized plan carries `skew=true`. Prefer this
+    * form when AQE is on and the skew is join-side; [[saltedAgg]]
+    * remains the answer for skewed AGGREGATIONS, which AQE's
+    * skew-join rule does not cover. */
+  def aqeJoin(fact: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    fact.hint("merge").join(dim, Seq(keyCol))
 }

@@ -518,6 +518,27 @@ object ExtQueries {
         .orderBy(col("type_code"))
     }),
 
+    // ---- AQE-repaired skewed join (runtime split, no salt) ----------
+    // The token→document-frequency join is naturally skewed: stopword
+    // tokens own a large share of the corpus, so their shuffle
+    // partitions dwarf the median. The query declares the PLAIN
+    // sort-merge join (merge-hinted — a vocab table at 100 TB is past
+    // broadcast size) and leaves the repair to AQE's OptimizeSkewedJoin
+    // at runtime; ScaleTechniquesSpec executes the same operator under
+    // skew-scaled thresholds and asserts the finalized plan splits the
+    // hot partitions (skew=true). Result is AQE-invariant — the oracle
+    // evaluates the join directly.
+    "q_skew_aqe_join" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      graft.ext.Skew.aqeJoin(toks, df, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bucketed range join (point-in-interval, equi-join plan) ----
     // clicks within 12 hours after each purchase, per user; the
     // bucket rewrite keeps the plan a hash join (RangeChunkBloomSpec
@@ -1268,6 +1289,16 @@ object ExtQueries {
       """SELECT substring(md5(event_type), 1, 8) AS type_code, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the AQE-left join must equal the direct evaluation (sum of each
+    // token's document frequency per doc — integer-exact)
+    "q_skew_aqe_join" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS df FROM tt GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tok, CAST(sum(df) AS BIGINT) AS sum_df
+        |FROM tt JOIN f USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // plain inequality join — DuckDB evaluates the range predicate
     // directly (no bucketing), an independent check of the rewrite
     "q_range_join" ->

@@ -124,4 +124,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(joined.count() == li.count()) // every lineitem has its order
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("AQE splits a hot join partition at runtime (skew=true in the final plan)") {
+    // Own session: skew thresholds scale down to test-data sizes (the
+    // 256 MB production default would never trigger on kilobytes).
+    // Factor 2 / 64k threshold ≈ the same hot-to-median ratio a 100 TB
+    // stopword key shows against 256 MB partitions.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    // 200k fact rows, 95% on key 0: that partition dwarfs both the
+    // 64k threshold and 2× the median of the other 7
+    val fact = s2.range(0, 200000)
+      .select(when($"id" % 20 =!= 0, 0L).otherwise($"id").as("k"), $"id".as("v"))
+    val dim = s2.range(0, 200000).select($"id".as("k"), ($"id" * 2).as("w"))
+    val joined = Skew.aqeJoin(fact, dim, "k")
+    assert(joined.count() == 200000) // row-correct regardless of the split
+    joined.collect() // materialize THIS df so its adaptive plan finalizes
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the hot partition:\n$plan")
+  }
 }
