@@ -260,18 +260,27 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   })
 
-  /** MinHash near-dup pairs, LSH candidates verified with exact
-    * Jaccard: sub-quadratic candidate generation, exact output. */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, minJ: Double = 0.8): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
-    minhashCandidates(df, idCol, textCol, n)
-      .join(docs.as("da"), col("i") === col("da.id"))
-      .join(docs.as("db"), col("j") === col("db.id"))
+  /** Exact-Jaccard verification of candidate `(i, j)` pairs against a
+    * content store: joins the pair relation back to text by id (an
+    * id-keyed lookup — at scale the corpus lives in the lake and only
+    * surviving candidates fetch content) and keeps pairs at `minJ`.
+    * Shared by the batch and streaming near-dup paths. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(d.as("da"), col("i") === col("da.id"))
+      .join(d.as("db"), col("j") === col("db.id"))
       .select(col("i"), col("j"), pairJaccard(col("da.t"), col("db.t"), lit(n)).as("jaccard"))
       .filter(col("jaccard") >= minJ)
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** MinHash near-dup pairs, LSH candidates verified with exact
+    * Jaccard: sub-quadratic candidate generation, exact output. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, minJ: Double = 0.8): DataFrame =
+    verifyJaccard(minhashCandidates(df, idCol, textCol, n), df, idCol, textCol, n, minJ)
 
   // ---- SimHash -------------------------------------------------------
 

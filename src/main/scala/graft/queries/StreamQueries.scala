@@ -268,6 +268,30 @@ object StreamQueries {
         .orderBy(col("fp"))
     }),
 
+    // stream-side MinHash near-dup: incoming documents are banded and
+    // joined against the PERSISTED signature store built by earlier
+    // batches (StreamPipeline.incrementalNearDups — the q_dedup_minhash
+    // pipeline made incremental). The doubled source plants one
+    // verbatim copy per doc under a shifted id, so the exact pair set
+    // is known: every (i, i+1e6) at J=1.0 plus the corpus's own
+    // J≥0.8 relation expanded to the copies — batch-split-invariant
+    // because in-batch and cross-batch detection union to the same
+    // set. The oracle evaluates the Jaccard relation over the doubled
+    // corpus directly.
+    "q_stream_neardup" -> ((s, d) => {
+      val dir = doubledSourceDir(s, d, "documents", "neardup", Some(docs =>
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val corpus = s.read.parquet(dir).select(col("doc_id"), col("text"))
+      val store = freshScratchDir(d, "neardup_store").toString
+      val out = freshScratchDir(d, "neardup_out").toString
+      StreamPipeline.incrementalNearDups(s, stream, corpus, store, out)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -431,6 +455,25 @@ object StreamQueries {
          |n AS (SELECT ${graft.ext.TextStats.normalizeSql("text")} AS norm
          |      FROM c)
          |SELECT DISTINCT sha256(norm) AS fp FROM n ORDER BY fp""".stripMargin,
+    // the Jaccard relation over the doubled corpus (same shingle
+    // semantics as the batch jaccard oracles in ExtQueries)
+    "q_stream_neardup" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
+        |        FROM (SELECT doc_id, string_split(text,' ') t FROM c)),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+        |       FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+        |                  JOIN tok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+        |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id i, b.doc_id j, count(*) cnt
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2)
+        |SELECT i, j, round(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |WHERE cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) >= 0.8
+        |ORDER BY i, j""".stripMargin,
     // text-derived columns only: whichever duplicate wins in-stream,
     // (fp, quality) is the same — DISTINCT over the batch mirror
     "q_stream_funnel" ->

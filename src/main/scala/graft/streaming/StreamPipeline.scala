@@ -171,6 +171,75 @@ object StreamPipeline {
       .dropDuplicates("user_id", "etime", "event_type")
       .select(col("user_id"), unix_micros(col("etime")).as("tus"), col("event_type"))
 
+  /** Incremental MinHash near-duplicate detection: each micro-batch
+    * (a) computes LSH band signatures for its documents, (b) joins
+    * them against the PERSISTED signature store (every prior batch's
+    * bands) plus itself for candidate pairs, (c) exact-Jaccard-verifies
+    * survivors against the content store by id, appends confirmed
+    * pairs to `outDir`, and (d) appends its own bands to the store —
+    * so each pair is found exactly once, whichever batches its two
+    * sides arrive in.
+    *
+    * The 100 TB shape: state is the compact (id, band, key) relation —
+    * 16 rows of 20 bytes per document, on distributed storage, NOT in
+    * a driver or state-store — and a batch's work is bands(batch) ⋈
+    * store, linear in batch size times collision rate, never corpus².
+    * Text is fetched only for surviving candidates ([[Dedup.verifyJaccard]]'s
+    * id-keyed lookup against the lake), so content never shuffles for
+    * candidate generation. Output is batch-split-invariant: the union
+    * of in-batch and cross-batch detections is the full pair set of
+    * the corpus seen so far (StreamingSpec pins the cross-batch path
+    * with maxFilesPerTrigger=1).
+    *
+    * `corpus` must resolve text for every id the stream will carry. */
+  def incrementalNearDups(spark: SparkSession, stream: DataFrame, corpus: DataFrame,
+                          storeDir: String, outDir: String,
+                          n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    import graft.ext.Dedup
+    val bandSchema = "id LONG, band INT, key LONG"
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (!batch.isEmpty) {
+          val newBands = Dedup.bandRows(batch, "doc_id", "text", n).persist()
+          try {
+            val fs = new org.apache.hadoop.fs.Path(storeDir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val store =
+              if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+                s.read.schema(bandSchema).parquet(storeDir)
+              else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType.fromDDL(bandSchema))
+            // cross-batch: new docs vs the store (store excludes this
+            // batch, so no double-count with the self-join)
+            val cross = newBands.as("a").join(store.as("b"),
+                col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+              .select(least(col("a.id"), col("b.id")).as("i"),
+                greatest(col("a.id"), col("b.id")).as("j"))
+            val self = newBands.as("a").join(newBands.as("b"),
+                col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                  col("a.id") < col("b.id"))
+              .select(col("a.id").as("i"), col("b.id").as("j"))
+            val cand = cross.unionByName(self).distinct()
+            val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text", n, minJ)
+            if (!verified.isEmpty)
+              verified.write.mode("append").parquet(outDir)
+            newBands.write.mode("append").parquet(storeDir)
+          } finally { newBands.unpersist(); () }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath) && fs.listStatus(outPath).nonEmpty)
+      spark.read.parquet(outDir)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("i LONG, j LONG, jaccard DOUBLE"))
+  }
+
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction
     * wait needed — output is complete when the sources are committed.

@@ -163,6 +163,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.sameElements(Array(1L, 2L, 3L))) // the re-sent (1, click) is gone
   }
 
+  test("incremental near-dup finds a pair whose sides arrive in DIFFERENT batches") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // doc 2 = doc 1 + one token: 8 vs 9 3-gram shingles, 8 shared →
+    // Jaccard 8/9 ≈ 0.889 ≥ 0.8
+    Seq((1L, base)).toDF("doc_id", "text").write.parquet(dir + "/f1")
+    Seq((2L, base + " lambda"), (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text").write.parquet(dir + "/f2")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1") // force the cross-batch path
+      .parquet(dir + "/f*/")
+    val corpus = Seq((1L, base), (2L, base + " lambda"),
+      (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_nd_store")
+    val out = java.nio.file.Files.createTempDirectory("graft_nd_out")
+    java.nio.file.Files.delete(store); java.nio.file.Files.delete(out)
+    val pairs = StreamPipeline.incrementalNearDups(spark, stream, corpus,
+        store.toString, out.toString)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // (1, 2) can only be detected against the persisted store: doc 1's
+    // bands were written by batch 1, doc 2 arrived in batch 2
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("dropDuplicatesWithinWatermark EVICTS key state once the watermark passes") {
     import spark.implicits._
     val dir = tmpDir()
