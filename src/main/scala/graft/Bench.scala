@@ -45,7 +45,8 @@ object Bench {
       "q_curation_funnel", "q_asof_join", "q_range_join", "q_tfidf_topk",
       "q_chunk_docs", "q_bloom_screen", "q_embed_quantize",
       "q_line_dedup", "q_self_excise",
-      "q_multimodal_frames", "q_stream_window", "q_sessionize")
+      "q_multimodal_frames", "q_multimodal_decode", "q_skew_aqe_join",
+      "q_stream_window", "q_sessionize")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache — one temp file per
+  // image read, pure overhead for in-memory byte-array payloads. The
+  // standard server-side setting; applies once per executor JVM when
+  // the object loads.
+  ImageIO.setUseCache(false)
+
   final case class MediaMeta(doc_id: Long, width: Int, height: Int,
                              format: String, px_sum: Long)
   implicit val mediaMetaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]

@@ -668,7 +668,14 @@ object ExtQueries {
     // predicts every value analytically — it can only match if a real
     // encode→decode round trip preserved the planted raster.
     "q_multimodal_decode" -> ((s, d) => {
+      // the small corpus parquet scans as ONE partition — repartition
+      // the narrow id column to cluster width BEFORE the codec map so
+      // encode/decode work spreads across every core (8-byte rows
+      // shuffle; payloads are generated and decoded in place, same
+      // width-matching as the brute-force ANN corpus side)
       val withBin = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
       Multimodal.decodeMeta(withBin, "doc_id", "payload")
         .toDF()
@@ -681,6 +688,8 @@ object ExtQueries {
     // map-only, the payload never shuffles
     "q_multimodal_resize" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
       Multimodal.resizeChecksum(withBin, "doc_id", "payload", tw = 8, th = 8)
         .toDF()
