@@ -136,10 +136,21 @@ object LegacyOffice {
   }
 
   /** Writes the two fixtures into `dir` (for pipeline-level queries
-    * that ingest a directory of files). */
+    * that ingest a directory of files). The dir is WIPED first — a
+    * stale file from an earlier fixture generation would be ingested
+    * by the directory scan and break the golden row set. */
   def writeFixtures(dir: java.nio.file.Path): Unit = {
+    wipe(dir)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("legacy.xls"), sampleXls())
     java.nio.file.Files.write(dir.resolve("legacy.ppt"), samplePpt())
+  }
+
+  private[extract] def wipe(dir: java.nio.file.Path): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rec)
+      f.delete(); ()
+    }
+    rec(dir.toFile)
   }
 }

@@ -17,26 +17,37 @@ object PptText {
   private val TextBytesAtom = 0x0fa8
   private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
+  /** Atom accumulator with an early-stop budget: atoms arrive in
+    * document order and the output is their order-preserving join, so
+    * once `maxLen` (+ separators) characters are collected the walk
+    * can stop — memory and CPU stay O(maxLen) on a large deck with a
+    * small cap, same contract as XlsxText's streaming Bounded. */
+  private final class Collector(maxChars: Int) {
+    val atoms = new scala.collection.mutable.ArrayBuffer[String]
+    private var total = 0
+    def full: Boolean = maxChars >= 0 && total > maxChars
+    def add(s: String): Unit = { atoms += s; total += s.length + 1 }
+  }
+
   def extract(bytes: Array[Byte], maxLen: Int): String = {
     val cf = new Cfb.CompoundFile(bytes)
     val ppt = cf.stream("PowerPoint Document")
       .getOrElse(throw new IllegalArgumentException("ppt: no PowerPoint Document stream"))
 
-    val atoms = new scala.collection.mutable.ArrayBuffer[String]
-    walk(ppt, 0, ppt.length, atoms, depth = 0)
-    require(atoms.nonEmpty || ppt.nonEmpty, "ppt: empty document stream")
+    val coll = new Collector(maxLen)
+    walk(ppt, 0, ppt.length, coll, depth = 0)
 
-    val text = atoms.map(normalize).filter(_.nonEmpty).mkString("\n")
+    val text = coll.atoms.map(normalize).filter(_.nonEmpty).mkString("\n")
     val out = new Bounded(maxLen)
     out.append(text)
     out.result().trim
   }
 
   private def walk(buf: Array[Byte], from: Int, to: Int,
-                   out: scala.collection.mutable.ArrayBuffer[String], depth: Int): Unit = {
+                   out: Collector, depth: Int): Unit = {
     if (depth > 32) return // malformed nesting guard
     var off = from
-    while (off + 8 <= to) {
+    while (off + 8 <= to && !out.full) {
       val verInst = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
       val typ = (buf(off + 2) & 0xff) | ((buf(off + 3) & 0xff) << 8)
       val len = ByteBuffer.wrap(buf, off + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
@@ -44,10 +55,10 @@ object PptText {
       if ((verInst & 0x0f) == 0x0f) // container: recurse in file order
         walk(buf, off + 8, off + 8 + len, out, depth + 1)
       else if (typ == TextCharsAtom)
-        out += new String(buf, off + 8, len - (len % 2),
-          java.nio.charset.StandardCharsets.UTF_16LE)
+        out.add(new String(buf, off + 8, len - (len % 2),
+          java.nio.charset.StandardCharsets.UTF_16LE))
       else if (typ == TextBytesAtom)
-        out += new String(buf, off + 8, len, Cp1252)
+        out.add(new String(buf, off + 8, len, Cp1252))
       off += 8 + len
     }
   }

@@ -36,8 +36,22 @@ object XlsText {
     val cells = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int, String)]
     var sheet = -1 // incremented at each worksheet-substream BOF
 
+    // Early-stop budget: well-formed BIFF stores cells in (sheet, row,
+    // col) order, so once ~2×maxLen characters are collected the capped
+    // output is already determined — memory stays O(maxLen) on a huge
+    // sheet with a small cap. (The 2× + slack headroom tolerates
+    // moderately out-of-order writers; a pathological writer would
+    // need the full collect and gets a truncation, not an error.)
+    val cellBudget =
+      if (maxLen < 0) Long.MaxValue else 2L * maxLen + 4096L
+    var collected = 0L
+    def budgetLeft: Boolean = collected < cellBudget
+    def addCell(s: Int, r: Int, c: Int, v: String): Unit = {
+      cells += ((s, r, c, v)); collected += v.length + 1
+    }
+
     var off = 0
-    while (off + 4 <= wb.length) {
+    while (off + 4 <= wb.length && budgetLeft) {
       val typ = u16(off)
       val len = u16(off + 2)
       val data = off + 4
@@ -51,7 +65,7 @@ object XlsText {
           case 0x00fd => // LabelSst
             val isst = i32(data + 6)
             if (isst >= 0 && isst < sst.length)
-              cells += ((sheet, u16(data), u16(data + 2), sst(isst)))
+              addCell(sheet, u16(data), u16(data + 2), sst(isst))
           case 0x0204 => // Label (pre-SST inline string)
             val cch = u16(data + 6)
             val high = len > 8 && (wb(data + 8) & 0x01) != 0
@@ -59,18 +73,18 @@ object XlsText {
               if (high) new String(wb, data + 9, cch * 2,
                 java.nio.charset.StandardCharsets.UTF_16LE)
               else new String(wb, data + 9, cch, java.nio.charset.Charset.forName("windows-1252"))
-            cells += ((sheet, u16(data), u16(data + 2), s))
+            addCell(sheet, u16(data), u16(data + 2), s)
           case 0x0203 => // Number: IEEE double
-            cells += ((sheet, u16(data), u16(data + 2), formatNum(f64(data + 6))))
+            addCell(sheet, u16(data), u16(data + 2), formatNum(f64(data + 6)))
           case 0x027e => // RK
-            cells += ((sheet, u16(data), u16(data + 2), formatNum(decodeRk(i32(data + 6)))))
+            addCell(sheet, u16(data), u16(data + 2), formatNum(decodeRk(i32(data + 6))))
           case 0x00bd => // MulRk: run of RKs sharing a row
             val row = u16(data)
             val colFirst = u16(data + 2)
             val nRk = (len - 6) / 6
             for (k <- 0 until nRk)
-              cells += ((sheet, row, colFirst + k,
-                formatNum(decodeRk(i32(data + 4 + k * 6 + 2)))))
+              addCell(sheet, row, colFirst + k,
+                formatNum(decodeRk(i32(data + 4 + k * 6 + 2))))
           case _ => // formatting, calc-chain, etc. carry no cell text
         }
         off = data + len
@@ -103,10 +117,14 @@ object XlsText {
     }
     var ci = 0
     var p = chunks(ci)._1
-    def remaining: Int = chunks(ci)._2 - p
+    // every accessor is total even after the last chunk is exhausted —
+    // a truncated SST (header claiming more strings than are encoded)
+    // must degrade to the strings recovered so far, never throw
+    def atEnd: Boolean = ci >= chunks.length
+    def remaining: Int = if (atEnd) 0 else chunks(ci)._2 - p
     def nextChunk(): Boolean = {
       ci += 1
-      if (ci >= chunks.length) false else { p = chunks(ci)._1; true }
+      if (atEnd) false else { p = chunks(ci)._1; true }
     }
     def readU8(): Int = {
       if (remaining == 0 && !nextChunk()) return -1
@@ -125,20 +143,24 @@ object XlsText {
 
     val cstUnique = { skip(4); readI32() } // cstTotal skipped
     var k = 0
-    while (k < cstUnique && ci < chunks.length) {
+    while (k < cstUnique && !atEnd) {
       val cch = readU16()
       var flags = readU8()
-      if (flags < 0) return // truncated
+      if (flags < 0) return // truncated before the string began
       val fRich = (flags & 0x08) != 0
       val fExt = (flags & 0x04) != 0
       val cRun = if (fRich) readU16() else 0
       val cbExt = if (fExt) readI32() else 0
-      val sb = new java.lang.StringBuilder(cch)
+      val sb = new java.lang.StringBuilder(math.max(cch, 0))
       var got = 0
-      while (got < cch) {
+      var truncated = false
+      while (got < cch && !truncated) {
         if (remaining == 0) {
-          if (!nextChunk()) { got = cch } // truncated: bail
-          else flags = readU8()           // continue fragment re-declares width
+          if (!nextChunk()) truncated = true
+          else {
+            val f = readU8() // continue fragment re-declares width
+            if (f < 0) truncated = true else flags = f
+          }
         } else if ((flags & 0x01) != 0) {
           if (remaining >= 2) { sb.append(charU16(wb, p)); p += 2; got += 1 }
           else { p = chunks(ci)._2 } // lone byte at boundary: force next chunk

@@ -223,9 +223,11 @@ object StreamPipeline {
                   col("a.id") < col("b.id"))
               .select(col("a.id").as("i"), col("b.id").as("j"))
             val cand = cross.unionByName(self).distinct()
+            // unconditional write: an isEmpty probe would execute the
+            // verify join twice (once to check, once to write) — the
+            // most expensive per-batch step; an empty append is cheap
             val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text", n, minJ)
-            if (!verified.isEmpty)
-              verified.write.mode("append").parquet(outDir)
+            verified.write.mode("append").parquet(outDir)
             newBands.write.mode("append").parquet(storeDir)
           } finally { newBands.unpersist(); () }
         }

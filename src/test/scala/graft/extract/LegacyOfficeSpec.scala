@@ -61,6 +61,27 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(XlsText.extract(bytes, -1) == "abcdefghij")
   }
 
+  test("xls SST claiming more strings than encoded degrades, not throws") {
+    // header says 5 strings, only 1 is present, data ends exactly at
+    // the record boundary — the crash shape a truncated download takes
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def i32(v: Int) =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def cat(parts: Array[Byte]*) = parts.flatten.toArray
+    val sstData = cat(i32(5), i32(5), u16(2), Array(0x00.toByte), "ok".getBytes("ascii"))
+    val wb = cat(
+      u16(0x0809), u16(16), u16(0x0600), u16(0x0005), u16(0x0dbb), u16(0x07cc),
+      i32(0), i32(0),
+      u16(0x00fc), u16(sstData.length), sstData,
+      u16(0x000a), u16(0),
+      u16(0x0809), u16(16), u16(0x0600), u16(0x0010), u16(0x0dbb), u16(0x07cc),
+      i32(0), i32(0),
+      u16(0x00fd), u16(10), u16(0), u16(0), u16(0), i32(0),
+      u16(0x000a), u16(0))
+    val bytes = CfbWriter.write(Seq("Workbook" -> wb))
+    assert(XlsText.extract(bytes, -1) == "ok") // recovered string still serves cells
+  }
+
   test("ppt extracts TextCharsAtom and TextBytesAtom in document order") {
     val r = TextExtractor.extract(LegacyOffice.samplePpt(), "deck.ppt")
     assert(r.error == null, s"error=${r.error}")

@@ -219,6 +219,17 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ks = spark.table("wmevict").as[String].collect().sorted.toSeq
       assert(ks == Seq("k1", "k1", "other"))
+      // LATE re-send: k1 with its ORIGINAL event time, now far below
+      // the watermark (~t0+50min) and with its first state entry long
+      // evicted. The engine must LATE-DROP it, not re-admit it — this
+      // is the behavior q_stream_dedup_watermark's any-batch-split
+      // determinism stands on (a planted duplicate whose original's
+      // state was evicted arrives with the same old event time and
+      // must not re-emit).
+      write("f5", ("k1", t0))
+      q.processAllAvailable()
+      val ks2 = spark.table("wmevict").as[String].collect().sorted.toSeq
+      assert(ks2 == Seq("k1", "k1", "other"), s"late row was not dropped: $ks2")
     } finally q.stop()
   }
 }
