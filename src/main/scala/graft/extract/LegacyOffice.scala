@@ -136,21 +136,38 @@ object LegacyOffice {
   }
 
   /** Writes the two fixtures into `dir` (for pipeline-level queries
-    * that ingest a directory of files). The dir is WIPED first — a
-    * stale file from an earlier fixture generation would be ingested
-    * by the directory scan and break the golden row set. */
-  def writeFixtures(dir: java.nio.file.Path): Unit = {
-    wipe(dir)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("legacy.xls"), sampleXls())
-    java.nio.file.Files.write(dir.resolve("legacy.ppt"), samplePpt())
-  }
+    * that ingest a directory of files). */
+  def writeFixtures(dir: java.nio.file.Path): Unit =
+    syncFixtureDir(dir, Map(
+      "legacy.xls" -> sampleXls(), "legacy.ppt" -> samplePpt()))
 
-  private[extract] def wipe(dir: java.nio.file.Path): Unit = {
-    def rec(f: java.io.File): Unit = {
-      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rec)
-      f.delete(); ()
+  /** Makes `dir` hold EXACTLY `files`: unknown entries are removed (a
+    * stale file from an earlier fixture generation would be ingested
+    * by the directory scan and break the golden row set; symlinks are
+    * unlinked, never followed) and each fixture lands via
+    * write-temp + atomic rename — concurrent runs (bench + verify
+    * share the path) each produce the identical bytes and a reader
+    * never observes a half-written or missing file, which a
+    * wipe-then-rewrite window would allow. */
+  private[extract] def syncFixtureDir(dir: java.nio.file.Path,
+                                      files: Map[String, Array[Byte]]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(dir)
+    Option(dir.toFile.listFiles).getOrElse(Array.empty[java.io.File])
+      .filterNot(f => files.contains(f.getName))
+      .foreach { f =>
+        def rec(g: java.io.File): Unit = {
+          if (g.isDirectory && !Files.isSymbolicLink(g.toPath))
+            Option(g.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rec)
+          g.delete(); ()
+        }
+        rec(f)
+      }
+    files.foreach { case (name, bytes) =>
+      val tmp = Files.createTempFile(dir, s".$name", ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
-    rec(dir.toFile)
   }
 }

@@ -107,12 +107,11 @@ object MediaFixtures {
   def gifSmall(): Array[Byte] = encoded(fill(11, 5, 0x00aa55), "gif")
 
   /** Writes the three fixtures into `dir` for directory-ingest queries
-    * (wiped first — stale files would pollute the golden row set). */
-  def writeFixtures(dir: java.nio.file.Path): Unit = {
-    LegacyOffice.wipe(dir)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("photo.jpg"), jpegWithExif())
-    java.nio.file.Files.write(dir.resolve("chart.png"), pngWithText())
-    java.nio.file.Files.write(dir.resolve("anim.gif"), gifSmall())
-  }
+    * (stale entries removed, atomic per-file writes — see
+    * LegacyOffice.syncFixtureDir). */
+  def writeFixtures(dir: java.nio.file.Path): Unit =
+    LegacyOffice.syncFixtureDir(dir, Map(
+      "photo.jpg" -> jpegWithExif(),
+      "chart.png" -> pngWithText(),
+      "anim.gif" -> gifSmall()))
 }

@@ -19,14 +19,20 @@ object PptText {
 
   /** Atom accumulator with an early-stop budget: atoms arrive in
     * document order and the output is their order-preserving join, so
-    * once `maxLen` (+ separators) characters are collected the walk
-    * can stop — memory and CPU stay O(maxLen) on a large deck with a
-    * small cap, same contract as XlsxText's streaming Bounded. */
+    * once the budget of NORMALIZED characters is met the walk can stop
+    * — memory and CPU stay O(maxLen) on a large deck with a small cap,
+    * same contract as XlsxText's streaming Bounded. The budget counts
+    * post-normalize survivors only (an atom of pure whitespace/control
+    * runs contributes nothing), with slack headroom, so capped output
+    * is identical to capping the full extraction. */
   private final class Collector(maxChars: Int) {
     val atoms = new scala.collection.mutable.ArrayBuffer[String]
     private var total = 0
-    def full: Boolean = maxChars >= 0 && total > maxChars
-    def add(s: String): Unit = { atoms += s; total += s.length + 1 }
+    def full: Boolean = maxChars >= 0 && total > maxChars.toLong + 4096
+    def add(s: String): Unit = {
+      val n = normalize(s)
+      if (n.nonEmpty) { atoms += n; total += n.length + 1 }
+    }
   }
 
   def extract(bytes: Array[Byte], maxLen: Int): String = {
@@ -36,8 +42,9 @@ object PptText {
 
     val coll = new Collector(maxLen)
     walk(ppt, 0, ppt.length, coll, depth = 0)
+    require(coll.atoms.nonEmpty || ppt.nonEmpty, "ppt: empty document stream")
 
-    val text = coll.atoms.map(normalize).filter(_.nonEmpty).mkString("\n")
+    val text = coll.atoms.mkString("\n")
     val out = new Bounded(maxLen)
     out.append(text)
     out.result().trim
@@ -51,7 +58,9 @@ object PptText {
       val verInst = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
       val typ = (buf(off + 2) & 0xff) | ((buf(off + 3) & 0xff) << 8)
       val len = ByteBuffer.wrap(buf, off + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-      if (len < 0 || off + 8 + len > to) return // truncated record: stop
+      // subtraction form: `off + 8 + len` overflows Int for a hostile
+      // len near MaxValue and would slip past an addition-form guard
+      if (len < 0 || len > to - off - 8) return // truncated record: stop
       if ((verInst & 0x0f) == 0x0f) // container: recurse in file order
         walk(buf, off + 8, off + 8 + len, out, depth + 1)
       else if (typ == TextCharsAtom)

@@ -66,9 +66,13 @@ object XlsText {
             val isst = i32(data + 6)
             if (isst >= 0 && isst < sst.length)
               addCell(sheet, u16(data), u16(data + 2), sst(isst))
-          case 0x0204 => // Label (pre-SST inline string)
-            val cch = u16(data + 6)
-            val high = len > 8 && (wb(data + 8) & 0x01) != 0
+          case 0x0204 if len >= 9 => // Label (pre-SST inline string)
+            // cch clamped to the record's actual payload: a corrupt
+            // count must degrade to the bytes present, never throw
+            val high = (wb(data + 8) & 0x01) != 0
+            val avail = len - 9
+            val cch = math.max(0,
+              math.min(u16(data + 6), if (high) avail / 2 else avail))
             val s =
               if (high) new String(wb, data + 9, cch * 2,
                 java.nio.charset.StandardCharsets.UTF_16LE)

@@ -98,6 +98,39 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(MimeDetect.detect(doc, "renamed.dat") == MimeDetect.Doc)
   }
 
+  test("capped ppt extraction is not starved by whitespace-only atoms") {
+    // 200 spaces normalize to nothing; the budget must not count them
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def i32(v: Int) =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def atom(typ: Int, data: Array[Byte]) = u16(0) ++ u16(typ) ++ i32(data.length) ++ data
+    val blank = atom(0x0fa8, (" " * 200).getBytes("windows-1252"))
+    val real = atom(0x0fa8, "hello world".getBytes("windows-1252"))
+    val body = blank ++ real
+    val doc = u16(0x000f) ++ u16(0x03e8) ++ i32(body.length) ++ body
+    val bytes = CfbWriter.write(Seq("PowerPoint Document" -> doc))
+    assert(PptText.extract(bytes, 50) == "hello world")
+  }
+
+  test("xls Label record with a corrupt length claim degrades to its payload") {
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def i32(v: Int) =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def cat(parts: Array[Byte]*) = parts.flatten.toArray
+    // cch claims 60000 chars; the record carries 2
+    val label = cat(u16(0), u16(0), u16(0), u16(60000), Array(0x00.toByte),
+      "ok".getBytes("ascii"))
+    val wb = cat(
+      u16(0x0809), u16(16), u16(0x0600), u16(0x0005), u16(0x0dbb), u16(0x07cc),
+      i32(0), i32(0),
+      u16(0x0809), u16(16), u16(0x0600), u16(0x0010), u16(0x0dbb), u16(0x07cc),
+      i32(0), i32(0),
+      u16(0x0204), u16(label.length), label,
+      u16(0x000a), u16(0))
+    val bytes = CfbWriter.write(Seq("Workbook" -> wb))
+    assert(XlsText.extract(bytes, -1) == "ok")
+  }
+
   test("xls and ppt respect the max-length cap") {
     assert(TextExtractor.extract(LegacyOffice.sampleXls(), "a.xls", maxLen = 9)
       .text.length <= 9)
