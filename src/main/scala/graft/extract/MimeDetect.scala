@@ -24,6 +24,11 @@ object MimeDetect {
   val Jpeg = "image/jpeg"
   val Png  = "image/png"
   val Gif  = "image/gif"
+  val Odt  = "application/vnd.oasis.opendocument.text"
+  val Ods  = "application/vnd.oasis.opendocument.spreadsheet"
+  val Odp  = "application/vnd.oasis.opendocument.presentation"
+  val Epub = "application/epub+zip"
+  val Eml  = "message/rfc822"
   val OctetStream = "application/octet-stream"
 
   private val OleMagic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
@@ -40,9 +45,27 @@ object MimeDetect {
         startsWith(bytes, "GIF89a".getBytes)) return Gif
     val head = new String(bytes, 0, math.min(bytes.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (looksLikeEmail(head) ||
+        (isMostlyText(bytes) &&
+         Option(filename).getOrElse("").toLowerCase.endsWith(".eml"))) return Eml
     val lower = head.toLowerCase
     if (lower.contains("<html") || lower.contains("<!doctype html")) return Html
     if (isMostlyText(bytes)) Text else OctetStream
+  }
+
+  /** RFC 5322 shape: the content opens with a header line and the
+    * header block names at least two well-known message headers —
+    * Tika's rfc822 magic uses the same anchored-header signal. Checked
+    * BEFORE the html probe so an html-bodied email stays an email. */
+  private def looksLikeEmail(head: String): Boolean = {
+    val lines = head.split("\r?\n", -1).takeWhile(_.nonEmpty).take(40)
+    if (lines.isEmpty) return false
+    val headerLine = "^[A-Za-z][A-Za-z0-9-]{0,60}:.*$"
+    if (!lines.head.matches(headerLine)) return false
+    val known = Set("from", "to", "subject", "date", "received",
+      "return-path", "message-id", "mime-version", "delivered-to")
+    lines.count(l => l.matches(headerLine) &&
+      known.contains(l.takeWhile(_ != ':').toLowerCase)) >= 2
   }
 
   /** OLE2 subtype from the container's own directory entries — the
@@ -64,8 +87,27 @@ object MimeDetect {
     }
   }
 
-  /** OOXML files are zips; the content type lives in the inner paths. */
+  /** OOXML files are zips; the content type lives in the inner paths.
+    * ODF/EPUB zips carry an authoritative `mimetype` entry instead
+    * (ODF 1.2 §3.3 / OCF §5.3 require it first and uncompressed) —
+    * read it directly, the strongest signal the container offers. */
   private def zipSubtype(bytes: Array[Byte], filename: String): String = {
+    val declared: Option[String] =
+      try {
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try Option(zin.getNextEntry).filter(_.getName == "mimetype")
+          .map(_ => new String(zin.readAllBytes(),
+            java.nio.charset.StandardCharsets.US_ASCII).trim)
+        finally zin.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    declared match {
+      case Some(Odt) => return Odt
+      case Some(Ods) => return Ods
+      case Some(Odp) => return Odp
+      case Some(Epub) => return Epub
+      case _ =>
+    }
     val probe = new String(bytes, 0, math.min(bytes.length, 8192),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (probe.contains("word/")) Docx

@@ -36,6 +36,10 @@ object TextExtractor {
         case MimeDetect.Pptx => PptxText.extract(bytes, maxLen)
         case MimeDetect.Xls  => XlsText.extract(bytes, maxLen)
         case MimeDetect.Ppt  => PptText.extract(bytes, maxLen)
+        case MimeDetect.Odt | MimeDetect.Ods | MimeDetect.Odp =>
+          OdfText.extract(bytes, maxLen)
+        case MimeDetect.Epub => EpubText.extract(bytes, maxLen)
+        case MimeDetect.Eml  => EmlText.extract(bytes, maxLen)
         case MimeDetect.Zip =>
           throw new IllegalArgumentException(s"unsupported container type $mime")
         case MimeDetect.Jpeg | MimeDetect.Png | MimeDetect.Gif =>
