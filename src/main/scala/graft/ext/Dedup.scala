@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Engine-stable 4-decimal rounding for cross-engine-compared doubles:
+    * `floor(x·10⁴ + 0.5)/10⁴` is one IEEE expression with identical bits
+    * in Spark and DuckDB; `round(x, 4)` ties at the 5th decimal round
+    * engine-specifically (Spark HALF_UP on the decimal expansion, DuckDB
+    * std rounding) — the repo-wide rule from the verify skill. */
+  private def floor4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
   // ---- exact ---------------------------------------------------------
 
   /** Exact dedup: keep the lowest id per content digest.
@@ -129,7 +136,7 @@ object Dedup {
       .select(col("i"), col("j"),
         (col("c") / (col("sa.n_sh") + col("sb.n_sh") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= minJ)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("i"), col("j"), floor4(col("jaccard")).as("jaccard"))
   }
 
   /** Df-capped candidate form of [[jaccardPairs]] — the inverted-index
@@ -169,7 +176,7 @@ object Dedup {
       .select(col("i"), col("j"),
         (col("c") / (col("za.n_sh") + col("zb.n_sh") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= minJ)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("i"), col("j"), floor4(col("jaccard")).as("jaccard"))
   }
 
   // ---- MinHash + LSH -------------------------------------------------
@@ -273,7 +280,7 @@ object Dedup {
       .join(d.as("db"), col("j") === col("db.id"))
       .select(col("i"), col("j"), pairJaccard(col("da.t"), col("db.t"), lit(n)).as("jaccard"))
       .filter(col("jaccard") >= minJ)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("i"), col("j"), floor4(col("jaccard")).as("jaccard"))
   }
 
   /** MinHash near-dup pairs, LSH candidates verified with exact

@@ -76,7 +76,8 @@ object XlsText {
             val s =
               if (high) new String(wb, data + 9, cch * 2,
                 java.nio.charset.StandardCharsets.UTF_16LE)
-              else new String(wb, data + 9, cch, java.nio.charset.Charset.forName("windows-1252"))
+              else new String(wb, data + 9, cch,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
             addCell(sheet, u16(data), u16(data + 2), s)
           case 0x0203 => // Number: IEEE double
             addCell(sheet, u16(data), u16(data + 2), formatNum(f64(data + 6)))
@@ -169,7 +170,7 @@ object XlsText {
           if (remaining >= 2) { sb.append(charU16(wb, p)); p += 2; got += 1 }
           else { p = chunks(ci)._2 } // lone byte at boundary: force next chunk
         } else {
-          sb.append(cp1252(wb(p))); p += 1; got += 1
+          sb.append(latin1(wb(p))); p += 1; got += 1
         }
       }
       skip(cRun * 4 + cbExt)
@@ -181,9 +182,11 @@ object XlsText {
   private def charU16(wb: Array[Byte], off: Int): Char =
     (((wb(off) & 0xff) | ((wb(off + 1) & 0xff) << 8)).toChar)
 
-  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
-  private def cp1252(b: Byte): Char =
-    new String(Array(b), Cp1252).charAt(0)
+  /** Compressed (fHighByte=0) BIFF8 strings are the LOW BYTES of UTF-16
+    * code units ([MS-XLS] 2.5.240 XLUnicodeRichExtendedString), i.e.
+    * ISO-8859-1 — NOT windows-1252 (which would map 0x80–0x9F to
+    * €/™/… instead of U+0080–U+009F), matching POI/Tika. */
+  private def latin1(b: Byte): Char = (b & 0xff).toChar
 
   /** RK number: bit0 = ×1/100, bit1 = int-vs-truncated-double. */
   private def decodeRk(rk: Int): Double = {

@@ -63,7 +63,7 @@ object ExtQueries {
 
   private val jaccardOracle =
     shingleCte +
-      """SELECT i, j, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+      """SELECT i, j, floor(c * 1.0 / (sa.n_sh + sb.n_sh - c) * 10000 + 0.5) / 10000 AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
         |ORDER BY i, j""".stripMargin
@@ -82,7 +82,7 @@ object ExtQueries {
         |           FROM cand c JOIN sh a ON a.doc_id = c.i
         |                       JOIN sh b ON b.doc_id = c.j AND b.s = a.s
         |           GROUP BY 1, 2)
-        |SELECT i, j, round(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), 4) AS jaccard
+        |SELECT i, j, floor(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) * 10000 + 0.5) / 10000 AS jaccard
         |FROM cinter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
         |WHERE cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) >= 0.8
         |ORDER BY i, j""".stripMargin

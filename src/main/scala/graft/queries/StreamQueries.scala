@@ -242,13 +242,16 @@ object StreamQueries {
     // comment promises: dropDuplicatesWithinWatermark bounds the state
     // store (a key's entry evicts once the watermark passes its event
     // time; StreamingSpec proves the eviction behaviorally). Duplicates
-    // carry the SAME synthetic event time as their originals (derived
-    // from doc_id mod the variant offset), so every planted duplicate
-    // is in-watermark by construction and the emitted set equals the
-    // distinct canonical fps under ANY micro-batch split — late
-    // re-emission, the one behavior that differs from plain
-    // dropDuplicates, cannot trigger here and is pinned in the spec
-    // instead.
+    // carry the SAME synthetic event time as their originals (doc_id
+    // mod the variant offset), and ALL event times land inside one
+    // watermark interval (…% 3600 s spans ≤ 59m59s < the 1-hour
+    // delay), so no first-occurrence can ever be late-dropped — the
+    // watermark (max − 1 h) never passes ANY event time while data
+    // remains. The emitted set therefore equals the distinct canonical
+    // fps under ANY micro-batch split (maxFilesPerTrigger, bigger sfs
+    // included); late re-emission, the one behavior that differs from
+    // plain dropDuplicates, cannot trigger here and is pinned in the
+    // spec instead.
     "q_stream_dedup_watermark" -> ((s, d) => {
       val dir = doubledSourceDir(s, d, "documents", "wmdedup", Some(docs =>
         docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -259,7 +262,7 @@ object StreamQueries {
       val canon = stream
         .select(sha2(graft.ext.TextStats.normalizeCol(col("text")), 256).as("fp"),
           timestamp_micros(
-            lit(1700000000000000L) + (col("doc_id") % 1000000L) * 1000000L)
+            lit(1700000000000000L) + (col("doc_id") % 1000000L % 3600L) * 1000000L)
             .as("etime"))
         .withWatermark("etime", "1 hour")
         .dropDuplicatesWithinWatermark("fp")
@@ -470,7 +473,7 @@ object StreamQueries {
         |inter AS (SELECT a.doc_id i, b.doc_id j, count(*) cnt
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |          GROUP BY 1,2)
-        |SELECT i, j, round(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), 4) AS jaccard
+        |SELECT i, j, floor(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) * 10000 + 0.5) / 10000 AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
         |WHERE cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) >= 0.8
         |ORDER BY i, j""".stripMargin,

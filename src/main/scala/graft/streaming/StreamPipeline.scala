@@ -191,6 +191,19 @@ object StreamPipeline {
     * the corpus seen so far (StreamingSpec pins the cross-batch path
     * with maxFilesPerTrigger=1).
     *
+    * Fault tolerance: both sinks are keyed by `batchId`
+    * (`…/batch_<id>` subdirectories, written with overwrite after
+    * deleting any half-written attempt), so a failed-and-retried
+    * micro-batch replaces its own output instead of double-appending —
+    * each pair lands exactly once per run. Across RESTARTS the engine
+    * only redelivers stable batchIds when the query has a
+    * `checkpointLocation`; this harness runs checkpoint-free over
+    * wiped scratch dirs (each run starts from batch 0 on empty
+    * stores), so production use on a durable store must set one. A
+    * re-delivered doc joining its own stored bands is excluded by the
+    * `a.id =!= b.id` guard rather than surfacing as an (i, i)
+    * self-pair.
+    *
     * `corpus` must resolve text for every id the stream will carry. */
   def incrementalNearDups(spark: SparkSession, stream: DataFrame, corpus: DataFrame,
                           storeDir: String, outDir: String,
@@ -200,22 +213,30 @@ object StreamPipeline {
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         if (!batch.isEmpty) {
           val newBands = Dedup.bandRows(batch, "doc_id", "text", n).persist()
           try {
-            val fs = new org.apache.hadoop.fs.Path(storeDir)
-              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val storePath = new org.apache.hadoop.fs.Path(storeDir)
+            val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+            // a crashed prior attempt of THIS batch may have left its
+            // own bands behind — remove them before reading the store
+            // so "store excludes this batch" stays exact on retry
+            val ownBands = new org.apache.hadoop.fs.Path(storeDir, s"batch_$batchId")
+            if (fs.exists(ownBands)) fs.delete(ownBands, true)
             val store =
-              if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
-                s.read.schema(bandSchema).parquet(storeDir)
+              if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty)
+                s.read.schema(bandSchema)
+                  .option("recursiveFileLookup", "true").parquet(storeDir)
               else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
                 org.apache.spark.sql.types.StructType.fromDDL(bandSchema))
             // cross-batch: new docs vs the store (store excludes this
-            // batch, so no double-count with the self-join)
+            // batch, so no double-count with the self-join; the id
+            // guard keeps a redelivered doc from pairing with itself)
             val cross = newBands.as("a").join(store.as("b"),
-                col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+                col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                  col("a.id") =!= col("b.id"))
               .select(least(col("a.id"), col("b.id")).as("i"),
                 greatest(col("a.id"), col("b.id")).as("j"))
             val self = newBands.as("a").join(newBands.as("b"),
@@ -225,10 +246,10 @@ object StreamPipeline {
             val cand = cross.unionByName(self).distinct()
             // unconditional write: an isEmpty probe would execute the
             // verify join twice (once to check, once to write) — the
-            // most expensive per-batch step; an empty append is cheap
+            // most expensive per-batch step; an empty write is cheap
             val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text", n, minJ)
-            verified.write.mode("append").parquet(outDir)
-            newBands.write.mode("append").parquet(storeDir)
+            verified.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+            newBands.write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
           } finally { newBands.unpersist(); () }
         }
       }
@@ -237,7 +258,7 @@ object StreamPipeline {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath) && fs.listStatus(outPath).nonEmpty)
-      spark.read.parquet(outDir)
+      spark.read.option("recursiveFileLookup", "true").parquet(outDir)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("i LONG, j LONG, jaccard DOUBLE"))
   }
