@@ -103,6 +103,32 @@ object ExtQueries {
         |SELECT id AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** [[clusterOracle]] extended with the keep-canonical policy: argmax
+    * by (quality DESC, doc_id ASC) within each connected component —
+    * the relational replay of minhashNearDups → clusterAssignments →
+    * keep-best (q_dedup_minhash's own oracle proves the LSH pair set
+    * equals this jaccard relation on this corpus). */
+  private def keepCanonicalOracle: String =
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+      s""",dpairs AS (
+         |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
+         |                         JOIN sizes sb ON sb.doc_id = j
+         |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j),
+         |clusters AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (SELECT doc_id, ${TextStats.qualitySql("text")} AS quality
+         |           FROM documents),
+         |r AS (SELECT c.cluster_id, s.doc_id, s.quality,
+         |        row_number() OVER (PARTITION BY c.cluster_id
+         |          ORDER BY s.quality DESC, s.doc_id ASC) AS rn
+         |      FROM clusters c JOIN scored s ON s.doc_id = c.id)
+         |SELECT cluster_id, doc_id, quality FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) => {
@@ -908,6 +934,32 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
+    // the FULL production near-dedup policy, composed end-to-end from
+    // three individually-verified operators: MinHash+LSH near-dup
+    // pairs (sub-quadratic candidates, exact-Jaccard verified) →
+    // connected-component cluster ids (min-label propagation) → keep
+    // the highest-quality member per cluster (id ascending as the
+    // tie-break). One row per cluster; singleton docs are their own
+    // cluster and survive unconditionally. The oracle replays the
+    // identical pipeline relationally: jaccard relation → recursive-CTE
+    // closure → argmax by (quality DESC, doc_id ASC).
+    "q_dedup_keep_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, minJ = 0.8)
+      val clusters = Dedup.clusterAssignments(docs.select(col("doc_id")), "doc_id",
+        pairs.select(col("i"), col("j")))
+      val scored = docs.select(col("doc_id"),
+        TextStats.qualityCol(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      scored.join(clusters, scored("doc_id") === clusters("id"))
+        .select(col("cluster_id"), col("doc_id"), col("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy(col("cluster_id"))
+    }),
     // rule-ensemble quality vote (the DCLM/Gopher pattern of combining
     // independent signals): absolute quality, within-doc repetition,
     // and a word-count band each vote; keep = majority. Integer and
@@ -1553,6 +1605,7 @@ object ExtQueries {
          |          ORDER BY quality DESC, doc_id ASC) AS rn
          |      FROM q)
          |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_canonical" -> keepCanonicalOracle,
     "q_quality_ensemble" ->
       s"""WITH t AS (SELECT doc_id, ${TextStats.qualitySql("text")} AS q,
          |             string_split(text, ' ') AS a
