@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode path is a REAL codec: payloads are genuine PNG/BMP
-  * containers (written by `javax.imageio` — pure JDK, no external
-  * libraries), and [[decodeMeta]]/[[resizeChecksum]] run the actual
-  * `ImageIO` reader chain — container sniffing via registered
-  * `ImageReader` SPIs (the same auto-detect role Tika's detector plays
-  * for documents, cf. reference ETP.java:156), raster decode, and a
-  * hand-rolled nearest-neighbor resample over the decoded pixels.
+  * The decode paths are REAL codecs: image payloads are genuine
+  * PNG/BMP containers (written by `javax.imageio` — pure JDK, no
+  * external libraries) run through the actual `ImageIO` reader chain —
+  * container sniffing via registered `ImageReader` SPIs (the same
+  * auto-detect role Tika's detector plays for documents, cf. reference
+  * ETP.java:156), raster decode, and a hand-rolled nearest-neighbor
+  * resample over the decoded pixels; audio payloads are genuine
+  * RIFF/WAVE containers run through the `javax.sound.sampled`
+  * `AudioSystem` SPI chain ([[decodeAudio]]).
   *
   * Oracle strategy: the fixture generator plants images whose
   * dimensions AND pixel values are closed-form in `doc_id`
@@ -188,6 +190,103 @@ object Multimodal {
               ResizeMeta(id, ck, sum)
             }
           } catch { case scala.util.control.NonFatal(_) => ResizeMeta(id, -1L, -1L) }
+        }
+      }
+  }
+
+  // ---- real audio decode path (WAV via javax.sound.sampled) ----------
+
+  final case class AudioMeta(doc_id: Long, n_samples: Int, sample_rate: Int,
+                             channels: Int, sample_sum: Long, sample_checksum: Long)
+  implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+
+  /** Planted sample count in [64, 192] — the audio analogue of
+    * [[plantedW]]/[[plantedH]]. */
+  def plantedSamples(id: Long): Int = (64 + id % 129).toInt
+
+  /** Planted 16-bit PCM sample k: coprime strides over a ±2048 swing —
+    * signed values make a sign-extension or endianness slip flip the
+    * sum; the positional checksum catches reordered/dropped frames. */
+  def plantedSample(id: Long, k: Int): Int =
+    (((id * 31 + k.toLong * 17) % 4096) - 2048).toInt
+
+  /** Encodes the planted PCM for `id` as a REAL RIFF/WAVE container via
+    * `javax.sound.sampled.AudioSystem.write` (pure JDK): 16-bit signed
+    * little-endian mono at 8 kHz. Deterministic in `id`. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = plantedSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val v = plantedSample(id, k)
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[syntheticWav]] (generation only — the legitimate
+    * per-row-codec UDF case, like [[syntheticImageCol]]). */
+  def syntheticWavCol(idCol: Column): Column = {
+    val u = udf((id: Long) => syntheticWav(id))
+    u(idCol)
+  }
+
+  /** Decodes an audio container through the real `AudioSystem` SPI
+    * chain (container sniffing + header parse + frame stream) and
+    * summarizes the decoded samples: frame count, declared rate and
+    * channel count, plain sample sum, and the order-sensitive
+    * positional checksum Σ (k+1)·s(k) over frame index k (first
+    * channel). Only 16-bit integer PCM is summarized — anything else,
+    * or undecodable bytes, degrades to the (-1, …) error contract. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Int, Long, Long) = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val bytesPerFrame = f.getFrameSize
+        if (f.getSampleSizeInBits != 16 || bytesPerFrame <= 0) (-1, -1, -1, -1L, -1L)
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / bytesPerFrame
+          val big = f.isBigEndian
+          var sum = 0L
+          var ck = 0L
+          var k = 0
+          while (k < n) {
+            val off = k * bytesPerFrame // first channel of the frame
+            val s =
+              if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toInt
+              else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+            sum += s
+            ck += (k + 1L) * s
+            k += 1
+          }
+          (n, f.getSampleRate.toInt, f.getChannels, sum, ck)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => (-1, -1, -1, -1L, -1L) }
+  }
+
+  /** Batch audio decode over a binary column — same mapPartitions
+    * shape as [[decodeMeta]]: map-only, payload never shuffles. */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (n, rate, ch, sum, ck) = decodeAudio(bytes)
+          AudioMeta(id, n, rate, ch, sum, ck)
         }
       }
   }

@@ -722,6 +722,25 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode — the second genuine modality beside images:
+    // each doc carries a real RIFF/WAVE container (javax.sound.sampled)
+    // whose 16-bit PCM samples are planted closed-form in doc_id; the
+    // query runs the actual AudioSystem SPI chain (sniff, header,
+    // frame stream) and emits what it DECODED. The oracle predicts
+    // frame count, rate, channels, sample sum, and the positional
+    // checksum analytically — matching requires a byte-true
+    // encode→decode round trip (sign-extension or endianness slips
+    // flip the signed sums).
+    "q_audio_decode" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("payload", Multimodal.syntheticWavCol(col("doc_id")))
+      Multimodal.decodeAudioMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic sampling (reproducible across engines) -------
     // per-stratum keep-rates, map-only filter — no shuffle at any scale
     "q_sample_stratified" -> ((s, d) => {
@@ -1470,6 +1489,19 @@ object ExtQueries {
         |  CAST(sum((((i * w) // 8) * 3 + ((j * h) // 8) * 5 + doc_id) % 256)
         |       AS BIGINT) AS px_sum
         |FROM cij GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // analytic mirror of the planted PCM: n = 64 + id % 129 samples of
+    // s(k) = ((id·31 + k·17) % 4096) − 2048 at 8 kHz mono — matching
+    // is only possible if the WAV round trip preserved every sample
+    "q_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d)
+        |SELECT doc_id, CAST(n AS INT) AS n_samples, 8000 AS sample_rate,
+        |  1 AS channels,
+        |  CAST(sum(((doc_id * 31 + k * 17) % 4096) - 2048) AS BIGINT)
+        |    AS sample_sum,
+        |  CAST(sum((k + 1) * (((doc_id * 31 + k * 17) % 4096) - 2048)) AS BIGINT)
+        |    AS sample_checksum
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // deterministic sampling: md5 hex compared lexicographically — the
     // thresholds are Sampling.thresholdHex(rate) values verbatim
     "q_sample_stratified" ->

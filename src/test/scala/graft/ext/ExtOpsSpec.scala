@@ -209,6 +209,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert((m.width, m.height, m.format, m.px_sum) == (-1, -1, "unknown", -1L))
   }
 
+  test("audio decode round-trips a real RIFF/WAVE container") {
+    import spark.implicits._
+    val df = Seq(7L, 8L).toDF("doc_id")
+      .withColumn("payload", Multimodal.syntheticWavCol(col("doc_id")))
+    val meta = Multimodal.decodeAudioMeta(df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
+    for (m <- meta) {
+      val id = m.doc_id
+      val n = Multimodal.plantedSamples(id)
+      assert(m.n_samples == n)
+      assert(m.sample_rate == 8000)
+      assert(m.channels == 1)
+      val s = (0 until n).map(k => Multimodal.plantedSample(id, k).toLong)
+      assert(m.sample_sum == s.sum)
+      assert(m.sample_checksum ==
+        s.zipWithIndex.map { case (v, k) => (k + 1) * v }.sum)
+    }
+    // the payload really is a RIFF/WAVE container (magic bytes)
+    val bytes = df.select($"payload").as[Array[Byte]].collect().head
+    assert(bytes.take(4).sameElements("RIFF".getBytes))
+    assert(bytes.slice(8, 12).sameElements("WAVE".getBytes))
+  }
+
+  test("audio decode degrades to the error row on junk bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "not audio at all")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val m = Multimodal.decodeAudioMeta(df, "doc_id", "payload").collect().head
+    assert((m.n_samples, m.sample_rate, m.channels, m.sample_sum,
+      m.sample_checksum) == (-1, -1, -1, -1L, -1L))
+  }
+
   test("quality score stays in [0,1]") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bad = docs.select(TextStats.qualityCol(col("text")).as("q"))
