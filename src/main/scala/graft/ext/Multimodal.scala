@@ -194,6 +194,120 @@ object Multimodal {
       }
   }
 
+  // ---- EXIF-orientation-aware resize --------------------------------
+
+  final case class OrientMeta(doc_id: Long, orientation: Int,
+                              px_checksum: Long, px_sum: Long)
+  implicit val orientMetaEnc: Encoder[OrientMeta] = Encoders.product[OrientMeta]
+
+  /** Planted EXIF orientation, cycling the four values real cameras
+    * emit: 1 upright, 3 rotate-180, 6 rotate-90-CW, 8 rotate-90-CCW. */
+  def plantedOrientation(id: Long): Int = Array(1, 3, 6, 8)((id % 4).toInt)
+
+  /** A genuine JPEG APP1/EXIF segment carrying the planted orientation:
+    * SOI + APP1("Exif\0\0" + little-endian TIFF, one IFD, one
+    * Orientation SHORT entry) + EOI. [[exifOrientation]] reads it back
+    * through the REAL [[graft.extract.Metadata]] JPEG segment walk and
+    * TIFF IFD reader — the parse is exercised, not looked up. */
+  def syntheticExif(id: Long): Array[Byte] = {
+    val o = plantedOrientation(id)
+    val bos = new ByteArrayOutputStream()
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    b(0xff); b(0xd8)                           // SOI
+    val tiffLen = 8 + 2 + 12 + 4               // header + IFD(count,1 entry,next)
+    val segLen = 2 + 6 + tiffLen               // incl. the length field itself
+    b(0xff); b(0xe1); b(segLen >> 8); b(segLen)
+    bos.write("Exif".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b(0); b(0)
+    b('I'); b('I'); b(42); b(0)                // II + 42 (little-endian)
+    b(8); b(0); b(0); b(0)                     // IFD0 at offset 8
+    b(1); b(0)                                 // one entry
+    b(0x12); b(0x01)                           // tag 0x0112 Orientation
+    b(3); b(0)                                 // type SHORT
+    b(1); b(0); b(0); b(0)                     // count 1
+    b(o); b(0); b(0); b(0)                     // value (LE, padded)
+    b(0); b(0); b(0); b(0)                     // no next IFD
+    b(0xff); b(0xd9)                           // EOI
+    bos.toByteArray
+  }
+
+  /** Column form of [[syntheticExif]] (fixture generation only). */
+  def syntheticExifCol(idCol: Column): Column = {
+    val u = udf((id: Long) => syntheticExif(id))
+    u(idCol)
+  }
+
+  /** EXIF Orientation via the real JPEG/TIFF metadata parser; 1 (the
+    * EXIF default) when the tag is absent or the bytes undecodable. */
+  def exifOrientation(jpegBytes: Array[Byte]): Int =
+    graft.extract.Metadata.extract(jpegBytes, "sidecar.jpg")
+      .get("Orientation").flatMap(_.toIntOption).getOrElse(1)
+
+  /** Applies EXIF orientation `o` to a decoded raster's gray channel:
+    * returns (displayWidth, displayHeight, row-major grays) of the
+    * upright image. Display pixel (x, y) pulls from the stored raster
+    * by the standard inverse maps (6 = stored needs 90° CW to view:
+    * src(y, h−1−x); 8 = 90° CCW: src(w−1−y, x); 3 = 180°). */
+  def orientedGray(img: BufferedImage, o: Int): (Int, Int, Array[Int]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def g(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+    val (rw, rh) = if (o == 6 || o == 8) (h, w) else (w, h)
+    val out = new Array[Int](rw * rh)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        out(y * rw + x) = o match {
+          case 3 => g(w - 1 - x, h - 1 - y)
+          case 6 => g(y, h - 1 - x)
+          case 8 => g(w - 1 - y, x)
+          case _ => g(x, y)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (rw, rh, out)
+  }
+
+  /** Orientation-aware [[resizeChecksum]] — what every real image
+    * pipeline must do before training: parse Orientation from the EXIF
+    * sidecar (real Metadata TIFF walk), rotate the DECODED raster
+    * upright, then nearest-neighbor resample to `tw`×`th` and checksum
+    * the output. Map-only; neither payload nor sidecar shuffles. */
+  def resizeOrientedChecksum(df: DataFrame, idCol: String, binCol: String,
+                             exifCol: String, tw: Int, th: Int): Dataset[OrientMeta] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte], Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol), col(exifCol))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, exif) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) OrientMeta(id, -1, -1L, -1L)
+            else {
+              val o = exifOrientation(exif)
+              val (rw, rh, grays) = orientedGray(img, o)
+              var ck = 0L; var sum = 0L
+              var j = 0
+              while (j < th) {
+                var i = 0
+                while (i < tw) {
+                  val g = grays((j * rh / th) * rw + (i * rw / tw))
+                  ck += (j.toLong * tw + i + 1) * g
+                  sum += g
+                  i += 1
+                }
+                j += 1
+              }
+              OrientMeta(id, o, ck, sum)
+            }
+          } catch { case scala.util.control.NonFatal(_) => OrientMeta(id, -1, -1L, -1L) }
+        }
+      }
+  }
+
   // ---- real audio decode path (WAV via javax.sound.sampled) ----------
 
   final case class AudioMeta(doc_id: Long, n_samples: Int, sample_rate: Int,

@@ -209,6 +209,48 @@ class ExtOpsSpec extends AnyFunSuite {
     assert((m.width, m.height, m.format, m.px_sum) == (-1, -1, "unknown", -1L))
   }
 
+  test("EXIF orientation parses from the real APP1/TIFF walk and rotates the raster") {
+    import spark.implicits._
+    // ids 0..3 cycle orientations 1/3/6/8
+    for (id <- 0L to 3L)
+      assert(Multimodal.exifOrientation(Multimodal.syntheticExif(id)) ==
+        Multimodal.plantedOrientation(id))
+    // absent/garbage EXIF degrades to the default upright orientation
+    assert(Multimodal.exifOrientation(Array[Byte](1, 2, 3)) == 1)
+
+    val df = (0L to 3L).toDF("doc_id")
+      .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+      .withColumn("exif", Multimodal.syntheticExifCol(col("doc_id")))
+    val rows = Multimodal.resizeOrientedChecksum(df, "doc_id", "payload", "exif",
+      tw = 8, th = 8).collect().sortBy(_.doc_id)
+    for (r <- rows) {
+      val id = r.doc_id
+      val o = Multimodal.plantedOrientation(id)
+      assert(r.orientation == o)
+      val (w, h) = (Multimodal.plantedW(id), Multimodal.plantedH(id))
+      val (rw, rh) = if (o == 6 || o == 8) (h, w) else (w, h)
+      def src(x: Int, y: Int) = Multimodal.plantedGray(id, x, y).toLong
+      def rot(x: Int, y: Int) = o match {
+        case 3 => src(w - 1 - x, h - 1 - y)
+        case 6 => src(y, h - 1 - x)
+        case 8 => src(w - 1 - y, x)
+        case _ => src(x, y)
+      }
+      val grid = for { j <- 0 until 8; i <- 0 until 8 }
+        yield rot(i * rw / 8, j * rh / 8)
+      assert(r.px_sum == grid.sum, s"oriented gray sum mismatch for doc $id (o=$o)")
+      assert(r.px_checksum ==
+        grid.zipWithIndex.map { case (g, k) => (k + 1) * g }.sum,
+        s"oriented checksum mismatch for doc $id (o=$o)")
+    }
+    // the rotation is not a no-op: for the o=6 doc the oriented
+    // checksum must differ from the plain (unrotated) resize of the
+    // SAME image — the planted pattern is asymmetric by construction
+    val plain = Multimodal.resizeChecksum(df.filter(col("doc_id") === 2L),
+      "doc_id", "payload", tw = 8, th = 8).collect().head
+    assert(rows.find(_.doc_id == 2L).get.px_checksum != plain.px_checksum)
+  }
+
   test("audio decode round-trips a real RIFF/WAVE container") {
     import spark.implicits._
     val df = Seq(7L, 8L).toDF("doc_id")
