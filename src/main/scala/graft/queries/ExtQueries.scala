@@ -307,6 +307,32 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
+    // the QUANTIZED serving path — q_knn_ivf_planted's contract through
+    // the int8 index: first-pass scoring reads only array<tinyint>
+    // vectors (≈⅛ the index bytes/IO), survivors re-rank in float
+    // against the lake by id. Same planted top-1-exact gate at the
+    // same 25% probe fraction — the quantization error (O(1/254) per
+    // element) must vanish under the ~0.49 cosine margin between each
+    // query's source and the rest of the corpus.
+    "q_knn_ivf_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val jitter = (i: org.apache.spark.sql.Column) =>
+        (conv(substring(md5(concat_ws("_", col("vec_id"), i)), 1, 6), 16, 10)
+          .cast("long") % 2001L - 1000L).cast("double") / 1000.0
+      val queries = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.08) * jitter(i))).as("embedding"))
+      val idxDir = graft.ext.Ivf.quantizedIndexDirFor(d, k = 16, iters = 2)
+      graft.ext.Ivf.buildQuantizedIndex(emb, "vec_id", "embedding", idxDir,
+        k = 16, iters = 2)
+      graft.ext.Ivf.topKQuantized(s, idxDir, emb, queries,
+          "vec_id", "embedding", k = 1, nProbe = 4, rerank = 4)
+        .filter(col("rank") === 1)
+        .select(col("qid"), (col("nid") === col("qid") - 1000000L).as("top1_ok"))
+        .orderBy(col("qid"))
+    }),
+
     // Winnowing fingerprints are also engine-specific, but carry a
     // PROVABLE planted contract: every k-gram window of a document is
     // an identical window of that document extended with a suffix, so
@@ -1286,6 +1312,10 @@ object ExtQueries {
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     // serving-shape contract: the planted source IS the top-1, exactly
     "q_knn_ivf_planted" ->
+      """SELECT vec_id + 1000000 AS qid, true AS top1_ok FROM embeddings
+        |WHERE vec_id < 50 ORDER BY qid""".stripMargin,
+    // same serving contract through the int8 index + float re-rank
+    "q_knn_ivf_quantized" ->
       """SELECT vec_id + 1000000 AS qid, true AS top1_ok FROM embeddings
         |WHERE vec_id < 50 ORDER BY qid""".stripMargin,
     "q_knn_quantized" ->

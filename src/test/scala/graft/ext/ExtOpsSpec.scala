@@ -209,6 +209,50 @@ class ExtOpsSpec extends AnyFunSuite {
     assert((m.width, m.height, m.format, m.px_sum) == (-1, -1, "unknown", -1L))
   }
 
+  test("quantized IVF index is a fraction of the float index's bytes and serves exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val fDir = Ivf.indexDirFor(sf, k = 16, iters = 2)
+    val qDir = Ivf.quantizedIndexDirFor(sf, k = 16, iters = 2)
+    Ivf.buildIndex(emb, "vec_id", "embedding", fDir, k = 16, iters = 2)
+    Ivf.buildQuantizedIndex(emb, "vec_id", "embedding", qDir, k = 16, iters = 2)
+    def corpusBytes(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) total += s.getLen
+      }
+      total
+    }
+    val (fb, qb) = (corpusBytes(fDir), corpusBytes(qDir))
+    // int8 vectors are ⅛ the raw bytes of doubles; at this tiny sf the
+    // per-file parquet framing (~2-3 KB × 16 cell files, both sides)
+    // keeps the observed ratio nearer ⅓ — assert the conservative half
+    info(s"float index $fb bytes, quantized $qb bytes (${qb * 100 / fb}%)")
+    assert(qb * 2 < fb, s"quantized=$qb float=$fb")
+    // quantized storage really is tinyint
+    val schema = spark.read.parquet(s"$qDir/corpus").schema
+    assert(schema("qv8").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // serving equivalence: on the planted-duplicate corpus both paths
+    // return the identical top-1 (the quantization error is orders of
+    // magnitude under the planted margin)
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val fTop = Ivf.topKIndexed(spark, fDir, queries, "vec_id", "embedding",
+        k = 1, nProbe = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val qTop = Ivf.topKQuantized(spark, qDir, emb, queries, "vec_id", "embedding",
+        k = 1, nProbe = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(fTop == qTop)
+    assert(fTop.forall { case (qid, nid) => nid == qid - 1000000L })
+  }
+
   test("EXIF orientation parses from the real APP1/TIFF walk and rotates the raster") {
     import spark.implicits._
     // ids 0..3 cycle orientations 1/3/6/8
