@@ -26,27 +26,48 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Member counts memoized per (semantically-equal) member plan: the
+    * sizing count is a whole Spark job, and a screen invoked repeatedly
+    * over the same member relation (the q_bloom_screen shape) re-paid
+    * it every call. Staleness is safe HERE because the count only
+    * SIZES the sketch: if the member table grows after the memo, fpp
+    * degrades within the 10% headroom — correctness (no false
+    * negatives) never depends on the count. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  private def memberCount(members: DataFrame): Long =
+    countCache.computeIfAbsent(
+      members.queryExecution.analyzed.semanticHash(),
+      _ => members.count()).longValue()
+
   /** Adds `hitCol` (boolean) to `candidates`: true iff the long-typed
     * `keyCol` might be in `members`' key set. `expectedItems` sizes the
     * sketch — overestimate rather than under (an undersized filter
     * degrades fpp, never the no-false-negative side). Pass a
     * non-positive value (the default) to MEASURE the member count
     * first: one cheap count-only pass (the scan prunes to `keyCol`,
-    * the aggregate is a single long) guarantees the sketch is sized
-    * for the corpus actually screened — a hardcoded guess that a 100 TB
-    * member set has outgrown silently degrades fpp, turning the screen
-    * into a pass-through that pushes all the work to the exact join.
-    * 10% headroom covers growth between the count and the build on a
-    * live table. */
+    * the aggregate is a single long, memoized per member plan)
+    * guarantees the sketch is sized for the corpus actually screened —
+    * a hardcoded guess that a 100 TB member set has outgrown silently
+    * degrades fpp, turning the screen into a pass-through that pushes
+    * all the work to the exact join. 10% headroom covers growth
+    * between the count and the build on a live table.
+    *
+    * The per-candidate test is the codegen'd
+    * [[graft.functions.BloomMightContain]] expression over the
+    * serialized sketch bytes — no boxed UDF, no codegen fence on the
+    * candidate scan. */
   def screenByLongKey(candidates: DataFrame, members: DataFrame, keyCol: String,
                       expectedItems: Long = -1L, fpp: Double = 0.01,
                       hitCol: String = "bloom_hit"): DataFrame = {
     val n = if (expectedItems > 0) expectedItems
-            else math.max(64L, (members.count() * 11L) / 10L)
+            else math.max(64L, (memberCount(members) * 11L) / 10L)
     val bf = members.stat.bloomFilter(keyCol, n, fpp)
-    // per-ROW boxed UDF, deliberately off the per-pair hot path; fine
-    // for a screen that runs once per candidate
-    val hit = udf((k: Long) => bf.mightContainLong(k))
-    candidates.withColumn(hitCol, hit(col(keyCol)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    candidates.withColumn(hitCol,
+      graft.functions.BloomMightContain.bloom_might_contain(
+        lit(bos.toByteArray), col(keyCol).cast("long")))
   }
 }

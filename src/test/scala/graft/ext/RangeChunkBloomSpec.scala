@@ -158,4 +158,33 @@ class RangeChunkBloomSpec extends AnyFunSuite {
     val fpRate = nonMembers.count(_._3).toDouble / nonMembers.length
     assert(fpRate <= 0.05, s"false-positive rate $fpRate way above fpp=0.01")
   }
+
+  test("bloom expression is in lockstep with the driver-side filter object") {
+    import spark.implicits._
+    // the codegen'd bloom_might_contain must return EXACTLY what the
+    // filter object it serialized from returns — same hits, same
+    // false positives, per key (DotProductSpec-style lockstep)
+    val members = (1L to 400L).map(_ * 7919L).toDF("fp")
+    val bf = members.stat.bloomFilter("fp", 400L, 0.01)
+    val probe = (1L to 3000L).map(i => i * 104729L).toDF("fp")
+    val got = Bloom.screenByLongKey(probe, members, "fp", expectedItems = 400L)
+      .select($"fp", $"bloom_hit").as[(Long, Boolean)].collect()
+    // NOTE: screenByLongKey builds its own filter from the same members
+    // at the same size/fpp — Spark's bloomFilter build is deterministic
+    // for identical input, so the two filters are bit-identical
+    got.foreach { case (fp, hit) =>
+      assert(hit == bf.mightContainLong(fp), s"lockstep break at key $fp")
+    }
+  }
+
+  test("bloom screen keeps the candidate scan inside whole-stage codegen") {
+    import spark.implicits._
+    val all = (1L to 100L).map(i => (i, i * 31L)).toDF("id", "fp")
+    val members = all.filter($"id" % 5 === 0).select("fp")
+    val screened = Bloom.screenByLongKey(all, members, "fp", expectedItems = 100L)
+    val plan = screened.queryExecution.executedPlan.toString
+    // the old boxed UDF fenced codegen on the candidate side; the
+    // expression form must not introduce BatchEvalPython/ScalaUDF nodes
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
