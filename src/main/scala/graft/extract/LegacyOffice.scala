@@ -135,11 +135,75 @@ object LegacyOffice {
     CfbWriter.write(Seq("PowerPoint Document" -> doc))
   }
 
-  /** Writes the two fixtures into `dir` (for pipeline-level queries
+  // ---- fast-saved .doc (piece table) ---------------------------------
+
+  /** Fast-saved ("complex") Word binary: the text lives in THREE
+    * pieces stored physically OUT OF ORDER in the WordDocument stream
+    * (third piece's bytes first), with mixed encodings (CP1252
+    * compressed / UTF-16LE / CP1252), mapped by a Clx piece table in
+    * the `1Table` stream ([MS-DOC] 2.9.178) — the fixture also carries
+    * a leading Prc entry so the RgPrc skip is exercised. `fcMin/fcMac`
+    * point at a DECOY region, so a reader that ignores the piece table
+    * extracts the decoy, never the golden. Extracted text:
+    * {{{
+    * Fast-saved pieces survive.
+    * μ unicode πiece tail piece.
+    * }}} */
+  def samplePiecedDoc(): Array[Byte] = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val pieceA = "Fast-saved pieces survive.\r" // CP1252, para mark → \n
+    val pieceB = "μ unicode πiece "             // needs UTF-16LE
+    val pieceC = "tail piece."                  // CP1252
+    val ccpText = pieceA.length + pieceB.length + pieceC.length
+    val decoy = "DECOY SHOULD NOT APPEAR".getBytes(cp1252)
+
+    // FIB: 32-byte base + csw=14 block + cslw=22 block + cbRgFcLcb=93
+    // blob — the standard nFib-97 shape ([MS-DOC] 2.5.1)
+    val csw = 14; val cslw = 22; val cbRgFcLcb = 93
+    val fibLen = 32 + 2 + csw * 2 + 2 + cslw * 4 + 2 + cbRgFcLcb * 8
+    val decoyOff = fibLen
+    val cOff = decoyOff + decoy.length
+    val aOff = cOff + pieceC.length // CP1252: 1 byte/char
+    val bOff = aOff + pieceA.length
+
+    // Clx in the table stream: Prc (skipped grpprl noise) + Pcdt
+    val prc = cat(Array(0x01.toByte), u16(2), Array(0xaa.toByte, 0xbb.toByte))
+    val lcbPlcPcd = 4 * 4 + 3 * 8 // 4 CPs + 3 PCDs
+    def pcd(fcRaw: Int): Array[Byte] = cat(u16(0), i32(fcRaw), u16(0))
+    val clx = cat(prc, Array(0x02.toByte), i32(lcbPlcPcd),
+      i32(0), i32(pieceA.length), i32(pieceA.length + pieceB.length), i32(ccpText),
+      pcd((aOff * 2) | 0x40000000), // compressed: fc = 2 × byte offset
+      pcd(bOff),                    // UTF-16LE: fc = byte offset
+      pcd((cOff * 2) | 0x40000000))
+
+    val fib = ByteBuffer.allocate(fibLen).order(ByteOrder.LITTLE_ENDIAN)
+    fib.putShort(0, 0xa5ec.toShort)              // wIdent
+    fib.putShort(2, 0x00c1.toShort)              // nFib (Word 97)
+    fib.putShort(10, 0x0204.toShort)             // fComplex | fWhichTblStm
+    fib.putInt(24, decoyOff)                     // fcMin → decoy
+    fib.putInt(28, decoyOff + decoy.length)      // fcMac
+    fib.putShort(32, csw.toShort)
+    val lwOff = 34 + csw * 2
+    fib.putShort(lwOff, cslw.toShort)
+    fib.putInt(lwOff + 2 + 3 * 4, ccpText)       // FibRgLw97.ccpText
+    val blobOff = lwOff + 2 + cslw * 4
+    fib.putShort(blobOff, cbRgFcLcb.toShort)
+    fib.putInt(blobOff + 2 + 33 * 8, 0)          // fcClx (Clx at table[0])
+    fib.putInt(blobOff + 2 + 33 * 8 + 4, clx.length) // lcbClx
+
+    val wd = cat(fib.array(), decoy,
+      pieceC.getBytes(cp1252),                   // third piece FIRST
+      pieceA.getBytes(cp1252),
+      pieceB.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    CfbWriter.write(Seq("WordDocument" -> wd, "1Table" -> clx))
+  }
+
+  /** Writes the three fixtures into `dir` (for pipeline-level queries
     * that ingest a directory of files). */
   def writeFixtures(dir: java.nio.file.Path): Unit =
     syncFixtureDir(dir, Map(
-      "legacy.xls" -> sampleXls(), "legacy.ppt" -> samplePpt()))
+      "legacy.xls" -> sampleXls(), "legacy.ppt" -> samplePpt(),
+      "pieced.doc" -> samplePiecedDoc()))
 
   /** Makes `dir` hold EXACTLY `files`: unknown entries are removed (a
     * stale file from an earlier fixture generation would be ingested

@@ -96,7 +96,9 @@ object FixtureGolden {
       ('legacy.ppt', 'text/plain', 'application/vnd.ms-powerpoint',
        e'Legacy Deck\nFirst point\nSecond point'),
       ('legacy.xls', 'text/plain', 'application/vnd.ms-excel',
-       e'Region\tRevenue\nnorth\t1500.25\nsouth\t42\n7\t8\ncafé π note')
+       e'Region\tRevenue\nnorth\t1500.25\nsouth\t42\n7\t8\ncafé π note'),
+      ('pieced.doc', 'text/plain', 'application/msword',
+       e'Fast-saved pieces survive.\nμ unicode πiece tail piece.')
     ) AS t(filename, mime_type, orig_mime_type, text)
     ORDER BY filename"""
 

@@ -131,6 +131,42 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(XlsText.extract(bytes, -1) == "ok")
   }
 
+  test("fast-saved doc reassembles out-of-order mixed-encoding pieces") {
+    val r = TextExtractor.extract(LegacyOffice.samplePiecedDoc(), "pieced.doc")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.origMimeType == MimeDetect.Doc)
+    assert(r.text == "Fast-saved pieces survive.\nμ unicode πiece tail piece.")
+    // the decoy at fcMin..fcMac must NOT leak in: only the piece table
+    // yields this text, so the contiguous fallback was not taken
+    assert(!r.text.contains("DECOY"))
+  }
+
+  test("doc with a corrupt Clx degrades to the contiguous fallback, not a throw") {
+    val bytes = LegacyOffice.samplePiecedDoc()
+    val cf = new Cfb.CompoundFile(bytes)
+    val wd = cf.stream("WordDocument").get
+    // break the Pcdt marker: the Prc skip lands on a byte that is
+    // neither 0x01 nor 0x02 → piecedText returns None → fcMin/fcMac
+    val tb = cf.stream("1Table").get.clone()
+    tb(5) = 0x7f // Prc is 5 bytes (0x01 + cb=2 + 2 data); [5] is the 0x02
+    val broken = CfbWriter.write(Seq("WordDocument" -> wd, "1Table" -> tb))
+    val r = TextExtractor.extract(broken, "broken.doc")
+    assert(r.error == null, s"error=${r.error}")
+    // fallback reads the decoy region (the contiguous main-text range)
+    assert(r.text == "DECOY SHOULD NOT APPEAR")
+  }
+
+  test("reference simple.doc still extracts its golden through the piece path") {
+    // the real Word fixture carries a normal-save piece table; the new
+    // primary path must reproduce the contiguous read's golden exactly
+    val doc = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/nifi-extracttext-processors/src/test/resources/simple.doc"))
+    val r = TextExtractor.extract(doc, "simple.doc")
+    assert(r.error == null, s"error=${r.error}")
+    assert(r.text.length == 931) // the golden text_chars every query pins
+    assert(r.text.startsWith("A Simple WORD DOC File")) // the reference's own assert
+  }
+
   test("xls and ppt respect the max-length cap") {
     assert(TextExtractor.extract(LegacyOffice.sampleXls(), "a.xls", maxLen = 9)
       .text.length <= 9)
