@@ -118,12 +118,31 @@ object Bench {
     // reported per-query in queries_contended rather than poisoning
     // the record silently (the BENCH_r08 failure: every number ~2.4×
     // inflated with only a single run-level flag to show for it).
+    // The calm threshold is 2× the fastest sentinel seen SO FAR — and
+    // every retry adds a sentinel that can LOWER that floor, which
+    // retroactively invalidates queries already accepted under the old
+    // one. A single pass would then report such a query as contended
+    // with its retry budget unused. So: sweep the whole set repeatedly
+    // until a fixpoint — every query is either calm under the FINAL
+    // floor or has exhausted its budget. Terminates because each sweep
+    // that does anything consumes budget (≤ headline×maxRetries extra
+    // samples total). Residual blind spot, by construction: load that
+    // inflates EVERY sentinel uniformly (the BENCH_r08 shape) also
+    // inflates the floor and stays self-consistently "calm" — that is
+    // what the ABSOLUTE sentinel_min/p50 fields in the summary are
+    // for; the judge compares them across runs, where the constant-
+    // work sentinel is an absolute yardstick.
     def sMinNow = sentinels.min
     def hasCalm(name: String): Boolean =
       samples(name).exists { case (_, sv) => sv <= 2.0 * sMinNow }
-    for (name <- headline) {
-      var tries = 0
-      while (!hasCalm(name) && tries < maxRetries) { timedSample(name); tries += 1 }
+    val retriesUsed = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      for (name <- headline)
+        if (!hasCalm(name) && retriesUsed(name) < maxRetries) {
+          timedSample(name); retriesUsed(name) += 1; progressed = true
+        }
     }
 
     val sMin = sentinels.min

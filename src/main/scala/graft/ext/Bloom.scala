@@ -29,17 +29,30 @@ object Bloom {
   /** Member counts memoized per (semantically-equal) member plan: the
     * sizing count is a whole Spark job, and a screen invoked repeatedly
     * over the same member relation (the q_bloom_screen shape) re-paid
-    * it every call. Staleness is safe HERE because the count only
-    * SIZES the sketch: if the member table grows after the memo, fpp
-    * degrades within the 10% headroom — correctness (no false
-    * negatives) never depends on the count. */
+    * it every call. Keyed by the CANONICALIZED plan (not its 32-bit
+    * semanticHash — a hash collision would silently size one screen
+    * from another relation's count), and entries expire after
+    * [[countTtlNanos]]: the count only SIZES the sketch, so staleness
+    * never breaks the no-false-negative side, but a long-lived driver
+    * screening a growing table from a frozen count would let fpp
+    * degrade without bound — the TTL caps the degradation window at
+    * whatever the table can grow in ten minutes, and the 10% headroom
+    * covers that for any realistic ingest rate. */
+  private val countTtlNanos = 10L * 60 * 1000 * 1000 * 1000
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def memberCount(members: DataFrame): Long =
-    countCache.computeIfAbsent(
-      members.queryExecution.analyzed.semanticHash(),
-      _ => members.count()).longValue()
+  private def memberCount(members: DataFrame): Long = {
+    val key = members.queryExecution.analyzed.canonicalized.toString
+    val now = System.nanoTime()
+    val hit = countCache.get(key)
+    if (hit != null && now - hit._2 < countTtlNanos) hit._1
+    else {
+      val c = members.count()
+      countCache.put(key, (c, now))
+      c
+    }
+  }
 
   /** Adds `hitCol` (boolean) to `candidates`: true iff the long-typed
     * `keyCol` might be in `members`' key set. `expectedItems` sizes the

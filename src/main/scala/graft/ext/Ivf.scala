@@ -243,6 +243,17 @@ object Ivf {
     * Catalyst's dynamic partition pruning restricts the scan to the
     * probed cells (visible as `PartitionFilters: [dynamicpruning#…]`
     * in the formatted plan). */
+  /** Shared top-k tail: rank `scored` (qid, nid, score) per query,
+    * keep the k best, round the reported score. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+  }
+
   def topKIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int = 5,
                   nProbe: Int = 4): DataFrame = {
@@ -254,12 +265,7 @@ object Ivf {
       .filter(col("qid") =!= col("nid"))
       .withColumn("score",
         Similarity.dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+    rankTopK(scored, k)
   }
 
   /** ANN top-k over the QUANTIZED inverted file — the production
@@ -278,8 +284,11 @@ object Ivf {
                     k: Int = 5, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
     val model = loadModel(spark, indexDir)
     val corpus = spark.read.parquet(s"$indexDir/corpus")
-    val q = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
-      .withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
+    // ONE query-side prepare feeds both passes — the probe frame adds
+    // the exploded cell, the re-rank frame just renames, so the
+    // normalization/norm work is defined (and maintained) once
+    val qp = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
+    val q = qp.withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
     // int8 first pass: DotProduct casts the tinyint array to double in
     // codegen — no interpreted transform on the per-pair path
     val approx = corpus.join(broadcast(q), "cell")
@@ -294,18 +303,14 @@ object Ivf {
       .select(col("qid"), col("nid"))
     // float re-rank: only survivors fetch full-precision vectors
     val lakeP = Similarity.prepared(lake, idCol, vecCol, "lid", "nvec", "nn2")
-    val qf = Similarity.prepared(queries, idCol, vecCol, "fqid", "fqvec", "fqn2")
+    val qf = qp.select(col("qid").as("fqid"), col("qvec").as("fqvec"),
+      col("qn2").as("fqn2"))
     val exact = survivors
       .join(lakeP, col("nid") === col("lid"))
       .join(broadcast(qf), col("qid") === col("fqid"))
       .withColumn("score",
         Similarity.dotUdf(col("fqvec"), col("nvec")) / sqrt(col("fqn2") * col("nn2")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
-    exact
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+    rankTopK(exact, k)
   }
 
   /** ANN top-k through the inverted file: corpus assigned to its
@@ -323,11 +328,6 @@ object Ivf {
       .filter(col("qid") =!= col("nid"))
       .withColumn("score",
         Similarity.dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
+    rankTopK(scored, k)
   }
 }

@@ -200,9 +200,13 @@ object Multimodal {
                               px_checksum: Long, px_sum: Long)
   implicit val orientMetaEnc: Encoder[OrientMeta] = Encoders.product[OrientMeta]
 
-  /** Planted EXIF orientation, cycling the four values real cameras
-    * emit: 1 upright, 3 rotate-180, 6 rotate-90-CW, 8 rotate-90-CCW. */
-  def plantedOrientation(id: Long): Int = Array(1, 3, 6, 8)((id % 4).toInt)
+  /** Planted EXIF orientation, cycling ALL EIGHT spec values: 1
+    * upright, 2 mirror-horizontal, 3 rotate-180, 4 mirror-vertical,
+    * 5 transpose, 6 rotate-90-CW, 7 transverse, 8 rotate-90-CCW —
+    * cameras mostly emit 1/3/6/8, but scanners and editors emit the
+    * mirrored four, and a pipeline that silently passes them through
+    * un-mirrored trains on flipped images. */
+  def plantedOrientation(id: Long): Int = (1 + id % 8).toInt
 
   /** A genuine JPEG APP1/EXIF segment carrying the planted orientation:
     * SOI + APP1("Exif\0\0" + little-endian TIFF, one IFD, one
@@ -245,21 +249,30 @@ object Multimodal {
 
   /** Applies EXIF orientation `o` to a decoded raster's gray channel:
     * returns (displayWidth, displayHeight, row-major grays) of the
-    * upright image. Display pixel (x, y) pulls from the stored raster
-    * by the standard inverse maps (6 = stored needs 90° CW to view:
-    * src(y, h−1−x); 8 = 90° CCW: src(w−1−y, x); 3 = 180°). */
+    * upright image. Handles ALL EIGHT spec values — the four
+    * rotations (1/3/6/8) AND the four mirrored forms (2/4/5/7) that
+    * scanners/editors emit; 5–8 swap the display dimensions. Display
+    * pixel (x, y) pulls from the stored raster by the standard
+    * inverse maps (6 = stored needs 90° CW to view: src(y, h−1−x);
+    * 8 = 90° CCW: src(w−1−y, x); 3 = 180°; 2/4 = horizontal/vertical
+    * mirror; 5 = transpose src(y, x); 7 = transverse). Out-of-range
+    * values fall back to upright, the EXIF-default behavior. */
   def orientedGray(img: BufferedImage, o: Int): (Int, Int, Array[Int]) = {
     val (w, h) = (img.getWidth, img.getHeight)
     def g(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
-    val (rw, rh) = if (o == 6 || o == 8) (h, w) else (w, h)
+    val (rw, rh) = if (o >= 5 && o <= 8) (h, w) else (w, h)
     val out = new Array[Int](rw * rh)
     var y = 0
     while (y < rh) {
       var x = 0
       while (x < rw) {
         out(y * rw + x) = o match {
+          case 2 => g(w - 1 - x, y)
           case 3 => g(w - 1 - x, h - 1 - y)
+          case 4 => g(x, h - 1 - y)
+          case 5 => g(y, x)
           case 6 => g(y, h - 1 - x)
+          case 7 => g(w - 1 - y, h - 1 - x)
           case 8 => g(w - 1 - y, x)
           case _ => g(x, y)
         }
@@ -358,8 +371,18 @@ object Multimodal {
     * summarizes the decoded samples: frame count, declared rate and
     * channel count, plain sample sum, and the order-sensitive
     * positional checksum Σ (k+1)·s(k) over frame index k (first
-    * channel). Only 16-bit integer PCM is summarized — anything else,
-    * or undecodable bytes, degrades to the (-1, …) error contract. */
+    * channel). Only 16-bit SIGNED integer PCM is summarized
+    * ([[summarizableAudio]]) — anything else (unsigned, float, or
+    * undecodable bytes) degrades to the (-1, …) error contract. */
+  /** True iff [[decodeAudio]]'s signed-16-bit summation arithmetic is
+    * valid for this format: 16-bit SIGNED integer PCM with a concrete
+    * frame size. An unsigned or float 16-bit format reaching the
+    * signed loop would produce silently-wrong sums — those degrade to
+    * the error contract instead. */
+  def summarizableAudio(f: javax.sound.sampled.AudioFormat): Boolean =
+    f.getSampleSizeInBits == 16 && f.getFrameSize > 0 &&
+      f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+
   def decodeAudio(bytes: Array[Byte]): (Int, Int, Int, Long, Long) = {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -367,7 +390,7 @@ object Multimodal {
       try {
         val f = ais.getFormat
         val bytesPerFrame = f.getFrameSize
-        if (f.getSampleSizeInBits != 16 || bytesPerFrame <= 0) (-1, -1, -1, -1L, -1L)
+        if (!summarizableAudio(f)) (-1, -1, -1, -1L, -1L)
         else {
           val data = ais.readAllBytes()
           val n = data.length / bytesPerFrame

@@ -45,15 +45,21 @@ object BloomMightContain {
     * literal is one stable array reference, so after the first row
     * this is a pointer compare. A content-keyed map would hash the
     * whole (potentially MB-scale) sketch per row; identity is the
-    * right key here. */
-  private val memo = new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.BloomFilter)]
+    * right key here. The entry is held through a SoftReference so a
+    * finished query's filter (GB-scale at the 10⁹-member sizing)
+    * does not stay pinned in every task thread that touched it for
+    * the executor's lifetime — the GC reclaims it under pressure,
+    * and the next bloom query simply re-deserializes. */
+  private val memo = new ThreadLocal[
+    java.lang.ref.SoftReference[(Array[Byte], org.apache.spark.util.sketch.BloomFilter)]]
 
   def might(sketch: Array[Byte], key: Long): Boolean = {
-    var e = memo.get()
+    val ref = memo.get()
+    var e = if (ref == null) null else ref.get()
     if (e == null || (e._1 ne sketch)) {
       e = (sketch, org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(sketch)))
-      memo.set(e)
+      memo.set(new java.lang.ref.SoftReference(e))
     }
     e._2.mightContainLong(key)
   }

@@ -750,12 +750,13 @@ object ExtQueries {
 
     // EXIF-orientation-aware resize — the round-8 pieces composed: the
     // JPEG APP1/TIFF metadata walk (q_extract_media_metadata's parser)
-    // reads a planted Orientation (1/3/6/8 cycling in doc_id) from a
-    // genuine EXIF sidecar, the decoded PNG/BMP raster is rotated
-    // upright, THEN resampled to 8×8 — what every real image pipeline
-    // must do before training. The oracle mirrors the rotation
-    // analytically (each orientation is a closed-form index remap of
-    // the planted pattern), so a skipped or wrong-handed rotation
+    // reads a planted Orientation (ALL EIGHT spec values cycling in
+    // doc_id — rotations 1/3/6/8 AND mirrored 2/4/5/7) from a genuine
+    // EXIF sidecar, the decoded PNG/BMP raster is made upright, THEN
+    // resampled to 8×8 — what every real image pipeline must do
+    // before training. The oracle mirrors each remap analytically
+    // (every orientation is a closed-form index map of the planted
+    // pattern), so a skipped, wrong-handed, or un-mirrored transform
     // cannot pass.
     "q_multimodal_resize_oriented" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
@@ -1540,27 +1541,31 @@ object ExtQueries {
         |  CAST(sum((((i * w) // 8) * 3 + ((j * h) // 8) * 5 + doc_id) % 256)
         |       AS BIGINT) AS px_sum
         |FROM cij GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // analytic mirror of the oriented resize: orientation o cycles
-    // 1/3/6/8 with doc_id % 4; display dims swap for 6/8; display
-    // pixel (x, y) pulls the planted gray through each orientation's
-    // closed-form inverse map (6: src(y, h−1−x); 8: src(w−1−y, x);
-    // 3: 180°), then nearest-neighbor to 8×8 as in q_multimodal_resize
+    // analytic mirror of the oriented resize: orientation o cycles all
+    // eight spec values with 1 + doc_id % 8; display dims swap for
+    // 5-8; display pixel (x, y) pulls the planted gray through each
+    // orientation's closed-form inverse map (2/4 mirror, 5 transpose,
+    // 6: src(y, h−1−x); 7 transverse; 8: src(w−1−y, x); 3: 180°),
+    // then nearest-neighbor to 8×8 as in q_multimodal_resize
     "q_multimodal_resize_oriented" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h,
-        |             CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
-        |                  WHEN 2 THEN 6 ELSE 8 END AS o
+        |             1 + doc_id % 8 AS o
         |           FROM documents),
         |dd AS (SELECT doc_id, w, h, o,
-        |         CASE WHEN o IN (6, 8) THEN h ELSE w END AS rw,
-        |         CASE WHEN o IN (6, 8) THEN w ELSE h END AS rh FROM d),
+        |         CASE WHEN o >= 5 THEN h ELSE w END AS rw,
+        |         CASE WHEN o >= 5 THEN w ELSE h END AS rh FROM d),
         |ci  AS (SELECT doc_id, w, h, o, rw, rh, unnest(range(0, 8)) AS i FROM dd),
         |cij AS (SELECT doc_id, w, h, o, rw, rh, i, unnest(range(0, 8)) AS j FROM ci),
         |m AS (SELECT doc_id, o, w, h, i, j,
         |        (i * rw) // 8 AS x, (j * rh) // 8 AS y FROM cij),
         |g AS (SELECT doc_id, o, i, j,
         |        CASE o WHEN 1 THEN (x * 3 + y * 5 + doc_id) % 256
+        |               WHEN 2 THEN ((w - 1 - x) * 3 + y * 5 + doc_id) % 256
         |               WHEN 3 THEN ((w - 1 - x) * 3 + (h - 1 - y) * 5 + doc_id) % 256
+        |               WHEN 4 THEN (x * 3 + (h - 1 - y) * 5 + doc_id) % 256
+        |               WHEN 5 THEN (y * 3 + x * 5 + doc_id) % 256
         |               WHEN 6 THEN (y * 3 + (h - 1 - x) * 5 + doc_id) % 256
+        |               WHEN 7 THEN ((w - 1 - y) * 3 + (h - 1 - x) * 5 + doc_id) % 256
         |               ELSE ((w - 1 - y) * 3 + x * 5 + doc_id) % 256 END AS gray
         |      FROM m)
         |SELECT doc_id, CAST(o AS INT) AS orientation,

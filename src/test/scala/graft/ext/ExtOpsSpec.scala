@@ -255,14 +255,14 @@ class ExtOpsSpec extends AnyFunSuite {
 
   test("EXIF orientation parses from the real APP1/TIFF walk and rotates the raster") {
     import spark.implicits._
-    // ids 0..3 cycle orientations 1/3/6/8
-    for (id <- 0L to 3L)
+    // ids 0..7 cycle ALL EIGHT spec orientations 1..8
+    for (id <- 0L to 7L)
       assert(Multimodal.exifOrientation(Multimodal.syntheticExif(id)) ==
         Multimodal.plantedOrientation(id))
     // absent/garbage EXIF degrades to the default upright orientation
     assert(Multimodal.exifOrientation(Array[Byte](1, 2, 3)) == 1)
 
-    val df = (0L to 3L).toDF("doc_id")
+    val df = (0L to 7L).toDF("doc_id")
       .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
       .withColumn("exif", Multimodal.syntheticExifCol(col("doc_id")))
     val rows = Multimodal.resizeOrientedChecksum(df, "doc_id", "payload", "exif",
@@ -272,11 +272,15 @@ class ExtOpsSpec extends AnyFunSuite {
       val o = Multimodal.plantedOrientation(id)
       assert(r.orientation == o)
       val (w, h) = (Multimodal.plantedW(id), Multimodal.plantedH(id))
-      val (rw, rh) = if (o == 6 || o == 8) (h, w) else (w, h)
+      val (rw, rh) = if (o >= 5) (h, w) else (w, h)
       def src(x: Int, y: Int) = Multimodal.plantedGray(id, x, y).toLong
       def rot(x: Int, y: Int) = o match {
+        case 2 => src(w - 1 - x, y)
         case 3 => src(w - 1 - x, h - 1 - y)
+        case 4 => src(x, h - 1 - y)
+        case 5 => src(y, x)
         case 6 => src(y, h - 1 - x)
+        case 7 => src(w - 1 - y, h - 1 - x)
         case 8 => src(w - 1 - y, x)
         case _ => src(x, y)
       }
@@ -287,12 +291,28 @@ class ExtOpsSpec extends AnyFunSuite {
         grid.zipWithIndex.map { case (g, k) => (k + 1) * g }.sum,
         s"oriented checksum mismatch for doc $id (o=$o)")
     }
-    // the rotation is not a no-op: for the o=6 doc the oriented
-    // checksum must differ from the plain (unrotated) resize of the
-    // SAME image — the planted pattern is asymmetric by construction
-    val plain = Multimodal.resizeChecksum(df.filter(col("doc_id") === 2L),
-      "doc_id", "payload", tw = 8, th = 8).collect().head
-    assert(rows.find(_.doc_id == 2L).get.px_checksum != plain.px_checksum)
+    // the remap is not a no-op: for every non-upright doc the oriented
+    // checksum must differ from the plain (unrotated, unmirrored)
+    // resize of the SAME image — the planted pattern is asymmetric by
+    // construction, so mirrors (2/4/5/7) shift it too
+    val plain = Multimodal.resizeChecksum(df.filter(col("doc_id") > 0L),
+      "doc_id", "payload", tw = 8, th = 8).collect()
+      .map(p => p.doc_id -> p.px_checksum).toMap
+    for (id <- 1L to 7L)
+      assert(rows.find(_.doc_id == id).get.px_checksum != plain(id),
+        s"orientation ${id + 1} left the checksum unchanged")
+  }
+
+  test("audio summarization gates on SIGNED 16-bit PCM, not bit width alone") {
+    import javax.sound.sampled.AudioFormat
+    // the WAV fixture's own format passes the gate
+    assert(Multimodal.summarizableAudio(new AudioFormat(8000f, 16, 1, true, false)))
+    // 16-bit UNSIGNED would be summed with signed arithmetic — gated out
+    assert(!Multimodal.summarizableAudio(new AudioFormat(8000f, 16, 1, false, false)))
+    // float and 8-bit formats are gated out too
+    assert(!Multimodal.summarizableAudio(new AudioFormat(
+      AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false)))
+    assert(!Multimodal.summarizableAudio(new AudioFormat(8000f, 8, 1, false, false)))
   }
 
   test("audio decode round-trips a real RIFF/WAVE container") {
