@@ -75,13 +75,22 @@ object Bench {
     // overflows Long, which under Spark 4's default ANSI mode throws
     // ARITHMETIC_OVERFLOW (this killed BENCH_r05). xor does the same
     // constant per-row work with no overflow semantics.
+    //
+    // A FAILED probe returns -1, never its elapsed time: a probe that
+    // throws fast (transient executor loss) would otherwise enter the
+    // pool as an artificially-fast reading, collapse the 2×-min calm
+    // floor below what any honest sentinel can reach, and burn every
+    // query's retry budget on an idle host — min-keyed fragility of
+    // exactly the shape the run-level flag already moved to the median
+    // to avoid.
     def sentinel(): Double = {
       val t0 = System.nanoTime()
-      try spark.range(0, 8L * 1000 * 1000, 1, cpus.toInt)
-        .selectExpr("bit_xor(id * 2654435761) AS s")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        spark.range(0, 8L * 1000 * 1000, 1, cpus.toInt)
+          .selectExpr("bit_xor(id * 2654435761) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     sentinel() // warm the sentinel plan itself so its first timing is comparable
 
@@ -101,13 +110,16 @@ object Bench {
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timedSample(name: String): Unit = {
       val sv = sentinel()
-      sentinels += sv
+      // a failed probe contributes no floor reading, and its sample is
+      // conservatively NOT calm (paired with +∞, unmatchable)
+      if (sv >= 0) sentinels += sv
       // drop caches persisted inside operators (route fan-out, shingle
       // index) so queries don't inherit each other's memory pressure
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => }
-      samples.update(name, samples(name) :+ (((System.nanoTime() - t0) / 1e9, sv)))
+      samples.update(name, samples(name) :+
+        (((System.nanoTime() - t0) / 1e9, if (sv >= 0) sv else Double.MaxValue)))
     }
     for (_ <- 1 to iters; name <- headline) timedSample(name)
 
@@ -132,9 +144,12 @@ object Bench {
     // what the ABSOLUTE sentinel_min/p50 fields in the summary are
     // for; the judge compares them across runs, where the constant-
     // work sentinel is an absolute yardstick.
-    def sMinNow = sentinels.min
+    // all-probes-failed ⇒ no floor exists: nothing is calm, retries
+    // re-attempt the probe, and a still-empty pool ends contended with
+    // sentinel fields at -1 — a visibly-broken record, not a fake-calm one
+    def sMinNow = if (sentinels.isEmpty) -1.0 else sentinels.min
     def hasCalm(name: String): Boolean =
-      samples(name).exists { case (_, sv) => sv <= 2.0 * sMinNow }
+      sMinNow > 0 && samples(name).exists { case (_, sv) => sv <= 2.0 * sMinNow }
     val retriesUsed = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     var progressed = true
     while (progressed) {
@@ -145,10 +160,10 @@ object Bench {
         }
     }
 
-    val sMin = sentinels.min
-    val sMax = sentinels.max
-    val sP50 = sentinels.sorted.apply(sentinels.length / 2)
-    def calm(sv: Double) = sv <= 2.0 * sMin
+    val sMin = sMinNow
+    val sMax = if (sentinels.isEmpty) -1.0 else sentinels.max
+    val sP50 = if (sentinels.isEmpty) -1.0 else sentinels.sorted.apply(sentinels.length / 2)
+    def calm(sv: Double) = sMin > 0 && sv <= 2.0 * sMin
     val results = headline.map { name =>
       // median/min over the calm samples when any exist (contended
       // samples only widen the median upward); all samples otherwise

@@ -49,6 +49,16 @@ object Bloom {
     if (hit != null && now - hit._2 < countTtlNanos) hit._1
     else {
       val c = members.count()
+      // evict on write so a driver screening many distinct relations
+      // doesn't accumulate plan-string keys forever: drop everything
+      // expired, then oldest entries down to a small bound
+      val it = countCache.entrySet().iterator()
+      while (it.hasNext) { if (now - it.next().getValue._2 >= countTtlNanos) it.remove() }
+      while (countCache.size() >= 64) {
+        var oldest: String = null; var oldestAt = Long.MaxValue
+        countCache.forEach { (k, v) => if (v._2 < oldestAt) { oldest = k; oldestAt = v._2 } }
+        if (oldest == null) return c else countCache.remove(oldest)
+      }
       countCache.put(key, (c, now))
       c
     }

@@ -41,27 +41,41 @@ case class BloomMightContain(left: Expression, right: Expression)
 
 object BloomMightContain {
 
-  /** Per-thread 1-entry identity memo: within a task the sketch
-    * literal is one stable array reference, so after the first row
-    * this is a pointer compare. A content-keyed map would hash the
-    * whole (potentially MB-scale) sketch per row; identity is the
-    * right key here. The entry is held through a SoftReference so a
-    * finished query's filter (GB-scale at the 10⁹-member sizing)
-    * does not stay pinned in every task thread that touched it for
-    * the executor's lifetime — the GC reclaims it under pressure,
-    * and the next bloom query simply re-deserializes. */
-  private val memo = new ThreadLocal[
-    java.lang.ref.SoftReference[(Array[Byte], org.apache.spark.util.sketch.BloomFilter)]]
+  /** Per-thread identity memo, bounded at [[memoCap]] entries: within
+    * a task each sketch literal is one stable array reference, so a
+    * lookup is at most [[memoCap]] pointer compares. More than one
+    * slot matters when screens CHAIN — two `bloom_might_contain`
+    * calls with different sketches collapse into one codegen'd stage
+    * and alternate per row, and a 1-entry memo would ping-pong
+    * through a full sketch deserialization on every call. The buffer
+    * is held through a SoftReference so finished queries' filters
+    * (GB-scale at the 10⁹-member sizing) are GC-reclaimable under
+    * pressure, not pinned per task thread for the executor's
+    * lifetime; the next bloom query simply re-deserializes. */
+  private val memoCap = 4
+  private val memo = new ThreadLocal[java.lang.ref.SoftReference[
+    scala.collection.mutable.ArrayBuffer[
+      (Array[Byte], org.apache.spark.util.sketch.BloomFilter)]]]
 
   def might(sketch: Array[Byte], key: Long): Boolean = {
     val ref = memo.get()
-    var e = if (ref == null) null else ref.get()
-    if (e == null || (e._1 ne sketch)) {
-      e = (sketch, org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(sketch)))
-      memo.set(new java.lang.ref.SoftReference(e))
+    var buf = if (ref == null) null else ref.get()
+    if (buf == null) {
+      buf = scala.collection.mutable.ArrayBuffer.empty
+      memo.set(new java.lang.ref.SoftReference(buf))
     }
-    e._2.mightContainLong(key)
+    var i = 0
+    while (i < buf.length && (buf(i)._1 ne sketch)) i += 1
+    val bf =
+      if (i < buf.length) buf(i)._2
+      else {
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(sketch))
+        if (buf.length >= memoCap) buf.remove(0) // evict oldest
+        buf += ((sketch, f))
+        f
+      }
+    bf.mightContainLong(key)
   }
 
   /** Column API: `sketch` must be a binary column (normally a literal

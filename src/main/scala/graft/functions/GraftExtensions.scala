@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct.build(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("token_set_count"),
       new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
       (exprs: Seq[Expression]) => exprs(1) match {

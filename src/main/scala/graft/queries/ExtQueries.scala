@@ -129,6 +129,22 @@ object ExtQueries {
          |SELECT cluster_id, doc_id, quality FROM r WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin
 
+  /** Shared query construction for the two planted IVF serving
+    * contracts (float + quantized): the first 50 corpus vectors under
+    * a deterministic ±8% per-component md5 jitter, re-keyed to
+    * vec_id + 1e6 — one definition so the contracts can never
+    * silently diverge. See q_knn_ivf_planted's comment for why the
+    * queries are planted rather than uniform. */
+  private def plantedIvfQueries(emb: DataFrame): DataFrame = {
+    val jitter = (i: org.apache.spark.sql.Column) =>
+      (conv(substring(md5(concat_ws("_", col("vec_id"), i)), 1, 6), 16, 10)
+        .cast("long") % 2001L - 1000L).cast("double") / 1000.0
+    emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0) + lit(0.08) * jitter(i))).as("embedding"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup -------------------------------------------------------
     "q_dedup_exact" -> ((s, d) => {
@@ -291,13 +307,7 @@ object ExtQueries {
     // adversarial bound, this query is the honest serving bound.)
     "q_knn_ivf_planted" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val jitter = (i: org.apache.spark.sql.Column) =>
-        (conv(substring(md5(concat_ws("_", col("vec_id"), i)), 1, 6), 16, 10)
-          .cast("long") % 2001L - 1000L).cast("double") / 1000.0
-      val queries = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => x * (lit(1.0) + lit(0.08) * jitter(i))).as("embedding"))
+      val queries = plantedIvfQueries(emb)
       val idxDir = graft.ext.Ivf.indexDirFor(d, k = 16, iters = 2)
       graft.ext.Ivf.buildIndex(emb, "vec_id", "embedding", idxDir, k = 16, iters = 2)
       graft.ext.Ivf.topKIndexed(s, idxDir, queries,
@@ -316,13 +326,7 @@ object ExtQueries {
     // query's source and the rest of the corpus.
     "q_knn_ivf_quantized" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val jitter = (i: org.apache.spark.sql.Column) =>
-        (conv(substring(md5(concat_ws("_", col("vec_id"), i)), 1, 6), 16, 10)
-          .cast("long") % 2001L - 1000L).cast("double") / 1000.0
-      val queries = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => x * (lit(1.0) + lit(0.08) * jitter(i))).as("embedding"))
+      val queries = plantedIvfQueries(emb)
       val idxDir = graft.ext.Ivf.quantizedIndexDirFor(d, k = 16, iters = 2)
       graft.ext.Ivf.buildQuantizedIndex(emb, "vec_id", "embedding", idxDir,
         k = 16, iters = 2)

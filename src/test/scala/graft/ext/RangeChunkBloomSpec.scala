@@ -159,6 +159,24 @@ class RangeChunkBloomSpec extends AnyFunSuite {
     assert(fpRate <= 0.05, s"false-positive rate $fpRate way above fpp=0.01")
   }
 
+  test("chained screens with distinct sketches stay correct in one stage") {
+    import spark.implicits._
+    // two bloom_might_contain calls with DIFFERENT sketches collapse
+    // into one codegen'd stage and alternate per row — the memo must
+    // hold both (a 1-entry memo re-deserializes per row; correctness
+    // holds either way, this pins the composed semantics)
+    val all = (1L to 2000L).map(i => (i, i * 2654435761L)).toDF("id", "fp")
+    val m1 = all.filter($"id" % 5 === 0).select("fp")
+    val m2 = all.filter($"id" % 7 === 0).select("fp")
+    val screened = Bloom.screenByLongKey(
+      Bloom.screenByLongKey(all, m1, "fp", expectedItems = 500L, hitCol = "hit1"),
+      m2, "fp", expectedItems = 400L, hitCol = "hit2")
+    val rows = screened.select($"id", $"hit1", $"hit2")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.forall { case (id, h1, _) => id % 5 != 0 || h1 })
+    assert(rows.forall { case (id, _, h2) => id % 7 != 0 || h2 })
+  }
+
   test("bloom expression is in lockstep with the driver-side filter object") {
     import spark.implicits._
     // the codegen'd bloom_might_contain must return EXACTLY what the

@@ -39,6 +39,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT token_set_count('the cat and the dog', 'the,and') AS c")
         .head().getInt(0)
       assert(tsc == 3)
+      // bloom_might_contain over a real serialized sketch: member keys
+      // hit (no false negatives), a clear non-member misses
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      Seq(1L, 2L, 3L).foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val hex = bos.toByteArray.map("%02x".format(_)).mkString
+      val hits = spark.sql(
+        s"SELECT bloom_might_contain(unhex('$hex'), k) AS hit " +
+          "FROM VALUES (1L), (2L), (999999L) AS t(k)")
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(hits(0) && hits(1) && !hits(2))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
