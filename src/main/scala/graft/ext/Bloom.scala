@@ -29,39 +29,52 @@ object Bloom {
   /** Member counts memoized per (semantically-equal) member plan: the
     * sizing count is a whole Spark job, and a screen invoked repeatedly
     * over the same member relation (the q_bloom_screen shape) re-paid
-    * it every call. Keyed by the CANONICALIZED plan (not its 32-bit
-    * semanticHash — a hash collision would silently size one screen
-    * from another relation's count), and entries expire after
-    * [[countTtlNanos]]: the count only SIZES the sketch, so staleness
-    * never breaks the no-false-negative side, but a long-lived driver
-    * screening a growing table from a frozen count would let fpp
-    * degrade without bound — the TTL caps the degradation window at
-    * whatever the table can grow in ten minutes, and the 10% headroom
-    * covers that for any realistic ingest rate. */
+    * it every call. Keyed by the canonicalized plan rendering AND its
+    * semanticHash together — the rendering alone truncates long field
+    * lists (`maxToStringFields`), the hash alone is a collidable 32
+    * bits; colliding on both at once is not a realistic event. The
+    * count is held LAZILY in the entry so concurrent first callers run
+    * ONE job (`lazy val` synchronizes on the holder; the map op itself
+    * stays short). Entries expire after [[countTtlNanos]]: staleness
+    * never breaks the no-false-negative side (the count only SIZES the
+    * sketch), but a long-lived driver screening a growing table from a
+    * frozen count would let fpp degrade without bound — the TTL caps
+    * the window, and the 10% headroom covers realistic ingest inside
+    * it. Expired/oldest entries are dropped on access so plan-string
+    * keys cannot accumulate forever. */
+  private final class Counted(thunk: () => Long, val at: Long) {
+    lazy val value: Long = thunk()
+  }
   private val countTtlNanos = 10L * 60 * 1000 * 1000 * 1000
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Counted]()
+
+  private def evictStale(now: Long): Unit = {
+    val it = countCache.entrySet().iterator()
+    while (it.hasNext) if (now - it.next().getValue.at >= countTtlNanos) it.remove()
+    var guard = countCache.size()
+    while (countCache.size() > 64 && guard > 0) {
+      var oldest: String = null
+      var oldestAt = Long.MaxValue
+      countCache.forEach { (k, v) => if (v.at < oldestAt) { oldest = k; oldestAt = v.at } }
+      if (oldest != null) countCache.remove(oldest)
+      guard -= 1
+    }
+  }
 
   private def memberCount(members: DataFrame): Long = {
-    val key = members.queryExecution.analyzed.canonicalized.toString
+    val plan = members.queryExecution.analyzed
+    val key = s"${plan.semanticHash()}:${plan.canonicalized.toString}"
     val now = System.nanoTime()
-    val hit = countCache.get(key)
-    if (hit != null && now - hit._2 < countTtlNanos) hit._1
-    else {
-      val c = members.count()
-      // evict on write so a driver screening many distinct relations
-      // doesn't accumulate plan-string keys forever: drop everything
-      // expired, then oldest entries down to a small bound
-      val it = countCache.entrySet().iterator()
-      while (it.hasNext) { if (now - it.next().getValue._2 >= countTtlNanos) it.remove() }
-      while (countCache.size() >= 64) {
-        var oldest: String = null; var oldestAt = Long.MaxValue
-        countCache.forEach { (k, v) => if (v._2 < oldestAt) { oldest = k; oldestAt = v._2 } }
-        if (oldest == null) return c else countCache.remove(oldest)
-      }
-      countCache.put(key, (c, now))
-      c
+    var e = countCache.computeIfAbsent(key,
+      _ => new Counted(() => members.count(), now))
+    if (now - e.at >= countTtlNanos) {
+      val fresh = new Counted(() => members.count(), now)
+      e = if (countCache.replace(key, e, fresh)) fresh
+          else countCache.computeIfAbsent(key, _ => fresh)
     }
+    evictStale(now)
+    e.value
   }
 
   /** Adds `hitCol` (boolean) to `candidates`: true iff the long-typed

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** `bloom_might_contain(sketchBytes, key)` — Bloom-filter membership as
   * a codegen'd Catalyst expression (the DetectMime/DotProduct pattern),
@@ -40,6 +40,14 @@ case class BloomMightContain(left: Expression, right: Expression)
 }
 
 object BloomMightContain {
+
+  /** Builder for every registration/column site: wraps both children
+    * in Cast (the DotProduct.build pattern) so an INT key widens and
+    * an uncastable input fails ANALYSIS — without this, a foldable
+    * integer literal reaches nullSafeEval's `asInstanceOf[Long]`
+    * during constant folding and classcasts instead. */
+  def build(sketch: Expression, key: Expression): BloomMightContain =
+    BloomMightContain(Cast(sketch, BinaryType), Cast(key, LongType))
 
   /** Per-thread identity memo, bounded at [[memoCap]] entries: within
     * a task each sketch literal is one stable array reference, so a
@@ -81,6 +89,6 @@ object BloomMightContain {
   /** Column API: `sketch` must be a binary column (normally a literal
     * holding `BloomFilter.writeTo` bytes), `key` a long column. */
   def bloom_might_contain(sketch: Column, key: Column): Column =
-    ColumnBridge.column(BloomMightContain(
+    ColumnBridge.column(build(
       ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
 }

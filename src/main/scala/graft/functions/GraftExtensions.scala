@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => BloomMightContain.build(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("token_set_count"),
       new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),

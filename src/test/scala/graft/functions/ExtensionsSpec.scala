@@ -51,6 +51,13 @@ class ExtensionsSpec extends AnyFunSuite {
           "FROM VALUES (1L), (2L), (999999L) AS t(k)")
         .collect().map(_.getBoolean(0)).toSeq
       assert(hits(0) && hits(1) && !hits(2))
+      // an INT literal key must widen through the build-time Cast (a
+      // foldable call constant-folds through nullSafeEval — unwrapped,
+      // the boxed Integer classcasts during optimization)
+      val folded = spark.sql(
+        s"SELECT bloom_might_contain(unhex('$hex'), 2) AS hit")
+        .head().getBoolean(0)
+      assert(folded)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
