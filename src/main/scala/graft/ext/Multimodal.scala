@@ -63,9 +63,17 @@ object Multimodal {
   def plantedGray(id: Long, x: Int, y: Int): Int =
     ((x * 3 + y * 5 + id) % 256).toInt
 
-  /** Container per doc: every 4th is BMP, the rest PNG — two distinct
-    * JDK codecs through one auto-detecting decode path. */
-  def plantedFormat(id: Long): String = if (id % 4 == 0) "bmp" else "png"
+  /** Container per doc — the WRITER format name: every 4th BMP, every
+    * (4k+2)th TIFF, the rest PNG — THREE distinct JDK codecs through
+    * one auto-detecting decode path (TIFF closes the bare-`.tif` gap:
+    * the JDK has shipped a TIFF ImageIO plugin since Java 9). */
+  def plantedFormat(id: Long): String =
+    if (id % 4 == 0) "bmp" else if (id % 4 == 2) "tiff" else "png"
+
+  /** The format name the sniffing READER SPI reports for the planted
+    * container — the JDK TIFF reader calls itself "tif", not "tiff". */
+  def plantedSniffedFormat(id: Long): String =
+    if (id % 4 == 2) "tif" else plantedFormat(id)
 
   /** Encodes the planted raster for `id` as a real PNG or BMP via
     * `ImageIO.write`. Deterministic: dims, pixels, and container are

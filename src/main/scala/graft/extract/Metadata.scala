@@ -37,6 +37,7 @@ object Metadata {
       case MimeDetect.Jpeg => jpegMeta(bytes)
       case MimeDetect.Png  => pngMeta(bytes)
       case MimeDetect.Gif  => gifMeta(bytes)
+      case MimeDetect.Tiff => tiffMeta(bytes)
       case _               => Map.empty[String, String]
     }
     cap(base ++ specific, opts)
@@ -179,6 +180,7 @@ object Metadata {
     } catch { case _: Exception => Map.empty }
 
   private val TiffTagNames = Map(
+    0x0100 -> "ImageWidth", 0x0101 -> "ImageLength",
     0x010e -> "ImageDescription", 0x010f -> "Make", 0x0110 -> "Model",
     0x0112 -> "Orientation", 0x0132 -> "DateTime",
     0x9003 -> "DateTimeOriginal", 0x9004 -> "DateTimeDigitized")
@@ -274,6 +276,13 @@ object Metadata {
       }
       out
     } catch { case _: Exception => Map.empty }
+
+  /** Bare TIFF container: the SAME IFD walk the JPEG APP1/EXIF path
+    * uses, rooted at the file's own header (offset 0) — ImageWidth /
+    * ImageLength are baseline IFD0 tags, so a `.tif` reports its
+    * dimensions plus any ASCII description tags it carries. */
+  private def tiffMeta(bytes: Array[Byte]): Map[String, String] =
+    tiffTags(bytes, 0, bytes.length)
 
   /** GIF: logical-screen dimensions from the fixed header. */
   private def gifMeta(bytes: Array[Byte]): Map[String, String] =

@@ -24,6 +24,7 @@ object MimeDetect {
   val Jpeg = "image/jpeg"
   val Png  = "image/png"
   val Gif  = "image/gif"
+  val Tiff = "image/tiff"
   val Odt  = "application/vnd.oasis.opendocument.text"
   val Ods  = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp  = "application/vnd.oasis.opendocument.presentation"
@@ -43,6 +44,9 @@ object MimeDetect {
     if (startsWith(bytes, Array(0x89, 'P', 'N', 'G').map(_.toByte))) return Png
     if (startsWith(bytes, "GIF87a".getBytes) ||
         startsWith(bytes, "GIF89a".getBytes)) return Gif
+    // bare TIFF container: II*\0 (little-endian) / MM\0* (big-endian)
+    if (startsWith(bytes, Array[Byte]('I', 'I', 0x2a, 0)) ||
+        startsWith(bytes, Array[Byte]('M', 'M', 0, 0x2a))) return Tiff
     val head = new String(bytes, 0, math.min(bytes.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (looksLikeEmail(head) ||

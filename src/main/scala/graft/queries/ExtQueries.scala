@@ -1519,14 +1519,17 @@ object ExtQueries {
     // analytic mirror of the planted raster: dims, container, and the
     // gray sum over the w×h grid are closed-form in doc_id (see
     // Multimodal.plantedW/H/Gray) — matching is only possible if
-    // Spark's ImageIO round trip preserved every planted pixel
+    // Spark's ImageIO round trip preserved every planted pixel; the
+    // format column is what the sniffing READER reports (the JDK TIFF
+    // reader names itself 'tif')
     "q_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
         |                   8 + (doc_id * 7) % 25 AS h FROM documents),
         |px  AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
         |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px)
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+        |       WHEN doc_id % 4 = 2 THEN 'tif' ELSE 'png' END AS format,
         |  CAST(sum((x * 3 + y * 5 + doc_id) % 256) AS BIGINT) AS px_sum
         |FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // nearest-neighbor to 8×8 with sx = i·w // 8, sy = j·h // 8 (the

@@ -161,10 +161,10 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cands >= exact.size)
   }
 
-  test("multimodal decode round-trips real PNG and BMP rasters") {
+  test("multimodal decode round-trips real PNG, BMP, and TIFF rasters") {
     import spark.implicits._
-    // 7 → png, 8 → bmp: both JDK codecs through the auto-detect path
-    val df = Seq(7L, 8L).toDF("doc_id")
+    // 7 → png, 8 → bmp, 10 → tiff: three JDK codecs, one auto-detect path
+    val df = Seq(7L, 8L, 10L).toDF("doc_id")
       .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
     val meta = Multimodal.decodeMeta(df, "doc_id", "payload")
       .collect().sortBy(_.doc_id)
@@ -172,7 +172,7 @@ class ExtOpsSpec extends AnyFunSuite {
       val id = m.doc_id
       assert(m.width == Multimodal.plantedW(id))
       assert(m.height == Multimodal.plantedH(id))
-      assert(m.format == Multimodal.plantedFormat(id))
+      assert(m.format == Multimodal.plantedSniffedFormat(id))
       val expectSum = (for {
         y <- 0 until Multimodal.plantedH(id)
         x <- 0 until Multimodal.plantedW(id)
@@ -185,6 +185,16 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(payloads(7L).take(8).sameElements(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
     assert(payloads(8L).take(2).sameElements("BM".getBytes))
+    val tiffMagic = payloads(10L).take(4)
+    assert(tiffMagic.sameElements(Array[Byte]('I', 'I', 0x2a, 0)) ||
+      tiffMagic.sameElements(Array[Byte]('M', 'M', 0, 0x2a)))
+    // and the MIME detector recognizes the bare container
+    assert(graft.extract.MimeDetect.detect(payloads(10L), "x.tif") == "image/tiff")
+    // bare-TIFF metadata: the IFD walk reports the planted dimensions
+    val tm = graft.extract.Metadata.extract(payloads(10L), "x.tif")
+    assert(tm("Content-Type") == "image/tiff")
+    assert(tm("ImageWidth") == Multimodal.plantedW(10L).toString)
+    assert(tm("ImageLength") == Multimodal.plantedH(10L).toString)
   }
 
   test("multimodal nearest-neighbor resize checksums the decoded raster") {
