@@ -43,9 +43,18 @@ object Ivf {
     * iteration — fixed regardless of corpus size. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             k: Int = 16, iters: Int = 3, sampleTarget: Int = 4096): Model = {
+    val sample = hashSample(emb, idCol, vecCol, sampleTarget, k)
+    require(sample.nonEmpty, "ivf training sample is empty")
+    lloyd(sample, k, iters)
+  }
+
+  /** One filtered scan → the driver-side training sample, id-sorted so
+    * the draw is deterministic regardless of partitioning. */
+  private def hashSample(emb: DataFrame, idCol: String, vecCol: String,
+                         sampleTarget: Int, k: Int): Array[Array[Double]] = {
     val n = emb.count()
     val m = math.max(1L, n / math.max(sampleTarget.toLong, k.toLong))
-    val sample = emb
+    emb
       .filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
       .select(col(idCol).cast("string").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -53,7 +62,12 @@ object Ivf {
       .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
       .map(_._2)
-    require(sample.nonEmpty, "ivf training sample is empty")
+  }
+
+  /** Deterministic Lloyd on a driver-side sample: every (|s|/k)-th
+    * vector seeds, `iters` assign/average steps. Shared by the coarse
+    * quantizer ([[train]]) and each PQ subspace ([[trainPq]]). */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Model = {
     val stride = math.max(sample.length / k, 1)
     val seeds = sample.indices.collect {
       case i if i % stride == 0 => sample(i).clone()
@@ -85,6 +99,112 @@ object Ivf {
 
   private def assignUdf(model: Model, nProbe: Int) =
     udf((vec: Seq[Double]) => model.nearest(vec, nProbe))
+
+  // ---- product quantization (Jégou et al., TPAMI 2011) ---------------
+
+  /** PQ codebooks: `books(j)(c)` is centroid `c` of subspace `j` — the
+    * dsub = dim∕m consecutive components starting at j·dsub. A vector
+    * encodes as m unsigned-byte codes (one codebook index per
+    * subspace): at m=8 over 64-dim floats that is 8 bytes against 256
+    * float bytes, a 32× smaller index than the raw vectors and 4×
+    * under the int8 index — the memory/IO shape that makes a 10⁹-row
+    * ANN index fit a cluster's page cache. */
+  final case class PqModel(books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def ks: Int = books.head.length
+    def dsub: Int = books.head.head.length
+
+    /** Nearest-centroid code per subspace (ties → lowest code, like
+      * [[Model.nearest]]). */
+    def encode(vec: Seq[Double]): Array[Byte] = {
+      val out = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val book = books(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < cent.length) {
+            val off = j * dsub + i
+            val x = if (off < vec.length) vec(off) else 0.0
+            val diff = cent(i) - x
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toByte
+        j += 1
+      }
+      out
+    }
+
+    /** L2 norm of the reconstruction Σⱼ book(j)(codeⱼ) — stored per
+      * indexed vector so the ADC score can be norm-corrected into a
+      * cosine against the reconstruction. */
+    def reconNorm(codes: Array[Byte]): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        val cent = books(j)(codes(j) & 0xff)
+        var i = 0
+        while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+        j += 1
+      }
+      math.sqrt(s)
+    }
+
+    /** Per-QUERY lookup table, flattened `[j·ks + c] = ⟨q_j, book(j)(c)⟩`:
+      * computed once per query (m·ks small dot products), then every
+      * candidate scores with m table reads ([[graft.functions.PqAdc]])
+      * instead of a dim-length multiply-add. */
+    def lut(vec: Seq[Double]): Array[Double] = {
+      val out = new Array[Double](m * ks)
+      var j = 0
+      while (j < m) {
+        val book = books(j)
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < cent.length) {
+            val off = j * dsub + i
+            if (off < vec.length) d += cent(i) * vec(off)
+            i += 1
+          }
+          out(j * ks + c) = d
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** PQ training: ONE [[hashSample]] draw, then an independent
+    * deterministic [[lloyd]] per subspace over the sliced sample —
+    * driver compute is m × O(sampleTarget × ks × dsub) per iteration,
+    * fixed regardless of corpus size (the [[train]] bound, m times). */
+  def trainPq(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ks: Int = 16, iters: Int = 3,
+              sampleTarget: Int = 4096): PqModel = {
+    val sample = hashSample(emb, idCol, vecCol, sampleTarget, ks)
+    require(sample.nonEmpty, "pq training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      lloyd(sub, ks, iters).centroids
+    }
+    PqModel(books)
+  }
 
   private def md5hex(s: String, nBytes: Int): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -145,6 +265,13 @@ object Ivf {
                            root: String = sys.props("java.io.tmpdir")): String =
     s"$root/${indexPrefix("graft_ivfq8_v1", corpusDir)}_${md5hex(contentSig(corpusDir), 8)}_k${k}_i$iters"
 
+  /** [[indexDirFor]] for the product-quantized inverted file — m and
+    * ks join the key because the code layout changes with them. */
+  def pqIndexDirFor(corpusDir: String, k: Int, iters: Int,
+                    m: Int = 8, ks: Int = 16,
+                    root: String = sys.props("java.io.tmpdir")): String =
+    s"$root/${indexPrefix("graft_ivfpq_v1", corpusDir)}_${md5hex(contentSig(corpusDir), 8)}_k${k}_i${iters}_m${m}_ks$ks"
+
   /** Train-once / query-many: build the inverted file ON DISK — the
     * centroid table plus the corpus re-written with `cell` as a
     * PARTITION column — so queries reuse the model and prune to their
@@ -178,6 +305,36 @@ object Ivf {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
     }
 
+  /** [[buildIndex]] with the corpus partitions stored PRODUCT-QUANTIZED:
+    * per row only the m-byte code word (BINARY), the precomputed
+    * reconstruction norm, and the cell — at m=8 over 64-dim vectors
+    * that is ~32× under the float index and ~4× under int8, the layout
+    * where a 10⁹-vector index fits in cluster page cache. The PQ
+    * codebooks (m·ks·dsub doubles — bounded model metadata) persist
+    * beside the coarse centroids; cells are assigned on the FLOAT
+    * vector, so the coarse quantizer is identical to the float
+    * index's. Encoding is the legitimate-UDF case: per-row codebook
+    * search has no builtin, and it runs once per vector at BUILD time,
+    * never on the per-pair serving path. */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+                   k: Int = 16, iters: Int = 3, m: Int = 8, ks: Int = 16,
+                   sampleTarget: Int = 4096): Unit =
+    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _) =>
+      val pq = trainPq(emb, idCol, vecCol, m, ks, iters, sampleTarget)
+      val spark = emb.sparkSession
+      import spark.implicits._
+      pq.books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq.toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqbooks")
+      val enc = udf((v: Seq[Double]) => pq.encode(v))
+      prep
+        .withColumn("codes", enc(col("nvec")))
+        .withColumn("rnorm", udf((c: Array[Byte]) => pq.reconNorm(c)).apply(col("codes")))
+        .select(col("nid"), col("codes"), col("rnorm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    }
+
   /** Shared train-once skeleton: _SUCCESS idempotence guard, stale-
     * sibling GC (within the index FAMILY the dir name carries — float
     * and quantized prefixes differ, so they never GC each other),
@@ -196,7 +353,7 @@ object Ivf {
     // delete same-corpus siblings (same family+path-hash prefix,
     // different signature/params) so the index root doesn't grow
     // unboundedly.
-    val prefixRe = "^((?:graft_ivf_v1|graft_ivfq8_v1)_[0-9a-f]+_).*".r
+    val prefixRe = "^((?:graft_ivf_v1|graft_ivfq8_v1|graft_ivfpq_v1)_[0-9a-f]+_).*".r
     dirPath.getName match {
       case prefixRe(prefix) =>
         val parent = dirPath.getParent
@@ -234,6 +391,21 @@ object Ivf {
       val rows = spark.read.parquet(s"$dir/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
       Model(rows.map(_._2))
+    })
+
+  /** PQ codebooks load once per JVM per index (m·ks rows of dsub
+    * doubles — bounded model metadata, like [[loadModel]]). */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
+
+  def loadPqModel(spark: SparkSession, dir: String): PqModel =
+    pqModelCache.computeIfAbsent(dir, _ => {
+      val rows = spark.read.parquet(s"$dir/pqbooks").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      val m = rows.map(_._1._1).max + 1
+      val ks = rows.map(_._1._2).max + 1
+      val byKey = rows.toMap
+      PqModel(Array.tabulate(m, ks)((j, c) => byKey((j, c))))
     })
 
   /** ANN top-k over a persisted index: NO training, counting, or corpus
@@ -301,7 +473,17 @@ object Ivf {
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= k * rerank)
       .select(col("qid"), col("nid"))
-    // float re-rank: only survivors fetch full-precision vectors
+    rerankFloat(survivors, lake, qp, idCol, vecCol, k)
+  }
+
+  /** Float re-rank shared by the compressed serving paths (int8, PQ):
+    * only the approximate pass's survivors (qid, nid) fetch
+    * full-precision vectors from the lake — an id-keyed join — score
+    * exactly, and keep the final top-k; reported scores are exact
+    * cosines, never approximations. `qp` is the shared query-side
+    * prepare (qid, qvec, qn2). */
+  private def rerankFloat(survivors: DataFrame, lake: DataFrame, qp: DataFrame,
+                          idCol: String, vecCol: String, k: Int): DataFrame = {
     val lakeP = Similarity.prepared(lake, idCol, vecCol, "lid", "nvec", "nn2")
     val qf = qp.select(col("qid").as("fqid"), col("qvec").as("fqvec"),
       col("qn2").as("fqn2"))
@@ -311,6 +493,42 @@ object Ivf {
       .withColumn("score",
         Similarity.dotUdf(col("fqvec"), col("nvec")) / sqrt(col("fqn2") * col("nn2")))
     rankTopK(exact, k)
+  }
+
+  /** ANN top-k over the PRODUCT-QUANTIZED inverted file — the deepest
+    * compression tier: candidate generation reads only
+    * (nid, codes, rnorm, cell), first-pass scoring is pure ADC — the
+    * query's flattened lookup table rides the broadcast probe row and
+    * every candidate costs m table reads through the codegen'd
+    * [[graft.functions.PqAdc]] (no dim-length arithmetic, no UDF on
+    * the per-pair path) — and the norm-corrected score ranks by cosine
+    * against the reconstruction. Survivors re-rank in float from the
+    * lake ([[rerankFloat]]), so reported scores are exact. DPP prunes
+    * the index scan to the probed cells as in [[topKIndexed]]. */
+  def topKPq(spark: SparkSession, indexDir: String, lake: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String,
+             k: Int = 5, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    val model = loadModel(spark, indexDir)
+    val pq = loadPqModel(spark, indexDir)
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    val lutUdf = udf((v: Seq[Double]) => pq.lut(v))
+    val qp = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
+    val q = qp
+      .withColumn("lut", lutUdf(col("qvec"))) // once per query, pre-explode
+      .withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
+    val approx = corpus.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("ascore",
+        when(col("rnorm") > 0,
+          graft.functions.PqAdc.adcCol(col("lut"), col("codes"), pq.ks) / col("rnorm"))
+          .otherwise(lit(0.0)))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ascore").desc, col("nid").asc)
+    val survivors = approx
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= k * rerank)
+      .select(col("qid"), col("nid"))
+    rerankFloat(survivors, lake, qp, idCol, vecCol, k)
   }
 
   /** ANN top-k through the inverted file: corpus assigned to its

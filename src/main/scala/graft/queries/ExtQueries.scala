@@ -337,6 +337,31 @@ object ExtQueries {
         .orderBy(col("qid"))
     }),
 
+    // the PRODUCT-QUANTIZED serving path — the deepest compression
+    // tier of the same planted contract: the index stores only an
+    // m=8-byte code word + reconstruction norm per vector (~32× under
+    // the float index, ~4× under int8 — the layout where a 10⁹-vector
+    // index fits cluster page cache), candidates score via codegen'd
+    // ADC table lookups (PqAdc — m reads, no dim-length arithmetic),
+    // and the k·rerank survivor pool re-ranks in float against the
+    // lake. PQ reconstruction error is LARGE on an isotropic corpus
+    // (16 centroids per 8-dim subspace), which is exactly why the
+    // serving shape pairs it with a float re-rank: the planted source
+    // only has to survive into the top-4 of the probed cells, and the
+    // re-rank restores exactness.
+    "q_knn_ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = plantedIvfQueries(emb)
+      val idxDir = graft.ext.Ivf.pqIndexDirFor(d, k = 16, iters = 2)
+      graft.ext.Ivf.buildPqIndex(emb, "vec_id", "embedding", idxDir,
+        k = 16, iters = 2)
+      graft.ext.Ivf.topKPq(s, idxDir, emb, queries,
+          "vec_id", "embedding", k = 1, nProbe = 4, rerank = 4)
+        .filter(col("rank") === 1)
+        .select(col("qid"), (col("nid") === col("qid") - 1000000L).as("top1_ok"))
+        .orderBy(col("qid"))
+    }),
+
     // Winnowing fingerprints are also engine-specific, but carry a
     // PROVABLE planted contract: every k-gram window of a document is
     // an identical window of that document extended with a suffix, so
@@ -1321,6 +1346,10 @@ object ExtQueries {
         |WHERE vec_id < 50 ORDER BY qid""".stripMargin,
     // same serving contract through the int8 index + float re-rank
     "q_knn_ivf_quantized" ->
+      """SELECT vec_id + 1000000 AS qid, true AS top1_ok FROM embeddings
+        |WHERE vec_id < 50 ORDER BY qid""".stripMargin,
+    // same serving contract through the PQ (ADC) index + float re-rank
+    "q_knn_ivf_pq" ->
       """SELECT vec_id + 1000000 AS qid, true AS top1_ok FROM embeddings
         |WHERE vec_id < 50 ORDER BY qid""".stripMargin,
     "q_knn_quantized" ->

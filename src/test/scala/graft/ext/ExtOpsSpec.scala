@@ -263,6 +263,50 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(fTop.forall { case (qid, nid) => nid == qid - 1000000L })
   }
 
+  test("PQ index stores m-byte codes, ADC is in lockstep, serving stays exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val fDir = Ivf.indexDirFor(sf, k = 16, iters = 2)
+    val pDir = Ivf.pqIndexDirFor(sf, k = 16, iters = 2)
+    Ivf.buildIndex(emb, "vec_id", "embedding", fDir, k = 16, iters = 2)
+    Ivf.buildPqIndex(emb, "vec_id", "embedding", pDir, k = 16, iters = 2)
+    // the code column really is an m-byte BINARY word
+    val corpus = spark.read.parquet(s"$pDir/corpus")
+    assert(corpus.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    import spark.implicits._
+    val someCodes = corpus.select("codes").as[Array[Byte]].head(5)
+    assert(someCodes.forall(_.length == 8))
+    // ADC lockstep: the codegen'd PqAdc equals the driver-side
+    // lut/codes sum for real index rows against a real query lut
+    val pq = Ivf.loadPqModel(spark, pDir)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .as[Seq[Double]].head()
+    val lut = pq.lut(qvec)
+    val rows = corpus.select(col("nid"), col("codes"))
+      .withColumn("adc", graft.functions.PqAdc.adcCol(
+        lit(lut), col("codes"), pq.ks))
+      .as[(Long, Array[Byte], Double)].collect()
+    for ((_, codes, adc) <- rows.take(50)) {
+      val expect = codes.zipWithIndex
+        .map { case (c, j) => lut(j * pq.ks + (c & 0xff)) }.sum
+      assert(math.abs(adc - expect) < 1e-12)
+    }
+    // serving equivalence on the planted corpus: ADC first pass + float
+    // re-rank returns the identical top-1 the float index serves
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val fTop = Ivf.topKIndexed(spark, fDir, queries, "vec_id", "embedding",
+        k = 1, nProbe = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pTop = Ivf.topKPq(spark, pDir, emb, queries, "vec_id", "embedding",
+        k = 1, nProbe = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(fTop == pTop)
+    assert(pTop.forall { case (qid, nid) => nid == qid - 1000000L })
+  }
+
   test("EXIF orientation parses from the real APP1/TIFF walk and rotates the raster") {
     import spark.implicits._
     // ids 0..7 cycle ALL EIGHT spec orientations 1..8
