@@ -123,6 +123,48 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Temperature-weighted source-mixture PLAN — the reweighting math of
+    * multilingual/multi-source LLM pipelines: per-source token masses
+    * nᵢ draw mixture weights wᵢ ∝ √nᵢ (temperature α = 0.5, the common
+    * up-sample-the-tail setting), and each source gets the keep-rate
+    * that realizes its share of a token budget of Σn ∕ `budgetDen`.
+    * Small sources keep more of themselves (rate ∝ 1∕√nᵢ), the head is
+    * down-sampled — apply the rates with [[stratifiedSample]].
+    *
+    * α is FIXED at 0.5: `sqrt` is correctly-rounded IEEE-754 on every
+    * engine, `pow` is not — a general-α plan could not be cross-engine
+    * hash-exact. The √n terms are floored to 6 decimals and summed as
+    * DECIMAL (order-free), and every emitted double goes through the
+    * repo's floor(x·10ᵏ + 0.5)∕10ᵏ discipline.
+    *
+    * Scale shape: one aggregate bounded by source cardinality, then a
+    * whole-frame window over |sources| rows (driver-scale after the
+    * aggregate) — the corpus is scanned once and never shuffled. */
+  def temperatureMixture(df: DataFrame, srcCol: String, textCol: String,
+                         budgetDen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ntok = size(filter(split(col(textCol), " "), t => t =!= "")).cast("long")
+    val perSrc = df
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(ntok).as("n_tokens"))
+    val w = Window.partitionBy() // |sources| rows — post-aggregate scale
+    val weight =
+      floor(col("sq").cast("double") /
+        sum(col("sq")).over(w).cast("double") * 1e4 + 0.5) / 1e4
+    perSrc
+      .withColumn("sq",
+        (floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5) / 1e6)
+          .cast("decimal(24,6)"))
+      .withColumn("weight", weight)
+      .withColumn("rate",
+        least(lit(1.0),
+          floor((sum(col("n_tokens")).over(w) / budgetDen).cast("long")
+              .cast("double") * col("weight") /
+            col("n_tokens").cast("double") * 1e4 + 0.5) / 1e4))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("rate"))
+  }
+
   /** Redact every match of `pattern` (Java regex, RE2-compatible subset
     * so the oracle's regexp_replace agrees) with `replacement` —
     * term-list scrubbing / PII-style redaction as pure column algebra

@@ -990,6 +990,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-weighted mixture PLAN (α = 0.5): the per-source
+    // weights/rates a multilingual pipeline samples by — √n mass
+    // reweighting inside a quarter-token budget, small sources keep
+    // proportionally more of themselves. The whole plan is
+    // integer/decimal/sqrt algebra under the floor-rounding
+    // discipline, so it is hash-exact cross-engine (α is fixed at 0.5
+    // because sqrt is correctly-rounded IEEE and pow is not).
+    "q_source_mixture" -> ((s, d) => {
+      graft.ext.Sampling.temperatureMixture(Tables.documents(s, d),
+          "source", "text", budgetDen = 4)
+        .orderBy(col("source"))
+    }),
+
     // term-list scrubbing (PII-style redaction shape): map-only,
     // codegen'd regexp over the corpus
     "q_redact_terms" -> ((s, d) => {
@@ -1718,6 +1731,29 @@ object ExtQueries {
         |FROM documents d JOIN th USING (source)
         |WHERE md5(CAST(d.doc_id AS VARCHAR)) < th.thresh
         |ORDER BY d.doc_id""".stripMargin,
+    // same √n temperature plan: floored-6-decimal sqrt terms summed as
+    // DECIMAL (order-free), double ratios floored to 4 decimals, the
+    // budget an integer floor-quarter of total tokens — every emitted
+    // double identical bit-for-bit cross-engine
+    "q_source_mixture" ->
+      """WITH p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT *,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |             AS DECIMAL(24,6)) AS sq
+        |      FROM p),
+        |tot AS (SELECT CAST(sum(sq) AS DECIMAL(38,6)) AS sqsum,
+        |               CAST(sum(n_tokens) AS BIGINT) // 4 AS budget FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS weight,
+        |  least(1.0, floor(CAST(budget AS DOUBLE) *
+        |      (floor(CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE) * 1e4 + 0.5) / 1e4) /
+        |      CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4) AS rate
+        |FROM s CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_sample_per_source" ->
       """SELECT doc_id, source, rank FROM (
         |  SELECT doc_id, source,

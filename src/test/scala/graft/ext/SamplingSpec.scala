@@ -120,6 +120,29 @@ class SamplingSpec extends AnyFunSuite {
       kept.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("temperature mixture up-weights the tail under a √n budget") {
+    import spark.implicits._
+    // same skew shape: srcA 20 000 tokens, srcB 8 000, srcC 2 000 →
+    // budget = 30 000 ∕ 4 = 7 500; weights ∝ √n, so the smallest
+    // source keeps the LARGEST fraction of itself
+    val rows = (1 to 400).map(i => (i.toLong, "srcA", Seq.fill(50)("w").mkString(" "))) ++
+      (401 to 600).map(i => (i.toLong, "srcB", Seq.fill(40)("w").mkString(" "))) ++
+      (601 to 700).map(i => (i.toLong, "srcC", Seq.fill(20)("w").mkString(" ")))
+    val plan = Sampling.temperatureMixture(rows.toDF("doc_id", "source", "text"),
+        "source", "text", budgetDen = 4)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // hand-computed under the exact floor discipline:
+    // sq = floor6(√n); sqsum = 275.585435; w = floor4(sq∕sqsum);
+    // rate = min(1, floor4(7500·w∕n))
+    assert(plan("srcA") == (("srcA", 400L, 20000L, 0.5132, 0.1925)))
+    assert(plan("srcB") == (("srcB", 200L, 8000L, 0.3246, 0.3043)))
+    assert(plan("srcC") == (("srcC", 100L, 2000L, 0.1623, 0.6086)))
+    // the realized token budget lands on target (Σ n·rate ≈ 7 500)
+    val realized = plan.values.map(r => r._3 * r._5).sum
+    assert(math.abs(realized - 7500.0) < 10.0, s"realized: $realized")
+  }
+
   test("token-balanced mix broadcasts thresholds onto the corpus filter") {
     val plan = Sampling.tokenBalancedSample(docs, "doc_id", "source", "text")
       .queryExecution.executedPlan.toString
