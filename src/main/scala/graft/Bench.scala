@@ -48,7 +48,7 @@ object Bench {
       "q_multimodal_frames", "q_multimodal_decode", "q_skew_aqe_join",
       "q_stream_window", "q_sessionize",
       "q_knn_ivf_pq", "q_audio_decode", "q_dedup_keep_canonical",
-      "q_multimodal_resize_oriented")
+      "q_multimodal_resize_oriented", "q_source_mixture")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

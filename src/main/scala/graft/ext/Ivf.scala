@@ -193,8 +193,14 @@ object Ivf {
     * fixed regardless of corpus size (the [[train]] bound, m times). */
   def trainPq(emb: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ks: Int = 16, iters: Int = 3,
-              sampleTarget: Int = 4096): PqModel = {
-    val sample = hashSample(emb, idCol, vecCol, sampleTarget, ks)
+              sampleTarget: Int = 4096): PqModel =
+    trainPqOn(hashSample(emb, idCol, vecCol, sampleTarget, ks), m, ks, iters)
+
+  /** [[trainPq]] on an already-drawn sample — [[buildPqIndex]] reuses
+    * the coarse quantizer's draw so one index build scans the corpus
+    * for its sample exactly once. */
+  def trainPqOn(sample: Array[Array[Double]], m: Int, ks: Int,
+                iters: Int): PqModel = {
     require(sample.nonEmpty, "pq training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim is not divisible by m=$m subspaces")
@@ -284,7 +290,7 @@ object Ivf {
     * the tasks that hold its rows. */
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                  k: Int = 16, iters: Int = 3, sampleTarget: Int = 4096): Unit =
-    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _) =>
+    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _, _) =>
       prep.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
     }
 
@@ -297,7 +303,7 @@ object Ivf {
     * the coarse quantizer is identical to the float index's. */
   def buildQuantizedIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                           k: Int = 16, iters: Int = 3, sampleTarget: Int = 4096): Unit =
-    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _) =>
+    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _, _) =>
       Quantize.int8(prep, "nvec")
         .withColumn("qv8", transform(col("qvec"), x => x.cast("tinyint")))
         .withColumn("qnn2", Similarity.dotUdf(col("qvec"), col("qvec")))
@@ -319,8 +325,11 @@ object Ivf {
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                    k: Int = 16, iters: Int = 3, m: Int = 8, ks: Int = 16,
                    sampleTarget: Int = 4096): Unit =
-    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _) =>
-      val pq = trainPq(emb, idCol, vecCol, m, ks, iters, sampleTarget)
+    buildIndexWith(emb, idCol, vecCol, dir, k, iters, sampleTarget) { (prep, _, sample) =>
+      // the coarse draw is reused: with sampleTarget ≥ max(k, ks) —
+      // always, in practice — hashSample's modulus is identical for
+      // both, so this is the exact sample trainPq would have re-drawn
+      val pq = trainPqOn(sample, m, ks, iters)
       val spark = emb.sparkSession
       import spark.implicits._
       pq.books.zipWithIndex.flatMap { case (book, j) =>
@@ -343,7 +352,7 @@ object Ivf {
     * and owns the partitioned layout. */
   private def buildIndexWith(emb: DataFrame, idCol: String, vecCol: String,
                              dir: String, k: Int, iters: Int, sampleTarget: Int)(
-      writeCorpus: (DataFrame, Model) => Unit): Unit = {
+      writeCorpus: (DataFrame, Model, Array[Array[Double]]) => Unit): Unit = {
     val spark = emb.sparkSession
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -364,7 +373,13 @@ object Ivf {
             .foreach(s => fs.delete(s.getPath, true))
       case _ => () // caller-chosen dir name: nothing safe to GC
     }
-    val model = train(emb, idCol, vecCol, k, iters, sampleTarget)
+    // ONE sample draw (count + filtered collect) serves the coarse
+    // quantizer here AND the callback's subspace training (PQ) — a
+    // second draw with the same parameters would be a byte-identical
+    // redundant corpus pass
+    val sample = hashSample(emb, idCol, vecCol, sampleTarget, k)
+    require(sample.nonEmpty, "ivf training sample is empty")
+    val model = lloyd(sample, k, iters)
     import spark.implicits._
     model.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
@@ -378,7 +393,7 @@ object Ivf {
         // small file into every cell dir — tasks × cells tiny files
         // whose parquet framing dwarfs the vector bytes)
         .repartition(col("cell")),
-      model)
+      model, sample)
   }
 
   /** Centroids load once per JVM per index (k rows — bounded model
@@ -467,13 +482,19 @@ object Ivf {
       .filter(col("qid") =!= col("nid"))
       .withColumn("ascore",
         Similarity.dotUdf(col("qvec"), col("qv8")) / sqrt(col("qn2") * col("qnn2")))
+    rerankFloat(approxSurvivors(approx, k, rerank), lake, qp, idCol, vecCol, k)
+  }
+
+  /** Approximate-pass survivor funnel shared by the compressed serving
+    * paths: rank `approx` (qid, nid, ascore) per query and keep the
+    * k·`rerank` best (qid, nid) for the float re-rank. */
+  private def approxSurvivors(approx: DataFrame, k: Int, rerank: Int): DataFrame = {
     val aw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("ascore").desc, col("nid").asc)
-    val survivors = approx
+    approx
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= k * rerank)
       .select(col("qid"), col("nid"))
-    rerankFloat(survivors, lake, qp, idCol, vecCol, k)
   }
 
   /** Float re-rank shared by the compressed serving paths (int8, PQ):
@@ -522,13 +543,7 @@ object Ivf {
         when(col("rnorm") > 0,
           graft.functions.PqAdc.adcCol(col("lut"), col("codes"), pq.ks) / col("rnorm"))
           .otherwise(lit(0.0)))
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("ascore").desc, col("nid").asc)
-    val survivors = approx
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") <= k * rerank)
-      .select(col("qid"), col("nid"))
-    rerankFloat(survivors, lake, qp, idCol, vecCol, k)
+    rerankFloat(approxSurvivors(approx, k, rerank), lake, qp, idCol, vecCol, k)
   }
 
   /** ANN top-k through the inverted file: corpus assigned to its

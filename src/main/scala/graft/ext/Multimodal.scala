@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-sized batches.
   *
   * The decode paths are REAL codecs: image payloads are genuine
-  * PNG/BMP containers (written by `javax.imageio` — pure JDK, no
+  * PNG/BMP/TIFF containers (written by `javax.imageio` — pure JDK, no
   * external libraries) run through the actual `ImageIO` reader chain —
   * container sniffing via registered `ImageReader` SPIs (the same
   * auto-detect role Tika's detector plays for documents, cf. reference
@@ -75,7 +75,7 @@ object Multimodal {
   def plantedSniffedFormat(id: Long): String =
     if (id % 4 == 2) "tif" else plantedFormat(id)
 
-  /** Encodes the planted raster for `id` as a real PNG or BMP via
+  /** Encodes the planted raster for `id` as a real PNG/BMP/TIFF via
     * `ImageIO.write`. Deterministic: dims, pixels, and container are
     * pure functions of `id`. */
   def syntheticImage(id: Long): Array[Byte] = {

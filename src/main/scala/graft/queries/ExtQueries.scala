@@ -742,7 +742,7 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // REAL codec decode: each doc carries a genuine PNG or BMP payload
+    // REAL codec decode: each doc carries a genuine PNG/BMP/TIFF payload
     // (javax.imageio) whose dims/pixels/container are planted
     // closed-form in doc_id; the query runs the actual ImageIO
     // auto-detect + raster decode and emits what it FOUND. The oracle
@@ -763,7 +763,7 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // REAL resize: decode the PNG/BMP payload, nearest-neighbor
+    // REAL resize: decode the PNG/BMP/TIFF payload, nearest-neighbor
     // resample the decoded raster to 8×8, checksum the OUTPUT pixels
     // (positional + plain sums — integer-exact, no rounding hazard);
     // map-only, the payload never shuffles
@@ -781,7 +781,7 @@ object ExtQueries {
     // JPEG APP1/TIFF metadata walk (q_extract_media_metadata's parser)
     // reads a planted Orientation (ALL EIGHT spec values cycling in
     // doc_id — rotations 1/3/6/8 AND mirrored 2/4/5/7) from a genuine
-    // EXIF sidecar, the decoded PNG/BMP raster is made upright, THEN
+    // EXIF sidecar, the decoded raster is made upright, THEN
     // resampled to 8×8 — what every real image pipeline must do
     // before training. The oracle mirrors each remap analytically
     // (every orientation is a closed-form index map of the planted
