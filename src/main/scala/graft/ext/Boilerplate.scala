@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-document repeated-segment removal — the CCNet/RefinedWeb
@@ -88,4 +88,31 @@ object Boilerplate {
         coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
         col("total_segs"))
   }
+
+  /** Array of non-overlapping `segTokens`-token segments of `textCol`
+    * in document order — the column form of [[segments]]' grid for
+    * map-only WITHIN-document operators (no Generate, no shuffle). */
+  def segmentArray(textCol: Column, segTokens: Int): Column = {
+    require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    val arr = split(coalesce(textCol, lit("")), " ")
+    val nSeg = ceil(size(arr) / lit(segTokens.toDouble)).cast("int")
+    transform(sequence(lit(0), nSeg - 1),
+      j => concat_ws(" ", slice(arr, j * segTokens + 1, lit(segTokens))))
+  }
+
+  /** Keep-first-occurrence distinct over a string array — the
+    * WITHIN-document repeated-paragraph removal (copy-paste tails,
+    * templated page chrome repeated inside one page). Where
+    * [[dropRepeatedSegments]] cuts segments frequent ACROSS documents,
+    * this keeps each document's own first occurrence and drops its
+    * later repeats, preserving order.
+    *
+    * `array_distinct` already has exactly these semantics (keep-first,
+    * order-preserving) and is the engine-native form; spelled here via
+    * the same codegen'd builtin. Map-only: the whole operator is one
+    * projection — per-doc work is O(k²) string compares for k
+    * segments, the right trade while k stays bounded (a 100-page doc
+    * at 6-token segments is k≈10⁴ → use the explode+window form
+    * instead; curation corpora cap document length far below that). */
+  def keepFirstDistinct(segs: Column): Column = array_distinct(segs)
 }

@@ -1096,6 +1096,29 @@ object ExtQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // WITHIN-document repeated-paragraph removal (the copy-paste-tail
+    // artifact): the corpus text has no native intra-doc repeats, so
+    // the query plants them — each doc's first two 6-token segments
+    // are appended again at the tail — and the operator must drop
+    // exactly the planted repeats, keeping first occurrences in
+    // order. Entirely map-only: segmentation, planting, and the
+    // keep-first distinct are one projection; no Generate, no shuffle,
+    // text never moves — the per-doc form line_dedup's cross-doc df
+    // count cannot take
+    "q_para_dedup" -> ((s, d) => {
+      val segs = graft.ext.Boilerplate.segmentArray(col("text"), segTokens = 6)
+      Tables.documents(s, d)
+        .withColumn("psegs",
+          when(size(segs) >= 2, concat(segs, slice(segs, 1, 2)))
+            .otherwise(segs))
+        .select(col("doc_id"),
+          concat_ws(" ", graft.ext.Boilerplate.keepFirstDistinct(col("psegs")))
+            .as("clean_text"),
+          size(col("psegs")).as("n_segs"),
+          size(graft.ext.Boilerplate.keepFirstDistinct(col("psegs")))
+            .as("kept_segs"))
+        .orderBy(col("doc_id"))
+    }),
     // PII-class scrubbing (email / IPv4 / phone with typed
     // placeholders): the corpus text carries no PII, so the query
     // plants deterministic instances per row — the operator itself is
@@ -1827,6 +1850,29 @@ object ExtQueries {
         |  CAST(coalesce(c.kept_segs,0) AS BIGINT) AS kept_segs,
         |  CAST(t.total_segs AS BIGINT) AS total_segs
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q_para_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        CAST(ceil(len(toks)/6.0) AS BIGINT) AS nseg FROM d),
+        |s AS (SELECT doc_id,
+        |        list_transform(range(nseg),
+        |          i -> array_to_string(toks[(i*6+1):(i*6+6)], ' ')) AS segs
+        |      FROM g),
+        |p AS (SELECT doc_id,
+        |        CASE WHEN len(segs) >= 2 THEN list_concat(segs, segs[1:2])
+        |             ELSE segs END AS psegs FROM s),
+        |u AS (SELECT doc_id, psegs, unnest(range(len(psegs))) AS i FROM p),
+        |e AS (SELECT doc_id, i, psegs[i+1] AS seg, len(psegs) AS n FROM u),
+        |r AS (SELECT doc_id, i, seg, n,
+        |        row_number() OVER (PARTITION BY doc_id, seg ORDER BY i) AS rn
+        |      FROM e)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY i),
+        |           '') AS clean_text,
+        |  CAST(max(n) AS INT) AS n_segs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS kept_segs
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
         |  concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),

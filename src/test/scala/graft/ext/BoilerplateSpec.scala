@@ -71,4 +71,27 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected a broadcast LEFT ANTI join in:\n$plan")
   }
+
+  test("within-doc keep-first distinct drops later repeats, keeps order") {
+    val df = Seq(
+      // 4-token segments: [a b c d] [e f g h] [a b c d] [tail only] —
+      // the third segment repeats the first and must be dropped
+      (1L, "a b c d e f g h a b c d tail only"),
+      (2L, "no repeats at all in this one")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        concat_ws(" ", Boilerplate.keepFirstDistinct(
+          Boilerplate.segmentArray($"text", 4))).as("clean"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == "a b c d e f g h tail only")
+    assert(out(1)._2 == "no repeats at all in this one")
+  }
+
+  test("within-doc dedup is a single map-only projection — no shuffle") {
+    val plan = corpus.select($"doc_id",
+        Boilerplate.keepFirstDistinct(Boilerplate.segmentArray($"text", 4)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
+    assert(!plan.contains("Generate"), s"expected no Generate in:\n$plan")
+  }
 }
