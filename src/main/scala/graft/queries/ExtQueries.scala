@@ -1096,6 +1096,23 @@ object ExtQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    // REAL gzip ingestion: each doc's text round-trips through the
+    // JDK zlib codec (deflate on generation, GZIPInputStream header
+    // parse + inflate + CRC32/ISIZE verification on decode); every
+    // 97th member has one byte flipped mid-stream and must land on
+    // the error route (ok=false), never crash. The oracle hashes the
+    // ORIGINAL text — only a genuine round trip matches. Map-only:
+    // the payload never shuffles (at scale, file-source parallelism
+    // provides the codec width; no repartition needed or wanted)
+    "q_gzip_ingest" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("payload",
+          graft.ext.Compressed.gzipPlantedCol(col("text"), col("doc_id"), 97))
+      graft.ext.Compressed.gunzipMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
     // WITHIN-document repeated-paragraph removal (the copy-paste-tail
     // artifact): the corpus text has no native intra-doc repeats, so
     // the query plants them — each doc's first two 6-token segments
@@ -1850,6 +1867,15 @@ object ExtQueries {
         |  CAST(coalesce(c.kept_segs,0) AS BIGINT) AS kept_segs,
         |  CAST(t.total_segs AS BIGINT) AS total_segs
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q_gzip_ingest" ->
+      """SELECT doc_id,
+        |  (doc_id % 97 <> 0) AS ok,
+        |  CASE WHEN doc_id % 97 <> 0
+        |       THEN CAST(strlen(coalesce(text,'')) AS BIGINT)
+        |       ELSE 0 END AS n_bytes,
+        |  CASE WHEN doc_id % 97 <> 0 THEN md5(coalesce(text,''))
+        |       ELSE '' END AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_para_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks
         |           FROM documents),
