@@ -99,6 +99,157 @@ object Compressed {
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
 
+  // ---- multi-member streams (the WARC / .warc.gz shard shape) ----
+
+  final case class MemberMeta(doc_id: Long, member_idx: Int, ok: Boolean,
+                              n_bytes: Long, text_md5: String)
+  implicit val memberMetaEnc: Encoder[MemberMeta] = Encoders.product[MemberMeta]
+
+  /** Concatenate the gzip members of `parts` into one stream — the
+    * on-the-wire shape of a .warc.gz shard (one member per record). */
+  def gzipMembers(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    parts.foreach(p => bos.write(gzip(p)))
+    bos.toByteArray
+  }
+
+  /** Walk a concatenated-member stream, inflating each member with a
+    * raw `Inflater` (nowrap) after a manual RFC 1952 header parse, and
+    * verifying each member's CRC32 + ISIZE trailer. Returns one entry
+    * per member: `Some(bytes)` for a clean member, `None` for one
+    * whose trailer check failed — the boundary survives trailer
+    * corruption (`getBytesRead` pins the deflate extent), so LATER
+    * members still decode: record-level degradation, the property a
+    * WARC reader needs. A failure *inside* the deflate data loses the
+    * boundary — the remainder of the stream becomes one final error
+    * member (resync-by-magic-scan is deliberately not attempted: on
+    * arbitrary payloads it can false-positive mid-deflate, silently
+    * splicing garbage records; bounded loss + an error row is the
+    * honest contract).
+    */
+  def splitInflateMembers(bytes: Array[Byte]): Seq[Option[Array[Byte]]] = {
+    val out = Seq.newBuilder[Option[Array[Byte]]]
+    var pos = 0
+    var lostSync = false
+    while (pos < bytes.length && !lostSync) {
+      val parsed: Option[(Option[Array[Byte]], Int)] =
+        try {
+          val hEnd = parseHeader(bytes, pos)
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(bytes, hEnd, bytes.length - hEnd)
+            val body = new ByteArrayOutputStream(1 << 12)
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n == 0 && !inf.finished()) throw new java.io.IOException(
+                "truncated deflate data")
+              body.write(buf, 0, n)
+              if (body.size > MaxInflatedBytes) throw new java.io.IOException(
+                "member exceeds inflate cap")
+            }
+            val used = inf.getBytesRead.toInt
+            val tEnd = hEnd + used + 8
+            if (tEnd > bytes.length)
+              throw new java.io.IOException("truncated trailer")
+            val decoded = body.toByteArray
+            val crc = new java.util.zip.CRC32()
+            crc.update(decoded)
+            val wantCrc = le32(bytes, hEnd + used)
+            val wantIsize = le32(bytes, hEnd + used + 4)
+            val okMember = wantCrc == (crc.getValue & 0xffffffffL) &&
+              wantIsize == (decoded.length.toLong & 0xffffffffL)
+            Some((if (okMember) Some(decoded) else None, tEnd))
+          } finally inf.end()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed match {
+        case Some((member, next)) =>
+          out += member
+          pos = next
+        case None => // header or deflate damage: boundary unknowable
+          out += None
+          lostSync = true
+      }
+    }
+    out.result()
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** RFC 1952 §2.3 header parse: returns the offset of the deflate
+    * data. Throws on bad magic / method or a truncated header. */
+  private def parseHeader(b: Array[Byte], pos: Int): Int = {
+    if (pos + 10 > b.length || (b(pos) & 0xff) != 0x1f ||
+      (b(pos + 1) & 0xff) != 0x8b || b(pos + 2) != 8)
+      throw new java.io.IOException("bad gzip member header")
+    val flg = b(pos + 3) & 0xff
+    var p = pos + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > b.length) throw new java.io.IOException("truncated FEXTRA")
+      p += 2 + (((b(p) & 0xff)) | ((b(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 0x08) != 0) { // FNAME, NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < b.length && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if (p > b.length) throw new java.io.IOException("truncated header")
+    p
+  }
+
+  /** Planted multi-member payload: the doc's text is split into
+    * `parts` equal character slices (integer-division sizes, the last
+    * slice takes the remainder — mirrored exactly by the oracle's
+    * `substr` algebra), each slice becomes one gzip member, and for
+    * `id % corruptEvery == 0` the SECOND member's CRC trailer byte is
+    * flipped — trailer damage keeps the boundary, so the contract is
+    * per-member error isolation, not whole-stream loss. */
+  def gzipMembersPlantedCol(textCol: Column, idCol: Column,
+                            parts: Int, corruptEvery: Int): Column = {
+    val u = udf { (s: String, id: Long) =>
+      val t = Option(s).getOrElse("")
+      val a = t.length / parts
+      val slices = (0 until parts).map { i =>
+        if (i == parts - 1) t.substring(i * a)
+        else t.substring(i * a, (i + 1) * a)
+      }
+      val members = slices.map(p =>
+        gzip(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      if (id % corruptEvery == 0 && members.length > 1) {
+        val m = members(1)
+        m(m.length - 8) = (m(m.length - 8) ^ 0xff).toByte // first CRC byte
+      }
+      val bos = new ByteArrayOutputStream()
+      members.foreach(bos.write)
+      bos.toByteArray
+    }
+    u(textCol, idCol)
+  }
+
+  /** Per-member inflate over a concatenated-member binary column —
+    * one output row per member (1→N narrow, no shuffle): clean
+    * members emit (ok, byte count, md5 of the inflated bytes);
+    * damaged ones emit the error contract (false, 0, ""). */
+  def memberMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MemberMeta] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        splitInflateMembers(bytes).zipWithIndex.map {
+          case (Some(decoded), i) =>
+            MemberMeta(id, i, ok = true, decoded.length.toLong, md5Hex(decoded))
+          case (None, i) => MemberMeta(id, i, ok = false, 0L, "")
+        }
+      }
+  }
+
   /** Batch inflate over a binary column — emits per-member
     * (ok, inflated byte count, md5 of the inflated bytes). Corrupt
     * members emit (false, 0, "") — the wasError-route contract.
