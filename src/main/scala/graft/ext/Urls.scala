@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL / domain analytics: web-corpus pipelines (CCNet, RefinedWeb,
+  * Dolma) key nearly every curation decision on the URL — dedup by
+  * normalized URL, quality priors and caps by registered domain,
+  * blocklists by host. The corpus tables carry no URL column, so the
+  * queries PLANT one as a deterministic function of (source, lang,
+  * doc_id) — the oracle predicts every parsed field analytically, so
+  * only a correct parse of the constructed string can match
+  * (the repo's planted-contract style).
+  *
+  * Scale shape: parsing is pure column algebra over built-ins
+  * (`parse_url`, `regexp_replace`, higher-order `filter`) — map-only,
+  * codegen'd, no UDFs. The per-domain aggregation and cap shuffle on
+  * the domain key; real web domains are Zipf-distributed, so at
+  * 100 TB the cap's window would ride on AQE skew handling (see
+  * [[Skew]]) or a two-phase count-then-rank — here domains are
+  * uniform by construction and a single hash partitioning suffices.
+  */
+object Urls {
+
+  /** Planted URL: `https://[www.]{source}-{doc_id%5}.example.com/
+    * {lang}[/sub]/{doc_id}[?session=abc]` — www on every 7th id, an
+    * extra path segment on every 3rd, a query string on every 5th.
+    * Pure column concat (codegen'd). */
+  def plantedUrlCol(sourceCol: Column, langCol: Column, idCol: Column): Column =
+    concat(
+      lit("https://"),
+      when(idCol % 7 === 0, lit("www.")).otherwise(lit("")),
+      lower(sourceCol), lit("-"), (idCol % 5).cast("string"),
+      lit(".example.com/"),
+      langCol, lit("/"),
+      when(idCol % 3 === 0, lit("sub/")).otherwise(lit("")),
+      idCol.cast("string"),
+      when(idCol % 5 === 0, lit("?session=abc")).otherwise(lit("")))
+
+  /** Host part of the URL (Spark's native `parse_url`). */
+  def hostCol(urlCol: Column): Column = parse_url(urlCol, lit("HOST"))
+
+  /** Registered domain under the simplified public-suffix rule "strip
+    * a leading www." — the grouping key for per-domain curation. (A
+    * production system swaps in the real PSL table as a broadcast
+    * join; the algebra downstream is identical.) */
+  def domainCol(urlCol: Column): Column =
+    regexp_replace(hostCol(urlCol), "^www\\.", "")
+
+  /** Count of non-empty path segments — `/en/sub/42` → 3. */
+  def pathDepthCol(urlCol: Column): Column =
+    size(filter(split(parse_url(urlCol, lit("PATH")), "/"),
+      x => x =!= ""))
+
+  /** Whether the URL carries a query string. */
+  def hasQueryCol(urlCol: Column): Column =
+    parse_url(urlCol, lit("QUERY")).isNotNull
+
+  /** Per-document parse of the planted URL — the map-only projection
+    * a URL-keyed pipeline starts from. */
+  def urlParse(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      plantedUrlCol(col("source"), col("lang"), col("doc_id")).as("url"))
+      .select(
+        col("doc_id"),
+        col("url"),
+        domainCol(col("url")).as("domain"),
+        pathDepthCol(col("url")).as("path_depth"),
+        hasQueryCol(col("url")).as("has_query"))
+
+  /** Domain cap — the RefinedWeb/C4 anti-spam policy: keep at most
+    * `k` documents per registered domain, preferring longer documents
+    * (rank by `n_chars` DESC, `doc_id` ASC as the deterministic
+    * tie-break). One shuffle on the domain key; emits the kept docs
+    * with their rank and the domain's total count (so the caller can
+    * see how much the cap removed). */
+  def domainCap(docs: DataFrame, k: Int): DataFrame = {
+    val withDomain = docs.select(
+      col("doc_id"), col("n_chars"),
+      domainCol(plantedUrlCol(col("source"), col("lang"), col("doc_id")))
+        .as("domain"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    withDomain
+      .withColumn("rk", row_number().over(w))
+      .withColumn("domain_docs",
+        count(lit(1)).over(Window.partitionBy(col("domain"))))
+      .where(col("rk") <= k)
+      .select(col("domain"), col("doc_id"),
+        col("rk").cast("int").as("rk"),
+        col("domain_docs").cast("long").as("domain_docs"))
+  }
+}

@@ -1113,6 +1113,37 @@ object ExtQueries {
         .toDF()
         .orderBy(col("doc_id"))
     }),
+    // WARC-shard shape: each doc's text split into 3 equal character
+    // slices, each slice a gzip member, members concatenated into one
+    // binary stream (exactly how .warc.gz packs records). Every 101st
+    // doc's SECOND member has its CRC trailer flipped — the decoder
+    // must error THAT member while still decoding members 0 and 2
+    // (record-level degradation; whole-stream loss would fail the
+    // oracle). 1→N narrow flatMap, no shuffle on the payload
+    "q_gzip_members" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("payload",
+          graft.ext.Compressed.gzipMembersPlantedCol(
+            col("text"), col("doc_id"), 3, 101))
+      graft.ext.Compressed.memberMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+    // URL parsing over a planted URL (deterministic in source/lang/
+    // doc_id): host via Spark's native parse_url, registered domain,
+    // path depth, query detection — all column algebra, map-only. The
+    // oracle predicts every field analytically from the construction,
+    // so only a correct parse of the built string matches
+    "q_url_parse" -> ((s, d) =>
+      graft.ext.Urls.urlParse(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    // Domain cap (the C4/RefinedWeb anti-spam policy): keep ≤3 docs
+    // per registered domain by n_chars DESC (doc_id tie-break), with
+    // the domain's total count alongside. One shuffle on the domain
+    "q_domain_cap" -> ((s, d) =>
+      graft.ext.Urls.domainCap(Tables.documents(s, d), 3)
+        .orderBy(col("domain"), col("doc_id"))),
     // WITHIN-document repeated-paragraph removal (the copy-paste-tail
     // artifact): the corpus text has no native intra-doc repeats, so
     // the query plants them — each doc's first two 6-token segments
@@ -1876,6 +1907,56 @@ object ExtQueries {
         |  CASE WHEN doc_id % 97 <> 0 THEN md5(coalesce(text,''))
         |       ELSE '' END AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors gzipMembersPlantedCol's slice algebra exactly: slice
+    // size a = length/3 (chars), members [1,a], [a+1,a], [2a+1, rest];
+    // doc_id%101==0 corrupts member 1 only. strlen() gives the UTF-8
+    // byte count of the slice = the decoded member's byte length.
+    "q_gzip_members" ->
+      """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+        |                  length(coalesce(text,'')) AS n
+        |           FROM documents),
+        |m AS (SELECT doc_id, i,
+        |        CASE WHEN i = 0 THEN substr(t, 1, n // 3)
+        |             WHEN i = 1 THEN substr(t, n // 3 + 1, n // 3)
+        |             ELSE substr(t, 2 * (n // 3) + 1) END AS part,
+        |        (doc_id % 101 = 0 AND i = 1) AS corrupt
+        |      FROM d, (SELECT unnest(range(3)) AS i))
+        |SELECT doc_id, CAST(i AS INT) AS member_idx,
+        |  NOT corrupt AS ok,
+        |  CASE WHEN corrupt THEN 0
+        |       ELSE CAST(strlen(part) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN corrupt THEN '' ELSE md5(part) END AS text_md5
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+    // Analytic mirror of Urls.plantedUrlCol: every field is a pure
+    // function of (source, lang, doc_id)
+    "q_url_parse" ->
+      """SELECT doc_id,
+        |  'https://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+        |    lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.example.com/' || lang || '/' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'sub/' ELSE '' END ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?session=abc' ELSE '' END AS url,
+        |  lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.com' AS domain,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT)
+        |    AS path_depth,
+        |  (doc_id % 5 = 0) AS has_query
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |             lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR)
+        |               || '.example.com' AS domain
+        |           FROM documents),
+        |r AS (SELECT domain, doc_id,
+        |        row_number() OVER (PARTITION BY domain
+        |          ORDER BY n_chars DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY domain) AS domain_docs
+        |      FROM d)
+        |SELECT domain, doc_id, CAST(rk AS INT) AS rk,
+        |  CAST(domain_docs AS BIGINT) AS domain_docs
+        |FROM r WHERE rk <= 3 ORDER BY domain, doc_id""".stripMargin,
     "q_para_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks
         |           FROM documents),
