@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach sbt's stdout UNPREFIXED: the
+// default LoggedOutput strategy prepends "[info] " to every line, so
+// the Bench/Verify JSON summary never starts with '{' and a log
+// scanner looking for a bare JSON line cannot parse it (BENCH_r01-r09
+// all recorded parsed=null with the line present-but-prefixed in the
+// tail window).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
