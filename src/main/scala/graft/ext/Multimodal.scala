@@ -331,6 +331,74 @@ object Multimodal {
 
   // ---- real audio decode path (WAV via javax.sound.sampled) ----------
 
+  // AudioSystem.getAudioInputStream / AudioSystem.write route every
+  // call through the JDK's provider registry, whose lookup
+  // (sun.media.sound JDK13Services.getProviders) is a GLOBAL
+  // `static synchronized` — 32 executor threads decoding one small WAV
+  // per row serialize on that lock (measured: audio decode ran ~5× the
+  // equivalent ImageIO path, which has no such global lock on reads).
+  // Snapshot the SAME registered SPI lists once per executor JVM via
+  // ServiceLoader (the identical discovery mechanism the registry
+  // uses) and drive the sniffing chain lock-free: each reader gets to
+  // inspect the stream and throws UnsupportedAudioFileException to
+  // pass — byte-for-byte the AudioSystem contract, minus the lock.
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // WAVE first (the dominant container; its sniff is a 4-byte RIFF
+    // check), the MIDI softsynth reader LAST: its "sniff" is a full
+    // MidiSystem.getSequence parse that re-enters the global provider
+    // lock and throws a stack-trace-bearing exception for every
+    // non-MIDI payload (thread dumps showed 31/32 decode threads
+    // BLOCKED on JSSecurityManager when it ran early in the chain).
+    b.result().sortBy(_.getClass.getSimpleName match {
+      case "WaveFileReader"              => 0
+      case s if s.contains("Midi")       => 9
+      case _                             => 1
+    })
+  }
+
+  /** True iff the payload carries the standard-MIDI 4-byte magic
+    * 'MThd' — the precondition under which the SoftMidi reader can
+    * possibly succeed (its delegate StandardMidiFileReader rejects any
+    * other magic, after an expensive globally-locked parse attempt).
+    * Gating on the magic is therefore behavior-preserving. */
+  private def midiMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'M' && bytes(1) == 'T' &&
+      bytes(2) == 'h' && bytes(3) == 'd'
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no WAVE AudioFileWriter SPI registered")
+    found
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] semantics
+    * over the cached SPI snapshot: first reader that recognizes the
+    * container wins; none ⇒ UnsupportedAudioFileException, exactly as
+    * the registry path behaves. */
+  private def sniffAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val readers = audioReaders.iterator
+    while (readers.hasNext) {
+      val r = readers.next()
+      val skip = r.getClass.getSimpleName.contains("Midi") && !midiMagic(bytes)
+      if (!skip) {
+        try return r.getAudioInputStream(new ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no registered AudioFileReader recognizes the payload")
+  }
+
   final case class AudioMeta(doc_id: Long, n_samples: Int, sample_rate: Int,
                              channels: Int, sample_sum: Long, sample_checksum: Long)
   implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
@@ -362,8 +430,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -393,8 +460,7 @@ object Multimodal {
 
   def decodeAudio(bytes: Array[Byte]): (Int, Int, Int, Long, Long) = {
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
+      val ais = sniffAudio(bytes)
       try {
         val f = ais.getFormat
         val bytesPerFrame = f.getFrameSize
