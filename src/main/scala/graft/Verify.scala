@@ -29,11 +29,13 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +53,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws writes NO output dir, and the downstream
+    // compare only iterates over dirs that exist — in round 9 the
+    // testdata regeneration broke 11 ts-dependent queries and the
+    // correctness record silently shrank around them while still
+    // reading "all pass". Make that failure mode impossible to miss:
+    // a manifest in the output dir plus a LOUD final line, and the
+    // failure count in the exit message.
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }
+        .mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] *** ${failed.length}/${selected.size} queries FAILED " +
+          s"(no output written): ${failed.map(_._1).mkString(", ")} ***")
+    else
+      System.err.println(s"[verify] all ${selected.size} queries wrote output")
     spark.stop()
   }
 }

@@ -137,8 +137,8 @@ object StreamQueries {
     // runs.
     "q_stream_join" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      def src = Tables.normalizeEventTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"),
           StreamPipeline.eventTime("ts").as("ctime"))
@@ -165,8 +165,8 @@ object StreamQueries {
     // this is the right shape for dimension lookups at any stream rate.
     "q_stream_enrich" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.normalizeEventTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
       val dim = Tables.events(s, d).select(col("event_type")).distinct()
         .withColumn("type_code", substring(md5(col("event_type")), 1, 8))
       val enriched = stream.join(broadcast(dim), Seq("event_type"))

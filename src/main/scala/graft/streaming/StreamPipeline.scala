@@ -11,8 +11,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `Trigger.ProcessingTime` + merge policy replaces MergeContent's bin
   * age.
   *
-  * The events table carries TIMESTAMP(NANOS) which Spark reads as Long
-  * nanos (`nanosAsLong`); [[eventTime]] converts to a proper timestamp
+  * The events table's `ts` is normalized to epoch-nanos LONG on read
+  * (see [[graft.queries.Tables.normalizeEventTs]] — the generator has
+  * shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical
+  * types); [[eventTime]] converts the long to a proper timestamp
   * column for watermarks/windows.
   */
 object StreamPipeline {
@@ -23,13 +25,17 @@ object StreamPipeline {
   def eventTime(nanosColName: String): org.apache.spark.sql.Column =
     timestamp_micros(expr(s"$nanosColName div 1000"))
 
-  /** Streaming scan over the events parquet (file source tracks state). */
+  /** Streaming scan over the events parquet (file source tracks state).
+    * `ts` is normalized to epoch-nanos LONG whatever the parquet's
+    * physical timestamp unit (see [[graft.queries.Tables.normalizeEventTs]]
+    * — the generator has shipped both NANOS and MICROS). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Tumbling-window counts by event type — the streaming aggregation
@@ -38,7 +44,8 @@ object StreamPipeline {
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermark: Option[String] = None,
                      slide: Option[String] = None): DataFrame = {
-    val timed = events.withColumn("etime", eventTime("ts"))
+    val timed = graft.queries.Tables.normalizeEventTs(events)
+      .withColumn("etime", eventTime("ts"))
     // slide < length = overlapping (sliding) windows: each event lands
     // in length/slide windows — state grows by the same factor, still
     // watermark-bounded
@@ -166,7 +173,8 @@ object StreamPipeline {
     * the watermark delay are dropped unseen (documented late-data
     * contract, same as windowed aggregation). */
   def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
-    events.withColumn("etime", eventTime("ts"))
+    graft.queries.Tables.normalizeEventTs(events)
+      .withColumn("etime", eventTime("ts"))
       .withWatermark("etime", watermark)
       .dropDuplicates("user_id", "etime", "event_type")
       .select(col("user_id"), unix_micros(col("etime")).as("tus"), col("event_type"))
@@ -297,7 +305,8 @@ object StreamPipeline {
   def sessionize(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("ts")).as[Event]
+    graft.queries.Tables.normalizeEventTs(events)
+      .select(col("user_id"), col("ts")).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
         val ts = it.map(_.ts).toArray

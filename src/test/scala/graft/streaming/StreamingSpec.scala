@@ -27,7 +27,7 @@ class StreamingSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamPipeline.runToCompletion(spark,
       StreamPipeline.windowedCounts(StreamPipeline.readEvents(spark, sf)), "wspec")
-    val batch = StreamPipeline.windowedCounts(spark.read.parquet(s"$sf/events.parquet"))
+    val batch = StreamPipeline.windowedCounts(graft.queries.Tables.events(spark, sf))
     assert(streamed.count() == batch.count())
     val s1 = streamed.orderBy("window_start_us", "event_type").collect().map(_.toString)
     val b1 = batch.orderBy("window_start_us", "event_type").collect().map(_.toString)
@@ -36,7 +36,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("append path emits exactly the watermark-closed windows") {
     val sf = "/root/testdata/sf0.001"
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.queries.Tables.events(spark, sf)
     val out = tmpDir()
     val appended = StreamPipeline.runAppendToDir(spark,
       StreamPipeline.windowedCounts(

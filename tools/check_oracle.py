@@ -25,7 +25,21 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # Queries that threw inside Verify write no output dir and would
+    # silently drop out of the comparison below (round-9 lesson: the
+    # testdata regen broke 11 queries and "all pass" shrank around
+    # them). Surface them as hard failures.
+    fail_manifest = os.path.join(out_dir, "verify_failures.json")
+    if os.path.exists(fail_manifest):
+        for name, msg in json.load(open(fail_manifest)).items():
+            results[name] = f"VERIFY-THREW: {msg[:120]}"
     qdirs = [d for d in sorted(glob.glob(os.path.join(out_dir, "*"))) if os.path.isdir(d)]
+    # Declared oracle queries with neither an output dir nor a recorded
+    # failure (stale/partial verify run) must also be visible.
+    have = {os.path.basename(d) for d in qdirs}
+    for name in oracle:
+        if name not in have and name not in results:
+            results[name] = "NO-OUTPUT (not in verify_failures either)"
     for qd in qdirs:
         name = os.path.basename(qd)
         # Read the Spark side NATIVELY (pyarrow), like the driver does —
