@@ -289,6 +289,36 @@ object Dedup {
                       n: Int = 3, minJ: Double = 0.8): DataFrame =
     verifyJaccard(minhashCandidates(df, idCol, textCol, n), df, idCol, textCol, n, minJ)
 
+  /** CROSS-corpus MinHash near-dup matching — fuzzy train/benchmark
+    * decontamination (the near-duplicate generalization of the exact
+    * n-gram screen in [[Contamination.screen]]): band signatures on
+    * BOTH corpora, candidate pairs from (band, key) collisions ACROSS
+    * them, exact-Jaccard verify on the survivors. Output rows are
+    * (train id `i`, benchmark id `j`, jaccard ≥ minJ) — the training
+    * documents a leakage-hygiene pass would drop or flag.
+    *
+    * Scale shape: each corpus shuffles once on its compact
+    * (id, band, 8-byte key) relation — text and signatures never
+    * cross-join; the candidate join is key-bucketed on (band, key), so
+    * cost is Σ per-bucket |train|×|bench|, sub-quadratic for any
+    * non-degenerate signature distribution. The benchmark side is
+    * usually tiny (a test set) — Spark's planner broadcasts its band
+    * relation under AQE and the whole screen becomes map-side.
+    * Caller contract: id spaces of the two corpora must be disjoint
+    * (they share the content lookup inside [[verifyJaccard]]). */
+  def minhashCrossNearDups(train: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3, minJ: Double = 0.8): DataFrame = {
+    val ta = bandRows(train, idCol, textCol, n)
+    val tb = bandRows(bench, idCol, textCol, n)
+    val cands = ta.as("a")
+      .join(tb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    verifyJaccard(cands, train.unionByName(bench), idCol, textCol, n, minJ)
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over token hashes weighted by term frequency.

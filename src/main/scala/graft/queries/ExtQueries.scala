@@ -1307,6 +1307,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // NEAR-duplicate decontamination: training docs whose 3-gram
+    // Jaccard against ANY benchmark doc reaches 0.8 — catches the
+    // paraphrased/lightly-edited leakage the exact n-gram screen
+    // misses. Banded MinHash on both corpora, candidates only from
+    // cross (band,key) collisions, exact-Jaccard verify; the oracle is
+    // the full cross-pair exact-Jaccard join (all-pairs form DuckDB
+    // can afford at oracle scale; the engine never materializes it)
+    "q_decontaminate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val benchSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      graft.ext.Dedup.minhashCrossNearDups(
+          docs.filter(!col("source").isInCollection(benchSrc)),
+          docs.filter(col("source").isInCollection(benchSrc)),
+          "doc_id", "text", n = 3, minJ = 0.8)
+        .select(col("i").as("doc_id"), col("j").as("bench_id"), col("jaccard"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // decontamination by EXCISION: shared 3-gram spans are cut from
     // the candidate text instead of dropping whole documents; bench
     // grams broadcast, only (id, positions) shuffle, text never does
@@ -2084,6 +2102,31 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
     // excision: same shared-3-gram rule; a token at 1-based position p
     // is cut iff a shared gram starts in [p-2, p]
+    // cross-corpus exact-Jaccard (all pairs between the two splits) —
+    // the LSH banding must recover every pair at 0.8, same contract
+    // the self-join jaccardOracle pins for q_dedup_minhash
+    "q_decontaminate_neardup" ->
+      """WITH tok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
+        |             FROM (SELECT doc_id, string_split(text,' ') t FROM documents)),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+        |       FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+        |                  JOIN tok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+        |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |train AS (SELECT doc_id FROM documents
+        |          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |bench AS (SELECT doc_id FROM documents
+        |          WHERE source IN ('src0','src1','src2','src3','src4')),
+        |inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          JOIN train t ON t.doc_id = a.doc_id
+        |          JOIN bench x ON x.doc_id = b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i AS doc_id, j AS bench_id,
+        |  floor(c * 1.0 / (sa.n_sh + sb.n_sh - c) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
     "q_decontaminate" ->
       """WITH cand AS (SELECT doc_id, string_split(text, ' ') AS toks
         |              FROM documents WHERE source <> 'src0'),

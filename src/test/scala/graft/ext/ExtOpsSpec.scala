@@ -67,6 +67,30 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(mh == exact)
   }
 
+  test("cross-corpus near-dup match equals exact jaccard restricted to cross pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val benchSrc = Seq("src0", "src1", "src2", "src3", "src4")
+    val train = docs.filter(!col("source").isInCollection(benchSrc))
+    val bench = docs.filter(col("source").isInCollection(benchSrc))
+    // truth: all-pairs exact jaccard on the union, restricted to pairs
+    // with one id on each side (jaccardPairs emits i<j; normalize to
+    // (train, bench) orientation)
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (benchIds.contains(a), benchIds.contains(b)) match {
+          case (false, true) => Some((a, b))
+          case (true, false) => Some((b, a))
+          case _             => None
+        }
+      }.toSet
+    val cross = Dedup.minhashCrossNearDups(train, bench, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain cross-source near-dups")
+    assert(cross == exact)
+  }
+
   test("df-capped jaccard equals all-pairs on real data and prunes boilerplate") {
     import spark.implicits._
     // on the corpus: every true near-dup pair shares rare shingles, so
