@@ -70,5 +70,8 @@ object Verify {
     else
       System.err.println(s"[verify] all ${selected.size} queries wrote output")
     spark.stop()
+    // Exit nonzero on any failure so an exit-status-only gate also sees it
+    // (the manifest + check_oracle remain the primary detection path).
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

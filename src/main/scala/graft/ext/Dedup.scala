@@ -224,7 +224,12 @@ object Dedup {
 
   private val sigUdf = udf((text: String, n: Int) => signature(text, n))
 
-  /** (id, band, bandKey) rows: b keys per doc. */
+  /** (id, band, bandKey) rows: b keys per doc. Docs with fewer than n
+    * tokens have an empty shingle set → the identical all-MaxValue
+    * signature; left in, every such doc collides in every band and the
+    * candidate join grows a degenerate |short|² bucket whose pairs all
+    * verify to jaccard 0.0 anyway. Filter them out up front — output is
+    * unchanged (union=0 ⇒ jaccard 0.0 < any positive minJ). */
   def bandRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val bandKey = udf((sig: Seq[Long], band: Int) => {
       var h = Hashing.FnvOffset
@@ -235,7 +240,8 @@ object Dedup {
       }
       h
     })
-    df.select(col(idCol).as("id"), sigUdf(col(textCol), lit(n)).as("sig"))
+    df.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("id"), sigUdf(col(textCol), lit(n)).as("sig"))
       .select(col("id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"), bandKey(col("sig"), col("band")).as("key"))
   }

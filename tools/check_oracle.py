@@ -42,10 +42,19 @@ def main(sf_dir, out_dir):
             results[name] = "NO-OUTPUT (not in verify_failures either)"
     for qd in qdirs:
         name = os.path.basename(qd)
+        # A VERIFY-THREW entry must not be overwritten by a stale output
+        # dir from a prior run in a reused outDir (overwrite-mode deletes
+        # the target only at execution time, so analysis failures leave
+        # old data in place).
+        if name in results:
+            continue
         # Read the Spark side NATIVELY (pyarrow), like the driver does —
         # round-1 lesson: routing it through DuckDB normalized decimals
         # identically on both sides and hid 9 driver hash failures.
         parts = sorted(glob.glob(os.path.join(qd, "*.parquet")))
+        if not parts:
+            results[name] = "NO-PART-FILES (aborted write?)"
+            continue
         got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         if name not in oracle:
             results[name] = f"ROWS-ONLY ({len(got)} rows)" if len(got) > 0 else "EMPTY-RESULT!"
