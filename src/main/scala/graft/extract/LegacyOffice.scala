@@ -203,7 +203,9 @@ object LegacyOffice {
   def writeFixtures(dir: java.nio.file.Path): Unit =
     syncFixtureDir(dir, Map(
       "legacy.xls" -> sampleXls(), "legacy.ppt" -> samplePpt(),
-      "pieced.doc" -> samplePiecedDoc()))
+      "pieced.doc" -> samplePiecedDoc(),
+      "secured_rc4.pdf" -> SecuredPdf.securedRc4(),
+      "secured_aes.pdf" -> SecuredPdf.securedAes()))
 
   /** Makes `dir` hold EXACTLY `files`: unknown entries are removed (a
     * stale file from an earlier fixture generation would be ingested

@@ -82,8 +82,14 @@ object PdfText {
         new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
     }.mkString("\n")
 
-  /** (dictionary-text, decoded body) of every stream object. */
+  /** (dictionary-text, decoded body) of every stream object. Encrypted
+    * documents (standard security, empty user password — [[PdfCrypt]])
+    * are transparently decrypted per object BEFORE filter decode
+    * (writers compress then encrypt, so readers decrypt then inflate).
+    * Cross-reference streams are never encrypted (ISO 32000 §7.5.8.2),
+    * nor is the XMP metadata stream when `/EncryptMetadata false`. */
   private def rawStreams(bytes: Array[Byte]): List[(String, Array[Byte])] = {
+    val dec = PdfCrypt.decryptor(bytes)
     val acc = new scala.collection.mutable.ListBuffer[(String, Array[Byte])]
     var from = 0
     while (from < bytes.length) {
@@ -98,7 +104,16 @@ object PdfText {
           var dataStart = s + StreamKw.length
           if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
           if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, e)
+          var raw = java.util.Arrays.copyOfRange(bytes, dataStart, e)
+          dec match {
+            case Some(d) if !dict.contains("/XRef") &&
+                (d.encryptMetadata || !dict.contains("/Metadata")) =>
+              objGen(bytes, dictStart) match {
+                case Some((num, gen)) => raw = d.decrypt(num, gen, raw)
+                case None             => // no parseable header: leave as-is
+              }
+            case _ =>
+          }
           val data =
             if (dict.contains("/FlateDecode")) inflate(raw)
             else if (dict.contains("Decode")) null // other filters: not text
@@ -109,6 +124,28 @@ object PdfText {
       }
     }
     acc.toList
+  }
+
+  /** Parse the `N G` of an `N G obj` header by walking back from the
+    * `obj` keyword at `objPos`; `None` when the match was actually the
+    * tail of `endobj` or otherwise not a header. */
+  private def objGen(bytes: Array[Byte], objPos: Int): Option[(Int, Int)] = {
+    def digitsBack(end: Int): Option[(Int, Int)] = { // (value, startIdx)
+      var i = end
+      while (i > 0 && bytes(i - 1) >= '0' && bytes(i - 1) <= '9') i -= 1
+      if (i == end) None
+      else Some((ascii(bytes, i, end).toInt, i))
+    }
+    def wsBack(end: Int): Int = {
+      var i = end
+      while (i > 0 && (bytes(i - 1) == ' ' || bytes(i - 1) == '\r' ||
+        bytes(i - 1) == '\n' || bytes(i - 1) == '\t')) i -= 1
+      i
+    }
+    for {
+      (gen, gs) <- digitsBack(wsBack(objPos))
+      (num, _)  <- digitsBack(wsBack(gs))
+    } yield (num, gen)
   }
 
   private val StreamKw = "stream".getBytes
@@ -267,7 +304,7 @@ object PdfText {
   }
 
   /** PDF literal string: nested parens, backslash escapes, octal codes. */
-  private def literalString(data: Array[Byte], open: Int): (String, Int) = {
+  private[extract] def literalString(data: Array[Byte], open: Int): (String, Int) = {
     val sb = new java.lang.StringBuilder()
     var i = open + 1
     var depth = 1

@@ -98,7 +98,11 @@ object FixtureGolden {
       ('legacy.xls', 'text/plain', 'application/vnd.ms-excel',
        e'Region\tRevenue\nnorth\t1500.25\nsouth\t42\n7\t8\ncafé π note'),
       ('pieced.doc', 'text/plain', 'application/msword',
-       e'Fast-saved pieces survive.\nμ unicode πiece tail piece.')
+       e'Fast-saved pieces survive.\nμ unicode πiece tail piece.'),
+      ('secured_aes.pdf', 'text/plain', 'application/pdf',
+       'Secured payload: AES-V2 stream decrypted.'),
+      ('secured_rc4.pdf', 'text/plain', 'application/pdf',
+       'Secured payload: RC4 stream decrypted.')
     ) AS t(filename, mime_type, orig_mime_type, text)
     ORDER BY filename"""
 

@@ -1,0 +1,66 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Encrypted-PDF (ISO 32000 §7.6 standard security) round trips: the
+  * writer side ([[SecuredPdf]]) and reader side ([[PdfCrypt]] +
+  * [[PdfText]]) share only the spec algorithms; key-derivation hex is
+  * additionally pinned so a change in either side trips visibly rather
+  * than canceling out. */
+class PdfCryptSpec extends AnyFunSuite {
+
+  test("RC4-128 (V2/R3) secured PDF extracts through decrypt→inflate") {
+    val bytes = SecuredPdf.securedRc4()
+    assert(PdfCrypt.decryptor(bytes).isDefined)
+    assert(PdfText.extract(bytes, 4096) == SecuredPdf.Rc4Text)
+  }
+
+  test("AES-V2 (V4/R4) secured PDF extracts with IV-prefixed CBC body") {
+    val bytes = SecuredPdf.securedAes()
+    val d = PdfCrypt.decryptor(bytes)
+    assert(d.isDefined && d.get.aes)
+    assert(PdfText.extract(bytes, 4096) == SecuredPdf.AesText)
+  }
+
+  test("non-empty user password is rejected (no silent garbage)") {
+    // flip one bit of /U in the RC4 fixture → password check must fail
+    val bytes = SecuredPdf.securedRc4()
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val ui = text.indexOf("/U <") + 4
+    val corrupted = bytes.clone()
+    corrupted(ui) = (if (bytes(ui) == '0') '1' else '0').toByte
+    assert(PdfCrypt.decryptor(corrupted).isEmpty)
+    // and the binary-noise guard keeps the un-decrypted stream out
+    assert(PdfText.extract(corrupted, 4096).isEmpty)
+  }
+
+  test("unencrypted PDFs are untouched (no /Encrypt → None, fast path)") {
+    val plain = ("%PDF-1.4\n1 0 obj << /Length 40 >> stream\n" +
+      "BT /F1 12 Tf (Plain text here.) Tj ET\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCrypt.decryptor(plain).isEmpty)
+    assert(PdfText.extract(plain, 4096) == "Plain text here.")
+  }
+
+  test("key-derivation pins: O, file key, U for empty/empty R3-128") {
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val id = (0 until 16).map(i => ((i * 37 + 11) & 0xff).toByte).toArray
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, r = 3, n = 16)
+    val key = PdfCrypt.fileKey(Array.empty, o, -3904, id, r = 3, n = 16,
+      encryptMetadata = true)
+    val u = PdfCrypt.computeU(key, r = 3, id)
+    // algorithm-2/3/5 outputs are deterministic functions of the spec
+    // constants; pinned from first correct run (regression guard, not
+    // an independent oracle — independence comes from the spec text)
+    assert(o.length == 32 && u.length == 32 && key.length == 16)
+    assert(hex(o) == PinO, s"O drifted: ${hex(o)}")
+    assert(hex(key) == PinKey, s"file key drifted: ${hex(key)}")
+    assert(hex(u.take(16)) == PinU16, s"U drifted: ${hex(u.take(16))}")
+  }
+
+  // first-run pins (see test above)
+  private val PinO =
+    "36451bd39d753b7c1d10922c28e6665aa4f3353fb0348b536893e3b1db5c579b"
+  private val PinKey = "9fa5c69229f17c186fa9cab1bdd03905"
+  private val PinU16 = "35c4af661ee9b9572a44d95d0dfd4e1c"
+}
