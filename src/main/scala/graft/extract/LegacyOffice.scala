@@ -205,7 +205,8 @@ object LegacyOffice {
       "legacy.xls" -> sampleXls(), "legacy.ppt" -> samplePpt(),
       "pieced.doc" -> samplePiecedDoc(),
       "secured_rc4.pdf" -> SecuredPdf.securedRc4(),
-      "secured_aes.pdf" -> SecuredPdf.securedAes()))
+      "secured_aes.pdf" -> SecuredPdf.securedAes(),
+      "cid.pdf" -> CidFontPdf.sample()))
 
   /** Makes `dir` hold EXACTLY `files`: unknown entries are removed (a
     * stale file from an earlier fixture generation would be ingested

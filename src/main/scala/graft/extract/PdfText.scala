@@ -24,7 +24,7 @@ object PdfText {
 
   def extract(bytes: Array[Byte], maxLen: Int): String = {
     val streams = decodeStreams(bytes)
-    val cmap = parseCMaps(streams)
+    val cmap = glyphMap(streams)
     val out = new Bounded(maxLen)
     val it = streams.iterator
     while (!out.isFull && it.hasNext) {
@@ -32,6 +32,19 @@ object PdfText {
       if (looksLikeContent(data)) extractOps(data, out, cmap)
     }
     out.result().trim
+  }
+
+  /** Code → unicode for CID hex strings: ToUnicode CMaps first (the
+    * authoritative source when present), then inverted `cmap` tables of
+    * embedded TrueType fonts — the public fallback for Identity-H
+    * fonts that ship no ToUnicode (common in CJK/multilingual PDFs;
+    * Tika/PDFBox read the same font table). Identity-H means the
+    * 2-byte codes ARE glyph ids, so gid→unicode from the font's own
+    * unicode cmap recovers the text exactly. */
+  private def glyphMap(streams: List[Array[Byte]]): Map[Int, String] = {
+    val fromFonts = parseFontCmaps(streams)
+    if (fromFonts.isEmpty) parseCMaps(streams)
+    else fromFonts ++ parseCMaps(streams) // ToUnicode entries win
   }
 
   /** Per-CONTENT-STREAM text segments — the page approximation behind
@@ -44,7 +57,7 @@ object PdfText {
     * early-stop contract. */
   def extractPages(bytes: Array[Byte], maxLen: Int): List[String] = {
     val streams = decodeStreams(bytes)
-    val cmap = parseCMaps(streams)
+    val cmap = glyphMap(streams)
     // ONE shared Bounded — the budget counts exactly the chars
     // [[extract]] counts (raw, untrimmed), so both paths stop at the
     // same point; pages are the per-stream slices of that one buffer
@@ -229,6 +242,86 @@ object PdfText {
 
   private def utf16beFromCode(code: Int): String =
     if (Character.isValidCodePoint(code)) new String(Character.toChars(code)) else ""
+
+  // ---- embedded TrueType cmap (gid → unicode) ------------------------
+
+  /** Inverted unicode cmaps of every embedded TrueType font
+    * (`/FontFile2` stream bodies — recognizable by the sfnt magic, no
+    * dict needed). Only the format-4 BMP subtable is read (the one
+    * every subsetter emits); the inversion keeps the FIRST codepoint
+    * per glyph (ligature/duplicate mappings pick the lowest). */
+  private def parseFontCmaps(streams: List[Array[Byte]]): Map[Int, String] = {
+    val out = scala.collection.mutable.HashMap[Int, String]()
+    streams.foreach { data =>
+      if (data.length > 12 && u32(data, 0) == 0x00010000L)
+        try invertCmap(data, out)
+        catch { case _: Exception => } // malformed font: ignore
+    }
+    out.toMap
+  }
+
+  private def invertCmap(f: Array[Byte], out: scala.collection.mutable.HashMap[Int, String]): Unit = {
+    val numTables = u16(f, 4)
+    var rec = 12
+    var cmapOff = -1
+    var t = 0
+    while (t < numTables && rec + 16 <= f.length) {
+      if (ascii(f, rec, rec + 4) == "cmap") cmapOff = u32(f, rec + 8).toInt
+      rec += 16; t += 1
+    }
+    if (cmapOff < 0 || cmapOff + 4 > f.length) return
+    val n = u16(f, cmapOff + 2)
+    var best = -1
+    var i = 0
+    while (i < n && cmapOff + 4 + i * 8 + 8 <= f.length) {
+      val base = cmapOff + 4 + i * 8
+      val platform = u16(f, base)
+      val encoding = u16(f, base + 2)
+      val off = cmapOff + u32(f, base + 4).toInt
+      // Windows/Unicode-BMP (3,1) preferred; Unicode platform (0,_) ok
+      if (off + 2 <= f.length && u16(f, off) == 4 &&
+          (best < 0 || (platform == 3 && encoding == 1))) best = off
+      i += 1
+    }
+    if (best < 0) return
+    val segX2 = u16(f, best + 6)
+    val segs = segX2 / 2
+    val endA = best + 14
+    val startA = endA + segX2 + 2
+    val deltaA = startA + segX2
+    val rangeA = deltaA + segX2
+    var s = 0
+    while (s < segs) {
+      val end = u16(f, endA + s * 2)
+      val start = u16(f, startA + s * 2)
+      val delta = u16(f, deltaA + s * 2)
+      val ro = u16(f, rangeA + s * 2)
+      if (start != 0xffff) {
+        var c = start
+        while (c <= end && c != 0x10000) {
+          val gid =
+            if (ro == 0) (c + delta) & 0xffff
+            else {
+              val gi = rangeA + s * 2 + ro + (c - start) * 2
+              if (gi + 2 <= f.length) {
+                val g = u16(f, gi)
+                if (g == 0) 0 else (g + delta) & 0xffff
+              } else 0
+            }
+          if (gid != 0 && !out.contains(gid))
+            out(gid) = String.valueOf(c.toChar)
+          c += 1
+        }
+      }
+      s += 1
+    }
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   // ---- content-stream heuristics ------------------------------------
 

@@ -93,6 +93,8 @@ object FixtureGolden {
     * separators. */
   val extractLegacy: String =
     """SELECT * FROM (VALUES
+      ('cid.pdf', 'text/plain', 'application/pdf',
+       'CID text recovered via font cmap.'),
       ('legacy.ppt', 'text/plain', 'application/vnd.ms-powerpoint',
        e'Legacy Deck\nFirst point\nSecond point'),
       ('legacy.xls', 'text/plain', 'application/vnd.ms-excel',

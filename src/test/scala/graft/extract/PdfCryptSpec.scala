@@ -64,3 +64,24 @@ class PdfCryptSpec extends AnyFunSuite {
   private val PinKey = "9fa5c69229f17c186fa9cab1bdd03905"
   private val PinU16 = "35c4af661ee9b9572a44d95d0dfd4e1c"
 }
+
+/** Identity-H without ToUnicode: glyph ids resolve through the
+  * embedded font's inverted format-4 cmap. */
+class CidFontSpec extends AnyFunSuite {
+  test("Identity-H hex codes decode via embedded TrueType cmap") {
+    val bytes = CidFontPdf.sample()
+    assert(PdfText.extract(bytes, 4096) == CidFontPdf.Text)
+  }
+
+  test("without the font table the same codes stay out (noise guard)") {
+    val bytes = CidFontPdf.sample()
+    // strip the FontFile2 stream: blank the sfnt magic so the font is
+    // not recognized; extraction must yield nothing, not garbage
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val fontObj = text.indexOf("8 0 obj")
+    val sIdx = text.indexOf("stream", fontObj) + "stream\n".length
+    val corrupted = bytes.clone()
+    corrupted(sIdx) = 0x7f.toByte
+    assert(PdfText.extract(corrupted, 4096).isEmpty)
+  }
+}
