@@ -818,6 +818,25 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MP4 container metadata — the third modality family: each doc
+    // carries a real ISO BMFF box tree (ftyp + moov/mvhd/trak/tkhd/
+    // mdia/stbl/stsd — MPEG-4 Part 12, public spec) with planted
+    // duration, track layout, codec fourccs, and 16.16 track dims;
+    // the query walks the actual boxes (recursion, size fields,
+    // version-dependent offsets). Frame DECODE is impossible without
+    // codec libraries — container structure IS the
+    // ExtractMediaMetadata role for video (reference tika.xml:1761).
+    // Map-only; the payload never shuffles.
+    "q_video_meta" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("payload", Multimodal.syntheticMp4Col(col("doc_id")))
+      Multimodal.videoMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic sampling (reproducible across engines) -------
     // per-stratum keep-rates, map-only filter — no shuffle at any scale
     "q_sample_stratified" -> ((s, d) => {
@@ -1723,6 +1742,19 @@ object ExtQueries {
         |  CAST(sum((k + 1) * (((doc_id * 31 + k * 17) % 4096) - 2048)) AS BIGINT)
         |    AS sample_checksum
         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // MP4 box-tree walk vs the planted container algebra: duration,
+    // track count, stsd fourccs in document order, first video track's
+    // 16.16 tkhd dimensions
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'avc1'
+        |       WHEN 1 THEN 'avc1,mp4a'
+        |       ELSE 'avc1,mp4a,hvc1' END AS codecs,
+        |  CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
+        |  CAST(240 + 16 * (doc_id % 5) AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // deterministic sampling: md5 hex compared lexicographically — the
     // thresholds are Sampling.thresholdHex(rate) values verbatim
     "q_sample_stratified" ->

@@ -425,6 +425,45 @@ class ExtOpsSpec extends AnyFunSuite {
       m.sample_checksum) == (-1, -1, -1, -1L, -1L))
   }
 
+  test("MP4 metadata walks the real box tree") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 2L, 13L).toDF("doc_id")
+      .withColumn("payload", Multimodal.syntheticMp4Col(col("doc_id")))
+    val meta = Multimodal.videoMeta(df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
+    for (m <- meta) {
+      assert(m.duration_ms == Multimodal.plantedDurationMs(m.doc_id))
+      assert(m.n_tracks == Multimodal.plantedTracks(m.doc_id))
+      assert(m.width == Multimodal.plantedVideoW(m.doc_id))
+      assert(m.height == Multimodal.plantedVideoH(m.doc_id))
+    }
+    assert(meta.find(_.doc_id == 0L).get.codecs == "avc1")
+    assert(meta.find(_.doc_id == 1L).get.codecs == "avc1,mp4a")
+    assert(meta.find(_.doc_id == 2L).get.codecs == "avc1,mp4a,hvc1")
+    // the payload really leads with an ftyp box
+    val bytes = df.select($"payload").as[Array[Byte]].collect().head
+    assert(bytes.slice(4, 8).sameElements("ftyp".getBytes))
+  }
+
+  test("MP4 metadata degrades to the error row on junk and v1 boxes parse") {
+    assert(Multimodal.parseMp4Meta("clearly not a movie".getBytes) ==
+      ((-1L, -1, "", -1, -1)))
+    // 64-bit largesize wrapping the real tree still parses
+    val real = Multimodal.syntheticMp4(5L)
+    val ftypLen = java.nio.ByteBuffer.wrap(real).getInt(0)
+    val inner = java.util.Arrays.copyOfRange(real, ftypLen + 8, real.length) // moov body
+    val b = java.nio.ByteBuffer.allocate(16 + inner.length)
+    b.putInt(1) // size==1 → largesize follows
+    b.put("moov".getBytes)
+    b.putLong(16L + inner.length)
+    b.put(inner)
+    val wrapped = real.take(ftypLen) ++ b.array()
+    val (dur, n, cc, w, h) = Multimodal.parseMp4Meta(wrapped)
+    assert(dur == Multimodal.plantedDurationMs(5L) && n == Multimodal.plantedTracks(5L))
+    assert(w == Multimodal.plantedVideoW(5L) && h == Multimodal.plantedVideoH(5L) &&
+      cc.nonEmpty)
+  }
+
   test("quality score stays in [0,1]") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bad = docs.select(TextStats.qualityCol(col("text")).as("q"))
