@@ -396,6 +396,28 @@ object Ivf {
       model, sample)
   }
 
+  /** Appends new vectors to an existing FLOAT index's cell-partitioned
+    * corpus WITHOUT retraining: cells come from the frozen centroid
+    * model (the standard IVF maintenance contract — centroids drift
+    * only at the next full rebuild), rows take the same
+    * (nid, nvec, nn2, cell) shape [[buildIndex]] writes, and the
+    * append lands inside the existing `cell=` partition layout, so
+    * probes see the new vectors on their next scan with the same DPP
+    * pruning. One narrow map + one cell-clustered write per batch —
+    * no shuffle of existing index data, no driver collect beyond the
+    * cached k-row model. Retried batches double-append (harmless to
+    * top-k: duplicate rows of one nid rank adjacently) — a durable
+    * deployment dedups by writing per-batch subpartitions, as
+    * [[graft.streaming.StreamPipeline.incrementalNearDups]] documents. */
+  def ingestIntoIndex(spark: SparkSession, indexDir: String, batch: DataFrame,
+                      idCol: String, vecCol: String): Unit = {
+    val model = loadModel(spark, indexDir)
+    Similarity.prepared(batch, idCol, vecCol, "nid", "nvec", "nn2")
+      .withColumn("cell", assignUdf(model, 1)(col("nvec")).getItem(0))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
+  }
+
   /** Centroids load once per JVM per index (k rows — bounded model
     * metadata, not corpus data) and are reused by every query. */
   private val modelCache =

@@ -295,6 +295,54 @@ object StreamQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // streaming ANN index maintenance: a FRESH IVF index is built on
+    // the base embeddings, then exact copies of every even/odd-id
+    // vector arrive as TWO micro-batches (two source files,
+    // maxFilesPerTrigger=1) and are cell-assigned with the frozen
+    // centroid model and appended to the cell-partitioned corpus
+    // (StreamPipeline.ivfIngest). The post-stream probe then runs the
+    // normal DPP-pruned top-k over the maintained index: every query's
+    // top-1 MUST be its ingested copy (cosine exactly 1.0 beats every
+    // distinct vector — the corpus has no duplicate vectors), so the
+    // oracle is the closed-form (qid, qid + 1e6) relation. Recall
+    // across ≥2 batches is structural: a copy lands in the same cell
+    // as its original by construction.
+    "q_stream_ann_ingest" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val idxDir = freshScratchDir(d, "annidx").toString
+      graft.ext.Ivf.buildIndex(emb, "vec_id", "embedding", idxDir,
+        k = 16, iters = 2)
+      val srcDir = freshScratchDir(d, "annnew")
+      java.nio.file.Files.createDirectories(srcDir)
+      def writeOne(name: String, df: DataFrame): Unit = {
+        val build = srcDir.resolve(s"${name}_build")
+        df.coalesce(1).write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles)
+          .getOrElse(Array.empty[java.io.File])
+          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+          f.delete(); ()
+        }
+        deleteRec(build.toFile)
+      }
+      val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+      writeOne("a", copies.filter(col("vec_id") % 2 === 0))
+      writeOne("b", copies.filter(col("vec_id") % 2 =!= 0))
+      val stream = s.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.ivfIngest(s, stream, idxDir, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") % 37 === 0)
+      graft.ext.Ivf.topKIndexed(s, idxDir, queries,
+          "vec_id", "embedding", k = 1, nProbe = 2)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("nid").as("hit"))
+        .orderBy(col("qid"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -321,6 +369,11 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // maintained-index recall is structural (copy ≡ original ⇒ same
+    // cell, cosine 1.0): top-1 of every query is its ingested copy
+    "q_stream_ann_ingest" ->
+      """SELECT vec_id AS qid, vec_id + 1000000 AS hit
+        |FROM embeddings WHERE vec_id % 37 = 0 ORDER BY qid""".stripMargin,
     // immutable fixture inputs → golden row set (see FixtureGolden)
     "q_stream_doc_pipeline" ->
       """SELECT * FROM (VALUES

@@ -271,6 +271,36 @@ object StreamPipeline {
       org.apache.spark.sql.types.StructType.fromDDL("i LONG, j LONG, jaccard DOUBLE"))
   }
 
+  /** Streaming IVF index maintenance: each micro-batch of new vectors
+    * is cell-assigned with the FROZEN centroid model and appended to
+    * the index's cell-partitioned corpus
+    * ([[graft.ext.Ivf.ingestIntoIndex]]) — probes launched after a
+    * batch commits see its vectors with the same DPP-pruned scan as
+    * the original build. The 100 TB shape: per batch one narrow map
+    * plus one cell-clustered write, state is the index on distributed
+    * storage (not a state store), and the k-row centroid model is the
+    * only driver-resident object. Centroid drift is handled by the
+    * next full rebuild, the standard IVF maintenance split. */
+  /** @return number of non-empty micro-batches ingested (the
+    *         cross-batch contract in StreamingSpec pins ≥ 2). */
+  def ivfIngest(spark: SparkSession, stream: DataFrame, indexDir: String,
+                idCol: String, vecCol: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.ext.Ivf.ingestIntoIndex(batch.sparkSession, indexDir, batch,
+            idCol, vecCol)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    batches.get()
+  }
+
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction
     * wait needed — output is complete when the sources are committed.

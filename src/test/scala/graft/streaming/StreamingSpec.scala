@@ -232,4 +232,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(ks2 == Seq("k1", "k1", "other"), s"late row was not dropped: $ks2")
     } finally q.stop()
   }
+
+  test("IVF ingest appends across micro-batches and probes see the result") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val baseN = emb.count()
+    val idxDir = new java.io.File(tmpDir(), "idx").getAbsolutePath
+    graft.ext.Ivf.buildIndex(emb, "vec_id", "embedding", idxDir, k = 8, iters = 2)
+    val srcDir = tmpDir()
+    val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    copies.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/a")
+    copies.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$srcDir/b")
+    val stream = spark.readStream.schema(copies.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir.getAbsolutePath)
+    val nBatches = StreamPipeline.ivfIngest(spark, stream, idxDir,
+      "vec_id", "embedding")
+    assert(nBatches >= 2, s"expected >= 2 micro-batches, saw $nBatches")
+    // the maintained corpus holds base + ingested rows, all cell-assigned
+    val corpus = spark.read.parquet(s"$idxDir/corpus")
+    assert(corpus.count() == baseN * 2)
+    assert(corpus.filter(col("cell").isNull).count() == 0)
+    // a probe over the maintained index finds each ingested copy as the
+    // exact top-1 of its original (cosine 1.0)
+    val queries = emb.filter(col("vec_id") % 13 === 0)
+    val top1 = graft.ext.Ivf.topKIndexed(spark, idxDir, queries,
+        "vec_id", "embedding", k = 1, nProbe = 2)
+      .filter(col("rank") === 1)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toMap
+    for ((qid, nid) <- top1)
+      assert(nid == qid + 1000000L, s"query $qid top-1 was $nid")
+    assert(top1.nonEmpty)
+  }
 }
