@@ -48,7 +48,8 @@ object Bench {
       "q_multimodal_frames", "q_multimodal_decode", "q_skew_aqe_join",
       "q_stream_window", "q_sessionize",
       "q_knn_ivf_pq", "q_audio_decode", "q_dedup_keep_canonical",
-      "q_multimodal_resize_oriented", "q_source_mixture")
+      "q_multimodal_resize_oriented", "q_source_mixture",
+      "q_video_meta", "q_curation_funnel3")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
@@ -184,6 +185,33 @@ object Bench {
     // max/min would flag a clean run off one outlier probe)
     val contended = flagged.nonEmpty || (sMin > 0 && sP50 / sMin > 3.0)
 
+    // Drift guard: per-query baseline (committed bench_baseline.json —
+    // the last judge-confirmed uncontended medians at sf0.1). A query
+    // REGRESSED when its best CALM sample still runs > 1.3× its
+    // baseline median (calm-min vs median leaves honest headroom; a
+    // query with no calm sample is already in queries_contended and is
+    // not double-reported). Queries absent from the baseline (new this
+    // round) are skipped — they enter it at the next refresh. The
+    // guard only speaks when the bench ran at the baseline's sf.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json")
+    val baseline: Map[String, Double] = try {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        val sfOk = "\"sf_dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+    val regressed = results.collect {
+      case (name, _, minT)
+        if hasCalm(name) && baseline.get(name).exists(b => minT > 1.3 * b) =>
+          name
+    }
+
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
@@ -198,9 +226,9 @@ object Bench {
     // NAMES deferred to the detail line) and printed twice — FIRST for
     // head-readers and LAST so the tail window always ends with one
     // complete line — with the full-precision detail line between.
-    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"unit":"sec","value":${num(total)}}"""
+    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"unit":"sec","value":${num(total)}}"""
     println(summary)
-    println(s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}""")
+    println(s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}""")
     println(summary)
     spark.stop()
   }
