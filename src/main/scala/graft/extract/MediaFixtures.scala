@@ -106,12 +106,14 @@ object MediaFixtures {
   /** 11×5 GIF (logical-screen dimensions are the metadata). */
   def gifSmall(): Array[Byte] = encoded(fill(11, 5, 0x00aa55), "gif")
 
-  /** Writes the three fixtures into `dir` for directory-ingest queries
+  /** Writes the media fixtures into `dir` for directory-ingest queries
     * (stale entries removed, atomic per-file writes — see
-    * LegacyOffice.syncFixtureDir). */
+    * LegacyOffice.syncFixtureDir). clip.mp4 is the planted BMFF
+    * container (id 7: 1007 ms, avc1+mp4a tracks, 432×272). */
   def writeFixtures(dir: java.nio.file.Path): Unit =
     LegacyOffice.syncFixtureDir(dir, Map(
       "photo.jpg" -> jpegWithExif(),
       "chart.png" -> pngWithText(),
-      "anim.gif" -> gifSmall()))
+      "anim.gif" -> gifSmall(),
+      "clip.mp4" -> Bmff.syntheticMp4(7L)))
 }

@@ -38,9 +38,27 @@ object Metadata {
       case MimeDetect.Png  => pngMeta(bytes)
       case MimeDetect.Gif  => gifMeta(bytes)
       case MimeDetect.Tiff => tiffMeta(bytes)
+      case MimeDetect.Mp4 | MimeDetect.Mp4Audio => mp4Meta(bytes)
       case _               => Map.empty[String, String]
     }
     cap(base ++ specific, opts)
+  }
+
+  /** ISO BMFF container attributes via the shared [[Bmff]] walker —
+    * duration, track count, stsd codec fourccs, first video track's
+    * dimensions (the same Image-Width/Height keys the image branches
+    * emit, per the attribute convention). */
+  private def mp4Meta(bytes: Array[Byte]): Map[String, String] = {
+    val (durMs, nTracks, codecs, w, h) = Bmff.parse(bytes)
+    if (nTracks < 0) Map.empty
+    else {
+      val m = scala.collection.mutable.LinkedHashMap[String, String]()
+      if (durMs >= 0) m += ("Duration-Ms" -> durMs.toString)
+      m += ("Track-Count" -> nTracks.toString)
+      if (codecs.nonEmpty) m += ("Codecs" -> codecs)
+      if (w > 0) { m += ("Image-Width" -> w.toString); m += ("Image-Height" -> h.toString) }
+      m.toMap
+    }
   }
 
   // compiled keyFilter patterns, memoized per executor — cap() runs per

@@ -25,6 +25,9 @@ object MimeDetect {
   val Png  = "image/png"
   val Gif  = "image/gif"
   val Tiff = "image/tiff"
+  val Mp4  = "video/mp4"
+  val Mp4Audio = "audio/mp4"
+  val Wav  = "audio/vnd.wave"
   val Odt  = "application/vnd.oasis.opendocument.text"
   val Ods  = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp  = "application/vnd.oasis.opendocument.presentation"
@@ -47,6 +50,16 @@ object MimeDetect {
     // bare TIFF container: II*\0 (little-endian) / MM\0* (big-endian)
     if (startsWith(bytes, Array[Byte]('I', 'I', 0x2a, 0)) ||
         startsWith(bytes, Array[Byte]('M', 'M', 0, 0x2a))) return Tiff
+    // ISO BMFF: box type `ftyp` at offset 4; major brand splits the
+    // audio-only container from video (Tika's brand map, condensed)
+    if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') {
+      val brand = new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      return if (brand.startsWith("M4A") || brand.startsWith("M4B")) Mp4Audio else Mp4
+    }
+    if (startsWith(bytes, "RIFF".getBytes) && bytes.length >= 12 &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+        bytes(11) == 'E') return Wav
     val head = new String(bytes, 0, math.min(bytes.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (looksLikeEmail(head) ||

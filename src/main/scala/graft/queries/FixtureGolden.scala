@@ -123,6 +123,12 @@ object FixtureGolden {
       ('chart.png', 'Image-Width', '9'),
       ('chart.png', 'tEXt:Author', 'graft'),
       ('chart.png', 'tEXt:Title', 'Quarterly Chart'),
+      ('clip.mp4', 'Codecs', 'avc1,mp4a'),
+      ('clip.mp4', 'Content-Type', 'video/mp4'),
+      ('clip.mp4', 'Duration-Ms', '1007'),
+      ('clip.mp4', 'Image-Height', '272'),
+      ('clip.mp4', 'Image-Width', '432'),
+      ('clip.mp4', 'Track-Count', '2'),
       ('photo.jpg', 'Content-Type', 'image/jpeg'),
       ('photo.jpg', 'DateTime', '2024:05:06 07:08:09'),
       ('photo.jpg', 'DateTimeOriginal', '2024:05:06 07:08:01'),

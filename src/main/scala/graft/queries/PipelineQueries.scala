@@ -141,7 +141,8 @@ object PipelineQueries {
       docs.select(col("filename"),
           explode(Udfs.extract_metadata(col("content"), col("filename"),
             lit("^(Content-Type|Image-.*|Bit-Depth|Color-Type|Orientation|" +
-              "Make|Model|DateTime|DateTimeOriginal|tEXt:.*)$"),
+              "Make|Model|DateTime|DateTimeOriginal|tEXt:.*|" +
+              "Duration-Ms|Track-Count|Codecs)$"),
             lit(""))).as(Seq("key", "value")))
         .orderBy(col("filename"), col("key"))
     }),
