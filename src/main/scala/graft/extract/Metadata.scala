@@ -83,7 +83,13 @@ object Metadata {
     List("Title", "Author", "Subject", "Keywords", "Creator", "Producer",
       "CreationDate", "ModDate")
 
-  private def pdfInfo(bytes: Array[Byte]): Map[String, String] = {
+  private def pdfInfo(bytes: Array[Byte]): Map[String, String] =
+    PdfCrypt.decryptor(bytes) match {
+      case Some(d) => encryptedPdfInfo(bytes, d)
+      case None    => plainPdfInfo(bytes)
+    }
+
+  private def plainPdfInfo(bytes: Array[Byte]): Map[String, String] = {
     // Raw scan sees uncompressed Info dicts; writers that compress the
     // xref (PDF 1.5+) serialize Info inside a /ObjStm, so scan those
     // inflated too. Raw wins on key collision (it is the newer
@@ -101,6 +107,41 @@ object Metadata {
       }.toMap
     scan(infoDictSlices(objStm)) ++ scan(raw)
   }
+
+  /** Standard-security documents encrypt every Info STRING with the
+    * Info object's own Algorithm-1 key (ISO 32000 §7.6.2) — the raw
+    * regex scan would see ciphertext. Resolve `/Info N G R`, parse the
+    * string values at byte level (hex or literal), decrypt each with
+    * objKey(N, G), then decode (UTF-16BE when BOM-led, else
+    * latin-1/PDFDocEncoding) — the same transparent behavior as the
+    * reference's PDFBox path. */
+  private def encryptedPdfInfo(bytes: Array[Byte],
+                               d: PdfCrypt.Decryptor): Map[String, String] = {
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val result = for {
+      ref <- "/Info\\s+(\\d+)\\s+(\\d+)\\s+R".r.findAllMatchIn(txt).toList.lastOption
+      num = ref.group(1).toInt
+      gen = ref.group(2).toInt
+      hdr <- s"(?<![0-9])$num\\s+$gen\\s+obj".r.findAllMatchIn(txt).toList.lastOption
+    } yield {
+      val end = txt.indexOf("endobj", hdr.end)
+      val dict = txt.substring(hdr.end, if (end < 0) txt.length else end)
+      PdfInfoKeys.flatMap { key =>
+        PdfCrypt.pdfString(dict, "/" + key).flatMap { enc =>
+          val v = decodePdfText(d.decrypt(num, gen, enc)).trim
+          if (v.nonEmpty) Some(key -> v) else None
+        }
+      }.toMap
+    }
+    result.getOrElse(Map.empty)
+  }
+
+  /** PDF text-string decoding: UTF-16BE with BOM, else latin-1 (the
+    * printable subset of PDFDocEncoding). */
+  private def decodePdfText(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** Object streams serialize EVERY kind of dictionary — outlines also
     * carry `/Title` — so restrict the ObjStm scan to dictionary slices

@@ -245,8 +245,9 @@ object PdfCrypt {
   }
 
   /** Value of a name key that is a PDF string — hex `<…>` or literal
-    * `(…)` with escapes — as raw bytes. */
-  private def pdfString(dict: String, key: String): Option[Array[Byte]] = {
+    * `(…)` with escapes — as raw bytes. Shared with [[Metadata]]'s
+    * encrypted-Info reader. */
+  private[extract] def pdfString(dict: String, key: String): Option[Array[Byte]] = {
     var i = dict.indexOf(key)
     while (i >= 0) {
       var k = i + key.length

@@ -28,6 +28,9 @@ object SecuredPdf {
   val Rc4Text = "Secured payload: RC4 stream decrypted."
   val AesText = "Secured payload: AES-V2 stream decrypted."
 
+  val Rc4Title = "Secured RC4 Title"
+  val AesTitle = "Secured AES Title"
+
   def securedRc4(): Array[Byte] = {
     val o = PdfCrypt.computeO(Array.empty, Array.empty, r = 3, n = 16)
     val key = PdfCrypt.fileKey(Array.empty, o, Perms, FileId, r = 3, n = 16,
@@ -36,11 +39,15 @@ object SecuredPdf {
     val d = PdfCrypt.Decryptor(key, r = 3, aes = false, encryptMetadata = true)
     val plain = content(Rc4Text)
     val body = PdfCrypt.rc4(d.objKey(4, 0), deflate(plain))
+    // Info strings encrypt with the Info OBJECT's key (§7.6.2), hex-form
+    def s7(v: String) =
+      hex(PdfCrypt.rc4(d.objKey(7, 0), v.getBytes(ISO_8859_1)))
     build(
       encDict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $Perms " +
         s"/O <${hex(o)}> /U <${hex(u)}> >>",
       contentDict = s"<< /Length ${body.length} /Filter /FlateDecode >>",
-      contentBody = body)
+      contentBody = body,
+      infoDict = s"<< /Title <${s7(Rc4Title)}> /Author <${s7("graft")}> >>")
   }
 
   def securedAes(): Array[Byte] = {
@@ -51,24 +58,28 @@ object SecuredPdf {
     val d = PdfCrypt.Decryptor(key, r = 4, aes = true, encryptMetadata = true)
     val iv = (0 until 16).map(i => ((i * 19 + 3) & 0xff).toByte).toArray
     val body = PdfCrypt.aesCbcEncrypt(d.objKey(4, 0), iv, content(AesText))
+    val iv2 = (0 until 16).map(i => ((i * 23 + 9) & 0xff).toByte).toArray
+    def s7(v: String) =
+      hex(PdfCrypt.aesCbcEncrypt(d.objKey(7, 0), iv2, v.getBytes(ISO_8859_1)))
     build(
       encDict = "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
         "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
         s"/StmF /StdCF /StrF /StdCF /P $Perms " +
         s"/O <${hex(o)}> /U <${hex(u)}> >>",
       contentDict = s"<< /Length ${body.length} >>",
-      contentBody = body)
+      contentBody = body,
+      infoDict = s"<< /Title <${s7(AesTitle)}> /Author <${s7("graft")}> >>")
   }
 
   private def content(text: String): Array[Byte] =
     s"BT /F1 12 Tf 72 720 Td ($text) Tj ET".getBytes(ISO_8859_1)
 
-  /** Assemble the 6-object document with a correct xref table. */
+  /** Assemble the 7-object document with a correct xref table. */
   private def build(encDict: String, contentDict: String,
-                    contentBody: Array[Byte]): Array[Byte] = {
+                    contentBody: Array[Byte], infoDict: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
-    val offsets = new Array[Int](7)
+    val offsets = new Array[Int](8)
     w("%PDF-1.4\n%âãÏÓ\n")
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num) = out.size()
@@ -81,10 +92,11 @@ object SecuredPdf {
     obj(4) { w(contentDict + "\nstream\n"); out.write(contentBody); w("\nendstream") }
     obj(5) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
     obj(6) { w(encDict) }
+    obj(7) { w(infoDict) }
     val xref = out.size()
-    w("xref\n0 7\n0000000000 65535 f \n")
-    (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-    w("trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R " +
+    w("xref\n0 8\n0000000000 65535 f \n")
+    (1 to 7).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w("trailer\n<< /Size 8 /Root 1 0 R /Encrypt 6 0 R /Info 7 0 R " +
       s"/ID [<${hex(FileId)}> <${hex(FileId)}>] >>\n" +
       s"startxref\n$xref\n%%EOF\n")
     out.toByteArray

@@ -22,6 +22,16 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(PdfText.extract(bytes, 4096) == SecuredPdf.AesText)
   }
 
+  test("encrypted Info strings decrypt through the Info object's key") {
+    val rc4 = Metadata.extract(SecuredPdf.securedRc4(), "secured_rc4.pdf")
+    assert(rc4("Title") == SecuredPdf.Rc4Title)
+    assert(rc4("Author") == "graft")
+    assert(rc4("Content-Type") == "application/pdf")
+    val aes = Metadata.extract(SecuredPdf.securedAes(), "secured_aes.pdf")
+    assert(aes("Title") == SecuredPdf.AesTitle)
+    assert(aes("Author") == "graft")
+  }
+
   test("non-empty user password is rejected (no silent garbage)") {
     // flip one bit of /U in the RC4 fixture → password check must fail
     val bytes = SecuredPdf.securedRc4()
