@@ -106,6 +106,27 @@ object MediaFixtures {
   /** 11×5 GIF (logical-screen dimensions are the metadata). */
   def gifSmall(): Array[Byte] = encoded(fill(11, 5, 0x00aa55), "gif")
 
+  /** Canonical 44-byte RIFF/WAVE header + deterministic 16-bit PCM:
+    * 8 kHz mono, 4000 samples → exactly 500 ms. */
+  def wavSmall(): Array[Byte] = {
+    val n = 4000
+    val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+    tag("RIFF"); b.putInt(36 + n * 2); tag("WAVE")
+    tag("fmt "); b.putInt(16)
+    b.putShort(1)                // PCM
+    b.putShort(1)                // mono
+    b.putInt(8000)               // sample rate
+    b.putInt(8000 * 2)           // byte rate
+    b.putShort(2)                // block align
+    b.putShort(16)               // bits per sample
+    tag("data"); b.putInt(n * 2)
+    var k = 0
+    while (k < n) { b.putShort((((k * 31) % 4096) - 2048).toShort); k += 1 }
+    b.array()
+  }
+
   /** Writes the media fixtures into `dir` for directory-ingest queries
     * (stale entries removed, atomic per-file writes — see
     * LegacyOffice.syncFixtureDir). clip.mp4 is the planted BMFF
@@ -115,5 +136,6 @@ object MediaFixtures {
       "photo.jpg" -> jpegWithExif(),
       "chart.png" -> pngWithText(),
       "anim.gif" -> gifSmall(),
-      "clip.mp4" -> Bmff.syntheticMp4(7L)))
+      "clip.mp4" -> Bmff.syntheticMp4(7L),
+      "tone.wav" -> wavSmall()))
 }

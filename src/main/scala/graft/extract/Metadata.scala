@@ -39,9 +39,40 @@ object Metadata {
       case MimeDetect.Gif  => gifMeta(bytes)
       case MimeDetect.Tiff => tiffMeta(bytes)
       case MimeDetect.Mp4 | MimeDetect.Mp4Audio => mp4Meta(bytes)
+      case MimeDetect.Wav  => wavMeta(bytes)
       case _               => Map.empty[String, String]
     }
     cap(base ++ specific, opts)
+  }
+
+  /** RIFF/WAVE attributes from the `fmt ` and `data` chunk headers
+    * (canonical RIFF walk; multimedia spec is public): channels, sample
+    * rate, bit depth, and the exact duration the data length implies. */
+  private def wavMeta(bytes: Array[Byte]): Map[String, String] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var channels = 0
+    var rate = 0L
+    var block = 0
+    var i = 12 // past RIFF size + WAVE
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val len = u32(i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        channels = u16(i + 10)
+        rate = u32(i + 12)
+        block = u16(i + 20)
+        m += ("Channels" -> channels.toString)
+        m += ("Sample-Rate" -> rate.toString)
+        m += ("Bits-Per-Sample" -> u16(i + 22).toString)
+      } else if (id == "data" && rate > 0 && block > 0) {
+        m += ("Duration-Ms" -> (len / block * 1000L / rate).toString)
+      }
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    m.toMap
   }
 
   /** ISO BMFF container attributes via the shared [[Bmff]] walker —

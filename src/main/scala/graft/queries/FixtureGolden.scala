@@ -136,7 +136,12 @@ object FixtureGolden {
       ('photo.jpg', 'Image-Width', '8'),
       ('photo.jpg', 'Make', 'GraftCam'),
       ('photo.jpg', 'Model', 'GC-100'),
-      ('photo.jpg', 'Orientation', '6')
+      ('photo.jpg', 'Orientation', '6'),
+      ('tone.wav', 'Bits-Per-Sample', '16'),
+      ('tone.wav', 'Channels', '1'),
+      ('tone.wav', 'Content-Type', 'audio/vnd.wave'),
+      ('tone.wav', 'Duration-Ms', '500'),
+      ('tone.wav', 'Sample-Rate', '8000')
     ) AS t(filename, "key", "value")
     ORDER BY filename, "key""""
 

@@ -142,7 +142,8 @@ object PipelineQueries {
           explode(Udfs.extract_metadata(col("content"), col("filename"),
             lit("^(Content-Type|Image-.*|Bit-Depth|Color-Type|Orientation|" +
               "Make|Model|DateTime|DateTimeOriginal|tEXt:.*|" +
-              "Duration-Ms|Track-Count|Codecs)$"),
+              "Duration-Ms|Track-Count|Codecs|" +
+              "Channels|Sample-Rate|Bits-Per-Sample)$"),
             lit(""))).as(Seq("key", "value")))
         .orderBy(col("filename"), col("key"))
     }),
