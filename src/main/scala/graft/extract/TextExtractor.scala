@@ -42,8 +42,10 @@ object TextExtractor {
         case MimeDetect.Eml  => EmlText.extract(bytes, maxLen)
         case MimeDetect.Zip =>
           throw new IllegalArgumentException(s"unsupported container type $mime")
-        case MimeDetect.Jpeg | MimeDetect.Png | MimeDetect.Gif =>
-          "" // images carry no text body (Tika parity: empty text +
+        case MimeDetect.Jpeg | MimeDetect.Png | MimeDetect.Gif |
+             MimeDetect.Tiff | MimeDetect.Mp4 | MimeDetect.Mp4Audio |
+             MimeDetect.Wav =>
+          "" // media carry no text body (Tika parity: empty text +
              // metadata attributes; ExtractMediaMetadata is the payload)
         case MimeDetect.OctetStream =>
           throw new IllegalArgumentException("binary content with no known text structure")

@@ -32,16 +32,30 @@ class MediaMetadataSpec extends AnyFunSuite {
     assert(m("Image-Width") == "11" && m("Image-Height") == "5")
   }
 
-  test("images flow through the text pipeline as empty-text successes") {
+  test("media flow through the text pipeline as empty-text successes") {
     for ((bytes, name, mime) <- Seq(
         (MediaFixtures.jpegWithExif(), "photo.jpg", MimeDetect.Jpeg),
         (MediaFixtures.pngWithText(), "chart.png", MimeDetect.Png),
-        (MediaFixtures.gifSmall(), "anim.gif", MimeDetect.Gif))) {
+        (MediaFixtures.gifSmall(), "anim.gif", MimeDetect.Gif),
+        (MediaFixtures.wavSmall(), "tone.wav", MimeDetect.Wav),
+        (Bmff.syntheticMp4(7L), "clip.mp4", MimeDetect.Mp4))) {
       val r = TextExtractor.extract(bytes, name)
       assert(r.error == null, s"$name error=${r.error}")
       assert(r.origMimeType == mime)
-      assert(r.text == "")
+      assert(r.text == "", s"$name leaked binary as text: ${r.text.take(40)}")
     }
+  }
+
+  test("mp4 and wav container attributes surface through Metadata") {
+    val v = Metadata.extract(Bmff.syntheticMp4(7L), "clip.mp4")
+    assert(v("Content-Type") == MimeDetect.Mp4)
+    assert(v("Duration-Ms") == "1007" && v("Track-Count") == "2")
+    assert(v("Codecs") == "avc1,mp4a")
+    assert(v("Image-Width") == "432" && v("Image-Height") == "272")
+    val a = Metadata.extract(MediaFixtures.wavSmall(), "tone.wav")
+    assert(a("Content-Type") == MimeDetect.Wav)
+    assert(a("Channels") == "1" && a("Sample-Rate") == "8000")
+    assert(a("Bits-Per-Sample") == "16" && a("Duration-Ms") == "500")
   }
 
   test("value-length and key-filter caps apply to image keys too") {
