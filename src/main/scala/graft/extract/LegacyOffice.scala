@@ -206,6 +206,7 @@ object LegacyOffice {
       "pieced.doc" -> samplePiecedDoc(),
       "secured_rc4.pdf" -> SecuredPdf.securedRc4(),
       "secured_aes.pdf" -> SecuredPdf.securedAes(),
+      "secured_aes256.pdf" -> SecuredPdf.securedAes256(),
       "cid.pdf" -> CidFontPdf.sample()))
 
   /** Makes `dir` hold EXACTLY `files`: unknown entries are removed (a

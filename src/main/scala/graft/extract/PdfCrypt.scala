@@ -30,11 +30,15 @@ object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  /** Parsed /Encrypt parameters plus the derived file key. */
+  /** Parsed /Encrypt parameters plus the derived file key. `v5` marks
+    * AES-256 (V5/R6) documents, whose 32-byte file key is used
+    * directly for every object (ISO 32000-2 dropped the per-object
+    * MD5 derivation). */
   final case class Decryptor(fileKey: Array[Byte], r: Int, aes: Boolean,
-                             encryptMetadata: Boolean) {
+                             encryptMetadata: Boolean, v5: Boolean = false) {
     /** Algorithm 1 key for object (num, gen). */
     def objKey(num: Int, gen: Int): Array[Byte] = {
+      if (v5) return fileKey
       val md = MessageDigest.getInstance("MD5")
       md.update(fileKey)
       md.update(Array[Byte](
@@ -60,26 +64,81 @@ object PdfCrypt {
     // never pay the full latin-1 String allocation below
     if (!containsBytes(bytes, "/Encrypt")) return None
     val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    for {
-      dict <- encryptDict(text)
-      if dict.contains("/Standard")
-      o <- pdfString(dict, "/O") if o.length >= 32
-      u <- pdfString(dict, "/U") if u.length >= 16
-      p <- intAfter(dict, "/P")
-    } yield {
+    encryptDict(text).filter(_.contains("/Standard")).flatMap { dict =>
       val v = intAfter(dict, "/V").getOrElse(1)
-      val r = intAfter(dict, "/R").getOrElse(if (v >= 2) 3 else 2)
-      val lengthBits = intAfter(dict, "/Length").getOrElse(40)
-      val aes = v >= 4 && dict.contains("/AESV2")
       val encMeta = !dict.contains("/EncryptMetadata false") &&
         !dict.contains("/EncryptMetadata  false")
-      val id = firstFileId(text).getOrElse(Array.empty[Byte])
-      val n = if (r == 2) 5 else lengthBits / 8
-      val key = fileKey(Array.empty, o, p, id, r, n, encMeta)
-      val d = Decryptor(key, r, aes, encMeta)
-      if (userPasswordMatches(key, r, id, u)) Some(d) else None
+      if (v >= 5) decryptorV5(dict, encMeta)
+      else for {
+        o <- pdfString(dict, "/O") if o.length >= 32
+        u <- pdfString(dict, "/U") if u.length >= 16
+        p <- intAfter(dict, "/P")
+        r = intAfter(dict, "/R").getOrElse(if (v >= 2) 3 else 2)
+        lengthBits = intAfter(dict, "/Length").getOrElse(40)
+        id = firstFileId(text).getOrElse(Array.empty[Byte])
+        n = if (r == 2) 5 else lengthBits / 8
+        key = fileKey(Array.empty, o, p, id, r, n, encMeta)
+        if userPasswordMatches(key, r, id, u)
+      } yield Decryptor(key, r, v >= 4 && dict.contains("/AESV2"), encMeta)
     }
-  }.flatten
+  }
+
+  /** AES-256 (V5/R6, ISO 32000-2 §7.6.4): validate the empty user
+    * password against /U's validation hash (Algorithm 2.B hardened
+    * SHA-2/AES chain), then unwrap the 32-byte file key from /UE with
+    * the intermediate key (AES-256-CBC, zero IV, no padding). The file
+    * key is used directly for every object. */
+  private def decryptorV5(dict: String, encMeta: Boolean): Option[Decryptor] =
+    for {
+      u <- pdfString(dict, "/U") if u.length >= 48
+      ue <- pdfString(dict, "/UE") if ue.length >= 32
+      vSalt = u.slice(32, 40)
+      kSalt = u.slice(40, 48)
+      if java.util.Arrays.equals(
+        hash2B(Array.empty, vSalt, Array.empty), u.take(32))
+      ikey = hash2B(Array.empty, kSalt, Array.empty)
+      key = aesCbcRaw(javax.crypto.Cipher.DECRYPT_MODE, ikey,
+        new Array[Byte](16), ue.take(32))
+      if key.length == 32
+    } yield Decryptor(key, r = 6, aes = true, encryptMetadata = encMeta,
+      v5 = true)
+
+  /** Algorithm 2.B (R6) password hash: SHA-256 seed, then rounds of
+    * (64× repeated input) → AES-128-CBC with K's halves as key/IV →
+    * SHA-256/384/512 picked by the first-16-bytes-mod-3; at least 64
+    * rounds, stopping when E's last byte ≤ rounds − 32. */
+  private[extract] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+                              udata: Array[Byte]): Array[Byte] = {
+    var k = MessageDigest.getInstance("SHA-256").digest(pwd ++ salt ++ udata)
+    var round = 0
+    var done = false
+    while (!done) {
+      val unit = pwd ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(unit, 0, k1, i * unit.length, unit.length); i += 1 }
+      val e = aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32), k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = MessageDigest.getInstance(
+        mod match { case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512" })
+        .digest(e)
+      round += 1
+      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** AES-CBC, NO padding, explicit IV — the R6 hash/key-wrap form
+    * (plaintext lengths are block-aligned by construction). */
+  private[extract] def aesCbcRaw(mode: Int, key: Array[Byte], iv: Array[Byte],
+                                 data: Array[Byte]): Array[Byte] =
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    } catch { case _: Exception => Array.empty[Byte] }
 
   /** Algorithm 2: file encryption key from a (padded) user password. */
   private[extract] def fileKey(pwd: Array[Byte], o: Array[Byte], p: Int,

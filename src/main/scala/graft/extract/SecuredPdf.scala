@@ -71,6 +71,56 @@ object SecuredPdf {
       infoDict = s"<< /Title <${s7(AesTitle)}> /Author <${s7("graft")}> >>")
   }
 
+  val AesV5Text = "Secured payload: AES-256 V5 stream decrypted."
+  val AesV5Title = "Secured AES-256 Title"
+
+  /** AES-256 (V5/R6) — the Acrobat X+ default. /U carries the
+    * Algorithm-2.B validation hash + salts, /UE the wrapped file key,
+    * /O //OE the owner-side equivalents (hashed over U), /Perms the
+    * AES-ECB-sealed permission block; streams/strings use the 32-byte
+    * file key directly with IV-prefixed CBC. */
+  def securedAes256(): Array[Byte] = {
+    def det(n: Int, a: Int, c: Int) =
+      (0 until n).map(i => ((i * a + c) & 0xff).toByte).toArray
+    val fileKey = det(32, 41, 13)
+    val vSalt = det(8, 29, 5)
+    val kSalt = det(8, 53, 17)
+    val u = PdfCrypt.hash2B(Array.empty, vSalt, Array.empty) ++ vSalt ++ kSalt
+    val ue = PdfCrypt.aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+      PdfCrypt.hash2B(Array.empty, kSalt, Array.empty), new Array[Byte](16), fileKey)
+    val ovSalt = det(8, 31, 7)
+    val okSalt = det(8, 59, 23)
+    val o = PdfCrypt.hash2B(Array.empty, ovSalt, u) ++ ovSalt ++ okSalt
+    val oe = PdfCrypt.aesCbcRaw(javax.crypto.Cipher.ENCRYPT_MODE,
+      PdfCrypt.hash2B(Array.empty, okSalt, u), new Array[Byte](16), fileKey)
+    val permsBlock = Array[Byte](
+      (Perms & 0xff).toByte, ((Perms >> 8) & 0xff).toByte,
+      ((Perms >> 16) & 0xff).toByte, ((Perms >> 24) & 0xff).toByte,
+      -1, -1, -1, -1, 'T', 'a', 'd', 'b') ++ det(4, 11, 3)
+    val perms = try {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      c.doFinal(permsBlock)
+    } catch { case _: Exception => new Array[Byte](16) }
+    val d = PdfCrypt.Decryptor(fileKey, r = 6, aes = true,
+      encryptMetadata = true, v5 = true)
+    val iv = det(16, 37, 21)
+    val body = PdfCrypt.aesCbcEncrypt(d.objKey(4, 0), iv, content(AesV5Text))
+    val iv2 = det(16, 43, 31)
+    def s7(v: String) =
+      hex(PdfCrypt.aesCbcEncrypt(d.objKey(7, 0), iv2, v.getBytes(ISO_8859_1)))
+    build(
+      encDict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF /P $Perms " +
+        s"/O <${hex(o)}> /OE <${hex(oe)}> /U <${hex(u)}> /UE <${hex(ue)}> " +
+        s"/Perms <${hex(perms)}> >>",
+      contentDict = s"<< /Length ${body.length} >>",
+      contentBody = body,
+      infoDict = s"<< /Title <${s7(AesV5Title)}> /Author <${s7("graft")}> >>")
+  }
+
   private def content(text: String): Array[Byte] =
     s"BT /F1 12 Tf 72 720 Td ($text) Tj ET".getBytes(ISO_8859_1)
 

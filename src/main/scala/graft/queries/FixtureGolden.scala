@@ -103,6 +103,8 @@ object FixtureGolden {
        e'Fast-saved pieces survive.\nμ unicode πiece tail piece.'),
       ('secured_aes.pdf', 'text/plain', 'application/pdf',
        'Secured payload: AES-V2 stream decrypted.'),
+      ('secured_aes256.pdf', 'text/plain', 'application/pdf',
+       'Secured payload: AES-256 V5 stream decrypted.'),
       ('secured_rc4.pdf', 'text/plain', 'application/pdf',
        'Secured payload: RC4 stream decrypted.')
     ) AS t(filename, mime_type, orig_mime_type, text)

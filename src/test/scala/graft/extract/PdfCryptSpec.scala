@@ -32,6 +32,25 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(aes("Author") == "graft")
   }
 
+  test("AES-256 (V5/R6) secured PDF extracts via the hardened hash path") {
+    val bytes = SecuredPdf.securedAes256()
+    val d = PdfCrypt.decryptor(bytes)
+    assert(d.isDefined && d.get.v5 && d.get.fileKey.length == 32)
+    assert(PdfText.extract(bytes, 4096) == SecuredPdf.AesV5Text)
+    val m = Metadata.extract(bytes, "secured_aes256.pdf")
+    assert(m("Title") == SecuredPdf.AesV5Title && m("Author") == "graft")
+  }
+
+  test("R6 hash pins: validation hash and wrapped key are stable") {
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val vSalt = (0 until 8).map(i => ((i * 29 + 5) & 0xff).toByte).toArray
+    val h = PdfCrypt.hash2B(Array.empty, vSalt, Array.empty)
+    assert(h.length == 32)
+    // pinned from first correct run (regression guard; the round trip
+    // through a V5 document is the behavioral check above)
+    assert(hex(h) == PinR6Hash, s"R6 hash drifted: ${hex(h)}")
+  }
+
   test("non-empty user password is rejected (no silent garbage)") {
     // flip one bit of /U in the RC4 fixture → password check must fail
     val bytes = SecuredPdf.securedRc4()
@@ -73,6 +92,8 @@ class PdfCryptSpec extends AnyFunSuite {
     "36451bd39d753b7c1d10922c28e6665aa4f3353fb0348b536893e3b1db5c579b"
   private val PinKey = "9fa5c69229f17c186fa9cab1bdd03905"
   private val PinU16 = "35c4af661ee9b9572a44d95d0dfd4e1c"
+  private val PinR6Hash =
+    "4466d000c15c7ae7d5c08956bb9ff29e3342c9945e51fe2809de144b0beae493"
 }
 
 /** Identity-H without ToUnicode: glyph ids resolve through the
