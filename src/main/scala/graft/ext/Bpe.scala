@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TRAINING primitives — the tokenizer-side
+  * counterpart of the token-counting/vocab operators (Sennrich et al.
+  * '16, public): count adjacent symbol pairs across the corpus
+  * weighted by word frequency, pick the most frequent, merge it, and
+  * repeat. This is the inner loop every subword tokenizer trainer
+  * runs before a 100 TB pretraining job can tokenize.
+  *
+  * Scale shape: the corpus collapses to the DISTINCT-WORD relation in
+  * one aggregation (the only pass that touches full text), and every
+  * subsequent round aggregates pair counts over that relation —
+  * shuffles bounded by distinct-word / distinct-pair cardinality, not
+  * corpus size. The per-round argmax is ONE row to the driver
+  * (bounded model metadata, like the IVF centroids); merge
+  * application is a map-only transform of the symbol arrays.
+  */
+object Bpe {
+
+  /** (word, count) — the corpus's only full-text aggregation. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** Adjacent character-pair counts weighted by word frequency — BPE
+    * round 1's statistics (initial symbols = characters). Deterministic
+    * order: count DESC, pair ASC. */
+  def pairCounts(df: DataFrame, textCol: String): DataFrame =
+    wordCounts(df, textCol)
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+
+  /** `k` BPE merges trained iteratively: each round aggregates pair
+    * counts over the (persisted, distinct-word-sized) symbol relation,
+    * takes the single argmax row, and rewrites the symbol arrays
+    * map-only. Returns the ordered merge table (round, left, right,
+    * cnt) — the artifact a tokenizer ships. */
+  def trainMerges(df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val splitChars = udf((w: String) => w.map(_.toString).toArray)
+    var words = wordCounts(df, textCol)
+      .select(splitChars(col("w")).as("syms"), col("wc"))
+      .persist()
+    words.count() // materialize before the loop
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    try {
+      var round = 0
+      var exhausted = false
+      while (round < k && !exhausted) {
+        val top = words
+          .select(col("wc"), explode(
+            transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(element_at(col("syms"), i + 1).as("l"),
+                element_at(col("syms"), i + 2).as("r"))))
+            .as("p"))
+          .groupBy(col("p.l"), col("p.r")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((round, l, r, cnt))
+          val applyMerge = udf((syms: Seq[String]) => {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toArray
+          })
+          val next = words.select(applyMerge(col("syms")).as("syms"), col("wc"))
+            .persist()
+          next.count()
+          words.unpersist()
+          words = next
+          round += 1
+        }
+      }
+    } finally { words.unpersist(); () }
+    merges.toList
+  }
+}

@@ -1380,6 +1380,19 @@ object ExtQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // BPE training round-1 statistics: adjacent character-pair counts
+    // weighted by word frequency over the whole corpus — the subword
+    // tokenizer trainer's inner-loop aggregation (Sennrich '16). The
+    // corpus collapses to the distinct-word relation in one pass; the
+    // pair shuffle is bounded by distinct-pair cardinality (≤ |Σ|²),
+    // never corpus size. Top-20 with count-desc/pair-asc tie-break =
+    // the first merge candidates a tokenizer would consider.
+    "q_bpe_merges" -> ((s, d) => {
+      graft.ext.Bpe.pairCounts(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // curation funnel v3 — the full leakage-hygiene pipeline in ONE
     // plan: normalize → canonical dedup → quality gate (map-only,
     // fuses into the scan) → exact 3-gram contamination screen (bench
@@ -2260,6 +2273,18 @@ object ExtQueries {
          |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos,
          |  kept_segs, total_segs
          |FROM sh ORDER BY shard, pos""".stripMargin,
+    // BPE round-1 pair statistics: same weighted adjacent-pair count
+    // over the word relation (substr is character-based in both
+    // engines; the corpus is BMP-only)
+    "q_bpe_merges" ->
+      """WITH w AS (SELECT w, count(*) AS wc FROM (
+        |       SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |     WHERE w <> '' GROUP BY 1),
+        |p AS (SELECT wc, substr(w, i, 2) AS pair
+        |      FROM w, unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |      WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     // v3 funnel: every stage's verified CTE mirror chained — normalize,
     // keep-first dedup, quality gate, exact 3-gram screen (integer
     // compare), all-pairs cross jaccard ≥ 0.8 (the LSH recall contract

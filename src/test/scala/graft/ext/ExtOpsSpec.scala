@@ -464,6 +464,19 @@ class ExtOpsSpec extends AnyFunSuite {
       cc.nonEmpty)
   }
 
+  test("BPE trainer reproduces the classic merge sequence") {
+    import spark.implicits._
+    // Sennrich '16 running example: low×5, lower×2, newest×6, widest×3
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = graft.ext.Bpe.trainMerges(corpus, "text", k = 3)
+    // hand-computed: es=9 (beats st=9 on the asc tie-break), then
+    // (es,t)=9, then (l,o)=7 (beats ow=7)
+    assert(merges == Seq((0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L)))
+  }
+
   test("quality score stays in [0,1]") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bad = docs.select(TextStats.qualityCol(col("text")).as("q"))
