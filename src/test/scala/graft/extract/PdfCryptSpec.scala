@@ -63,6 +63,31 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(PdfText.extract(corrupted, 4096).isEmpty)
   }
 
+  test("malformed /Encrypt structures never throw (degrade to None/empty)") {
+    val rng = new scala.util.Random(42) // deterministic
+    val base = SecuredPdf.securedRc4()
+    for (trial <- 0 until 50) {
+      val mutated = base.clone()
+      // flip a handful of bytes anywhere in the document
+      for (_ <- 0 to trial % 7)
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      // must not throw — any outcome from garbage-in is acceptable
+      PdfCrypt.decryptor(mutated)
+      PdfText.extract(mutated, 2048)
+      Metadata.extract(mutated, "m.pdf")
+    }
+    // truncations across the interesting boundaries
+    for (len <- Seq(0, 1, 7, 64, base.length / 2, base.length - 3)) {
+      val cut = java.util.Arrays.copyOf(base, len)
+      PdfCrypt.decryptor(cut)
+      PdfText.extract(cut, 2048)
+    }
+    // an /Encrypt ref pointing at a missing object
+    val dangling = ("%PDF-1.4\ntrailer << /Root 1 0 R /Encrypt 99 0 R " +
+      "/ID [<00112233445566778899aabbccddeeff>] >>").getBytes("ISO-8859-1")
+    assert(PdfCrypt.decryptor(dangling).isEmpty)
+  }
+
   test("unencrypted PDFs are untouched (no /Encrypt → None, fast path)") {
     val plain = ("%PDF-1.4\n1 0 obj << /Length 40 >> stream\n" +
       "BT /F1 12 Tf (Plain text here.) Tj ET\nendstream endobj\n" +
