@@ -202,6 +202,53 @@ object Multimodal {
       }
   }
 
+  // ---- perceptual hash (dHash) --------------------------------------
+
+  final case class DHashMeta(doc_id: Long, dhash_hex: String)
+  implicit val dhashMetaEnc: Encoder[DHashMeta] = Encoders.product[DHashMeta]
+
+  /** 64-bit difference hash over the DECODED raster: nearest-neighbor
+    * resample to a 9×8 grid, one bit per horizontal gradient
+    * (px[x+1] > px[x]) — the standard perceptual-dedup fingerprint for
+    * image corpora (brightness/contrast shifts preserve gradients, so
+    * re-encoded or tone-mapped duplicates collide; the pigeonhole
+    * banding of [[Dedup.simhashPairs]] applies unchanged for
+    * hamming-k matching at scale). `None` for undecodable bytes. */
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val g = resizeNearest(img, 9, 8)
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            if (g(j * 9 + i + 1) > g(j * 9 + i)) hash |= (1L << (j * 8 + i))
+            i += 1
+          }
+          j += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch dHash over a binary column — map-only, payload never
+    * shuffles; emitted as unsigned hex so engines can't disagree on
+    * Long sign. Undecodable rows emit ''. */
+  def imageDhash(df: DataFrame, idCol: String, binCol: String): Dataset[DHashMeta] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          DHashMeta(id, dhash64(bytes).map(h => f"$h%016x").getOrElse(""))
+        }
+      }
+  }
+
   // ---- EXIF-orientation-aware resize --------------------------------
 
   final case class OrientMeta(doc_id: Long, orientation: Int,

@@ -818,6 +818,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual image fingerprint (dHash): decode the real container,
+    // 9×8 nearest-neighbor resample, one bit per horizontal gradient —
+    // the image-side analogue of SimHash for near-dup dedup. The
+    // oracle rebuilds every bit analytically from the planted pixel
+    // algebra (closed-form resample indices + gray values), so a
+    // wrong resample convention, a channel swap, or a sign slip flips
+    // bits and fails the hash. Map-only; hex output keeps Long sign
+    // out of the cross-engine compare.
+    "q_image_dhash" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+      Multimodal.imageDhash(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // MP4 container metadata — the third modality family: each doc
     // carries a real ISO BMFF box tree (ftyp + moov/mvhd/trak/tkhd/
     // mdia/stbl/stsd — MPEG-4 Part 12, public spec) with planted
@@ -1797,6 +1815,26 @@ object ExtQueries {
         |  CAST(sum((k + 1) * (((doc_id * 31 + k * 17) % 4096) - 2048)) AS BIGINT)
         |    AS sample_checksum
         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // dHash rebuilt bit-by-bit from the planted pixel algebra: the
+    // resample index is src = dst*dim//target (the resizeNearest
+    // convention), gray is (x*3 + y*5 + id) % 256, a bit is set iff
+    // the right neighbor is strictly brighter; hi/lo 32-bit halves
+    // sidestep BIGINT shift-63 sign trouble
+    "q_image_dhash" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |                  8 + (doc_id * 7) % 25 AS h FROM documents),
+        |g AS (SELECT doc_id, j, i,
+        |        ((i * w // 9) * 3 + (j * h // 8) * 5 + doc_id) % 256 AS p0,
+        |        (((i + 1) * w // 9) * 3 + (j * h // 8) * 5 + doc_id) % 256 AS p1
+        |      FROM d, unnest(range(0, 8)) AS u(j), unnest(range(0, 8)) AS v(i)),
+        |hl AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN p1 > p0 AND j*8 + i >= 32
+        |                      THEN (1::BIGINT << (j*8 + i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |        CAST(sum(CASE WHEN p1 > p0 AND j*8 + i < 32
+        |                      THEN (1::BIGINT << (j*8 + i)) ELSE 0 END) AS BIGINT) AS lo
+        |       FROM g GROUP BY 1)
+        |SELECT doc_id, printf('%08x%08x', hi, lo) AS dhash_hex
+        |FROM hl ORDER BY doc_id""".stripMargin,
     // MP4 box-tree walk vs the planted container algebra: duration,
     // track count, stsd fourccs in document order, first video track's
     // 16.16 tkhd dimensions

@@ -464,6 +464,28 @@ class ExtOpsSpec extends AnyFunSuite {
       cc.nonEmpty)
   }
 
+  test("dHash is brightness-invariant and content-sensitive") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int, w: Int = 20, h: Int = 14): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = Multimodal.dhash64(png((x, y) => x * 7 + y * 3)).get
+    // +40 brightness preserves every gradient → identical fingerprint
+    // (the perceptual property exact hashing lacks)
+    assert(Multimodal.dhash64(png((x, y) => math.min(x * 7 + y * 3 + 40, 255))).get == base)
+    // different content → different fingerprint
+    assert(Multimodal.dhash64(png((x, y) => 255 - x * 5 - y * 11)).get != base)
+    // junk bytes degrade to None, not a throw
+    assert(Multimodal.dhash64("not an image".getBytes).isEmpty)
+  }
+
   test("BPE trainer reproduces the classic merge sequence") {
     import spark.implicits._
     // Sennrich '16 running example: low×5, lower×2, newest×6, widest×3
