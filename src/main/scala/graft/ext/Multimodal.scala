@@ -234,6 +234,31 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decode + re-encode into another lossless container (png↔bmp) —
+    * the "same image, different file" duplicate class a perceptual
+    * fingerprint must catch and an exact byte hash cannot. */
+  def reencode(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Array.empty[Byte]
+      else {
+        // normalize to RGB first: BMP writers reject some source types
+        val rgb = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        rgb.getGraphics.drawImage(img, 0, 0, null)
+        val fmt = if ((bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'))
+          "png" else "bmp"
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(rgb, fmt, bos)
+        bos.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+
+  def reencodeCol(binCol: Column): Column = {
+    val u = udf((b: Array[Byte]) => reencode(b))
+    u(binCol)
+  }
+
   /** Batch dHash over a binary column — map-only, payload never
     * shuffles; emitted as unsigned hex so engines can't disagree on
     * Long sign. Undecodable rows emit ''. */

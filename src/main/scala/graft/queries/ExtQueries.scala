@@ -836,6 +836,33 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual image NEAR-DUP pairs: every document's image is
+    // re-encoded into a different lossless container (png↔bmp) under a
+    // shifted id — the byte-level-distinct, pixel-identical duplicate
+    // class exact hashing misses — and pairs are recovered by dHash
+    // equality. The join key is the 8-byte fingerprint, so the shuffle
+    // moves (id, hash) rows only, never payloads; hamming-k
+    // generalization is the SimHash pigeonhole banding. The oracle
+    // derives every hash analytically (copies share their original's
+    // planted raster), so chance structural collisions appear
+    // identically on both sides.
+    "q_image_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+      val copies = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        Multimodal.reencodeCol(col("payload")).as("payload"))
+      val hashed = Multimodal.imageDhash(base.unionByName(copies),
+          "doc_id", "payload")
+        .toDF().filter(col("dhash_hex") =!= "")
+      hashed.as("a").join(hashed.as("b"),
+          col("a.dhash_hex") === col("b.dhash_hex") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // MP4 container metadata — the third modality family: each doc
     // carries a real ISO BMFF box tree (ftyp + moov/mvhd/trak/tkhd/
     // mdia/stbl/stsd — MPEG-4 Part 12, public spec) with planted
@@ -1835,6 +1862,30 @@ object ExtQueries {
         |       FROM g GROUP BY 1)
         |SELECT doc_id, printf('%08x%08x', hi, lo) AS dhash_hex
         |FROM hl ORDER BY doc_id""".stripMargin,
+    // near-dup pairs via the same analytic hash: copies (id + 1e6)
+    // inherit their original's planted raster, so equal-hash pairs —
+    // each (id, id+1e6) plus any structural collisions — fall out of
+    // one self-join over the derived hashes
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             UNION ALL SELECT doc_id + 1000000 FROM documents),
+        |src AS (SELECT doc_id, doc_id % 1000000 AS sid FROM ids),
+        |d AS (SELECT doc_id, sid, 8 + sid % 25 AS w,
+        |             8 + (sid * 7) % 25 AS h FROM src),
+        |g AS (SELECT doc_id, j, i,
+        |        ((i * w // 9) * 3 + (j * h // 8) * 5 + sid) % 256 AS p0,
+        |        (((i + 1) * w // 9) * 3 + (j * h // 8) * 5 + sid) % 256 AS p1
+        |      FROM d, unnest(range(0, 8)) AS u(j), unnest(range(0, 8)) AS v(i)),
+        |hl AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN p1 > p0 AND j*8 + i >= 32
+        |                      THEN (1::BIGINT << (j*8 + i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |        CAST(sum(CASE WHEN p1 > p0 AND j*8 + i < 32
+        |                      THEN (1::BIGINT << (j*8 + i)) ELSE 0 END) AS BIGINT) AS lo
+        |       FROM g GROUP BY 1),
+        |h AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS hex FROM hl)
+        |SELECT a.doc_id AS i, b.doc_id AS j
+        |FROM h a JOIN h b ON a.hex = b.hex AND a.doc_id < b.doc_id
+        |ORDER BY i, j""".stripMargin,
     // MP4 box-tree walk vs the planted container algebra: duration,
     // track count, stsd fourccs in document order, first video track's
     // 16.16 tkhd dimensions
