@@ -274,6 +274,46 @@ object Multimodal {
       }
   }
 
+  final case class ImageProfile(doc_id: Long, width: Int, height: Int,
+                                dhash_hex: String)
+  implicit val imageProfileEnc: Encoder[ImageProfile] = Encoders.product[ImageProfile]
+
+  /** ONE decode pass producing everything the image curation funnel
+    * needs — dimensions (validity + size gates) and the perceptual
+    * fingerprint (dedup). Decoding twice for two operators is the
+    * kind of waste a 100 TB pass cannot afford; this is the fused
+    * form. Undecodable rows emit (-1, -1, ''). */
+  def imageProfile(df: DataFrame, idCol: String, binCol: String): Dataset[ImageProfile] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) ImageProfile(id, -1, -1, "")
+            else {
+              val g = resizeNearest(img, 9, 8)
+              var hash = 0L
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  if (g(j * 9 + i + 1) > g(j * 9 + i)) hash |= (1L << (j * 8 + i))
+                  i += 1
+                }
+                j += 1
+              }
+              ImageProfile(id, img.getWidth, img.getHeight, f"$hash%016x")
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => ImageProfile(id, -1, -1, "")
+          }
+        }
+      }
+  }
+
   // ---- EXIF-orientation-aware resize --------------------------------
 
   final case class OrientMeta(doc_id: Long, orientation: Int,

@@ -863,6 +863,27 @@ object ExtQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // The image-side curation funnel in one plan: single-decode
+    // profile pass (dims + fingerprint fused — decoding twice is the
+    // waste a 100 TB pass can't afford) → validity gate → minimum-size
+    // gate → perceptual keep-first dedup. Only (id, dims, 8-byte hash)
+    // rows reach the dedup window; payloads never shuffle.
+    "q_image_funnel" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("payload", Multimodal.syntheticImageCol(col("doc_id")))
+      val profiled = Multimodal.imageProfile(base, "doc_id", "payload").toDF()
+      val gated = profiled
+        .filter(col("width") > 0 && col("width") * col("height") >= 300)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash_hex")).orderBy(col("doc_id"))
+      gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("width"), col("height"), col("dhash_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MP4 container metadata — the third modality family: each doc
     // carries a real ISO BMFF box tree (ftyp + moov/mvhd/trak/tkhd/
     // mdia/stbl/stsd — MPEG-4 Part 12, public spec) with planted
@@ -1886,6 +1907,29 @@ object ExtQueries {
         |SELECT a.doc_id AS i, b.doc_id AS j
         |FROM h a JOIN h b ON a.hex = b.hex AND a.doc_id < b.doc_id
         |ORDER BY i, j""".stripMargin,
+    // image funnel: planted dims + the analytic dHash, size-gated,
+    // keep-first per fingerprint
+    "q_image_funnel" ->
+      """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 25 AS INT) AS w,
+        |                  CAST(8 + (doc_id * 7) % 25 AS INT) AS h FROM documents),
+        |g AS (SELECT doc_id, j, i,
+        |        ((i * w // 9) * 3 + (j * h // 8) * 5 + doc_id) % 256 AS p0,
+        |        (((i + 1) * w // 9) * 3 + (j * h // 8) * 5 + doc_id) % 256 AS p1
+        |      FROM d, unnest(range(0, 8)) AS u(j), unnest(range(0, 8)) AS v(i)),
+        |hl AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN p1 > p0 AND j*8 + i >= 32
+        |                      THEN (1::BIGINT << (j*8 + i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |        CAST(sum(CASE WHEN p1 > p0 AND j*8 + i < 32
+        |                      THEN (1::BIGINT << (j*8 + i)) ELSE 0 END) AS BIGINT) AS lo
+        |       FROM g GROUP BY 1),
+        |p AS (SELECT d.doc_id, d.w AS width, d.h AS height,
+        |        printf('%08x%08x', hi, lo) AS dhash_hex
+        |      FROM d JOIN hl USING (doc_id)
+        |      WHERE d.w * d.h >= 300),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY dhash_hex
+        |        ORDER BY doc_id) AS rn FROM p)
+        |SELECT doc_id, width, height, dhash_hex FROM k
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // MP4 box-tree walk vs the planted container algebra: duration,
     // track count, stsd fourccs in document order, first video track's
     // 16.16 tkhd dimensions
