@@ -659,6 +659,66 @@ object Multimodal {
       }
   }
 
+  // ---- audio perceptual fingerprint ----------------------------------
+
+  final case class AudioFp(doc_id: Long, afp_hex: String)
+  implicit val audioFpEnc: Encoder[AudioFp] = Encoders.product[AudioFp]
+
+  /** 32-bit energy-gradient fingerprint over the DECODED samples — the
+    * audio analogue of the image dHash (and the third leg of the
+    * perceptual-dedup family beside text SimHash): the clip splits
+    * into 33 index windows (window of sample k = k·33/n), each
+    * window's energy is the exact integer Σ s², and bit w is set iff
+    * window w+1 carries more energy than window w. Loudness scaling
+    * preserves energy ORDER, so re-gained copies collide; undecodable
+    * or non-PCM-16 input emits ''. Map-only. */
+  def audioFingerprint32(bytes: Array[Byte]): Option[Int] =
+    try {
+      val ais = sniffAudio(bytes)
+      try {
+        val f = ais.getFormat
+        if (!summarizableAudio(f)) None
+        else {
+          val data = ais.readAllBytes()
+          val bpf = f.getFrameSize
+          val n = data.length / bpf
+          if (n == 0) None
+          else {
+            val big = f.isBigEndian
+            val e = new Array[Long](33)
+            var k = 0
+            while (k < n) {
+              val off = k * bpf
+              val s =
+                if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toInt
+                else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toInt
+              e((k * 33 / n).toInt) += s.toLong * s
+              k += 1
+            }
+            var hash = 0
+            var w = 0
+            while (w < 32) {
+              if (e(w + 1) > e(w)) hash |= (1 << w)
+              w += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String): Dataset[AudioFp] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioFp(id, audioFingerprint32(bytes).map(h => f"$h%08x").getOrElse(""))
+        }
+      }
+  }
+
   // ---- frame sampling (pure column algebra, no codec) ----------------
 
   /** Video-style frame sampling over a binary payload: the column is

@@ -903,6 +903,21 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio perceptual fingerprint — the third leg of the perceptual
+    // family (text SimHash, image dHash): 32 energy-gradient bits over
+    // the REAL decoded PCM, window energies as exact integer Σ s².
+    // The oracle rebuilds every bit from the planted sample algebra —
+    // sign-extension, endianness, or window-boundary slips flip bits.
+    "q_audio_fingerprint" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id")) // codec work needs cluster width, as above
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("payload", Multimodal.syntheticWavCol(col("doc_id")))
+      Multimodal.audioFingerprint(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic sampling (reproducible across engines) -------
     // per-stratum keep-rates, map-only filter — no shuffle at any scale
     "q_sample_stratified" -> ((s, d) => {
@@ -1943,6 +1958,24 @@ object ExtQueries {
         |  CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
         |  CAST(240 + 16 * (doc_id % 5) AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // audio fingerprint: window of sample k is k*33//n, energies are
+    // exact integer sums of squares of the planted samples, bit w set
+    // iff e[w+1] > e[w]
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+        |s AS (SELECT doc_id, n, k,
+        |        ((doc_id * 31 + k * 17) % 4096) - 2048 AS v
+        |      FROM d, unnest(range(0, n)) AS u(k)),
+        |e AS (SELECT doc_id, (k * 33) // n AS w,
+        |        CAST(sum(v * v) AS BIGINT) AS energy
+        |      FROM s GROUP BY 1, 2),
+        |p AS (SELECT a.doc_id, a.w,
+        |        CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+        |      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |      WHERE a.w < 32)
+        |SELECT doc_id,
+        |  printf('%08x', CAST(sum(bit * (1::BIGINT << w)) AS BIGINT)) AS afp_hex
+        |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // deterministic sampling: md5 hex compared lexicographically — the
     // thresholds are Sampling.thresholdHex(rate) values verbatim
     "q_sample_stratified" ->
