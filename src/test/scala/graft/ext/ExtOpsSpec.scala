@@ -486,6 +486,30 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(Multimodal.dhash64("not an image".getBytes).isEmpty)
   }
 
+  test("audio fingerprint is loudness-invariant and content-sensitive") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { b.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); b.putInt(36 + samples.length * 2); tag("WAVE")
+      tag("fmt "); b.putInt(16); b.putShort(1); b.putShort(1)
+      b.putInt(8000); b.putInt(16000); b.putShort(2); b.putShort(16)
+      tag("data"); b.putInt(samples.length * 2)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    val base = Array.tabulate(200)(k => (((k * 37) % 1200) - 600).toShort)
+    val fp = Multimodal.audioFingerprint32(wav(base)).get
+    // ×2 gain scales every window energy ×4 — order, and the bits, hold
+    assert(Multimodal.audioFingerprint32(
+      wav(base.map(s => (s * 2).toShort))).get == fp)
+    // different content → different bits
+    assert(Multimodal.audioFingerprint32(
+      wav(base.reverse)).get != fp)
+    // junk degrades to None
+    assert(Multimodal.audioFingerprint32("not audio".getBytes).isEmpty)
+  }
+
   test("BPE trainer reproduces the classic merge sequence") {
     import spark.implicits._
     // Sennrich '16 running example: low×5, lower×2, newest×6, widest×3
