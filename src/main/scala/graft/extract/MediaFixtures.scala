@@ -127,6 +127,41 @@ object MediaFixtures {
     b.array()
   }
 
+  /** ID3v2.3 tag (planted Title/Artist/Album/Year, Latin-1 text frames)
+    * followed by 38 CBR MPEG-1 Layer III frames @128 kbps 44.1 kHz
+    * joint-stereo: frame length 144·128000/44100 = 417 bytes, duration
+    * 38·1152/44100 s → 992 ms by the parser's integer math. */
+  def mp3Small(): Array[Byte] = {
+    def textFrame(id: String, value: String): Array[Byte] = {
+      val body = 0.toByte +: value.getBytes("ISO-8859-1")
+      val sz = body.length
+      cat(id.getBytes("US-ASCII"),
+        Array(((sz >> 24) & 0xff).toByte, ((sz >> 16) & 0xff).toByte,
+          ((sz >> 8) & 0xff).toByte, (sz & 0xff).toByte),
+        Array[Byte](0, 0), body)
+    }
+    val frames = cat(textFrame("TIT2", "Graft Anthem"),
+      textFrame("TPE1", "The Graftones"),
+      textFrame("TALB", "Synthetic Sounds"),
+      textFrame("TYER", "2024"))
+    val ts = frames.length
+    val tag = cat("ID3".getBytes("US-ASCII"),
+      Array[Byte](3, 0, 0), // v2.3.0, no flags
+      Array(((ts >> 21) & 0x7f).toByte, ((ts >> 14) & 0x7f).toByte,
+        ((ts >> 7) & 0x7f).toByte, (ts & 0x7f).toByte), frames)
+    val frameLen = 144 * 128000 / 44100 // 417, no padding
+    val audio = Array.tabulate(38 * frameLen) { k =>
+      (k % frameLen) match {
+        case 0 => 0xff.toByte
+        case 1 => 0xfb.toByte // MPEG-1 Layer III, no CRC
+        case 2 => 0x90.toByte // bitrate idx 9 (128k), 44100, no padding
+        case 3 => 0x40.toByte // joint stereo
+        case j => ((j * 17 + k / frameLen) & 0xff).toByte
+      }
+    }
+    cat(tag, audio)
+  }
+
   /** Writes the media fixtures into `dir` for directory-ingest queries
     * (stale entries removed, atomic per-file writes — see
     * LegacyOffice.syncFixtureDir). clip.mp4 is the planted BMFF
@@ -137,5 +172,6 @@ object MediaFixtures {
       "chart.png" -> pngWithText(),
       "anim.gif" -> gifSmall(),
       "clip.mp4" -> Bmff.syntheticMp4(7L),
-      "tone.wav" -> wavSmall()))
+      "tone.wav" -> wavSmall(),
+      "song.mp3" -> mp3Small()))
 }

@@ -40,6 +40,7 @@ object Metadata {
       case MimeDetect.Tiff => tiffMeta(bytes)
       case MimeDetect.Mp4 | MimeDetect.Mp4Audio => mp4Meta(bytes)
       case MimeDetect.Wav  => wavMeta(bytes)
+      case MimeDetect.Mp3  => mp3Meta(bytes)
       case _               => Map.empty[String, String]
     }
     cap(base ++ specific, opts)
@@ -71,6 +72,127 @@ object Metadata {
         m += ("Duration-Ms" -> (len / block * 1000L / rate).toString)
       }
       i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    m.toMap
+  }
+
+  /** MPEG audio attributes: ID3v2.3/2.4 text frames (informal standard,
+    * id3.org — TIT2/TPE1/TALB/TYER/TDRC/TRCK) plus the first MPEG audio
+    * frame header's version/layer/bitrate/samplerate/channel-mode bits
+    * (ISO 11172-3 §2.4.1.3), and an exact duration from a full
+    * frame-by-frame walk (per-frame headers, so VBR is handled without
+    * trusting any single bitrate). */
+  private def mp3Meta(bytes: Array[Byte]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var audioStart = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val v2minor = bytes(3) & 0xff
+      // tag size is syncsafe (4×7 bits), excludes the 10-byte header
+      val tagSize = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val tagEnd = math.min(10 + tagSize, bytes.length)
+      audioStart = tagEnd
+      val frameKeys = Map("TIT2" -> "Title", "TPE1" -> "Artist",
+        "TALB" -> "Album", "TYER" -> "Year", "TDRC" -> "Year", "TRCK" -> "Track")
+      var i = 10
+      var done = false
+      while (!done && i + 10 <= tagEnd) {
+        val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (!id.forall(c => c.isLetterOrDigit && (c.isDigit || c.isUpper))) done = true
+        else {
+          // v2.4 frame sizes are syncsafe; v2.3's are plain big-endian
+          val sz =
+            if (v2minor >= 4) ((bytes(i + 4) & 0x7f) << 21) | ((bytes(i + 5) & 0x7f) << 14) |
+              ((bytes(i + 6) & 0x7f) << 7) | (bytes(i + 7) & 0x7f)
+            else ((bytes(i + 4) & 0xff) << 24) | ((bytes(i + 5) & 0xff) << 16) |
+              ((bytes(i + 6) & 0xff) << 8) | (bytes(i + 7) & 0xff)
+          val body = i + 10
+          if (sz <= 0 || body + sz > tagEnd) done = true
+          else {
+            frameKeys.get(id).foreach { key =>
+              // text frames: leading encoding byte (0=Latin-1, 1=UTF-16
+              // with BOM, 2=UTF-16BE, 3=UTF-8), then the value
+              val cs = (bytes(body) & 0xff) match {
+                case 1 => java.nio.charset.StandardCharsets.UTF_16
+                case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+                case 3 => java.nio.charset.StandardCharsets.UTF_8
+                case _ => java.nio.charset.StandardCharsets.ISO_8859_1
+              }
+              val v = new String(bytes, body + 1, sz - 1, cs)
+                .takeWhile(_ != '\u0000').trim
+              if (v.nonEmpty && !m.contains(key)) m += (key -> v)
+            }
+            i = body + sz
+          }
+        }
+      }
+    }
+    // first frame header → format attributes; then walk every frame for
+    // the sample-exact duration
+    val Bitrates = Map( // kbps; index 0 = "free", 15 = invalid
+      (1, 1) -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      (1, 2) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      (1, 3) -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+      (2, 1) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      (2, 2) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      (2, 3) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    val SampleRates = Map(1 -> Array(44100, 48000, 32000),
+      2 -> Array(22050, 24000, 16000), 25 -> Array(11025, 12000, 8000))
+    def frameAt(p: Int): Option[(Int, Int, Int, Int, Int, Int)] = {
+      if (p + 4 > bytes.length || (bytes(p) & 0xff) != 0xff ||
+          (bytes(p + 1) & 0xe0) != 0xe0) return None
+      val verBits = (bytes(p + 1) >> 3) & 3
+      val layerBits = (bytes(p + 1) >> 1) & 3
+      val brIdx = (bytes(p + 2) >> 4) & 15
+      val srIdx = (bytes(p + 2) >> 2) & 3
+      val pad = (bytes(p + 2) >> 1) & 1
+      val mode = (bytes(p + 3) >> 6) & 3
+      if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return None
+      val ver = verBits match { case 3 => 1; case 2 => 2; case _ => 25 } // 25 = "2.5"
+      val layer = 4 - layerBits
+      val br = Bitrates((math.min(ver, 2), layer))(brIdx) * 1000
+      val sr = SampleRates(ver)(srIdx)
+      val spf = (ver, layer) match {
+        case (_, 1) => 384
+        case (_, 2) => 1152
+        case (1, 3) => 1152
+        case _      => 576
+      }
+      val len =
+        if (layer == 1) (12 * br / sr + pad) * 4
+        else spf / 8 * br / sr + pad
+      if (len <= 4) None
+      else Some((ver, layer, br, sr, if (mode == 3) 1 else 2, len))
+    }
+    // locate the first valid frame at-or-after the tag (tolerate junk)
+    var p = audioStart
+    var first: Option[(Int, Int, Int, Int, Int, Int)] = None
+    while (first.isEmpty && p + 4 <= bytes.length && p < audioStart + 4096) {
+      first = frameAt(p)
+      if (first.isEmpty) p += 1
+    }
+    first.foreach { case (ver, layer, br, sr, ch, _) =>
+      m += ("MPEG-Version" -> (if (ver == 25) "2.5" else ver.toString))
+      m += ("Layer" -> layer.toString)
+      m += ("Bitrate" -> br.toString)
+      m += ("Sample-Rate" -> sr.toString)
+      m += ("Channels" -> ch.toString)
+      var samples = 0L
+      var q = p
+      var ok = true
+      while (ok) frameAt(q) match {
+        case Some((v2, l2, _, sr2, _, len)) if sr2 == sr =>
+          val spf = (v2, l2) match {
+            case (_, 1) => 384
+            case (_, 2) => 1152
+            case (1, 3) => 1152
+            case _      => 576
+          }
+          samples += spf; q += len
+        case _ => ok = false
+      }
+      m += ("Duration-Ms" -> (samples * 1000L / sr).toString)
     }
     m.toMap
   }

@@ -28,6 +28,7 @@ object MimeDetect {
   val Mp4  = "video/mp4"
   val Mp4Audio = "audio/mp4"
   val Wav  = "audio/vnd.wave"
+  val Mp3  = "audio/mpeg"
   val Odt  = "application/vnd.oasis.opendocument.text"
   val Ods  = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp  = "application/vnd.oasis.opendocument.presentation"
@@ -60,6 +61,18 @@ object MimeDetect {
     if (startsWith(bytes, "RIFF".getBytes) && bytes.length >= 12 &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
         bytes(11) == 'E') return Wav
+    // MPEG audio: an ID3v2 tag, or a bare Layer-III frame-sync whose
+    // header bits are all VALID (version/bitrate/samplerate not
+    // reserved). Layer III only on the bare path — a UTF-16LE BOM
+    // (FF FE) parses as a "valid" Layer-I header and must not match.
+    if (startsWith(bytes, "ID3".getBytes)) return Mp3
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xe0) == 0xe0 &&
+        ((bytes(1) >> 3) & 3) != 1 &&     // version not reserved
+        ((bytes(1) >> 1) & 3) == 1 &&     // layer III (= MP3)
+        ((bytes(2) >> 4) & 15) != 15 &&   // bitrate index not "bad"
+        ((bytes(2) >> 2) & 3) != 3)       // samplerate index not reserved
+      return Mp3
     val head = new String(bytes, 0, math.min(bytes.length, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (looksLikeEmail(head) ||

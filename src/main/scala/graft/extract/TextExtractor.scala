@@ -44,7 +44,7 @@ object TextExtractor {
           throw new IllegalArgumentException(s"unsupported container type $mime")
         case MimeDetect.Jpeg | MimeDetect.Png | MimeDetect.Gif |
              MimeDetect.Tiff | MimeDetect.Mp4 | MimeDetect.Mp4Audio |
-             MimeDetect.Wav =>
+             MimeDetect.Wav | MimeDetect.Mp3 =>
           "" // media carry no text body (Tika parity: empty text +
              // metadata attributes; ExtractMediaMetadata is the payload)
         case MimeDetect.OctetStream =>

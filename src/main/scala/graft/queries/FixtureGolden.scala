@@ -132,6 +132,17 @@ object FixtureGolden {
       ('clip.mp4', 'Image-Width', '432'),
       ('clip.mp4', 'Track-Count', '2'),
       ('photo.jpg', 'Content-Type', 'image/jpeg'),
+      ('song.mp3', 'Album', 'Synthetic Sounds'),
+      ('song.mp3', 'Artist', 'The Graftones'),
+      ('song.mp3', 'Bitrate', '128000'),
+      ('song.mp3', 'Channels', '2'),
+      ('song.mp3', 'Content-Type', 'audio/mpeg'),
+      ('song.mp3', 'Duration-Ms', '992'),
+      ('song.mp3', 'Layer', '3'),
+      ('song.mp3', 'MPEG-Version', '1'),
+      ('song.mp3', 'Sample-Rate', '44100'),
+      ('song.mp3', 'Title', 'Graft Anthem'),
+      ('song.mp3', 'Year', '2024'),
       ('photo.jpg', 'DateTime', '2024:05:06 07:08:09'),
       ('photo.jpg', 'DateTimeOriginal', '2024:05:06 07:08:01'),
       ('photo.jpg', 'Image-Height', '6'),

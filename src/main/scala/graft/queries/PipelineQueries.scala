@@ -143,7 +143,8 @@ object PipelineQueries {
             lit("^(Content-Type|Image-.*|Bit-Depth|Color-Type|Orientation|" +
               "Make|Model|DateTime|DateTimeOriginal|tEXt:.*|" +
               "Duration-Ms|Track-Count|Codecs|" +
-              "Channels|Sample-Rate|Bits-Per-Sample)$"),
+              "Channels|Sample-Rate|Bits-Per-Sample|" +
+              "Title|Artist|Album|Year|MPEG-Version|Layer|Bitrate)$"),
             lit(""))).as(Seq("key", "value")))
         .orderBy(col("filename"), col("key"))
     }),

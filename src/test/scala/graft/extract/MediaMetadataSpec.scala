@@ -58,6 +58,35 @@ class MediaMetadataSpec extends AnyFunSuite {
     assert(a("Bits-Per-Sample") == "16" && a("Duration-Ms") == "500")
   }
 
+  test("mp3: ID3v2.3 text frames, frame-header attributes, walked duration") {
+    val m = Metadata.extract(MediaFixtures.mp3Small(), "song.mp3")
+    assert(m("Content-Type") == MimeDetect.Mp3)
+    assert(m("Title") == "Graft Anthem" && m("Artist") == "The Graftones")
+    assert(m("Album") == "Synthetic Sounds" && m("Year") == "2024")
+    assert(m("MPEG-Version") == "1" && m("Layer") == "3")
+    assert(m("Bitrate") == "128000" && m("Sample-Rate") == "44100")
+    assert(m("Channels") == "2")
+    // 38 frames × 1152 samples / 44100 Hz = 992 ms (floor)
+    assert(m("Duration-Ms") == "992")
+    val r = TextExtractor.extract(MediaFixtures.mp3Small(), "song.mp3")
+    assert(r.error == null && r.origMimeType == MimeDetect.Mp3 && r.text == "")
+  }
+
+  test("mp3: bare Layer-III sync detected; UTF-16 BOM and junk are not") {
+    val fx = MediaFixtures.mp3Small()
+    val bare = fx.drop(fx.length - 38 * 417) // strip the ID3 tag
+    assert(bare(0) == 0xff.toByte)
+    assert(MimeDetect.detect(bare, "clip.mp3") == MimeDetect.Mp3)
+    val utf16 = Array(0xff, 0xfe, 'A', 0, 'B', 0).map(_.toByte)
+    assert(MimeDetect.detect(utf16, "note.txt") != MimeDetect.Mp3)
+    // truncated/corrupt tags must not throw — error-isolation contract
+    val fixture = MediaFixtures.mp3Small()
+    for (cut <- Seq(1, 3, 9, 11, 40, 117))
+      Metadata.extract(fixture.take(cut), "song.mp3")
+    val mangled = fixture.clone(); mangled(6) = 0x7f.toByte // huge tag size
+    Metadata.extract(mangled, "song.mp3")
+  }
+
   test("value-length and key-filter caps apply to image keys too") {
     val m = Metadata.extract(MediaFixtures.pngWithText(), "chart.png",
       Metadata.Options(maxValueLength = 4, keyFilter = Some("^tEXt:.*$"),
