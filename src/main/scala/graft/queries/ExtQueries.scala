@@ -1230,6 +1230,23 @@ object ExtQueries {
         .toDF()
         .orderBy(col("doc_id"), col("member_idx"))
     }),
+    // TAR shard ingestion (UnpackContent role): each doc packed as a
+    // 3-member ustar archive (same slice algebra as the gzip oracle),
+    // split back by a real header walk — octal fields, checksum
+    // verification, prefix join, zero-block termination. Every 101st
+    // doc's member 1 carries a damaged checksum digit: the walker must
+    // emit the error contract for THAT member and resync past it on
+    // the declared size (per-member isolation, not whole-stream loss).
+    // Map-only 1→N; the archive bytes never shuffle.
+    "q_tar_members" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("payload",
+          graft.ext.Tar.tarPlantedCol(col("text"), col("doc_id"), 3, 101))
+      graft.ext.Tar.memberMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
     // URL parsing over a planted URL (deterministic in source/lang/
     // doc_id): host via Spark's native parse_url, registered domain,
     // path depth, query detection — all column algebra, map-only. The
@@ -2196,6 +2213,30 @@ object ExtQueries {
         |  NOT corrupt AS ok,
         |  CASE WHEN corrupt THEN 0
         |       ELSE CAST(strlen(part) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN corrupt THEN '' ELSE md5(part) END AS text_md5
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+    // Same slice algebra as q_gzip_members plus the analytic name and
+    // mtime the planted archive wrote; a corrupt member surfaces the
+    // error contract while its neighbors stay intact (resync proof)
+    "q_tar_members" ->
+      """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+        |                  length(coalesce(text,'')) AS n
+        |           FROM documents),
+        |m AS (SELECT doc_id, i,
+        |        CASE WHEN i = 0 THEN substr(t, 1, n // 3)
+        |             WHEN i = 1 THEN substr(t, n // 3 + 1, n // 3)
+        |             ELSE substr(t, 2 * (n // 3) + 1) END AS part,
+        |        (doc_id % 101 = 0 AND i = 1) AS corrupt
+        |      FROM d, (SELECT unnest(range(3)) AS i))
+        |SELECT doc_id, CAST(i AS INT) AS member_idx,
+        |  CASE WHEN corrupt THEN ''
+        |       ELSE 'doc' || CAST(doc_id AS VARCHAR) || '/part' ||
+        |            CAST(i AS VARCHAR) || '.txt' END AS name,
+        |  NOT corrupt AS ok,
+        |  CASE WHEN corrupt THEN 0
+        |       ELSE CAST(strlen(part) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN corrupt THEN 0
+        |       ELSE 1700000000 + doc_id END AS mtime,
         |  CASE WHEN corrupt THEN '' ELSE md5(part) END AS text_md5
         |FROM m ORDER BY doc_id, member_idx""".stripMargin,
     // Analytic mirror of Urls.plantedUrlCol: every field is a pure
