@@ -56,7 +56,11 @@ object Bpe {
       var round = 0
       var exhausted = false
       while (round < k && !exhausted) {
+        // single-symbol words have no pairs — and MUST be excluded
+        // before the explode: sequence(0, size-2) on size=1 is the
+        // DESCENDING [0,-1], whose element_at(syms, i+2) throws
         val top = words
+          .filter(size(col("syms")) >= 2)
           .select(col("wc"), explode(
             transform(sequence(lit(0), size(col("syms")) - 2),
               i => struct(element_at(col("syms"), i + 1).as("l"),
@@ -89,5 +93,50 @@ object Bpe {
       }
     } finally { words.unpersist(); () }
     merges.toList
+  }
+
+  /** Greedy left-to-right application of one merge to a symbol array —
+    * the exact scan [[trainMerges]] uses (merge, skip 2; else skip 1),
+    * so `a a a a a a` under merge (a,a) becomes `aa aa aa`, never
+    * `aa a aa a`. */
+  private def applyOne(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Tokenize with `k` trained merges and emit per-document token
+    * counts — the "apply the tokenizer" half of BPE, paired with
+    * [[trainMerges]]. Returns (id, n_words, n_tokens).
+    *
+    * Scale shape: the merge table is k rows of driver-held model
+    * metadata (like the IVF centroids); tokenization runs ONCE per
+    * DISTINCT word (map-only over the distinct-word relation, merges
+    * captured in the closure) and fans back to documents through a
+    * join on the word — shuffles bounded by distinct-word cardinality
+    * and the corpus word relation, never by re-tokenizing duplicate
+    * words. */
+  def encode(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val merges: Seq[(String, String)] =
+      trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }
+    val tokCount = udf { (w: String) =>
+      var syms: Array[String] = w.map(_.toString).toArray
+      merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
+      syms.length
+    }
+    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val distinctToks = words.select(col("w")).distinct()
+      .withColumn("n_tok", tokCount(col("w")))
+    val perDoc = words.join(distinctToks, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0, Seq("n_words", "n_tokens"))
   }
 }

@@ -1491,6 +1491,19 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // BPE applied: train 6 merges (k driver-held model rows, like the
+    // IVF centroids), tokenize each DISTINCT word once (map-only,
+    // merges in the closure), fan back to documents through the word
+    // join — per-doc subword token counts, the number every packing/
+    // budget decision downstream consumes. The oracle replays all six
+    // training rounds AND the greedy merge application in SQL over a
+    // bracketed ⟨STX⟩sym⟨ETX⟩ representation (each symbol carries its
+    // own delimiter pair, so literal left-to-right replace is exactly
+    // the trainer's merge-skip-2 scan, including `a a a a` → `aa aa`).
+    "q_bpe_encode" -> ((s, d) =>
+      graft.ext.Bpe.encode(Tables.documents(s, d), "doc_id", "text", 6)
+        .orderBy(col("doc_id"))),
+
     // curation funnel v3 — the full leakage-hygiene pipeline in ONE
     // plan: normalize → canonical dedup → quality gate (map-only,
     // fuses into the scan) → exact 3-gram contamination screen (bench
@@ -1557,6 +1570,50 @@ object ExtQueries {
   /** 12 hours in epoch micros — both the q_range_join window span and
     * its bucket width (span == width keeps interval replication ≤ 2×). */
   private val RangeJoinWindowUs = 12L * 60 * 60 * 1000 * 1000
+
+  /** Unrolled k-round BPE train+encode oracle. Each round recomputes
+    * weighted pair counts over the current symbolization, takes the
+    * SAME (cnt DESC, l, r) argmax as `Bpe.trainMerges`, and applies
+    * the merge by literal `replace` over a bracketed ⟨STX⟩sym⟨ETX⟩
+    * string: every symbol carries its own delimiter pair, so adjacent
+    * merges share no characters and non-overlapping left-to-right
+    * replace is exactly the trainer's greedy merge-skip-2 scan.
+    * Tokens per word = the surviving ⟨STX⟩ count. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (SELECT w, count(*) AS wc,
+        |    regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w)""".stripMargin)
+    for (t <- 1 to k) {
+      val p = t - 1
+      sb.append(s""",
+        |p$t AS (SELECT l, r, sum(wc) AS cnt FROM (
+        |    SELECT wc, syms[i] AS l, syms[i + 1] AS r
+        |    FROM (SELECT wc, string_split(substr(s, 2, strlen(s) - 2),
+        |                                  chr(3) || chr(2)) AS syms
+        |          FROM w$p) q,
+        |         unnest(generate_series(1, len(syms) - 1)) AS u(i)
+        |  ) GROUP BY l, r),
+        |m$t AS (SELECT l, r FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+        |w$t AS (SELECT w, wc, replace(s,
+        |    coalesce(chr(2) || (SELECT l || chr(3) || chr(2) || r FROM m$t) || chr(3), chr(1)),
+        |    coalesce(chr(2) || (SELECT l || r FROM m$t) || chr(3), chr(1))) AS s
+        |  FROM w$p)""".stripMargin)
+    }
+    sb.append(s""",
+      |tok AS (SELECT w, strlen(s) - strlen(replace(s, chr(2), '')) AS n_tok FROM w$k),
+      |wpd AS (SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |agg AS (SELECT doc_id, count(*) AS n_words, sum(n_tok) AS n_tokens
+      |        FROM wpd JOIN tok USING (w) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+      |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -2492,6 +2549,7 @@ object ExtQueries {
         |      WHERE len(w) >= 2)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeOracle(6),
     // v3 funnel: every stage's verified CTE mirror chained — normalize,
     // keep-first dedup, quality gate, exact 3-gram screen (integer
     // compare), all-pairs cross jaccard ≥ 0.8 (the LSH recall contract

@@ -523,6 +523,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(merges == Seq((0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L)))
   }
 
+  test("BPE encode: trained merges give per-doc subword token counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")),
+      (2L, "")).toDF("doc_id", "text")
+    // merges (e,s),(es,t),(l,o): low→[lo,w]=2, lower→4, newest→[n,e,w,est]=4,
+    // widest→4 ⇒ 5·2+2·4+6·4+3·4 = 54 tokens over 16 words
+    val got = graft.ext.Bpe.encode(corpus, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.sameElements(Array((1L, 16L, 54L), (2L, 0L, 0L))))
+  }
+
+  test("BPE encode merges runs greedily left-to-right: aaaa → [aa,aa]") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = graft.ext.Bpe.encode(corpus, "doc_id", "text", 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.sameElements(Array((1L, 1L, 2L))))
+  }
+
   test("quality score stays in [0,1]") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bad = docs.select(TextStats.qualityCol(col("text")).as("q"))
