@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain.build(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => UnicodeNormalize.fromExprs(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("token_set_count"),
       new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
       (exprs: Seq[Expression]) => exprs(1) match {

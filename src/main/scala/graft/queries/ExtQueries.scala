@@ -1504,6 +1504,23 @@ object ExtQueries {
       graft.ext.Bpe.encode(Tables.documents(s, d), "doc_id", "text", 6)
         .orderBy(col("doc_id"))),
 
+    // Unicode NFC canonicalization (UAX #15) — the ingestion-time
+    // cleanup that makes byte-level dedup see precomposed (é) and
+    // decomposed (e+U+0301) spellings as ONE document. The planted
+    // suffix mixes three decomposed sequences with a precomposed é;
+    // the codegen'd UnicodeNormalize expression must compose exactly
+    // the three (n_composed counts them via the char-length delta).
+    // Map-only; the ASCII fast path never copies (isNormalized probe).
+    "q_normalize_text" -> ((s, d) => {
+      val planted = concat(substring(col("text"), 1, 64),
+        lit(" e\u0301 A\u030A \u00E9 n\u0303"))
+      val norm = graft.functions.UnicodeNormalize.nfc(planted)
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm_text"),
+          (length(planted) - length(norm)).cast("int").as("n_composed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // curation funnel v3 — the full leakage-hygiene pipeline in ONE
     // plan: normalize → canonical dedup → quality gate (map-only,
     // fuses into the scan) → exact 3-gram contamination screen (bench
@@ -2550,6 +2567,17 @@ object ExtQueries {
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
+    // DuckDB's utf8proc NFC vs the JDK Normalizer — both implement
+    // UAX #15 canonical composition, so the planted sequences must
+    // agree byte-for-byte (chr(769)=U+0301, 778=U+030A, 771=U+0303)
+    "q_normalize_text" ->
+      """WITH p AS (SELECT doc_id,
+        |    substr(text, 1, 64) || ' e' || chr(769) || ' A' || chr(778) ||
+        |    ' ' || chr(233) || ' n' || chr(771) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |  CAST(length(raw) - length(nfc_normalize(raw)) AS INT) AS n_composed
+        |FROM p ORDER BY doc_id""".stripMargin,
     // v3 funnel: every stage's verified CTE mirror chained — normalize,
     // keep-first dedup, quality gate, exact 3-gram screen (integer
     // compare), all-pairs cross jaccard ≥ 0.8 (the LSH recall contract

@@ -39,6 +39,9 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT token_set_count('the cat and the dog', 'the,and') AS c")
         .head().getInt(0)
       assert(tsc == 3)
+      val nfc = spark.sql(
+        "SELECT unicode_normalize('e\u0301', 'NFC') AS n").head().getString(0)
+      assert(nfc == "\u00E9")
       // bloom_might_contain over a real serialized sketch: member keys
       // hit (no false negatives), a clear non-member misses
       val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
