@@ -47,4 +47,36 @@ object Chunking {
         size(chunk).as("chunk_tokens"),
         md5(array_join(chunk, " ")).as("chunk_md5"))
   }
+
+  /** Content-defined chunking (LBFS/FastCDC family): boundaries from
+    * [[graft.functions.CdcBoundaries]]' window-hash condition, so an
+    * edit reshapes only the chunk it lands in — every later chunk
+    * keeps its hash identity, which is what makes chunk-level dedup
+    * survive drift (fixed windows lose all alignment after one
+    * inserted byte).
+    *
+    * Emits (idCol, chunk_idx, start, len, chunk_md5); `start` is
+    * 1-based, chunks tile the document exactly. Empty documents emit
+    * no rows. Same scale shape as [[slidingChunks]]: one codegen'd
+    * boundary pass + column algebra, narrow, no shuffle. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col("__t"))
+    val lastB = when(size(col("__b")) === 0, lit(0))
+      .otherwise(element_at(col("__b"), size(col("__b"))))
+    // append the document end as a final boundary unless one landed there
+    df.select(col(idCol), col(textCol).as("__t"),
+        graft.functions.CdcBoundaries.cdc_boundaries(col(textCol)).as("__b"))
+      .withColumn("__ends",
+        when(n === 0, array().cast("array<int>"))
+          .otherwise(when(lastB < n, concat(col("__b"), array(n.cast("int"))))
+            .otherwise(col("__b"))))
+      .select(col(idCol), col("__t"), col("__ends"))
+      .select(col(idCol), col("__t"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("chunk_idx", "e")))
+      .withColumn("s", when(col("chunk_idx") === 0, lit(0))
+        .otherwise(element_at(col("__ends"), col("chunk_idx"))))
+      .select(col(idCol), col("chunk_idx"),
+        (col("s") + 1).as("start"), (col("e") - col("s")).as("len"),
+        md5(col("__t").substr(col("s") + 1, col("e") - col("s"))).as("chunk_md5"))
+  }
 }

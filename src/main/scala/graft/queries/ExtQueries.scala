@@ -1504,6 +1504,18 @@ object ExtQueries {
       graft.ext.Bpe.encode(Tables.documents(s, d), "doc_id", "text", 6)
         .orderBy(col("doc_id"))),
 
+    // Content-defined chunking (LBFS '01 / FastCDC): boundaries where
+    // the 8-byte window's polynomial hash satisfies h % 64 == 0, so an
+    // edit reshapes only the chunk it lands in and every later chunk
+    // keeps its md5 identity — the property chunk-level dedup needs to
+    // survive drift, which fixed windows (q_chunk_docs) cannot give.
+    // One codegen'd boundary pass + column algebra; narrow, no shuffle.
+    // The oracle replays every window hash in SQL (exact small-field
+    // integer math, products ≤ 2^41 — no overflow on either engine).
+    "q_chunk_cdc" -> ((s, d) =>
+      graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Unicode NFC canonicalization (UAX #15) — the ingestion-time
     // cleanup that makes byte-level dedup see precomposed (é) and
     // decomposed (e+U+0301) spellings as ONE document. The planted
@@ -1630,6 +1642,39 @@ object ExtQueries {
       |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
     sb.toString
+  }
+
+  /** Analytic CDC oracle: recompute every 8-byte window hash with the
+    * SAME base-power coefficients as `CdcBoundaries.Pow`, mark
+    * positions where `h % M % Mask == 0`, and rebuild the chunk
+    * segments with lag() plus a per-doc tail. ASCII corpus ⇒ byte
+    * positions and char positions coincide on both engines. */
+  private def cdcOracle: String = {
+    import graft.functions.CdcBoundaries.{M, Mask, Pow, W}
+    val terms = (0 until W)
+      .map(j => s"CAST(ord(substr(t, i - $j, 1)) AS BIGINT) * ${Pow(j)}")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+       |            strlen(coalesce(text, '')) AS n FROM documents),
+       |b AS (SELECT doc_id, i FROM d,
+       |        unnest(generate_series($W, n)) AS u(i)
+       |      WHERE ($terms) % $M % $Mask = 0),
+       |mb AS (SELECT doc_id, max(i) AS mx FROM b GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+       |    i AS e
+       |  FROM b
+       |  UNION ALL
+       |  SELECT d.doc_id, coalesce(mb.mx, 0) AS s, d.n AS e
+       |  FROM d LEFT JOIN mb USING (doc_id) WHERE coalesce(mb.mx, 0) < d.n)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+       |       AS INT) AS chunk_idx,
+       |  CAST(s + 1 AS INT) AS "start", CAST(e - s AS INT) AS "len",
+       |  md5(substr(t, s + 1, e - s)) AS chunk_md5
+       |FROM segs JOIN d USING (doc_id)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2567,6 +2612,7 @@ object ExtQueries {
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
+    "q_chunk_cdc" -> cdcOracle,
     // DuckDB's utf8proc NFC vs the JDK Normalizer — both implement
     // UAX #15 canonical composition, so the planted sequences must
     // agree byte-for-byte (chr(769)=U+0301, 778=U+030A, 771=U+0303)

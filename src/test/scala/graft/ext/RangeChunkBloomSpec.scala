@@ -136,10 +136,53 @@ class RangeChunkBloomSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunks tile the document and boundaries are content-local") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, ""), (3L, "short")).toDF("doc_id", "text")
+    val got = Chunking.cdcChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "start", "len", "chunk_md5")
+      .as[(Long, Int, Int, Int, String)].collect().groupBy(_._1)
+    // tiling: chunks are contiguous, 1-based, and cover [1, n] exactly
+    val c1 = got(1L).sortBy(_._2)
+    assert(c1.head._3 == 1)
+    c1.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + a._4, s"gap at ${b._2}")
+      case _ =>
+    }
+    assert(c1.last._3 + c1.last._4 - 1 == base.length)
+    // chunk md5 really is the slice md5
+    c1.foreach { case (_, idx, s, l, h) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(base.substring(s - 1, s - 1 + l).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(h == md, s"chunk $idx")
+    }
+    // empty doc emits nothing; sub-window doc is one whole-doc chunk
+    assert(!got.contains(2L))
+    assert(got(3L).toSeq == Seq((3L, 0, 1, 5, got(3L).head._5)))
+  }
+
+  test("CDC boundary identity survives a prefix edit (the dedup property)") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = "INSERTED " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val md5s = Chunking.cdcChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_md5").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // all but the first chunk of the original survive the edit verbatim
+    val shared = md5s(1L).intersect(md5s(2L))
+    assert(shared.size >= md5s(1L).size - 1,
+      s"expected all later chunks stable, shared=${shared.size}/${md5s(1L).size}")
+  }
+
   test("chunking plans with no shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = planOf(Chunking.slidingChunks(docs, "doc_id", "text", 64, 16))
     assert(!plan.contains("Exchange"), plan)
+    val cdcPlan = planOf(Chunking.cdcChunks(docs, "doc_id", "text"))
+    assert(!cdcPlan.contains("Exchange"), cdcPlan)
   }
 
   // ---- Bloom ---------------------------------------------------------
