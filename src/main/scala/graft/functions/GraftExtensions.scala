@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (exprs: Seq[Expression]) => UnicodeNormalize.fromExprs(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      (exprs: Seq[Expression]) => FixMojibake(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("token_set_count"),
       new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
       (exprs: Seq[Expression]) => exprs(1) match {

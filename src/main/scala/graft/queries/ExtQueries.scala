@@ -1516,6 +1516,25 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Mojibake repair (ftfy's core fix): double-encoded UTF-8 — text
+    // whose bytes were misread as Latin-1 and re-encoded, é → Ã© —
+    // re-decoded IFF the Latin-1 bytes are themselves valid UTF-8 (the
+    // double-encoding signature); genuine Latin-1 and clean rows pass
+    // through untouched. Every third doc gets a planted mojibake
+    // suffix; the oracle states the REPAIRED text analytically, so
+    // only a correct re-decode (and a correct no-op on clean rows)
+    // matches. Map-only codegen'd expression, ASCII fast path.
+    "q_fix_mojibake" -> ((s, d) => {
+      val planted = concat(substring(col("text"), 1, 48),
+        when(col("doc_id") % 3 === 0,
+          lit(" caf\u00C3\u00A9 n\u00C2\u00B07")).otherwise(lit(" ok")))
+      val fixed = graft.functions.FixMojibake.fix_mojibake(planted)
+      Tables.documents(s, d)
+        .select(col("doc_id"), fixed.as("fixed_text"),
+          (fixed =!= planted).as("was_broken"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC canonicalization (UAX #15) — the ingestion-time
     // cleanup that makes byte-level dedup see precomposed (é) and
     // decomposed (e+U+0301) spellings as ONE document. The planted
@@ -2613,6 +2632,17 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // the repaired text stated analytically: chr(195)||chr(169) (the
+    // planted Ã©) must come back as chr(233) é, chr(194)||chr(176) as
+    // chr(176) °, and clean rows byte-identical
+    "q_fix_mojibake" ->
+      """SELECT doc_id,
+        |  substr(text, 1, 48) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' caf' || chr(233) || ' n' || chr(176) || '7'
+        |         ELSE ' ok' END AS fixed_text,
+        |  (doc_id % 3 = 0) AS was_broken
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // DuckDB's utf8proc NFC vs the JDK Normalizer — both implement
     // UAX #15 canonical composition, so the planted sequences must
     // agree byte-for-byte (chr(769)=U+0301, 778=U+030A, 771=U+0303)

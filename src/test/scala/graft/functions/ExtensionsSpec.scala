@@ -42,6 +42,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val nfc = spark.sql(
         "SELECT unicode_normalize('e\u0301', 'NFC') AS n").head().getString(0)
       assert(nfc == "\u00E9")
+      val moj = spark.sql(
+        "SELECT fix_mojibake('caf\u00C3\u00A9') AS f").head().getString(0)
+      assert(moj == "caf\u00E9")
       // bloom_might_contain over a real serialized sketch: member keys
       // hit (no false negatives), a clear non-member misses
       val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
