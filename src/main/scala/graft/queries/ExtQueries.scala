@@ -1230,6 +1230,23 @@ object ExtQueries {
         .toDF()
         .orderBy(col("doc_id"), col("member_idx"))
     }),
+    // ZIP shard ingestion: the walker parses LOCAL HEADERS directly
+    // (APPNOTE.TXT) instead of ZipInputStream, because the JDK stream
+    // aborts the archive at the first damaged member while the
+    // header's csize lets us CRC-verify each member ourselves, emit
+    // the error contract for that one, and resync at the next header.
+    // Every 101st doc's member 1 has a byte flipped inside its deflate
+    // data — that member fails, its neighbors survive. Map-only 1→N.
+    "q_zip_members" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("payload",
+          graft.ext.Zip.zipPlantedCol(col("text"), col("doc_id"), 3, 101))
+      graft.ext.Zip.memberMeta(withBin, "doc_id", "payload")
+        .toDF()
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
     // TAR shard ingestion (UnpackContent role): each doc packed as a
     // 3-member ustar archive (same slice algebra as the gzip oracle),
     // split back by a real header walk — octal fields, checksum
@@ -2348,6 +2365,29 @@ object ExtQueries {
         |        (doc_id % 101 = 0 AND i = 1) AS corrupt
         |      FROM d, (SELECT unnest(range(3)) AS i))
         |SELECT doc_id, CAST(i AS INT) AS member_idx,
+        |  NOT corrupt AS ok,
+        |  CASE WHEN corrupt THEN 0
+        |       ELSE CAST(strlen(part) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN corrupt THEN '' ELSE md5(part) END AS text_md5
+        |FROM m ORDER BY doc_id, member_idx""".stripMargin,
+    // Same slice algebra as q_gzip_members plus the analytic member
+    // name; only a genuine deflate→inflate round trip with CRC verify
+    // can reproduce the clean members, and the damaged member must
+    // surface the error contract without losing its neighbors
+    "q_zip_members" ->
+      """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+        |                  length(coalesce(text,'')) AS n
+        |           FROM documents),
+        |m AS (SELECT doc_id, i,
+        |        CASE WHEN i = 0 THEN substr(t, 1, n // 3)
+        |             WHEN i = 1 THEN substr(t, n // 3 + 1, n // 3)
+        |             ELSE substr(t, 2 * (n // 3) + 1) END AS part,
+        |        (doc_id % 101 = 0 AND i = 1) AS corrupt
+        |      FROM d, (SELECT unnest(range(3)) AS i))
+        |SELECT doc_id, CAST(i AS INT) AS member_idx,
+        |  CASE WHEN corrupt THEN ''
+        |       ELSE 'doc' || CAST(doc_id AS VARCHAR) || '/part' ||
+        |            CAST(i AS VARCHAR) || '.txt' END AS name,
         |  NOT corrupt AS ok,
         |  CASE WHEN corrupt THEN 0
         |       ELSE CAST(strlen(part) AS BIGINT) END AS n_bytes,
