@@ -41,6 +41,40 @@ object Contamination {
         (col("n_hit") * 100 >= col("n_sh") * threshPct).as("contaminated"))
   }
 
+  /** STATELESS form of [[screen]] for streaming candidates: the
+    * benchmark's gram hashes are collected once to a sorted array
+    * (driver-held model data, the same "benchmark is tiny next to the
+    * corpus" premise the broadcast join rests on) and membership runs
+    * as a binary search inside one map-only pass — no stream-side
+    * join, no aggregation state, so the query runs in Append mode
+    * with zero state store and ANY micro-batch split emits identical
+    * rows. Same output contract as [[screen]] (gram construction and
+    * hashes shared via Dedup, so the two forms cannot drift). */
+  def screenStateless(candidates: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String, n: Int = 3,
+                      threshPct: Int = 10): DataFrame = {
+    val spark = candidates.sparkSession
+    val benchArr: Array[Long] = Dedup.hashedShingleSet(benchmark, textCol, n)
+      .orderBy(col("g")).collect().map(_.getLong(0))
+    val bc = spark.sparkContext.broadcast(benchArr)
+    val hitCount = udf { (grams: Seq[Long]) =>
+      val arr = bc.value
+      var h = 0L
+      grams.foreach(g => if (java.util.Arrays.binarySearch(arr, g) >= 0) h += 1)
+      h
+    }
+    val toks = split(col(textCol), " ")
+    val grams = array_distinct(transform(Dedup.gramStartIdx(toks, n),
+      i => xxhash64(Dedup.gramAt(toks, i, n))))
+    candidates
+      .select(col(idCol).as("id"), grams.as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col("id"), size(col("__g")).cast("long").as("n_sh"),
+        hitCount(col("__g")).as("n_hit"))
+      .select(col("id"), col("n_sh"), col("n_hit"),
+        (col("n_hit") * 100 >= col("n_sh") * threshPct).as("contaminated"))
+  }
+
   /** Decontamination by EXCISION: instead of flagging whole documents,
     * REMOVE every token that participates in any n-gram shared with
     * the benchmark — the surgical form used when dropping the document

@@ -365,10 +365,53 @@ object StreamQueries {
         .select(col("fp"), col("quality"))
       StreamPipeline.runAppendToMemory(s, sampled, s"funnel_${d.hashCode.abs}")
         .orderBy(col("fp"))
+    }),
+
+    // streaming decontamination: the exact-gram screen over a LIVE
+    // candidate stream, in Append mode with ZERO state — benchmark
+    // grams are driver-collected once into a sorted array
+    // (Contamination.screenStateless) and membership is a binary
+    // search inside the map pass, so no stream-side join or
+    // aggregation state exists and any micro-batch split emits
+    // identical rows. Two source files + maxFilesPerTrigger=1 force
+    // two REAL batches; the oracle is the batch screen's own SQL
+    // (stream/batch unification, hash-checkable).
+    "q_stream_decontaminate" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val p = freshScratchDir(d, "decon")
+      java.nio.file.Files.createDirectories(p)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      val cand = docs.filter(col("source") =!= "src0")
+      Seq(0, 1).foreach { par =>
+        val build = p.resolve(s"build_$par")
+        cand.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles)
+          .getOrElse(Array.empty[java.io.File])
+          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, p.resolve(s"$par.parquet"))
+        deleteRec(build.toFile)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val screened = graft.ext.Contamination.screenStateless(
+        stream, docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, threshPct = 10)
+      StreamPipeline.runAppendToMemory(s, screened, s"decon_${d.hashCode.abs}")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the batch screen's own oracle — streaming and batch must agree
+    // on bounded input (unification), and the stateless form makes
+    // the agreement exact under any micro-batch split
+    "q_stream_decontaminate" -> ExtQueries.oracleSql("q_contamination"),
     // maintained-index recall is structural (copy ≡ original ⇒ same
     // cell, cosine 1.0): top-1 of every query is its ingested copy
     "q_stream_ann_ingest" ->
