@@ -59,6 +59,15 @@ object UnicodeNormalize {
   def nfd(c: Column): Column = build(c, "NFD")
   def nfkc(c: Column): Column = build(c, "NFKC")
 
+  /** Accent folding: decompose canonically, then drop every combining
+    * mark (Unicode category Mn) — é→e, Å→A, ñ→n — the search-index
+    * normalization that lets "resume" match "résumé". Composed from
+    * the codegen'd NFD pass and Spark's native regexp (both stay in
+    * whole-stage codegen); precomposed and decomposed spellings fold
+    * identically by construction. */
+  def asciiFold(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(nfd(c), "\\p{Mn}", "")
+
   def build(c: Column, form: String): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), form))
 

@@ -1533,6 +1533,20 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Accent folding (NFD + strip combining marks): the search-side
+    // normalization that merges "résumé"/"resume". The planted suffix
+    // mixes PRECOMPOSED accented chars with a DECOMPOSED one — both
+    // spellings must fold to the same bare ASCII, which the oracle
+    // states analytically.
+    "q_ascii_fold" -> ((s, d) => {
+      val planted = concat(substring(col("text"), 1, 56),
+        lit(" \u00E9\u00C5\u00F1\u00FC\u00E7 e\u0301 fin"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.UnicodeNormalize.asciiFold(planted).as("folded_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mojibake repair (ftfy's core fix): double-encoded UTF-8 — text
     // whose bytes were misread as Latin-1 and re-encoded, é → Ã© —
     // re-decoded IFF the Latin-1 bytes are themselves valid UTF-8 (the
@@ -2672,6 +2686,12 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // the folded text stated analytically: precomposed éÅñüç and the
+    // decomposed e+U+0301 all land on bare ASCII
+    "q_ascii_fold" ->
+      """SELECT doc_id,
+        |  substr(text, 1, 56) || ' eAnuc e fin' AS folded_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the repaired text stated analytically: chr(195)||chr(169) (the
     // planted Ã©) must come back as chr(233) é, chr(194)||chr(176) as
     // chr(176) °, and clean rows byte-identical

@@ -47,6 +47,18 @@ class UnicodeNormalizeSpec extends AnyFunSuite {
       Some("ascii"), None))
   }
 
+  test("asciiFold merges precomposed and decomposed spellings to bare ASCII") {
+    import spark.implicits._
+    val df = Seq(
+      ("résumé", "resume"),          // precomposed
+      ("résumé", "resume"),        // decomposed — same fold
+      ("Ångström", "Angstrom"),
+      ("ascii only", "ascii only")).toDF("t", "want")
+    val wrong = df.select(UnicodeNormalize.asciiFold(col("t")).as("got"), col("want"))
+      .filter(col("got") =!= col("want")).collect()
+    assert(wrong.isEmpty, wrong.mkString(", "))
+  }
+
   test("a bad form name fails at analysis, not per row") {
     intercept[IllegalArgumentException] {
       UnicodeNormalize(
