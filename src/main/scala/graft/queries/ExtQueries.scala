@@ -1533,6 +1533,30 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // The ingestion-HYGIENE funnel: the round's cleanup operators
+    // composed in ONE plan — mojibake repair → NFC composition →
+    // accent-fold + case/punctuation normalize as the DEDUP KEY →
+    // keep-first — while the OUTPUT keeps the repaired, composed text
+    // (so the oracle pins fix+NFC byte-for-byte, not just the key).
+    // Every third doc carries planted mojibake, the rest a decomposed
+    // sequence; dedup is accent-/case-insensitive (résumé == resume).
+    // One shuffle total (the keep-first window); everything upstream
+    // is map-only codegen.
+    "q_hygiene_funnel" -> ((s, d) => {
+      val raw = concat(substring(col("text"), 1, 80),
+        when(col("doc_id") % 3 === 0, lit(" caf\u00C3\u00A9"))
+          .otherwise(lit(" e\u0301nd ok")))
+      val clean = graft.functions.UnicodeNormalize.nfc(
+        graft.functions.FixMojibake.fix_mojibake(raw))
+      val key = TextStats.normalizeCol(
+        graft.functions.UnicodeNormalize.asciiFold(clean))
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), clean.as("clean_text"), key.as("__k"))
+      Dedup.exactKeepFirst(staged, "doc_id", "__k")
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Accent folding (NFD + strip combining marks): the search-side
     // normalization that merges "résumé"/"resume". The planted suffix
     // mixes PRECOMPOSED accented chars with a DECOMPOSED one — both
@@ -2686,6 +2710,24 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // hygiene funnel: the repaired+composed text AND the
+    // accent-insensitive dedup key both stated analytically, then the
+    // same keep-first window
+    "q_hygiene_funnel" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    substr(text, 1, 80) || CASE WHEN doc_id % 3 = 0
+         |      THEN ' caf' || chr(233)
+         |      ELSE ' ' || chr(233) || 'nd ok' END AS clean_text,
+         |    substr(text, 1, 80) || CASE WHEN doc_id % 3 = 0
+         |      THEN ' cafe' ELSE ' end ok' END AS folded
+         |  FROM documents),
+         |k AS (SELECT doc_id, clean_text,
+         |        ${TextStats.normalizeSql("folded")} AS key FROM c),
+         |r AS (SELECT doc_id, clean_text,
+         |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+         |      FROM k)
+         |SELECT doc_id, clean_text FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     // the folded text stated analytically: precomposed éÅñüç and the
     // decomposed e+U+0301 all land on bare ASCII
     "q_ascii_fold" ->
