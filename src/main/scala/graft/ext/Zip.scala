@@ -46,10 +46,11 @@ object Zip {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
-  /** Deflate (raw, max compression for determinism of SIZE bounds —
-    * the oracle only depends on decoded bytes, not compressed ones). */
+  /** Raw deflate at BEST_SPEED: the oracle depends only on the decoded
+    * bytes, so compression ratio buys nothing here — and the planted
+    * builder runs once per member per row. */
   private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    val d = new Deflater(Deflater.BEST_SPEED, true)
     try {
       d.setInput(data); d.finish()
       val out = new ByteArrayOutputStream(data.length / 2 + 32)

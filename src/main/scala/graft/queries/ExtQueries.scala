@@ -1533,6 +1533,49 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Chunk-level dedup — CDC's payoff: the SAME ~360-char boilerplate
+    // is appended to every document at a DIFFERENT byte offset (each
+    // doc's own length shifts it), and content-defined boundaries
+    // still align inside it after one 8-byte window of context, so its
+    // interior chunks hash identically across all docs and surface as
+    // shared chunks (fixed-size windows would find zero — alignment is
+    // lost after the first length difference). One shuffle on 16-byte
+    // (md5, id) rows; chunk text never moves.
+    "q_chunk_dedup" -> ((s, d) => {
+      val planted = Tables.documents(s, d)
+        .withColumn("ptext",
+          concat(coalesce(col("text"), lit("")), lit(CdcBoilerplate)))
+      graft.ext.Chunking.cdcChunks(planted, "doc_id", "ptext")
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("len")).as("len"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("n_copies").desc, col("chunk_md5"))
+    }),
+
+    // Edit-distance near-dup verification: the MinHash/LSH candidate
+    // pairs (sub-quadratic) re-verified with EXACT Levenshtein — the
+    // character-level confirmation pass a dedup policy runs when token
+    // Jaccard alone is too coarse (reorderings score high on Jaccard
+    // but far on edit distance). Candidates only — Levenshtein is
+    // O(len²) per pair and must never see the full corpus; the flag is
+    // the integer compare dist·10 ≤ max(len) (edit similarity ≥ 0.9).
+    "q_dedup_editdist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .select(col("i"), col("j"))
+      val a = docs.select(col("doc_id").as("i"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("j"), col("text").as("__tb"))
+      pairs.join(a, "i").join(b, "j")
+        .select(col("i"), col("j"),
+          levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+          (levenshtein(col("__ta"), col("__tb")) * 10 <=
+            greatest(length(col("__ta")), length(col("__tb"))))
+            .as("edit_dup"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // The ingestion-HYGIENE funnel: the round's cleanup operators
     // composed in ONE plan — mojibake repair → NFC composition →
     // accent-fold + case/punctuation normalize as the DEDUP KEY →
@@ -1723,13 +1766,24 @@ object ExtQueries {
     * positions where `h % M % Mask == 0`, and rebuild the chunk
     * segments with lag() plus a per-doc tail. ASCII corpus ⇒ byte
     * positions and char positions coincide on both engines. */
-  private def cdcOracle: String = {
+  /** The shared boilerplate q_chunk_dedup appends to every document —
+    * at a different offset per doc, which is exactly what CDC chunking
+    * must shrug off. ASCII only, no quotes (interpolated into SQL). */
+  private[graft] val CdcBoilerplate: String =
+    " the quick brown fox jumps over the lazy dog while five boxing " +
+      "wizards jump quickly and pack my box with five dozen liquor jugs " +
+      "as bright vixens jump for the dozy fowl quacking in unison across " +
+      "the silent field of waving grain under a pale morning sky that " +
+      "slowly turns to gold while distant bells ring twice for the " +
+      "turning of the tide and the long day closes"
+
+  private def cdcCore(textExpr: String): String = {
     import graft.functions.CdcBoundaries.{M, Mask, Pow, W}
     val terms = (0 until W)
       .map(j => s"CAST(ord(substr(t, i - $j, 1)) AS BIGINT) * ${Pow(j)}")
       .mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
-       |            strlen(coalesce(text, '')) AS n FROM documents),
+    s"""WITH d AS (SELECT doc_id, $textExpr AS t,
+       |            strlen($textExpr) AS n FROM documents),
        |b AS (SELECT doc_id, i FROM d,
        |        unnest(generate_series($W, n)) AS u(i)
        |      WHERE ($terms) % $M % $Mask = 0),
@@ -1741,15 +1795,19 @@ object ExtQueries {
        |  FROM b
        |  UNION ALL
        |  SELECT d.doc_id, coalesce(mb.mx, 0) AS s, d.n AS e
-       |  FROM d LEFT JOIN mb USING (doc_id) WHERE coalesce(mb.mx, 0) < d.n)
-       |SELECT doc_id,
+       |  FROM d LEFT JOIN mb USING (doc_id) WHERE coalesce(mb.mx, 0) < d.n),
+       |chunks AS (SELECT doc_id,
        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
        |       AS INT) AS chunk_idx,
        |  CAST(s + 1 AS INT) AS "start", CAST(e - s AS INT) AS "len",
        |  md5(substr(t, s + 1, e - s)) AS chunk_md5
-       |FROM segs JOIN d USING (doc_id)
-       |ORDER BY doc_id, chunk_idx""".stripMargin
+       |FROM segs JOIN d USING (doc_id))
+       |""".stripMargin
   }
+
+  private def cdcOracle: String =
+    cdcCore("coalesce(text, '')") +
+      "SELECT * FROM chunks ORDER BY doc_id, chunk_idx"
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -2710,6 +2768,31 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // the same window-hash replay over text+boilerplate, aggregated to
+    // the shared-chunk relation — every doc's interior boilerplate
+    // chunks must hash identically despite per-doc offsets
+    "q_chunk_dedup" ->
+      (cdcCore(s"coalesce(text, '') || '$CdcBoilerplate'") +
+        """SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(min("len") AS INT) AS "len"
+          |FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2
+          |ORDER BY n_copies DESC, chunk_md5""".stripMargin),
+    // LSH candidates (the 0.8-Jaccard relation both engines already
+    // pin) re-verified with DuckDB's independent Levenshtein
+    "q_dedup_editdist" ->
+      (shingleCte +
+        """,pairs AS (SELECT i, j
+          |          FROM inter JOIN sizes sa ON sa.doc_id = i
+          |                     JOIN sizes sb ON sb.doc_id = j
+          |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8)
+          |SELECT p.i, p.j,
+          |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+          |  (levenshtein(da.text, db.text) * 10 <=
+          |     greatest(length(da.text), length(db.text))) AS edit_dup
+          |FROM pairs p JOIN documents da ON da.doc_id = p.i
+          |             JOIN documents db ON db.doc_id = p.j
+          |ORDER BY i, j""".stripMargin),
     // hygiene funnel: the repaired+composed text AND the
     // accent-insensitive dedup key both stated analytically, then the
     // same keep-first window
