@@ -1533,6 +1533,26 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Curriculum ordering (easy→hard training schedule): stage from
+    // ABSOLUTE quality-score deciles (map-only — no global sort or
+    // ntile, which would funnel the corpus through one partition at
+    // scale), deterministic md5 order within each stage (one
+    // stage-partitioned window, the shuffleOrder shape). Stage and
+    // position are reproducible under corpus growth: adding documents
+    // never moves an existing doc's stage, only its neighbors' pos.
+    "q_curriculum_order" -> ((s, d) => {
+      val stage = floor(TextStats.qualityCol(col("text")) * 10).cast("int")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stage"))
+        .orderBy(col("__sel"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stage.as("stage"),
+          graft.ext.Sampling.selector(col("doc_id")).as("__sel"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("stage"), col("pos"))
+        .orderBy(col("stage"), col("pos"))
+    }),
+
     // Chunk-level dedup — CDC's payoff: the SAME ~360-char boilerplate
     // is appended to every document at a DIFFERENT byte offset (each
     // doc's own length shifts it), and content-defined boundaries
@@ -2768,6 +2788,15 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // stage = the same fixed-point quality decile (bit-identical
+    // doubles — q_quality_score pins the formula), md5 order within
+    "q_curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id, ${TextStats.qualitySql("text")} AS qual,
+         |            md5(CAST(doc_id AS VARCHAR)) AS sel FROM documents)
+         |SELECT doc_id, CAST(floor(qual * 10) AS INT) AS stage,
+         |  CAST(row_number() OVER (PARTITION BY floor(qual * 10)
+         |         ORDER BY sel, doc_id) AS BIGINT) AS pos
+         |FROM q ORDER BY stage, pos""".stripMargin,
     // the same window-hash replay over text+boilerplate, aggregated to
     // the shared-chunk relation — every doc's interior boilerplate
     // chunks must hash identically despite per-doc offsets
