@@ -1533,6 +1533,46 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // JSONL ingestion with malformed-line isolation — the dominant
+    // corpus interchange format, read through Spark's native JSON
+    // source in PERMISSIVE mode: every 101st line is truncated
+    // mid-record, the parser routes it to the corrupt-record column
+    // instead of failing the file, and the doc_id is SALVAGED from the
+    // raw line by regexp (the triage pattern an ingest pipeline
+    // actually runs). Clean rows must round-trip text byte-exactly
+    // through JSON escaping (md5-pinned). Scratch shard written by
+    // Spark itself (no driver materialization).
+    "q_jsonl_ingest" -> ((s, d) => {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jsonl_${Integer.toHexString(d.hashCode)}")
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      deleteRec(p.toFile)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text"))).as("l"))
+        .select(when(col("doc_id") % 101 === 0,
+            col("l").substr(lit(1), length(col("l")) - 2)) // mid-record cut
+          .otherwise(col("l")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(p.toString)
+      val parsed = s.read
+        .schema("doc_id LONG, text STRING, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(p.toString)
+      parsed.select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_bad"), "\"doc_id\":([0-9]+)", 1).cast("long"))
+            .as("doc_id"),
+          col("_bad").isNull.as("ok"),
+          when(col("_bad").isNull, md5(col("text"))).otherwise(lit(""))
+            .as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curriculum ordering (easy→hard training schedule): stage from
     // ABSOLUTE quality-score deciles (map-only — no global sort or
     // ntile, which would funnel the corpus through one partition at
@@ -2788,6 +2828,14 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // ok/salvaged-id/md5 stated analytically: only a parser that
+    // round-trips JSON escaping byte-exactly AND isolates the planted
+    // truncations to their own rows can match
+    "q_jsonl_ingest" ->
+      """SELECT doc_id, (doc_id % 101 <> 0) AS ok,
+        |  CASE WHEN doc_id % 101 <> 0 THEN md5(coalesce(text, ''))
+        |       ELSE '' END AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // stage = the same fixed-point quality decile (bit-identical
     // doubles — q_quality_score pins the formula), md5 order within
     "q_curriculum_order" ->

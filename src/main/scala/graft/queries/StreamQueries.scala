@@ -376,6 +376,37 @@ object StreamQueries {
     // identical rows. Two source files + maxFilesPerTrigger=1 force
     // two REAL batches; the oracle is the batch screen's own SQL
     // (stream/batch unification, hash-checkable).
+    // streaming content-defined chunking: the CDC pass is stateless
+    // map-only column algebra, so it streams in Append mode unchanged
+    // — chunk identity is per-document, no cross-batch state, any
+    // micro-batch split emits the same chunk rows. Oracle: the batch
+    // CDC window-hash replay (stream/batch unification again).
+    "q_stream_chunk_cdc" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val p = freshScratchDir(d, "cdcstream")
+      java.nio.file.Files.createDirectories(p)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      Seq(0, 1).foreach { par =>
+        val build = p.resolve(s"build_$par")
+        docs.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles)
+          .getOrElse(Array.empty[java.io.File])
+          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, p.resolve(s"$par.parquet"))
+        deleteRec(build.toFile)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val chunks = graft.ext.Chunking.cdcChunks(stream, "doc_id", "text")
+      StreamPipeline.runAppendToMemory(s, chunks, s"cdcstream_${d.hashCode.abs}")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_stream_decontaminate" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val p = freshScratchDir(d, "decon")
@@ -412,6 +443,9 @@ object StreamQueries {
     // on bounded input (unification), and the stateless form makes
     // the agreement exact under any micro-batch split
     "q_stream_decontaminate" -> ExtQueries.oracleSql("q_contamination"),
+    // the batch CDC oracle verbatim — chunking is per-document, so the
+    // stream must emit the identical chunk relation
+    "q_stream_chunk_cdc" -> ExtQueries.oracleSql("q_chunk_cdc"),
     // maintained-index recall is structural (copy ≡ original ⇒ same
     // cell, cosine 1.0): top-1 of every query is its ingested copy
     "q_stream_ann_ingest" ->
