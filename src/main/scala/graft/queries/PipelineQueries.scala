@@ -171,6 +171,36 @@ object PipelineQueries {
         .orderBy(col("filename"), col("key"))
     }),
 
+    // A1 MergeContent + the Avro container codec under the HASH gate
+    // (previously spec-only): documents are binned into real Avro
+    // object-container files by the distributed writer (size-bounded
+    // bins, tmp-file + rename commit), then read back through a
+    // binaryFile scan + per-container decode — one write job, one
+    // map-only read, and every record must survive the
+    // Spark→Avro→Spark round trip byte-exactly (md5-pinned). This is
+    // the reference's merge→Kafka payload path with the broker
+    // replaced by the filesystem (the only offline-honest sink).
+    "q_avro_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_avro_rt_${Integer.toHexString(d.hashCode)}").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          col("source"))
+      graft.pipeline.AvroIo.writeAvroBins(docs.repartition(4), dir,
+        recordName = "PDF", maxRecordsPerFile = 100)
+      s.read.format("binaryFile").load(s"$dir/*.avro")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val (_, recs) = graft.pipeline.AvroIo.readContainer(bytes)
+          recs.map(r => (r.get("doc_id").asInstanceOf[Long],
+            r.get("text").toString, r.get("source").toString))
+        }
+        .toDF("doc_id", "text", "source")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A2 InferAvroSchema: the inferred AVRO schema document of the JSON
     // records — record name PDF, pretty JSON, matching the template's
     // inferred.avro.schema attribute (deterministic string; FixtureGolden-style VALUES oracle)
@@ -210,6 +240,10 @@ object PipelineQueries {
     // Fixture-driven extraction stages: inputs are the reference's own
     // immutable test fixtures, so the observable output is a constant —
     // the oracle is the golden row set itself (see FixtureGolden).
+    // only a byte-exact Spark→Avro→Spark record round trip matches
+    "q_avro_roundtrip" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_extract_fixtures"      -> FixtureGolden.extractFixtures,
     "q_extract_legacy"        -> FixtureGolden.extractLegacy,
     "q_extract_media_metadata" -> FixtureGolden.extractMediaMetadata,
