@@ -171,6 +171,28 @@ object PipelineQueries {
         .orderBy(col("filename"), col("key"))
     }),
 
+    // Q3/K1 under the HASH gate: the sentiment route fan-out written
+    // ONCE through the single-pass partitionBy sink (the scan-once
+    // alternative to N filtered writes), then read back with the route
+    // recovered from the directory layout — every doc must land in
+    // exactly its sentiment's partition and survive the cycle.
+    "q_route_sink_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_routes_${Integer.toHexString(d.hashCode)}")
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      deleteRec(dir.toFile)
+      val records = docsWithSentiment(s, d)
+        .select(col("doc_id"), col("lang"), col("sentiment"))
+      graft.pipeline.Sinks.putFilePartitioned(records, dir.toString, "sentiment")
+      s.read.parquet(dir.toString)
+        .select(col("doc_id"), col("lang"),
+          col("sentiment").cast("string").as("sentiment"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A1 MergeContent + the Avro container codec under the HASH gate
     // (previously spec-only): documents are binned into real Avro
     // object-container files by the distributed writer (size-bounded
@@ -240,6 +262,11 @@ object PipelineQueries {
     // Fixture-driven extraction stages: inputs are the reference's own
     // immutable test fixtures, so the observable output is a constant —
     // the oracle is the golden row set itself (see FixtureGolden).
+    // the routed partition value must equal the sentiment recomputed
+    // analytically — a doc in the wrong route dir cannot match
+    "q_route_sink_roundtrip" ->
+      s"""SELECT doc_id, lang, ${Sentiment.duckdbExpr("text")} AS sentiment
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // only a byte-exact Spark→Avro→Spark record round trip matches
     "q_avro_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source
