@@ -223,6 +223,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // A1 in Correlation-Attribute mode (tika.xml's bin-by-attribute
+    // grouping): containers are written per source and every container
+    // must hold EXACTLY ONE source's records — bin_pure is computed
+    // from the decoded container itself, so a mixed bin cannot match
+    // the all-true oracle.
+    "q_merge_correlation" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_avro_corr_${Integer.toHexString(d.hashCode)}").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          col("source"))
+      graft.pipeline.AvroIo.writeAvroBinsBy(docs, dir, "source",
+        maxRecordsPerFile = 64)
+      s.read.format("binaryFile").load(s"$dir/*.avro")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val (_, recs) = graft.pipeline.AvroIo.readContainer(bytes)
+          val srcs = recs.map(_.get("source").toString).distinct
+          recs.map(r => (r.get("doc_id").asInstanceOf[Long],
+            r.get("source").toString, srcs.length == 1))
+        }
+        .toDF("doc_id", "source", "bin_pure")
+        .orderBy(col("doc_id"))
+    }),
+
+    // K2's PAYLOAD under the hash gate: the exact Avro container bytes
+    // a broker would receive (LogKafkaSink produces the same payloads
+    // as the real sink — only the network hop is stubbed) decoded back
+    // to records. The unavoidable offline gap shrinks to the send
+    // itself; the serialized message content is now oracle-verified.
+    "q_kafka_payload" -> ((s, d) => {
+      import s.implicits._
+      val records = docsWithSentiment(s, d)
+        .select(col("doc_id"), col("lang"), col("sentiment"))
+      new graft.pipeline.Sinks.LogKafkaSink().payloads(records)
+        .select(col("value")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val (_, recs) = graft.pipeline.AvroIo.readContainer(bytes)
+          recs.map(r => (r.get("doc_id").asInstanceOf[Long],
+            r.get("lang").toString, r.get("sentiment").toString))
+        }
+        .toDF("doc_id", "lang", "sentiment")
+        .orderBy(col("doc_id"))
+    }),
+
     // A2 InferAvroSchema: the inferred AVRO schema document of the JSON
     // records — record name PDF, pretty JSON, matching the template's
     // inferred.avro.schema attribute (deterministic string; FixtureGolden-style VALUES oracle)
@@ -265,6 +311,14 @@ object PipelineQueries {
     // the routed partition value must equal the sentiment recomputed
     // analytically — a doc in the wrong route dir cannot match
     "q_route_sink_roundtrip" ->
+      s"""SELECT doc_id, lang, ${Sentiment.duckdbExpr("text")} AS sentiment
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every container single-source → all-true purity column
+    "q_merge_correlation" ->
+      """SELECT doc_id, source, true AS bin_pure
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the broker-bound bytes must decode to exactly these records
+    "q_kafka_payload" ->
       s"""SELECT doc_id, lang, ${Sentiment.duckdbExpr("text")} AS sentiment
          |FROM documents ORDER BY doc_id""".stripMargin,
     // only a byte-exact Spark→Avro→Spark record round trip matches
