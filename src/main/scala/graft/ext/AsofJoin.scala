@@ -75,4 +75,54 @@ object AsofJoin {
           extraLeft.map(col) ++
           payload.map(c => col(s"__carried.$c").as(s"$outPrefix$c")): _*)
   }
+
+  /** NEAREST as-of: attach the right row minimizing |r.time − l.time|
+    * (ties → the earlier right row, deterministically) — the
+    * attribution shape when an event may be explained by activity just
+    * before OR just after it.
+    *
+    * Same union-tag skeleton, ONE shuffle still: the backward and
+    * forward carries are two windows over the SAME key partitioning
+    * (Catalyst reuses the Exchange; only a second in-partition sort is
+    * added), the right row's time rides inside the packed struct, and
+    * the closer of the two candidates wins per left row. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      time: String, payload: Seq[String],
+                      outPrefix: String = "asof_"): DataFrame = {
+    val internal = Set("__side", "__asof", "__b", "__f", "__n")
+    require(!(left.columns ++ right.columns).exists(internal),
+      s"asofJoinNearest uses internal columns ${internal.mkString(", ")}; rename the inputs' first")
+    val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == time)
+    val leftSchema = left.schema
+    val packed = struct(col(time).as("__t") +: payload.map(col): _*)
+    val lU = left.select(
+      Seq(col(key), col(time), lit(1).as("__side")) ++
+        extraLeft.map(col) :+
+        lit(null).cast(right.select(packed).schema.head.dataType).as("__asof"): _*)
+    val rU = right.select(
+      Seq(col(key), col(time), lit(0).as("__side")) ++
+        extraLeft.map(c => lit(null).cast(leftSchema(c).dataType).as(c)) :+
+        packed.as("__asof"): _*)
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(time).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lU.unionByName(rU)
+      .withColumn("__b", last(col("__asof"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__asof"), ignoreNulls = true).over(wF))
+    val db = col(time) - col("__b.__t")
+    val df = col("__f.__t") - col(time)
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(db <= df, col("__b")) // tie → backward = the earlier right row
+      .otherwise(col("__f"))
+    carried.filter(col("__side") === 1)
+      .withColumn("__n", chosen)
+      .select(
+        Seq(col(key), col(time)) ++
+          extraLeft.map(col) ++
+          payload.map(c => col(s"__n.$c").as(s"$outPrefix$c")): _*)
+  }
 }

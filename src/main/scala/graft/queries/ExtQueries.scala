@@ -524,6 +524,25 @@ object ExtQueries {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // NEAREST direction: each click attaches the purchase minimizing
+    // |Δt| (tie → the earlier one) — still ONE shuffle: both carries
+    // are windows over the same key partitioning (Exchange reused,
+    // PlanShapeSpec keeps watch). Oracle: DuckDB LATERAL argmin.
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      graft.ext.AsofJoin.asofJoinNearest(clicks, purchases, "user_id", "ts",
+          payload = Seq("pts", "value"), outPrefix = "near_")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"),
+          expr("near_pts div 1000").as("near_tus"),
+          col("near_value"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
     // forward direction: each click attaches its NEXT purchase (the
     // attribution-window shape); oracle = DuckDB's native forward ASOF
     "q_asof_join_fwd" -> ((s, d) => {
@@ -2002,6 +2021,18 @@ object ExtQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
+    // nearest-|Δt| argmin per click via LATERAL; tie → earlier p.ts —
+    // the same deterministic rule as the union-tag plan's db<=df pick
+    "q_asof_nearest" ->
+      """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
+        |  epoch_ns(p.pts) // 1000 AS near_tus, p.value AS near_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |LEFT JOIN LATERAL (
+        |  SELECT r.ts AS pts, r.value
+        |  FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = e.user_id
+        |  ORDER BY abs(epoch_ns(r.ts) - epoch_ns(e.ts)), r.ts LIMIT 1) p ON true
         |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
     // identical sign matrix from the same md5 parity; integer sums
     // can't drift

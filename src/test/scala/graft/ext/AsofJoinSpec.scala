@@ -80,6 +80,33 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest asof matches a naive argmin reference; still one exchange") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, rnd.nextInt))
+      val right = rnd.shuffle(
+        (for (k <- 0L to 4L; t <- 0L to 49L) yield (k, t)).toVector)
+        .take(40).map { case (k, t) => (k, t, rnd.nextDouble()) }
+      val got = AsofJoin.asofJoinNearest(
+          left.toDF("k", "t", "tag"), right.toDF("k", "t", "v"), "k", "t", Seq("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      for ((k, t, tag) <- left) {
+        // argmin |Δt|; equal distance → the EARLIER right row
+        val expected = right.filter(_._1 == k)
+          .sortBy(r => (math.abs(r._2 - t), r._2)).headOption.map(_._3)
+        assert(got((k, t, tag)) == expected, s"trial=$trial k=$k t=$t")
+      }
+    }
+    val plan = AsofJoin.asofJoinNearest(
+        Seq((1L, 10L, "a")).toDF("k", "t", "tag"),
+        Seq((1L, 5L, 1.0)).toDF("k", "t", "v"), "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val fact = Seq.tabulate(100)(i => (s"k${i % 3}", i.toLong)).toDF("key", "x")
