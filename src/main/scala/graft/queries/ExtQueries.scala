@@ -1552,6 +1552,26 @@ object ExtQueries {
       graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Tukey IQR outlier gate per source (the document-length screen a
+    // corpus profile report feeds): flag docs outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles of INTEGER n_chars
+    // interpolate at exact quarters, so 4·q is an exact integer and
+    // the gate reduces to pure integer compares (4n < 10·q1 − 6·q3,
+    // 4n > 10·q3 − 6·q1) — no float boundary can flip cross-engine.
+    // The 20-row per-source stats broadcast back; corpus stays narrow.
+    "q_outlier_iqr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy(col("source")).agg(
+        (percentile(col("n_chars"), lit(0.25)) * 4).cast("long").as("q1x4"),
+        (percentile(col("n_chars"), lit(0.75)) * 4).cast("long").as("q3x4"))
+      docs.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars") * 4 < col("q1x4") * 10 - col("q3x4") * 6 ||
+           col("n_chars") * 4 > col("q3x4") * 10 - col("q1x4") * 6)
+            .as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JSONL ingestion with malformed-line isolation — the dominant
     // corpus interchange format, read through Spark's native JSON
     // source in PERMISSIVE mode: every 101st line is truncated
@@ -2859,6 +2879,17 @@ object ExtQueries {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle(6),
     "q_chunk_cdc" -> cdcOracle,
+    // the same integerized Tukey fences from quantile_cont
+    "q_outlier_iqr" ->
+      """WITH s AS (SELECT source,
+        |    CAST(quantile_cont(n_chars, 0.25) * 4 AS BIGINT) AS q1x4,
+        |    CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS q3x4
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars,
+        |  (n_chars * 4 < q1x4 * 10 - q3x4 * 6 OR
+        |   n_chars * 4 > q3x4 * 10 - q1x4 * 6) AS is_outlier
+        |FROM documents d JOIN s ON d.source = s.source
+        |ORDER BY doc_id""".stripMargin,
     // ok/salvaged-id/md5 stated analytically: only a parser that
     // round-trips JSON escaping byte-exactly AND isolates the planted
     // truncations to their own rows can match
