@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtQueries.queries ++
+      graft.queries.CurationQueries.queries ++
       graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.ExtQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql
 }

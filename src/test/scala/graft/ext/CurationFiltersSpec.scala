@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Branch-coverage contracts for the Gopher / C4 rule-set filters: each
+  * planted fixture page must trip EXACTLY the rule it was built for (the
+  * oracle pins the full output hash; this pins the intent per branch).
+  */
+class CurationFiltersSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def gopherRows = {
+    import spark.implicits._
+    val df = CurationFilters.gopherPlanted.toDF("doc_id", "text")
+    CurationFilters.gopherFrame(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("gopher planted page -1 passes every rule") {
+    val r = gopherRows(-1L)
+    assert(r.getAs[Boolean]("keep"))
+    assert(r.getAs[Int]("n_words") >= 50)
+    assert(r.getAs[Int]("stop_hits") >= 2)
+  }
+
+  test("gopher branch pages each fail, for the built-in reason") {
+    val rows = gopherRows
+    assert(!rows(-2L).getAs[Boolean]("keep") && rows(-2L).getAs[Int]("n_words") < 50)
+    assert(!rows(-3L).getAs[Boolean]("keep") && rows(-3L).getAs[Double]("mean_wlen") > 10)
+    assert(!rows(-4L).getAs[Boolean]("keep") && rows(-4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!rows(-5L).getAs[Boolean]("keep") && rows(-5L).getAs[Double]("frac_bullet") >= 0.9)
+    assert(!rows(-6L).getAs[Boolean]("keep") && rows(-6L).getAs[Double]("frac_ellipsis") >= 0.3)
+    assert(!rows(-7L).getAs[Boolean]("keep") && rows(-7L).getAs[Double]("frac_alpha") < 0.8)
+    assert(!rows(-8L).getAs[Boolean]("keep") && rows(-8L).getAs[Int]("stop_hits") < 2)
+  }
+
+  test("gopher branch pages fail ONLY their own rule (word-count aside)") {
+    val rows = gopherRows
+    // -5 bullet page: every non-bullet measure is inside its window
+    val b = rows(-5L)
+    assert(b.getAs[Int]("n_words") >= 50 && b.getAs[Double]("frac_alpha") >= 0.8 &&
+      b.getAs[Double]("symbol_ratio") <= 0.1 && b.getAs[Int]("stop_hits") >= 2)
+    // -7 alpha page: word count passes so alpha is the only trip
+    val a = rows(-7L)
+    assert(a.getAs[Int]("n_words") >= 50 && a.getAs[Int]("stop_hits") >= 2 &&
+      a.getAs[Double]("mean_wlen") <= 10)
+  }
+
+  test("c4 planted verdicts: keep, lorem, brace, short-lines, two-lines, quotes") {
+    import spark.implicits._
+    val df = CurationFilters.c4Planted.toDF("doc_id", "text")
+    val rows = CurationFilters.c4Frame(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(-11L).getAs[Boolean]("keep") && rows(-11L).getAs[Int]("n_kept") == 3)
+    assert(!rows(-12L).getAs[Boolean]("keep") && rows(-12L).getAs[Boolean]("has_lorem"))
+    assert(!rows(-13L).getAs[Boolean]("keep") && rows(-13L).getAs[Boolean]("has_brace"))
+    assert(!rows(-14L).getAs[Boolean]("keep") && rows(-14L).getAs[Int]("n_kept") == 0)
+    assert(!rows(-15L).getAs[Boolean]("keep") && rows(-15L).getAs[Int]("n_kept") == 2)
+    assert(rows(-16L).getAs[Boolean]("keep")) // quote-terminated lines count
+  }
+
+  test("the real corpus flows through both filters without planted noise") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val g = CurationFilters.gopherFrame(docs, "text")
+    assert(g.count() == docs.count())
+    // single-line unpunctuated corpus: C4 retains nothing, keeps nothing
+    val c = CurationFilters.c4Frame(docs, "text")
+    assert(c.filter(col("keep")).count() == 0)
+    // the synthetic corpus carries only "the" from the required-stop
+    // list, so the faithful distinct-presence rule (≥2 of the eight)
+    // rejects every real page — while the measures themselves vary
+    assert(g.filter(col("keep")).count() == 0)
+    assert(g.filter(col("stop_hits") > 1).count() == 0)
+    assert(g.filter(col("n_words") >= 50).count() > 0)
+    assert(g.filter(col("n_words") < 50).count() > 0)
+  }
+}
