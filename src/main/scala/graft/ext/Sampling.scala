@@ -229,4 +229,34 @@ object Sampling {
     df.withColumn("shard", shard)
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Efraimidis–Spirakis (IPL 2006) weighted sampling WITHOUT
+    * replacement: each row draws u ∈ (0, 1] and competes with key
+    * u^(1/w); the k largest keys are a weighted sample without
+    * replacement — P(row first) = w_i/Σw, exactly. Here u is the
+    * repo's deterministic selector (first 8 md5 hex digits, +1 so 0 is
+    * excluded), so the "random" draw is reproducible across runs,
+    * engines, and partitionings like every other sampler in this file.
+    *
+    * Key spacing note (why a double key is oracle-safe here): libm pow
+    * may differ from DuckDB's by ulps (~1e-16 relative), but with n
+    * distinct md5 draws the adjacent-key gaps are ~1/n — flipping an
+    * order would need two keys within ulp distance, which 16^8 distinct
+    * u values never produce in practice; the emitted key column is
+    * still rounded through the display contract.
+    *
+    * Scale shape: map-only key computation + TakeOrdered top-k (per-
+    * partition heaps, driver merge of k·|partitions| rows) — no global
+    * sort, no shuffle of the corpus. */
+  def weightedTopK(df: DataFrame, keyCol: String, weight: Column,
+                   k: Int): DataFrame = {
+    require(!df.columns.contains("es_key"),
+      "weightedTopK emits 'es_key'; rename the input's first")
+    val u32 = conv(substring(selector(col(keyCol)), 1, 8), 16, 10)
+      .cast("double")
+    val u = (u32 + 1.0) / 4294967296.0
+    df.withColumn("es_key", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
 }

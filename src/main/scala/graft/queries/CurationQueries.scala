@@ -29,6 +29,58 @@ object CurationQueries {
       val in = CurationFilters.withPlanted(
         s, Tables.documents(s, d), CurationFilters.c4Planted)
       CurationFilters.c4Frame(in, "text").orderBy(col("doc_id"))
+    }),
+
+    // Efraimidis–Spirakis weighted sample without replacement, weights
+    // = document length in chars: the standard "sample k docs with
+    // probability ∝ size" draw, reproducible via the md5 selector.
+    // Map-only + TakeOrdered — the corpus never shuffles.
+    "q_weighted_sample" -> ((s, d) => {
+      graft.ext.Sampling
+        .weightedTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), 100)
+        .select(col("doc_id"), col("n_chars"),
+          (floor(col("es_key") * 1e6 + 0.5) / 1e6).as("key6"))
+    }),
+
+    // CCNet-style perplexity-band bucketing (Wenzek et al. 2020): score
+    // every page under a per-language unigram LM trained on the corpus
+    // itself, percent-rank within the language, and cut head/middle/
+    // tail thirds; tail pages drop. Same decimal-sum determinism
+    // discipline as q_unigram_logprob (per-token logp rounded to 6
+    // decimals, summed as exact decimal, terminal mean through the
+    // floor contract). Shuffles are bounded by per-language vocabulary
+    // and the per-language ranking window, never raw text.
+    "q_ppl_band" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val freq = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = freq.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      val model = freq.join(tot, Seq("lang"))
+      val logp6 =
+        round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(14,6)")
+      val scored = toks.join(model, Seq("lang", "tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"), sum(logp6).as("slog"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (floor(col("slog").cast("double") / col("n_tok") * 1e4 + 0.5) / 1e4)
+            .as("mean_logp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("mean_logp").desc, col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("mean_logp"),
+          when(col("pr") * 3 < 1, "head")
+            .when(col("pr") * 3 < 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .withColumn("keep", col("bucket") =!= "tail")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -46,6 +98,46 @@ object CurationQueries {
          |  ${CurationFilters.plantedRelSql(CurationFilters.c4Planted)}),
          |res AS (
          |${CurationFilters.c4Sql("rel")})
-         |SELECT * FROM res ORDER BY doc_id""".stripMargin
+         |SELECT * FROM res ORDER BY doc_id""".stripMargin,
+
+    // same selector arithmetic as the Spark side: first 8 md5 hex
+    // digits of the stringified key, +1, over 2^32
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+        |          / 4294967296.0,
+        |        1.0 / n_chars) AS es_key
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  floor(es_key * 1e6 + 0.5) / 1e6 AS key6
+        |FROM t ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_ppl_band" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tt AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+        |freq AS (SELECT lang, tok, count(*) AS cnt FROM tt GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM freq GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, tt.lang, count(*) AS n_tok,
+        |    floor(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |                        AS DECIMAL(14,6))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+        |      AS mean_logp
+        |  FROM tt JOIN freq USING (lang, tok) JOIN tot USING (lang)
+        |  GROUP BY doc_id, tt.lang),
+        |ranked AS (
+        |  SELECT doc_id, lang, n_tok, mean_logp,
+        |    percent_rank() OVER (PARTITION BY lang
+        |                         ORDER BY mean_logp DESC, doc_id) AS pr
+        |  FROM scored)
+        |SELECT doc_id, lang, n_tok, mean_logp,
+        |  CASE WHEN pr * 3 < 1 THEN 'head'
+        |       WHEN pr * 3 < 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  (CASE WHEN pr * 3 < 1 THEN 'head'
+        |        WHEN pr * 3 < 2 THEN 'middle'
+        |        ELSE 'tail' END) <> 'tail' AS keep
+        |FROM ranked ORDER BY doc_id""".stripMargin
   )
 }

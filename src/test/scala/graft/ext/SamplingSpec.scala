@@ -217,4 +217,35 @@ class SamplingSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
     }
   }
+
+  test("weightedTopK is deterministic and partition-independent") {
+    val a = Sampling.weightedTopK(docs, "doc_id", col("n_chars"), 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    val b = Sampling.weightedTopK(docs.repartition(13), "doc_id", col("n_chars"), 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.distinct.length == 50) // without replacement
+  }
+
+  test("weightedTopK keys are monotone in the weight for a fixed draw") {
+    import spark.implicits._
+    // same doc_id (same u), increasing weight → strictly increasing key
+    val df = Seq((7L, 10L), (7L, 100L), (7L, 1000L)).toDF("doc_id", "w")
+    val keys = Sampling.weightedTopK(df, "doc_id", col("w"), 3)
+      .orderBy("w").select("es_key").as[Double].collect()
+    assert(keys(0) < keys(1) && keys(1) < keys(2))
+    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+  }
+
+  test("weightedTopK favors heavy rows: inclusion tracks the weight") {
+    import spark.implicits._
+    // 1000 light rows (w=1) + 20 heavy rows (w=500): heavy rows carry
+    // ~91% of total weight, so a k=20 E-S draw must be dominated by
+    // them — a uniform sampler would include ~0.4 heavy rows.
+    val rows = (1L to 1000L).map(i => (i, 1L)) ++
+      (2001L to 2020L).map(i => (i, 500L))
+    val picked = Sampling.weightedTopK(rows.toDF("doc_id", "w"), "doc_id", col("w"), 20)
+      .select("doc_id").as[Long].collect()
+    assert(picked.count(_ >= 2001L) >= 12)
+  }
 }
