@@ -92,4 +92,96 @@ object Urls {
         col("rk").cast("int").as("rk"),
         col("domain_docs").cast("long").as("domain_docs"))
   }
+
+  // ---- canonicalization ---------------------------------------------
+  // Web-corpus URL dedup keys on a CANONICAL form — the same resource
+  // reached through case noise, default ports, tracking params,
+  // fragments, or trailing slashes must collapse to one key (the
+  // RefinedWeb/CCNet "URL dedup" step). The rules here are the common
+  // core: lowercase scheme+host, strip the scheme's default port, drop
+  // the fragment, drop tracking params (utm_*, fbclid, gclid), sort the
+  // surviving params, strip trailing path slashes. Pure column algebra
+  // over `parse_url` — map-only, codegen'd.
+
+  private def baseHostCol(sourceCol: Column, idCol: Column): Column =
+    concat(
+      when(idCol % 7 === 0, lit("www.")).otherwise(lit("")),
+      lower(sourceCol), lit("-"), (idCol % 5).cast("string"),
+      lit(".example.com"))
+
+  private def basePathCol(langCol: Column, idCol: Column): Column =
+    concat(lit("/"), langCol, lit("/"),
+      when(idCol % 3 === 0, lit("sub/")).otherwise(lit("")),
+      idCol.cast("string"))
+
+  /** Two deterministically-messy spellings of the SAME resource, used
+    * by the canonicalization contract: variant 1 mixes case/port/slash/
+    * tracking noise by id arithmetic; variant 2 applies a DIFFERENT
+    * noise pattern (always-upper host, always :443, always a fragment,
+    * reordered params, utm-only query). canonicalizeUrl must collapse
+    * both onto one string. */
+  def messyUrlCol(variant: Int)(sourceCol: Column, langCol: Column,
+                                idCol: Column): Column = {
+    val host = baseHostCol(sourceCol, idCol)
+    val path = basePathCol(langCol, idCol)
+    variant match {
+      case 1 => concat(
+        when(idCol % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(idCol % 4 === 0, upper(host)).otherwise(host),
+        when(idCol % 6 === 0, lit(":443")).otherwise(lit("")),
+        path,
+        when(idCol % 9 === 0, lit("/")).otherwise(lit("")),
+        when(idCol % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(idCol % 5 === 1, lit("?a=1&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(idCol % 8 === 0, lit("#sec2")).otherwise(lit("")))
+      case 2 => concat(
+        lit("https://"), upper(host), lit(":443"), path, lit("/"),
+        when(idCol % 5 === 0, lit("?b=2&utm_medium=email&a=1"))
+          .when(idCol % 5 === 1, lit("?utm_source=x&a=1"))
+          .otherwise(lit("?utm_only=1")),
+        lit("#frag"))
+      case v => throw new IllegalArgumentException(s"variant $v")
+    }
+  }
+
+  /** Canonical URL form (the dedup key). Non-default ports survive;
+    * the root path canonicalizes to empty (https://h/ == https://h). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val host = lower(parse_url(url, lit("HOST")))
+    val authority = parse_url(url, lit("AUTHORITY"))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val defaultPort =
+      when(scheme === "https", lit("443"))
+        .when(scheme === "http", lit("80"))
+        .otherwise(lit(""))
+    val portPart = when(port =!= "" && port =!= defaultPort,
+      concat(lit(":"), port)).otherwise(lit(""))
+    val path = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val pathC = regexp_replace(path, "/+$", "")
+    val query = coalesce(parse_url(url, lit("QUERY")), lit(""))
+    val params = filter(split(query, "&"), p =>
+      p =!= "" &&
+        !startswith(p, lit("utm_")) &&
+        !startswith(p, lit("fbclid=")) &&
+        !startswith(p, lit("gclid=")))
+    val qs = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, portPart, pathC, qs)
+  }
+
+  /** The canonicalization contract query body: both messy spellings of
+    * every document's URL must canonicalize to the same string (and the
+    * result is predicted analytically by the oracle). */
+  def urlCanon(docs: DataFrame): DataFrame = {
+    val src = col("source"); val lang = col("lang"); val id = col("doc_id")
+    docs.select(
+      id.as("doc_id"),
+      canonicalizeUrl(messyUrlCol(1)(src, lang, id)).as("url_canon"),
+      (canonicalizeUrl(messyUrlCol(1)(src, lang, id)) ===
+        canonicalizeUrl(messyUrlCol(2)(src, lang, id))).as("collapse_ok"))
+  }
 }

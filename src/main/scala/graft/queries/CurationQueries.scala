@@ -81,7 +81,17 @@ object CurationQueries {
             .otherwise("tail").as("bucket"))
         .withColumn("keep", col("bucket") =!= "tail")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // URL canonicalization contract: two deterministically-messy
+    // spellings of every document's URL (case noise, default port,
+    // trailing slash, tracking params, fragments) must collapse onto
+    // ONE canonical string — the key web-corpus URL dedup hangs on.
+    // The oracle predicts the canonical analytically from id
+    // arithmetic, so only a real parse+rebuild can match. Map-only.
+    "q_url_canon" -> ((s, d) =>
+      graft.ext.Urls.urlCanon(Tables.documents(s, d))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,6 +148,20 @@ object CurationQueries {
         |  (CASE WHEN pr * 3 < 1 THEN 'head'
         |        WHEN pr * 3 < 2 THEN 'middle'
         |        ELSE 'tail' END) <> 'tail' AS keep
-        |FROM ranked ORDER BY doc_id""".stripMargin
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  'https://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+        |    lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.example.com/' || lang || '/' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'sub/' ELSE '' END ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2'
+        |         WHEN doc_id % 5 = 1 THEN '?a=1'
+        |         ELSE '' END AS url_canon,
+        |  true AS collapse_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

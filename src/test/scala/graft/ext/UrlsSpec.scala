@@ -66,4 +66,28 @@ class UrlsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
   }
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u")).as("c")).as[String].head()
+
+  test("canonicalizeUrl: case, default port, fragment, tracking, slash") {
+    assert(canon("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&z=1&a=2#frag")
+      == "https://www.ex.com/A/b?a=2&z=1")
+    // path case is NOT folded (paths are case-sensitive per RFC 3986)
+    assert(canon("https://ex.com/CaseSensitive") == "https://ex.com/CaseSensitive")
+    // non-default port survives; http default is 80
+    assert(canon("http://ex.com:8080/x") == "http://ex.com:8080/x")
+    assert(canon("http://ex.com:80/x") == "http://ex.com/x")
+    // utm-only query drops entirely; root path canonicalizes to empty
+    assert(canon("https://ex.com/?utm_only=1") == "https://ex.com")
+    assert(canon("https://ex.com/#top") == "https://ex.com")
+  }
+
+  test("both messy variants collapse onto one canonical for every doc") {
+    val out = Urls.urlCanon(docs)
+    assert(out.filter(!col("collapse_ok")).count() == 0)
+    // distinct canonicals == distinct docs (ids differ in the path)
+    assert(out.select("url_canon").distinct().count() == out.count())
+  }
 }
