@@ -91,7 +91,17 @@ object CurationQueries {
     // arithmetic, so only a real parse+rebuild can match. Map-only.
     "q_url_canon" -> ((s, d) =>
       graft.ext.Urls.urlCanon(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // bucket models for raw corpus vs target domain (lang = 'en'),
+    // per-doc mean log-likelihood ratio, top-150 selected through the
+    // broadcast boundary (no global window). See [[graft.ext.Dsir]].
+    "q_dsir_select" -> ((s, d) => {
+      val scored = graft.ext.Dsir.importanceScores(
+        Tables.documents(s, d), "text", col("lang") === "en")
+      graft.ext.Dsir.selectTopK(scored, 150).orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +172,36 @@ object CurationQueries {
         |         WHEN doc_id % 5 = 1 THEN '?a=1'
         |         ELSE '' END AS url_canon,
         |  true AS collapse_ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the selection is expressed as a rank here (the oracle may use a
+    // global window; the Spark side must not) — identical verdicts
+    // because the rounded scores are bit-identical and doc_id breaks
+    // ties totally
+    "q_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, lang, (lang = 'en') AS is_tgt,
+        |                unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tt AS (SELECT doc_id, lang, is_tgt, tok FROM toks WHERE tok <> ''),
+        |tb AS (SELECT doc_id, lang, is_tgt,
+        |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket
+        |       FROM tt),
+        |counts AS (SELECT bucket, count(*) AS c_raw,
+        |             sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+        |           FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+        |          CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM counts),
+        |model AS (SELECT bucket,
+        |            CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + 64 AS DOUBLE) AS p_tgt,
+        |            CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 64 AS DOUBLE) AS p_raw
+        |          FROM counts CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, lang, count(*) AS n_tok,
+        |    floor(CAST(sum(CAST(round(ln(p_tgt / p_raw), 6) AS DECIMAL(14,6)))
+        |               AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS logratio
+        |  FROM tb JOIN model USING (bucket) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tok, logratio,
+        |  (row_number() OVER (ORDER BY logratio DESC, doc_id)) <= 150 AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }
