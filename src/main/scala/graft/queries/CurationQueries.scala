@@ -101,6 +101,25 @@ object CurationQueries {
       val scored = graft.ext.Dsir.importanceScores(
         Tables.documents(s, d), "text", col("lang") === "en")
       graft.ext.Dsir.selectTopK(scored, 150).orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup planted contract: every 5th embedding gets a ×1.5-scaled
+    // clone at id+1_000_000. Normalized clustering puts the clone in
+    // its original's cell, cosine 1.0 ≥ τ=0.9 drops it, and the
+    // original survives because the MEASURED max real-pair cosine is
+    // 0.60 at every shipped SF (0.48/0.51/0.60 — a data margin like
+    // q_knn_projected's; re-measure if the testdata regenerates).
+    // So the full output is analytically predictable: kept = ¬clone.
+    "q_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val clones = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val all = emb.select(col("vec_id"), col("embedding")).unionByName(clones)
+      graft.ext.SemDedup.semDedup(all, "vec_id", "embedding", 0.9)
+        .select(col("id").as("vec_id"),
+          (col("id") >= 1000000L).as("is_clone"), col("kept"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -202,6 +221,13 @@ object CurationQueries {
         |  FROM tb JOIN model USING (bucket) GROUP BY doc_id, lang)
         |SELECT doc_id, lang, n_tok, logratio,
         |  (row_number() OVER (ORDER BY logratio DESC, doc_id)) <= 150 AS selected
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_semdedup" ->
+      """SELECT vec_id, false AS is_clone, true AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept
+        |FROM embeddings WHERE vec_id % 5 = 0
+        |ORDER BY vec_id""".stripMargin
   )
 }
