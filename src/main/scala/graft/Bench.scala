@@ -50,7 +50,9 @@ object Bench {
       "q_knn_ivf_pq", "q_audio_decode", "q_dedup_keep_canonical",
       "q_multimodal_resize_oriented", "q_source_mixture",
       "q_video_meta", "q_curation_funnel3", "q_bpe_merges",
-      "q_tar_members", "q_chunk_cdc", "q_hygiene_funnel")
+      "q_tar_members", "q_chunk_cdc", "q_hygiene_funnel",
+      "q_gopher_filter", "q_dsir_select", "q_semdedup",
+      "q_refinedweb_funnel")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

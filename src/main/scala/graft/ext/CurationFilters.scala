@@ -133,6 +133,45 @@ object CurationFilters {
        |FROM m""".stripMargin
   }
 
+  /** The STRUCTURAL subset of the Gopher rules (word-count window,
+    * mean-word-length window, symbol ratio, alphabetic-word fraction)
+    * as one gate predicate — what the composed funnel applies to the
+    * synthetic corpus, where the stop-word and line-shape rules are
+    * vacuous (single-line pages with no English function words) and
+    * would empty the pipe. Same integer cross-multiplied comparisons
+    * as [[gopherFrame]]. */
+  def structuralKeepCol(text: Column): Column = {
+    val ws = wordsCol(text)
+    val nw = size(ws).cast("long")
+    val cs = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(ws, w =>
+      length(regexp_replace(w, "[^A-Za-z]", "")) > 0)).cast("long")
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllOcc = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val nSym = (nHash + nEllOcc).cast("long")
+    (nw >= 50 && nw <= 100000) &&
+      (cs >= nw * 3 && cs <= nw * 10) &&
+      (nSym * 10 <= nw) &&
+      (nAlpha * 5 >= nw * 4)
+  }
+
+  /** DuckDB mirror of [[structuralKeepCol]] (a WHERE-clause predicate
+    * over `textCol`). */
+  def structuralKeepSql(textCol: String): String =
+    s"""(len(list_filter(string_split_regex($textCol, '\\s+'), w -> w <> ''))
+       |   BETWEEN 50 AND 100000)
+       | AND (CAST(coalesce(list_sum(list_transform(
+       |        list_filter(string_split_regex($textCol, '\\s+'), w -> w <> ''),
+       |        w -> len(w))), 0) AS BIGINT)
+       |   BETWEEN len(list_filter(string_split_regex($textCol, '\\s+'), w -> w <> '')) * 3
+       |       AND len(list_filter(string_split_regex($textCol, '\\s+'), w -> w <> '')) * 10)
+       | AND ((len($textCol) - len(regexp_replace($textCol, '#', '', 'g'))
+       |       + (len($textCol) - len(regexp_replace($textCol, '\\.\\.\\.', '', 'g'))) // 3) * 10
+       |   <= len(list_filter(string_split_regex($textCol, '\\s+'), w -> w <> '')))
+       | AND (len(list_filter(string_split_regex($textCol, '\\s+'),
+       |        w -> regexp_matches(w, '[A-Za-z]'))) * 5
+       |   >= len(list_filter(string_split_regex($textCol, '\\s+'), w -> w <> '')) * 4)""".stripMargin
+
   // ---- C4 -----------------------------------------------------------
 
   /** C4 line filter + page gate: lines ending in terminal punctuation

@@ -120,6 +120,64 @@ object CurationQueries {
         .select(col("id").as("vec_id"),
           (col("id") >= 1000000L).as("is_clone"), col("kept"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The RefinedWeb-shaped funnel from this round's operators, ONE
+    // plan: URL-canonical dedup (every page re-enters as a second
+    // messy spelling at id+1e6; canonicalization must collapse the
+    // pair and keep the original) → structural Gopher gate →
+    // per-language perplexity band (LM trained in-plan on the
+    // survivors, tail third dropped) → Efraimidis–Spirakis length-
+    // weighted draw of the final 100. Shuffles: the canonical-URL
+    // window, the per-lang vocab aggregates, the per-doc score re-agg,
+    // and the band window — text itself moves only through the
+    // canonical-dedup exchange; selection is TakeOrdered.
+    "q_refinedweb_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = col("source"); val lang = col("lang"); val id = col("doc_id")
+      val orig = docs.select(id.as("doc_id"), lang.as("lang"),
+        col("n_chars"), col("text"),
+        graft.ext.Urls.messyUrlCol(1)(src, lang, id).as("url"))
+      val dup = docs.select((id + 1000000L).as("doc_id"), lang.as("lang"),
+        col("n_chars"), col("text"),
+        graft.ext.Urls.messyUrlCol(2)(src, lang, id).as("url"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon")).orderBy(col("doc_id"))
+      val deduped = orig.unionByName(dup)
+        .withColumn("canon", graft.ext.Urls.canonicalizeUrl(col("url")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val gated = deduped
+        .filter(graft.ext.CurationFilters.structuralKeepCol(col("text")))
+      val toks = gated
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val freq = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = freq.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      val logp6 =
+        round(log(col("cnt").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(14,6)")
+      val scored = toks.join(freq.join(tot, Seq("lang")), Seq("lang", "tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"), sum(logp6).as("slog"))
+        .select(col("doc_id"), col("lang"),
+          (floor(col("slog").cast("double") / col("n_tok") * 1e4 + 0.5) / 1e4)
+            .as("mean_logp"))
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("mean_logp").desc, col("doc_id"))
+      val banded = scored.withColumn("pr", percent_rank().over(bw))
+        .filter(col("pr") * 3 < 2)
+        .select(col("doc_id"), col("lang"))
+      graft.ext.Sampling
+        .weightedTopK(
+          banded.join(gated.select(col("doc_id"), col("n_chars")), Seq("doc_id")),
+          "doc_id", col("n_chars"), 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (floor(col("es_key") * 1e6 + 0.5) / 1e6).as("key6"))
     })
   )
 
@@ -228,6 +286,43 @@ object CurationQueries {
         |UNION ALL
         |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept
         |FROM embeddings WHERE vec_id % 5 = 0
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // funnel mirror: the duplicate-spelling stage collapses exactly
+    // back onto the originals (lower id wins on the shared canonical),
+    // so the oracle starts from `documents` and chains the verified
+    // structural-gate, per-lang LM band, and E-S draw forms
+    "q_refinedweb_funnel" ->
+      s"""WITH survivors AS (
+         |  SELECT doc_id, lang, n_chars, text FROM documents
+         |  WHERE ${CurationFilters.structuralKeepSql("text")}),
+         |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |         FROM survivors),
+         |tt AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+         |freq AS (SELECT lang, tok, count(*) AS cnt FROM tt GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM freq GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, tt.lang,
+         |    floor(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |               AS DECIMAL(14,6))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+         |      AS mean_logp
+         |  FROM tt JOIN freq USING (lang, tok) JOIN tot USING (lang)
+         |  GROUP BY doc_id, tt.lang),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    percent_rank() OVER (PARTITION BY lang
+         |                         ORDER BY mean_logp DESC, doc_id) AS pr
+         |  FROM scored),
+         |banded AS (
+         |  SELECT r.doc_id, r.lang, s.n_chars
+         |  FROM ranked r JOIN survivors s USING (doc_id) WHERE pr * 3 < 2),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+         |          / 4294967296.0,
+         |        1.0 / n_chars) AS es_key
+         |  FROM banded)
+         |SELECT doc_id, lang, n_chars, floor(es_key * 1e6 + 0.5) / 1e6 AS key6
+         |FROM t ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
   )
 }

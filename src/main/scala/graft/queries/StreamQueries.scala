@@ -381,6 +381,39 @@ object StreamQueries {
     // — chunk identity is per-document, no cross-batch state, any
     // micro-batch split emits the same chunk rows. Oracle: the batch
     // CDC window-hash replay (stream/batch unification again).
+    // The Gopher rule gate is a stateless per-row projection, so it
+    // runs UNCHANGED on a stream and must agree with the batch oracle
+    // under ANY micro-batch split: corpus ∪ planted branch pages are
+    // re-shipped as two parquet shards streamed one per trigger
+    // (pmod, not %, because the planted ids are negative).
+    "q_stream_gopher" -> ((s, d) => {
+      val in = graft.ext.CurationFilters.withPlanted(
+        s, s.read.parquet(s"$d/documents.parquet"),
+        graft.ext.CurationFilters.gopherPlanted)
+      val p = freshScratchDir(d, "gopherstream")
+      java.nio.file.Files.createDirectories(p)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      Seq(0, 1).foreach { par =>
+        val build = p.resolve(s"build_$par")
+        in.filter(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
+          .write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles)
+          .getOrElse(Array.empty[java.io.File])
+          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, p.resolve(s"$par.parquet"))
+        deleteRec(build.toFile)
+      }
+      val stream = s.readStream.schema(in.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val gated = graft.ext.CurationFilters.gopherFrame(stream, "text")
+      StreamPipeline.runAppendToMemory(s, gated, s"gopherstream_${d.hashCode.abs}")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_stream_chunk_cdc" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val p = freshScratchDir(d, "cdcstream")
@@ -443,6 +476,9 @@ object StreamQueries {
     // on bounded input (unification), and the stateless form makes
     // the agreement exact under any micro-batch split
     "q_stream_decontaminate" -> ExtQueries.oracleSql("q_contamination"),
+    // the batch gate's own oracle — stateless projection, so stream
+    // and batch agree exactly under any micro-batch split
+    "q_stream_gopher" -> CurationQueries.oracleSql("q_gopher_filter"),
     // the batch CDC oracle verbatim — chunking is per-document, so the
     // stream must emit the identical chunk relation
     "q_stream_chunk_cdc" -> ExtQueries.oracleSql("q_chunk_cdc"),

@@ -39,7 +39,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_embed", "q_dedup_simhash", "q_heavy_hitters",
     "q_knn_brute", "q_knn_ivf", "q_knn_lsh", "q_knn_projected",
     "q_knn_quantized", "q_mix_sources", "q_source_similarity",
-    "q_tfidf_topk", "q_unigram_logprob")
+    "q_tfidf_topk", "q_unigram_logprob",
+    // scalar join: the single-row top-k boundary broadcast back onto
+    // the scored docs (Dsir.selectTopK — the shape that AVOIDS a
+    // global window)
+    "q_dsir_select")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))

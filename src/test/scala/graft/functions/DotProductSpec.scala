@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   * session extensions.
   */
 class DotProductSpec extends AnyFunSuite {
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark = {
+    // extensions are ignored by getOrCreate when a JVM-wide session
+    // already exists (suite-order dependent — tests run sequentially
+    // in one forked JVM), so take the session over like ExtensionsSpec
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   private val refUdf = udf((a: Seq[Double], b: Seq[Double]) => {
     var s = 0.0
