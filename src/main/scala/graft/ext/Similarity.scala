@@ -72,6 +72,41 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
   }
 
+  /** Contrastive-pair mining for embedding-model training data: for
+    * each query vector, the top same-label neighbor (the positive) and
+    * the top different-label neighbor (the HARD negative — the
+    * near-miss that actually teaches the model, vs a random negative).
+    *
+    * Scale shape: the bounded query set broadcasts (the documented
+    * top-k serving shape); each (query, branch) argmax runs as a
+    * partial aggregate — max over a (cos, −id) struct — so only
+    * |queries| result rows ever shuffle, with NO window over the pair
+    * stream. Ties break to the smallest neighbor id. */
+  def hardPairs(emb: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, queries: DataFrame): DataFrame = {
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame, p: String) = df
+      .select(col(idCol).as(s"${p}id"),
+        transform(col(vecCol), x => x.cast("double")).as(s"${p}vec"),
+        col(labelCol).as(s"${p}label"))
+      .withColumn(s"${p}n2", dotUdf(col(s"${p}vec"), col(s"${p}vec")))
+    val corpus = prep(emb, "n").repartition(para)
+    val q = prep(queries, "q")
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
+    scored.groupBy(col("qid"), col("qlabel"))
+      .agg(
+        max(when(col("nlabel") === col("qlabel"),
+          struct(col("cos").as("c"), (-col("nid")).as("ni")))).as("p"),
+        max(when(col("nlabel") =!= col("qlabel"),
+          struct(col("cos").as("c"), (-col("nid")).as("ni")))).as("n"))
+      .select(col("qid"), col("qlabel").as("label"),
+        (-col("p.ni")).as("pos_id"), round(col("p.c"), 4).as("pos_cos"),
+        (-col("n.ni")).as("neg_id"), round(col("n.c"), 4).as("neg_cos"))
+  }
+
   /** Per-executor cache of the deterministic hyperplane matrix: weights
     * derive from [[Hashing.unitDouble]] (reproducible with no stored
     * model), but hashing per multiply dominated signature cost at

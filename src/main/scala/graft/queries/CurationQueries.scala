@@ -178,6 +178,17 @@ object CurationQueries {
           "doc_id", col("n_chars"), 100)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           (floor(col("es_key") * 1e6 + 0.5) / 1e6).as("key6"))
+    }),
+
+    // contrastive-pair mining: top same-label (positive) and top
+    // different-label (HARD negative) neighbor per query vector —
+    // broadcast query set, per-branch argmax as a partial aggregate
+    // (no window over the pair stream). See Similarity.hardPairs.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Similarity.hardPairs(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 20))
+        .orderBy(col("qid"))
     })
   )
 
@@ -323,6 +334,25 @@ object CurationQueries {
          |        1.0 / n_chars) AS es_key
          |  FROM banded)
          |SELECT doc_id, lang, n_chars, floor(es_key * 1e6 + 0.5) / 1e6 AS key6
-         |FROM t ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+         |FROM t ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, n.vec_id AS nid,
+        |    n.label AS nlabel,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 20),
+        |r AS (
+        |  SELECT qid, qlabel, nid, nlabel, cos,
+        |    row_number() OVER (PARTITION BY qid, (qlabel = nlabel)
+        |                       ORDER BY cos DESC, nid) AS rn
+        |  FROM p)
+        |SELECT qid, qlabel AS label,
+        |  max(CASE WHEN qlabel = nlabel AND rn = 1 THEN nid END) AS pos_id,
+        |  max(CASE WHEN qlabel = nlabel AND rn = 1 THEN round(cos, 4) END) AS pos_cos,
+        |  max(CASE WHEN qlabel <> nlabel AND rn = 1 THEN nid END) AS neg_id,
+        |  max(CASE WHEN qlabel <> nlabel AND rn = 1 THEN round(cos, 4) END) AS neg_cos
+        |FROM r GROUP BY qid, qlabel ORDER BY qid""".stripMargin
   )
 }

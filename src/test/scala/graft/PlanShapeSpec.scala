@@ -43,7 +43,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // scalar join: the single-row top-k boundary broadcast back onto
     // the scored docs (Dsir.selectTopK — the shape that AVOIDS a
     // global window)
-    "q_dsir_select")
+    "q_dsir_select",
+    // bounded query-set broadcast against the corpus (the knn serving
+    // shape): contrastive hard-pair mining
+    "q_hard_negatives")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))

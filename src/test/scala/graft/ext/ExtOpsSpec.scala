@@ -668,4 +668,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert((a.toSet intersect c.toSet).isEmpty)
     assert(Winnowing.fingerprints("short").isEmpty) // below k-gram length
   }
+
+  test("hardPairs picks the analytic positive and hard negative, no window") {
+    import spark.implicits._
+    // label 0 along e1 with decreasing alignment; label 1 rotated in:
+    // query id 1 → positive is id 2 (cos ≈ .995 > id 3's), hard
+    // negative is id 10 (cos ≈ .707 > id 11's 0)
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0f), 0),
+      (3L, Seq(0.9f, 0.4f, 0f), 0),
+      (10L, Seq(0.7f, 0f, 0.7f), 1),
+      (11L, Seq(0f, 0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardPairs(emb, "vec_id", "embedding", "label",
+      emb.filter(col("vec_id") === 1))
+    val r = out.head()
+    assert(r.getLong(0) == 1L && r.getInt(1) == 0)
+    assert(r.getLong(2) == 2L)  // pos_id
+    assert(r.getLong(4) == 10L) // neg_id
+    assert(r.getDouble(3) > r.getDouble(5)) // positive outscores the negative
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into hardPairs:\n$plan")
+  }
 }
