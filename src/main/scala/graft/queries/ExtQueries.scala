@@ -1612,6 +1612,52 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CSV shard ingest with corrupt-row salvage — the jsonl pattern's
+    // sibling for the other ubiquitous text interchange format. Clean
+    // rows round-trip through Spark's OWN csv writer (quoting/escaping
+    // conventions exercised for real: every 11th doc gets literal
+    // quotes planted in its text); two corruption classes are written
+    // as raw lines alongside — a mangled non-numeric id (every 101st)
+    // and a missing text field (every 97th). PERMISSIVE + corrupt-
+    // record column isolates each to its own row; the mangled id is
+    // salvaged from the raw line by regexp, the missing-field row
+    // keeps its parsed id. Probed semantics: non-numeric id → doc_id
+    // NULL + _bad set; token underflow → text NULL + _bad set.
+    "q_csv_ingest" -> ((s, d) => {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_csv_${Integer.toHexString(d.hashCode)}")
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      deleteRec(p.toFile)
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" quoted \"part\" end")))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      val badIds = col("doc_id") % 101 === 0
+      val shortIds = col("doc_id") % 97 === 0 && !badIds
+      aug.filter(!badIds && !shortIds)
+        .coalesce(1).write.mode("overwrite").csv(s"$p/clean")
+      aug.filter(badIds || shortIds)
+        .select(when(badIds, concat(lit("x"), col("doc_id"), lit(",corrupt")))
+          .otherwise(col("doc_id").cast("string")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$p/bad")
+      val parsed = s.read
+        .schema("doc_id LONG, text STRING, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(s"$p/clean", s"$p/bad")
+      parsed.select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_bad"), "^x([0-9]+),", 1).cast("long"))
+            .as("doc_id"),
+          col("_bad").isNull.as("ok"),
+          when(col("_bad").isNull, md5(col("text"))).otherwise(lit(""))
+            .as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curriculum ordering (easy→hard training schedule): stage from
     // ABSOLUTE quality-score deciles (map-only — no global sort or
     // ntile, which would funnel the corpus through one partition at
@@ -2896,6 +2942,18 @@ object ExtQueries {
     "q_jsonl_ingest" ->
       """SELECT doc_id, (doc_id % 101 <> 0) AS ok,
         |  CASE WHEN doc_id % 101 <> 0 THEN md5(coalesce(text, ''))
+        |       ELSE '' END AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // ok/md5 stated analytically over the augmented text: only a csv
+    // writer/reader pair that round-trips quoting byte-exactly AND
+    // isolates both corruption classes can match
+    "q_csv_ingest" ->
+      """SELECT doc_id,
+        |  (doc_id % 101 <> 0 AND doc_id % 97 <> 0) AS ok,
+        |  CASE WHEN doc_id % 101 <> 0 AND doc_id % 97 <> 0
+        |       THEN md5(CASE WHEN doc_id % 11 = 0
+        |                     THEN coalesce(text, '') || ' quoted "part" end'
+        |                     ELSE coalesce(text, '') END)
         |       ELSE '' END AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     // stage = the same fixed-point quality decile (bit-identical

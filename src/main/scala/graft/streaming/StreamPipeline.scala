@@ -111,6 +111,42 @@ object StreamPipeline {
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
+  /** Idempotent batch writer — the exactly-once sink recipe.
+    * foreachBatch delivery is AT-LEAST-once: after a crash between the
+    * sink write and the offset commit, the same batchId replays.
+    * [[runAppendToDir]]'s blind append would duplicate those rows;
+    * landing every micro-batch in its own `batch_id=<n>` directory
+    * with OVERWRITE mode makes a replay rewrite instead of duplicate —
+    * output = input exactly once for any crash point. Exposed
+    * standalone so the replay property is testable without crashing a
+    * live engine (StreamingSpec invokes it twice with one batchId). */
+  def idempotentBatchWriter(outDir: String, partitionCols: Seq[String])
+      : (DataFrame, Long) => Unit = (batch, batchId) =>
+    if (!batch.isEmpty)
+      batch.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(s"$outDir/batch_id=$batchId")
+
+  /** [[runAppendToDir]] through the idempotent per-batch sink; the
+    * synthetic `batch_id` partition column is dropped on read-back. */
+  def runAppendToDirExactlyOnce(spark: SparkSession, agg: DataFrame,
+                                outDir: String,
+                                partitionCols: Seq[String]): DataFrame = {
+    val schema = agg.schema
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch(idempotentBatchWriter(outDir, partitionCols))
+      .start()
+    drainAndStop(q)
+    val wrote = {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    if (wrote) spark.read.parquet(outDir).drop("batch_id")
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
   /** processAllAvailable returns when all source data is committed, but
     * watermark eviction happens in a trailing NO-DATA micro-batch —
     * wait until the engine goes quiescent so Append output is final.

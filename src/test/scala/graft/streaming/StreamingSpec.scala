@@ -56,6 +56,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.listFiles().exists(f => f.isDirectory && f.getName.startsWith("event_type=")))
   }
 
+  test("exactly-once sink: a replayed micro-batch rewrites, not duplicates") {
+    import spark.implicits._
+    val out = tmpDir()
+    val w = StreamPipeline.idempotentBatchWriter(out.getAbsolutePath, Seq("event_type"))
+    val batch = Seq(("click", 1L), ("click", 2L), ("buy", 3L))
+      .toDF("event_type", "k")
+    w(batch, 7)
+    w(batch, 7) // crash between sink write and offset commit → replay
+    val readBack = spark.read.parquet(out.getAbsolutePath)
+    assert(readBack.count() == 3) // not 6 — the replay overwrote
+    assert(readBack.select("batch_id").distinct().count() == 1)
+    // a DIFFERENT batch id still appends alongside
+    w(batch.filter(col("k") === 1L), 8)
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 4)
+  }
+
+  test("exactly-once streamed run equals the append-sink run") {
+    val sf = "/root/testdata/sf0.001"
+    def agg = StreamPipeline.windowedCounts(
+      StreamPipeline.readEvents(spark, sf), watermark = Some("30 minutes"))
+    val once = StreamPipeline.runAppendToDirExactlyOnce(spark, agg,
+        tmpDir().getAbsolutePath, Seq("event_type"))
+      .select("window_start_us", "event_type", "n", "total_value")
+      .orderBy("window_start_us", "event_type").collect().map(_.toString)
+    val append = StreamPipeline.runAppendToDir(spark, agg,
+        tmpDir().getAbsolutePath, Seq("event_type"))
+      .select("window_start_us", "event_type", "n", "total_value")
+      .orderBy("window_start_us", "event_type").collect().map(_.toString)
+    assert(once.nonEmpty && once.sameElements(append))
+  }
+
   test("file source delivers files incrementally (ListFile state analogue)") {
     import spark.implicits._
     val dir = tmpDir()
