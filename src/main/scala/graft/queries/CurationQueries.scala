@@ -189,6 +189,68 @@ object CurationQueries {
       graft.ext.Similarity.hardPairs(emb, "vec_id", "embedding", "label",
           emb.filter(col("vec_id") < 20))
         .orderBy(col("qid"))
+    }),
+
+    // corpus-health analytics: per-source Zipf rank-frequency slope
+    // (log-log least squares over the source vocabulary — a healthy
+    // natural corpus sits near −1; synthetic/templated text flattens).
+    // Determinism: per-point log coordinates rounded to 6 decimals and
+    // summed as EXACT decimals (order-free partial aggregation), the
+    // closed-form slope evaluated in double only at the end. Shuffles
+    // bounded by vocabulary cardinality, never corpus size.
+    "q_zipf_slope" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val freq = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("tok"))
+      val pts = freq.withColumn("rank", row_number().over(w))
+        .select(col("source"),
+          round(log(col("rank").cast("double")), 6).cast("decimal(14,6)").as("x"),
+          round(log(col("cnt").cast("double")), 6).cast("decimal(14,6)").as("y"))
+      pts.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_vocab"),
+          (floor((col("n_vocab").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n_vocab").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * 1e4 + 0.5) / 1e4).as("slope"))
+        .orderBy(col("source"))
+    }),
+
+    // per-source KL divergence from the corpus unigram distribution —
+    // the drift/contamination detector (a source whose token mix walks
+    // away from the pool lights up). MLE both sides: the source vocab
+    // is a subset of the corpus vocab, so q(tok) > 0 always and no
+    // smoothing is needed. Same decimal-sum discipline.
+    "q_source_kl" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val st = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+      val sTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      val tot = ct.agg(sum(col("c_t")).as("n"))
+      val term = (col("c_st").cast("double") / col("n_s").cast("double")) *
+        log((col("c_st").cast("double") / col("n_s").cast("double")) /
+          (col("c_t").cast("double") / col("n").cast("double")))
+      st.join(sTot, Seq("source")).join(ct, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          round(term, 6).cast("decimal(14,6)").as("t6"))
+        .groupBy(col("source"), col("n_s"))
+        .agg(sum(col("t6")).as("skl"))
+        .select(col("source"), col("n_s").as("n_tok"),
+          (floor(col("skl").cast("double") * 1e4 + 0.5) / 1e4).as("kl"))
+        .orderBy(col("source"))
     })
   )
 
@@ -353,6 +415,49 @@ object CurationQueries {
         |  max(CASE WHEN qlabel = nlabel AND rn = 1 THEN round(cos, 4) END) AS pos_cos,
         |  max(CASE WHEN qlabel <> nlabel AND rn = 1 THEN nid END) AS neg_id,
         |  max(CASE WHEN qlabel <> nlabel AND rn = 1 THEN round(cos, 4) END) AS neg_cos
-        |FROM r GROUP BY qid, qlabel ORDER BY qid""".stripMargin
+        |FROM r GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tt AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |freq AS (SELECT source, tok, count(*) AS cnt FROM tt GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(row_number() OVER (PARTITION BY source
+        |                        ORDER BY cnt DESC, tok) AS DOUBLE)), 6)
+        |         AS DECIMAL(14,6)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(14,6)) AS y
+        |  FROM freq),
+        |agg AS (
+        |  SELECT source, count(*) AS n_vocab,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT source, n_vocab,
+        |  floor((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * 1e4 + 0.5) / 1e4 AS slope
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tt AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |st AS (SELECT source, tok, count(*) AS c_st FROM tt GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |      ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |         / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |      AS DECIMAL(14,6)) AS t6
+        |  FROM st JOIN stot USING (source) JOIN ct USING (tok) CROSS JOIN tot)
+        |SELECT source, n_s AS n_tok,
+        |  floor(CAST(sum(t6) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS kl
+        |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin
   )
 }

@@ -46,7 +46,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dsir_select",
     // bounded query-set broadcast against the corpus (the knn serving
     // shape): contrastive hard-pair mining
-    "q_hard_negatives")
+    "q_hard_negatives",
+    // scalar join: the 1-row corpus token total broadcast onto the
+    // per-(source, token) KL terms
+    "q_source_kl")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))

@@ -66,6 +66,22 @@ class CurationFiltersSpec extends AnyFunSuite {
     assert(rows(-16L).getAs[Boolean]("keep")) // quote-terminated lines count
   }
 
+  test("corpus-health analytics: slopes negative, KL non-negative and small") {
+    val sf = "/root/testdata/sf0.001"
+    val slopes = graft.queries.CurationQueries.queries("q_zipf_slope")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    assert(slopes.nonEmpty && slopes.forall(_._2 < 0.0),
+      "rank-frequency slope must be negative for every source")
+    // the synthetic vocabulary is near-uniform, NOT Zipfian — the
+    // health metric must say so (a natural corpus sits near −1)
+    assert(slopes.forall(s => s._2 > -0.6), s"flat corpus misread: ${slopes.toSeq}")
+    val kl = graft.queries.CurationQueries.queries("q_source_kl")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    // Gibbs: KL(p||q) ≥ 0; same-generator sources must sit near zero
+    assert(kl.forall(_._2 >= 0.0))
+    assert(kl.forall(_._2 < 0.1), s"same-distribution source drifted: ${kl.toSeq}")
+  }
+
   test("the real corpus flows through both filters without planted noise") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val g = CurationFilters.gopherFrame(docs, "text")
