@@ -98,6 +98,21 @@ object StreamQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // the same watermarked window through the EXACTLY-ONCE sink
+    // (per-batch batch_id dirs + overwrite instead of blind append):
+    // replay-safe delivery must not change a single emitted row, so
+    // this declares the idempotent path under the same oracle as
+    // q_stream_window.
+    "q_stream_window_once" -> ((s, d) => {
+      val agg = StreamPipeline.windowedCounts(
+        StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"))
+      val out = freshScratchDir(d, "windowonce").toString
+      StreamPipeline.runAppendToDirExactlyOnce(s, agg, out, Seq("event_type"))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .select("window_start_us", "event_type", "n", "total_value")
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     // COMPLETE output mode (the third mode beside the Append used
     // everywhere else): an unwindowed global aggregation re-emits its
     // full state each trigger — right for small always-current
@@ -505,6 +520,16 @@ object StreamQueries {
     // differ: strict <). No ms-floor is needed here because for an
     // ms-aligned end+delay, floor_ms(max) ≥ X ⇔ max ≥ X.
     "q_stream_window" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events)
+        |SELECT (tus // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
+        |ORDER BY window_start_us, event_type""".stripMargin,
+    // the exactly-once sink must emit the identical window set
+    "q_stream_window_once" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events)
         |SELECT (tus // 3600000000) * 3600000000 AS window_start_us,
         |  event_type, count(*) AS n,
