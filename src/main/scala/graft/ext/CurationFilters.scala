@@ -52,7 +52,7 @@ object CurationFilters {
   /** All Gopher rule measures + the keep verdict as one struct-free
     * projection; call via [[gopherFrame]] for the named columns. */
   def gopherFrame(df: DataFrame, textCol: String): DataFrame = {
-    val text = col(textCol)
+    val text = coalesce(col(textCol), lit(""))
     val ws = wordsCol(text)
     val nw = size(ws).cast("long")
     // Σ word length for the mean-word-length window [3, 10]
@@ -180,7 +180,7 @@ object CurationFilters {
     * md5 of the retained text so the cleaned payload is pinned without
     * hashing megabytes through the comparator. */
   def c4Frame(df: DataFrame, textCol: String): DataFrame = {
-    val text = col(textCol)
+    val text = coalesce(col(textCol), lit(""))
     val ls = linesCol(text)
     val kept = filter(ls, l => {
       val t = rtrim(l)

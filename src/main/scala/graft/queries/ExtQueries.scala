@@ -220,6 +220,20 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup observability: the duplicate-cluster SIZE histogram — the
+    // number the curation report leads with (how many exact singletons
+    // vs how much mass sits in big duplicate families decides whether
+    // near-dedup is worth its cost on a corpus). Two count aggregates
+    // over the compact (id, cluster) relation; text never moves.
+    "q_dup_cluster_hist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.8)
+      Dedup.clusterAssignments(docs.select(col("doc_id")), "doc_id", pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     // ---- SEMANTIC dedup clusters: embedding near-dup pairs → the
     // same min-label propagation as the text clusters (q_dedup_clusters
     // composes jaccard pairs; this composes cosine pairs — planted
@@ -1968,6 +1982,13 @@ object ExtQueries {
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
     "q_dedup_clusters" -> clusterOracle,
+    // the same transitive closure, re-aggregated to the size histogram
+    "q_dup_cluster_hist" ->
+      s"""WITH c AS ($clusterOracle)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM c GROUP BY 1)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     // semantic clusters: recursive closure over the SAME planted-corpus
     // cosine edges q_dedup_embed_lsh proves hash-exact
     "q_dedup_embed_clusters" ->
