@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtQueries.queries ++
       graft.queries.CurationQueries.queries ++
+      graft.queries.RetrievalQueries.queries ++
       graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.ExtQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
+      graft.queries.RetrievalQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 retrieval / corpus-index operators: the search-engine-shaped
+  * side of a training-data platform — BM25 scoring, the inverted index
+  * itself, and PMI collocation mining. Each has a hash-exact DuckDB
+  * oracle under the repo's cross-engine determinism discipline
+  * (per-term contributions rounded to 6 decimals and summed as exact
+  * decimals; terminal values through the floor(x·10^k + 0.5)/10^k
+  * contract; top-k always orderBy+limit = TakeOrdered, never a global
+  * window).
+  */
+object RetrievalQueries {
+
+  /** Non-empty whitespace tokens, one row per (doc_id, tok). */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Okapi BM25 more-like-this retrieval (k1=1.2, b=0.75, the Lucene
+    // idf form ln(1 + (N-df+0.5)/(df+0.5))): the first 10 documents
+    // act as queries (their full token set), every other document is
+    // scored, top-10 per query. Scale shape: the candidate stream is
+    // the tf relation joined MAP-SIDE to the broadcast (query-term,
+    // df) set — df is computed over the full vocabulary (shuffle
+    // bounded by vocab) but only query terms survive into the
+    // broadcast; doc length joins as a narrow (doc_id, dl) relation;
+    // N/avgdl ride a 1-row broadcast. Per-query ranking windows are
+    // bounded by candidates that share a query term. Text itself
+    // never joins.
+    "q_bm25_topk" -> ((s, d) => {
+      val toks = tokenRows(Tables.documents(s, d))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val qterms = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      val qdf = qterms.join(dfreq, Seq("tok"))
+      val cand = tf.join(broadcast(qdf), Seq("tok"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+      val nd = col("n_docs").cast("double")
+      val avgdl = col("tot_dl").cast("double") / col("n_docs")
+      val idf = log(lit(1.0) + (nd - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      val scored = cand
+        .select(col("qid"), col("doc_id"),
+          round(idf * tfn, 6).cast("decimal(14,6)").as("c6"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("n_match"),
+          (floor(sum(col("c6")).cast("double") * 1e4 + 0.5) / 1e4).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("n_match"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The inverted index itself (term → sorted posting list), reported
+    // for the 50 highest-df terms: df, first/last posting, the largest
+    // doc-id gap (the quantity a delta-varint posting codec sizes by),
+    // and the md5 of the full comma-joined list. collect_list is
+    // per-TERM (bounded by df), made deterministic by sort_array; the
+    // 50-term cut is orderBy+limit = TakeOrdered, no global window.
+    "q_inverted_index" -> ((s, d) => {
+      val pairs = tokenRows(Tables.documents(s, d))
+        .select(col("tok"), col("doc_id")).distinct()
+      val idx = pairs.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("ps"))
+      idx.select(col("tok"), col("df"),
+          element_at(col("ps"), 1).as("first_doc"),
+          element_at(col("ps"), -1).as("last_doc"),
+          when(col("df") >= 2,
+            aggregate(
+              transform(sequence(lit(1), size(col("ps")) - 1),
+                i => element_at(col("ps"), i + 1) - element_at(col("ps"), i)),
+              lit(0L), (acc, x) => greatest(acc, x)))
+            .otherwise(lit(0L)).as("max_gap"),
+          md5(array_join(transform(col("ps"), _.cast("string")), ","))
+            .as("postings_md5"))
+        .orderBy(col("df").desc, col("tok")).limit(50)
+    }),
+
+    // PMI collocation mining: adjacent-bigram pointwise mutual
+    // information ln(p(w1,w2) / (p(w1)·p(w2))) with a count-≥5 floor,
+    // top 50. Bigrams come straight off the split array (no
+    // positional self-join); count aggregations are vocab-/bigram-
+    // bounded; unigram counts join onto the FILTERED (≥5) bigram set
+    // only; corpus totals ride 1-row broadcasts. PMI is evaluated in
+    // double once per surviving bigram and cut through the floor
+    // contract; (w1, w2) breaks ranking ties totally.
+    "q_pmi_colloc" -> ((s, d) => {
+      val t = filter(split(col("text"), " "), x => x =!= "")
+      val docs = Tables.documents(s, d).select(col("doc_id"), t.as("t"))
+      val uni = docs.select(explode(col("t")).as("w"))
+      val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n1f = uni.agg(count(lit(1)).as("n1"))
+      val bidx = when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val bi = docs.select(explode(transform(bidx, i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val n2f = bi.agg(count(lit(1)).as("n2"))
+      val joined = c2
+        .join(c1.select(col("w").as("w1"), col("c").as("cw1")), Seq("w1"))
+        .join(c1.select(col("w").as("w2"), col("c").as("cw2")), Seq("w2"))
+        .crossJoin(broadcast(n1f)).crossJoin(broadcast(n2f))
+      val pmi = log((col("c12").cast("double") / col("n2")) /
+        ((col("cw1").cast("double") / col("n1")) *
+          (col("cw2").cast("double") / col("n1"))))
+      joined.select(col("w1"), col("w2"), col("c12"), col("cw1"), col("cw2"),
+          (floor(pmi * 1e4 + 0.5) / 1e4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+        |          FROM dl),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |qterms AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 10),
+        |cand AS (
+        |  SELECT q.qid, t.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (t.tf * 2.2) /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+        |    , 6) AS DECIMAL(14,6)) AS c6
+        |  FROM tf t JOIN qterms q USING (tok) JOIN dl USING (doc_id)
+        |  JOIN dfreq USING (tok) CROSS JOIN stats
+        |  WHERE t.doc_id <> q.qid),
+        |scored AS (
+        |  SELECT qid, doc_id, count(*) AS n_match,
+        |    floor(CAST(sum(c6) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS score
+        |  FROM cand GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, n_match, score,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, doc_id) AS INT) AS rank
+        |      FROM scored)
+        |SELECT qid, rank, doc_id, n_match, score
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |pairs AS (SELECT DISTINCT tok, doc_id FROM toks WHERE tok <> ''),
+        |idx AS (SELECT tok, count(*) AS df,
+        |          list(doc_id ORDER BY doc_id) AS ps
+        |        FROM pairs GROUP BY 1)
+        |SELECT tok, df, ps[1] AS first_doc, ps[-1] AS last_doc,
+        |  coalesce(list_max(list_transform(range(1, len(ps)),
+        |    i -> ps[i + 1] - ps[i])), 0) AS max_gap,
+        |  md5(array_to_string(list_transform(ps, x -> CAST(x AS VARCHAR)), ','))
+        |    AS postings_md5
+        |FROM idx ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+
+    "q_pmi_colloc" ->
+      """WITH f AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |           FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM f),
+        |c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |n1t AS (SELECT count(*) AS n1 FROM uni),
+        |b AS (SELECT t, unnest(range(1, len(t))) AS i FROM f),
+        |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM b),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |n2t AS (SELECT count(*) AS n2 FROM bi),
+        |j AS (SELECT w1, w2, c12, a.c AS cw1, bb.c AS cw2, n1, n2
+        |      FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 bb ON bb.w = c2.w2
+        |      CROSS JOIN n1t CROSS JOIN n2t)
+        |SELECT w1, w2, c12, cw1, cw2,
+        |  floor(ln((CAST(c12 AS DOUBLE) / n2) /
+        |    ((CAST(cw1 AS DOUBLE) / n1) * (CAST(cw2 AS DOUBLE) / n1)))
+        |    * 1e4 + 0.5) / 1e4 AS pmi
+        |FROM j ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+  )
+}

@@ -49,7 +49,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_hard_negatives",
     // scalar join: the 1-row corpus token total broadcast onto the
     // per-(source, token) KL terms
-    "q_source_kl")
+    "q_source_kl",
+    // scalar joins: the 1-row N/avgdl stats (BM25) and the 1-row
+    // unigram/bigram corpus totals (PMI) broadcast onto bounded
+    // candidate streams
+    "q_bm25_topk", "q_pmi_colloc")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))

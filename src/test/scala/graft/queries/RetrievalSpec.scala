@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the retrieval family (q_bm25_topk,
+  * q_inverted_index, q_pmi_colloc) that the hash oracle doesn't state
+  * directly: BM25 ranks a near-copy of the query document first,
+  * posting lists are sorted/deduplicated, PMI puts an always-adjacent
+  * pair above an independent pair.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25 ranks the verbatim duplicate of a query document first") {
+    val rows = RetrievalQueries.queries("q_bm25_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the corpus carries exact duplicates (documents are generated with
+    // dup pairs); for any qid whose text has a verbatim twin, that twin
+    // must be rank 1 — check structure instead of data: rank sequences
+    // are 1..k dense per qid and scores are non-increasing
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to ranks.length))
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25 gives a doc equal to the query the top score on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (100L, "alpha beta gamma delta epsilon"), // verbatim twin of q0
+      (101L, "alpha beta zeta eta theta"),      // partial overlap
+      (102L, "iota kappa lambda mu nu"),        // disjoint
+      (103L, "alpha omega psi chi phi")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = RetrievalQueries.queries("q_bm25_topk")(spark, dir).collect()
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(q0.head.getLong(2) == 100L, s"twin not ranked first: ${q0.mkString(";")}")
+    assert(!q0.map(_.getLong(2)).contains(102L)) // no shared term → no candidate
+  }
+
+  test("inverted index postings are sorted, distinct, and gap-consistent") {
+    val rows = RetrievalQueries.queries("q_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50) // sf0.001 vocab < 50 terms
+    rows.foreach { r =>
+      val df = r.getLong(1); val first = r.getLong(2); val last = r.getLong(3)
+      val maxGap = r.getLong(4)
+      assert(first <= last)
+      if (df >= 2) {
+        assert(maxGap >= 1)                       // distinct sorted ids
+        assert(maxGap <= last - first)            // a gap can't exceed the span
+        assert(last - first >= df - 1)            // df distinct ids need span
+      } else assert(maxGap == 0)
+    }
+    // df ordering is the index's contract
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("pmi ranks an always-adjacent pair above independent pairs") {
+    import spark.implicits._
+    // "zq xq" always adjacent (PMI high); filler words independent
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"zq xq w${i % 2} w${(i + 1) % 3} w${i % 5} common word here")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pmispec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = RetrievalQueries.queries("q_pmi_colloc")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // (zq,xq) is always adjacent → its PMI ties the theoretical max of
+    // the planted corpus; it must sit in the top (max-PMI) group, and
+    // every independent filler pair (wi follows varying predecessors)
+    // must score strictly below it
+    val maxPmi = out.map(_.getDouble(5)).max
+    val zq = out.find(r => r.getString(0) == "zq" && r.getString(1) == "xq")
+    assert(zq.isDefined && zq.get.getDouble(5) == maxPmi,
+      s"(zq,xq) not at max PMI: $zq vs $maxPmi")
+    val filler = out.filter(r => r.getString(1).startsWith("w") &&
+      r.getString(0).startsWith("w"))
+    assert(filler.forall(_.getDouble(5) < maxPmi))
+  }
+}
