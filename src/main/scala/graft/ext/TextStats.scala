@@ -52,7 +52,13 @@ object TextStats {
   // BigDecimal HALF_UP vs DuckDB's std round), and the score now
   // drives cross-engine DECISIONS (keep-best ordering, ensemble
   // gates) — floor/multiply/divide are bit-exact IEEE everywhere
-  def qualityCol(text: Column): Column = {
+  def qualityCol(text: Column): Column = qualityIntCol(text) / 1e4
+
+  /** The same score as an EXACT fixed-point long (score·10^4) — the
+    * form cross-engine ORDERING and banding should use: re-deriving
+    * the integer from the double via ·1e4 is not exact for every
+    * value, so consumers that band/compare take this directly. */
+  def qualityIntCol(text: Column): Column = {
     val toks = split(text, " ")
     val nWords = size(toks)
     val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
@@ -61,17 +67,20 @@ object TextStats {
         / greatest(nWords, lit(1)).cast("double"), lit(1.0))
     val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
-    floor((lenScore + stopScore + alphaRatio) / 3.0 * 1e4 + 0.5) / 1e4
+    floor((lenScore + stopScore + alphaRatio) / 3.0 * 1e4 + 0.5)
   }
 
-  def qualitySql(textCol: String): String = {
+  def qualitySql(textCol: String): String =
+    s"(${qualityIntSql(textCol)}) / 1e4"
+
+  def qualityIntSql(textCol: String): String = {
     val allStops = Stopwords.flatMap(_._2).map(w => s"'$w'").mkString(",")
     s"""floor((
        |  least(len(string_split($textCol, ' ')) / 50.0, 1.0) +
        |  least(len(list_filter(string_split(lower($textCol), ' '), x -> x IN ($allStops))) * 10.0
        |        / greatest(len(string_split($textCol, ' ')), 1), 1.0) +
        |  len(regexp_replace($textCol, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(len($textCol), 1)
-       |) / 3.0 * 1e4 + 0.5) / 1e4""".stripMargin
+       |) / 3.0 * 1e4 + 0.5)""".stripMargin
   }
 
   /** Whitespace tokens and BPE-ish subword pieces (letter runs, digit

@@ -251,6 +251,50 @@ object CurationQueries {
         .select(col("source"), col("n_s").as("n_tok"),
           (floor(col("skl").cast("double") * 1e4 + 0.5) / 1e4).as("kl"))
         .orderBy(col("source"))
+    }),
+
+    // Token-budget curation cut: keep the highest-quality documents
+    // whose cumulative token count fits a budget (half the corpus's
+    // tokens) — the "best data that fits the training run" selector.
+    // Semantically a global cumsum in (quality desc, doc_id) order;
+    // executed WITHOUT a global window: quality is an exact fixed-point
+    // int in [0, 10^4], so per-score-band token totals form a
+    // CONSTANT-cardinality (≤10 001 rows) relation — the band cumsum
+    // is a metadata-sized window, full bands resolve by broadcast
+    // compare, and the only per-document window runs over the single
+    // boundary band (documents sharing one exact score). The corpus
+    // itself never sorts globally.
+    "q_token_budget" -> ((s, d) => {
+      import graft.ext.TextStats
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextStats.qualityIntCol(col("text")).cast("long").as("q_fp"),
+        TextStats.wsTokensCol(col("text")).cast("long").as("n_tok"))
+      val budget = scored.agg(expr("sum(n_tok) div 2").as("b"))
+      val wBand = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q_fp").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val bands = scored.groupBy(col("q_fp")).agg(sum(col("n_tok")).as("btok"))
+        .withColumn("cum_before", coalesce(sum(col("btok")).over(wBand), lit(0L)))
+        .crossJoin(broadcast(budget))
+        .withColumn("band_state",
+          when(col("cum_before") + col("btok") <= col("b"), "all")
+            .when(col("cum_before") >= col("b"), "none")
+            .otherwise("boundary"))
+      val dj = scored.join(
+        broadcast(bands.select(col("q_fp"), col("band_state"),
+          col("cum_before"), col("b"))), Seq("q_fp"))
+      val nonB = dj.filter(col("band_state") =!= "boundary")
+        .select(col("doc_id"), col("q_fp"), col("n_tok"),
+          (col("band_state") === "all").as("kept"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_fp")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val bd = dj.filter(col("band_state") === "boundary")
+        .withColumn("cum_in", sum(col("n_tok")).over(wIn))
+        .select(col("doc_id"), col("q_fp"), col("n_tok"),
+          (col("cum_before") + col("cum_in") <= col("b")).as("kept"))
+      nonB.unionByName(bd).orderBy(col("doc_id"))
     })
   )
 
@@ -458,6 +502,23 @@ object CurationQueries {
         |  FROM st JOIN stot USING (source) JOIN ct USING (tok) CROSS JOIN tot)
         |SELECT source, n_s AS n_tok,
         |  floor(CAST(sum(t6) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS kl
-        |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin
+        |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    // the oracle states the SEMANTICS (one global cumsum in quality
+    // order); the Spark side must reach the same verdicts through the
+    // banded plan
+    "q_token_budget" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(${graft.ext.TextStats.qualityIntSql("text")} AS BIGINT) AS q_fp,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS b FROM scored),
+         |c AS (SELECT doc_id, q_fp, n_tok,
+         |        sum(n_tok) OVER (ORDER BY q_fp DESC, doc_id
+         |                         ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM scored)
+         |SELECT doc_id, q_fp, n_tok, (cum <= b) AS kept
+         |FROM c CROSS JOIN tot ORDER BY doc_id""".stripMargin
   )
 }

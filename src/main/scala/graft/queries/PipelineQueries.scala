@@ -223,6 +223,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Columnar-format breadth: the documents table round-trips through
+    // ORC (Spark's second native columnar format) and the read-back is
+    // pinned against DuckDB reading the PARQUET originals — per-source
+    // row counts plus an order-independent corpus digest (per-row
+    // id:md5(text) records, sorted by doc_id inside the per-source
+    // list). A lossy writer, reader, or schema coercion breaks the
+    // digest. Scale shape: one distributed write, one distributed
+    // scan, per-source bounded collect only in the final digest.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_orc_rt_${Integer.toHexString(d.hashCode)}").toString
+      Tables.documents(s, d).write.mode("overwrite").format("orc").save(dir)
+      s.read.format("orc").load(dir)
+        .select(col("source"), col("doc_id"),
+          concat_ws(":", col("doc_id").cast("string"),
+            md5(coalesce(col("text"), lit("")))).as("rec"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("doc_id").as("i"),
+                col("rec").as("r")))),
+              x => x.getField("r")), "|")).as("corpus_md5"))
+        .orderBy(col("source"))
+    }),
+
     // A1 in Correlation-Attribute mode (tika.xml's bin-by-attribute
     // grouping): containers are written per source and every container
     // must hold EXACTLY ONE source's records — bin_pure is computed
@@ -325,6 +351,14 @@ object PipelineQueries {
     "q_avro_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_orc_roundtrip" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, '')) AS rec
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  md5(array_to_string(list(rec ORDER BY doc_id), '|')) AS corpus_md5
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_extract_fixtures"      -> FixtureGolden.extractFixtures,
     "q_extract_legacy"        -> FixtureGolden.extractLegacy,
     "q_extract_media_metadata" -> FixtureGolden.extractMediaMetadata,

@@ -239,6 +239,30 @@ object RelationalQueries {
         .orderBy($"user_id", $"tus", $"event_id")
     }),
 
+    // SCD type-2 history: per-user event_type CHANGE rows become
+    // versioned validity intervals [valid_from, valid_to) with an
+    // is_current flag — the slowly-changing-dimension shape every
+    // warehouse upsert pipeline materializes. One shuffle on user_id;
+    // the lag (change detection), row_number (version), and lead
+    // (interval close) all share the (user_id / tus, event_id) window
+    // spec, so Catalyst evaluates them in a single sort pass.
+    "q_scd2" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus".asc, $"event_id".asc)
+      val changes = Tables.events(s, d)
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tus"),
+          $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      changes
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead($"tus", 1).over(w))
+        .select($"user_id", $"version", $"event_type",
+          $"tus".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    }),
+
     // Set difference: parts never ordered (EXCEPT).
     "q_except_unordered_parts" -> ((s, d) => {
       import s.implicits._
@@ -387,6 +411,19 @@ object RelationalQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
         |ORDER BY user_id, tus, event_id""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |             event_type
+        |           FROM events),
+        |ch AS (SELECT *, lag(event_type, 1) OVER (PARTITION BY user_id
+        |         ORDER BY tus ASC, event_id ASC) AS prev_type FROM e),
+        |c2 AS (SELECT user_id, event_id, tus, event_type FROM ch
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |  event_type, tus AS valid_from, lead(tus, 1) OVER w AS valid_to,
+        |  (lead(tus, 1) OVER w IS NULL) AS is_current
+        |FROM c2 WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
+        |ORDER BY user_id, version""".stripMargin,
     "q_except_unordered_parts" ->
       """SELECT p_partkey AS k FROM part
         |EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k""".stripMargin,

@@ -53,7 +53,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // scalar joins: the 1-row N/avgdl stats (BM25) and the 1-row
     // unigram/bigram corpus totals (PMI) broadcast onto bounded
     // candidate streams
-    "q_bm25_topk", "q_pmi_colloc")
+    "q_bm25_topk", "q_pmi_colloc",
+    // scalar join: the 1-row token-budget broadcast onto the
+    // constant-cardinality (≤10 001 rows) quality-band relation
+    "q_token_budget")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))
