@@ -220,6 +220,26 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe train/val/test split: the md5 selector draws on the
+    // near-dup CLUSTER id, not the document id, so near-duplicates can
+    // never straddle a split boundary (the train/test contamination
+    // channel naive per-doc splits leave open). Same 80/10/10
+    // thresholds as q_split_assign; the cluster relation is the
+    // existing O(diameter) label propagation over compact (id,
+    // cluster) rows — split assignment itself is map-only.
+    "q_split_grouped" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.8)
+      val sel = graft.ext.Sampling.selector(col("cluster_id"))
+      Dedup.clusterAssignments(docs.select(col("doc_id")), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+          when(sel < lit(graft.ext.Sampling.thresholdHex(0.8)), "train")
+            .when(sel < lit(graft.ext.Sampling.thresholdHex(0.9)), "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup observability: the duplicate-cluster SIZE histogram — the
     // number the curation report leads with (how many exact singletons
     // vs how much mass sits in big duplicate families decides whether
@@ -465,6 +485,36 @@ object ExtQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("xor_sig"))
         .orderBy(col("source"))
+    }),
+
+    // Corpus snapshot diff — the ingest-versioning primitive: which
+    // documents were added / removed / modified / unchanged between two
+    // corpus versions. V2 is derived deterministically in-plan (every
+    // 7th doc removed, every surviving 11th revised, a new shard per
+    // 13th), so the oracle replays the same derivation. Scale shape:
+    // only narrow (doc_id, md5) relations enter the one full-outer
+    // hash join — text never shuffles; the status projection is
+    // map-only.
+    "q_corpus_diff" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val v1 = base.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("old_md5"))
+      val v2kept = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0,
+              concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+            .otherwise(coalesce(col("text"), lit("")))).as("new_md5"))
+      val v2new = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          md5(concat(lit("new shard "), col("doc_id").cast("string")))
+            .as("new_md5"))
+      v1.join(v2kept.unionByName(v2new), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("old_md5"), col("new_md5"),
+          when(col("old_md5").isNull, "added")
+            .when(col("new_md5").isNull, "removed")
+            .when(col("old_md5") =!= col("new_md5"), "modified")
+            .otherwise("unchanged").as("status"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- sketch cardinality (HLL++) ---------------------------------
@@ -1982,6 +2032,26 @@ object ExtQueries {
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
     "q_dedup_clusters" -> clusterOracle,
+    // the cluster CTE plus the q_split_assign threshold CASE, keyed on
+    // cluster_id instead of doc_id
+    "q_split_grouped" ->
+      ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
+        """,dpairs AS (
+          |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
+          |                         JOIN sizes sb ON sb.doc_id = j
+          |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
+          |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
+          |reach(id, lbl) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j),
+          |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+          |             FROM reach GROUP BY id)
+          |SELECT doc_id, cluster_id,
+          |  CASE WHEN md5(CAST(cluster_id AS VARCHAR)) < 'cccccccd' THEN 'train'
+          |       WHEN md5(CAST(cluster_id AS VARCHAR)) < 'e6666666' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM clusters ORDER BY doc_id""".stripMargin),
     // the same transitive closure, re-aggregated to the size histogram
     "q_dup_cluster_hist" ->
       s"""WITH c AS ($clusterOracle)
@@ -2077,6 +2147,25 @@ object ExtQueries {
       """SELECT source, count(*) AS n_docs,
         |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor_sig
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS old_md5
+        |            FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' [rev2]'
+        |             ELSE coalesce(text, '') END) AS new_md5
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |    md5('new shard ' || CAST(doc_id AS VARCHAR)) AS new_md5
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_md5, new_md5,
+        |  CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 <> new_md5 THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_approx_distinct" ->
       """WITH t AS (
         |  SELECT source, count(DISTINCT tok) AS n_tok_exact
