@@ -143,6 +143,40 @@ object StreamQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // Trending terms over a live document stream: tokens carry a
+    // synthetic event time spreading the corpus over 4 hour-buckets,
+    // a 30-min watermark bounds per-(window, token) count state, and
+    // Append emits each window's vocabulary counts as it closes; the
+    // top-5-per-window rank runs BATCH over the closed windows in the
+    // sink (ranking needs the window complete — exactly what Append
+    // emission guarantees — so the streaming state never holds a
+    // heap, just the counts). The oracle replays the same bucketing
+    // with the inclusive aligned-end close rule q_stream_window pins.
+    "q_stream_trending" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val counts = stream.select(
+          timestamp_micros(lit(1700000000000000L) +
+            (col("doc_id") % 4) * 3600000000L +
+            (col("doc_id") % 3600L) * 1000000L).as("etime"),
+          explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+        .withWatermark("etime", "30 minutes")
+        .groupBy(window(col("etime"), "1 hour"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("tok"), col("n"))
+      val out = freshScratchDir(d, "trending").toString
+      val closed = StreamPipeline.runAppendToDir(s, counts, out, Seq.empty)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start_us"))
+        .orderBy(col("n").desc, col("tok"))
+      closed.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("window_start_us"), col("rank"), col("tok"), col("n"))
+        .orderBy(col("window_start_us"), col("rank"))
+    }),
+
     // stream-stream interval join through the real engine: clicks
     // inner-join purchases of the same user within the preceding hour.
     // Both sides carry 30-min watermarks, and the time-range predicate
@@ -538,6 +572,27 @@ object StreamQueries {
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
+    // same synthetic hour-bucket times, same inclusive aligned-end
+    // close rule; max(tus) over TOKEN rows (the watermark advances on
+    // the exploded stream)
+    "q_stream_trending" ->
+      """WITH f AS (
+        |  SELECT 1700000000000000 + (doc_id % 4) * 3600000000 +
+        |           (doc_id % 3600) * 1000000 AS tus,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT (tus // 3600000000) * 3600000000 AS window_start_us,
+        |    tok, count(*) AS n
+        |  FROM f GROUP BY 1, 2
+        |  HAVING window_start_us + 3600000000 + 1800000000 <=
+        |    (SELECT max(tus) FROM f)),
+        |r AS (SELECT window_start_us, tok, n,
+        |        CAST(row_number() OVER (PARTITION BY window_start_us
+        |          ORDER BY n DESC, tok) AS INT) AS rank
+        |      FROM counts)
+        |SELECT window_start_us, rank, tok, n
+        |FROM r WHERE rank <= 5 ORDER BY window_start_us, rank""".stripMargin,
     // bounded input: the last Complete emission IS the batch aggregate
     "q_stream_complete" ->
       """SELECT event_type, count(*) AS n,
