@@ -52,7 +52,8 @@ object Bench {
       "q_video_meta", "q_curation_funnel3", "q_bpe_merges",
       "q_tar_members", "q_chunk_cdc", "q_hygiene_funnel",
       "q_gopher_filter", "q_dsir_select", "q_semdedup",
-      "q_refinedweb_funnel")
+      "q_refinedweb_funnel",
+      "q_bm25_topk", "q_token_budget")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

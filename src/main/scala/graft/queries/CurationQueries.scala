@@ -253,6 +253,45 @@ object CurationQueries {
         .orderBy(col("source"))
     }),
 
+    // Quality-signal correlation matrix — the corpus-health check on
+    // the FILTER SIGNALS themselves (two near-duplicate signals waste
+    // a gate; an anti-correlated pair explains disagreeing verdicts):
+    // Pearson r between token count, alpha chars, and stopword hits.
+    // All three signals are integers, so every sum is an EXACT
+    // decimal(38,0) (order-free partial aggregation, no long overflow
+    // at corpus scale); the closed form runs in double once, through
+    // the floor contract. One aggregate over the corpus, 1-row output.
+    "q_signal_corr" -> ((s, d) => {
+      val stops = graft.ext.TextStats.Stopwords.flatMap(_._2)
+      val sig = Tables.documents(s, d).select(
+        size(split(col("text"), " ")).cast("long").as("x"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("y"),
+        graft.functions.TokenSetCount.token_set_count(col("text"), stops)
+          .cast("long").as("z"))
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+      val agg = sig.agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"), dsum(col("z")).as("sz"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("y") * col("y")).as("syy"),
+        dsum(col("z") * col("z")).as("szz"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("z")).as("sxz"),
+        dsum(col("y") * col("z")).as("syz"))
+      def r(spq: String, sp: String, sq: String, spp: String, sqq: String) = {
+        val nd = col("n").cast("double")
+        val num = nd * col(spq).cast("double") -
+          col(sp).cast("double") * col(sq).cast("double")
+        val den = sqrt((nd * col(spp).cast("double") -
+            col(sp).cast("double") * col(sp).cast("double")) *
+          (nd * col(sqq).cast("double") -
+            col(sq).cast("double") * col(sq).cast("double")))
+        floor(num / den * 1e4 + 0.5) / 1e4
+      }
+      agg.select(col("n"),
+        r("sxy", "sx", "sy", "sxx", "syy").as("r_len_alpha"),
+        r("sxz", "sx", "sz", "sxx", "szz").as("r_len_stop"),
+        r("syz", "sy", "sz", "syy", "szz").as("r_alpha_stop"))
+    }),
+
     // Token-budget curation cut: keep the highest-quality documents
     // whose cumulative token count fits a budget (half the corpus's
     // tokens) — the "best data that fits the training run" selector.
@@ -503,6 +542,52 @@ object CurationQueries {
         |SELECT source, n_s AS n_tok,
         |  floor(CAST(sum(t6) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS kl
         |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    "q_signal_corr" -> {
+      val allStops = graft.ext.TextStats.Stopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH sig AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS y,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($allStops))) AS BIGINT) AS z
+         |  FROM documents),
+         |agg AS (
+         |  SELECT count(*) AS n,
+         |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         |    sum(CAST(z AS DECIMAL(38,0))) AS sz,
+         |    sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+         |    sum(CAST(y*y AS DECIMAL(38,0))) AS syy,
+         |    sum(CAST(z*z AS DECIMAL(38,0))) AS szz,
+         |    sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+         |    sum(CAST(x*z AS DECIMAL(38,0))) AS sxz,
+         |    sum(CAST(y*z AS DECIMAL(38,0))) AS syz
+         |  FROM sig)
+         |SELECT n,
+         |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    * 1e4 + 0.5) / 1e4 AS r_len_alpha,
+         |  floor((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+         |            - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+         |    * 1e4 + 0.5) / 1e4 AS r_len_stop,
+         |  floor((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+         |         - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+         |            - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+         |    * 1e4 + 0.5) / 1e4 AS r_alpha_stop
+         |FROM agg""".stripMargin
+    },
 
     // the oracle states the SEMANTICS (one global cumsum in quality
     // order); the Spark side must reach the same verdicts through the

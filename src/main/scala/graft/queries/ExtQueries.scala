@@ -487,6 +487,32 @@ object ExtQueries {
         .orderBy(col("source"))
     }),
 
+    // Z-order (Morton) clustering key — the lakehouse layout primitive:
+    // interleaving the bits of two scan dimensions gives ONE sort key
+    // under which range predicates on EITHER column touch a bounded
+    // band of files. The query materializes the 32-bit Morton code of
+    // (doc_id, n_chars) (low 16 bits each) and PROVES the locality
+    // contract: within any 14-bit z-prefix tile, each dimension's span
+    // is < 2^9 (the 9 free interleaved bits) — the zone-map-pruning
+    // guarantee, asserted per tile by integer compare. Map-only code
+    // computation; the tile aggregate is bounded by tile cardinality.
+    "q_zorder_layout" -> ((s, d) => {
+      val a = col("doc_id") % 65536L
+      val b = col("n_chars") % 65536L
+      Tables.documents(s, d)
+        .select(a.as("a"), b.as("b"), graft.ext.Layout.zorderCol(a, b).as("zval"))
+        .withColumn("tile", shiftright(col("zval"), 18))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+        .select(col("tile"), col("n"), col("a_min"), col("a_max"),
+          col("b_min"), col("b_max"),
+          (col("a_max") - col("a_min") < 512).as("a_bounded"),
+          (col("b_max") - col("b_min") < 512).as("b_bounded"))
+        .orderBy(col("tile"))
+    }),
+
     // Corpus snapshot diff — the ingest-versioning primitive: which
     // documents were added / removed / modified / unchanged between two
     // corpus versions. V2 is derived deterministically in-plan (every
@@ -2147,6 +2173,16 @@ object ExtQueries {
       """SELECT source, count(*) AS n_docs,
         |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor_sig
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT doc_id % 65536 AS a, n_chars % 65536 AS b,
+         |    ${graft.ext.Layout.zorderSql("doc_id % 65536", "n_chars % 65536")} AS zval
+         |  FROM documents)
+         |SELECT zval >> 18 AS tile, count(*) AS n,
+         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max,
+         |  (max(a) - min(a) < 512) AS a_bounded,
+         |  (max(b) - min(b) < 512) AS b_bounded
+         |FROM z GROUP BY 1 ORDER BY tile""".stripMargin,
     "q_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS old_md5
         |            FROM documents),
