@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 retrieval over a BUILD-ONCE on-disk inverted index — the
+  * [[Ivf]] train-once / probe-many pattern applied to lexical search.
+  *
+  * The inline form of this query recomputed the (doc, term, tf)
+  * aggregation in every branch that consumed it (tf, df, the query
+  * term set) — ~4 full corpus scans per invocation, which is the wrong
+  * shape at 100 TB where the tokenize+aggregate pass IS the cost. Here
+  * the index persists once per corpus (content-signature keyed,
+  * `_SUCCESS`-guarded, stale siblings GC'd — all exactly as the IVF
+  * index) and every probe reads only:
+  *  - `tf/`: (tok, doc_id, tf, dl) REPARTITIONED BY tok and sorted
+  *    within partitions — each parquet file covers a token range, so a
+  *    probe's query-term join prunes most files at the scan via
+  *    row-group min/max on `tok`;
+  *  - `df/`: (tok, df), same layout;
+  *  - `stats/`: the 1-row (n_docs, tot_dl).
+  *
+  * Scoring follows the repo's cross-engine discipline: per-term
+  * contributions rounded to 6 decimals and summed as exact decimals,
+  * terminal score through the floor contract. Constants are written as
+  * source literals (2.2, 1.2, 0.25, 0.75) on BOTH engines — deriving
+  * 1+k1 at runtime could differ from the parsed literal by an ulp.
+  */
+object Bm25 {
+
+  /** Deterministic index location: corpus path + content signature
+    * (a regenerated corpus keys to a NEW dir, never a stale reuse). */
+  def indexDirFor(corpusDir: String,
+                  root: String = sys.props("java.io.tmpdir")): String =
+    s"$root/${Ivf.indexPrefix("graft_bm25_v1", corpusDir)}_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
+
+  /** Build the inverted index on disk; `_SUCCESS`-guarded no-op when
+    * it already exists. One tokenize pass feeds both aggregates; df
+    * derives from the WRITTEN tf relation (no second corpus scan). */
+  def ensureIndex(docs: DataFrame, idCol: String, textCol: String,
+                  dir: String): Unit = {
+    val spark = docs.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats/_SUCCESS"))) return
+    // GC same-corpus siblings left behind by a content change
+    val prefixRe = "^(graft_bm25_v1_[0-9a-f]+_).*".r
+    dirPath.getName match {
+      case prefixRe(prefix) =>
+        val parent = dirPath.getParent
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent)
+            .filter(s => s.getPath.getName.startsWith(prefix) &&
+              s.getPath.getName != dirPath.getName)
+            .foreach(s => fs.delete(s.getPath, true))
+      case _ => () // caller-chosen dir name: nothing safe to GC
+    }
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/tf")
+    val tfIdx = spark.read.parquet(s"$dir/tf")
+    tfIdx.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .repartition(col("tok")).sortWithinPartitions(col("tok"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    // dl re-derived from the written index (distinct per doc), not the
+    // corpus: the one-row stats read must agree with tf/ forever
+    tfIdx.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Top-k BM25 per query from the persisted index. `queryTerms` is
+    * the small (qid, tok) relation — broadcast after its df join; the
+    * tf scan is pruned to files whose token range intersects it. */
+  def topK(spark: SparkSession, dir: String, queryTerms: DataFrame,
+           k: Int): DataFrame = {
+    val tf = spark.read.parquet(s"$dir/tf")
+    val dfr = spark.read.parquet(s"$dir/df")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val qdf = queryTerms.join(dfr, Seq("tok"))
+    val cand = tf.join(broadcast(qdf), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats))
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (nd - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val scored = cand
+      .select(col("qid"), col("doc_id"),
+        round(idf * tfn, 6).cast("decimal(14,6)").as("c6"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_match"),
+        (floor(sum(col("c6")).cast("double") * 1e4 + 0.5) / 1e4).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("n_match"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

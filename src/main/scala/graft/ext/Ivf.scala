@@ -212,7 +212,7 @@ object Ivf {
     PqModel(books)
   }
 
-  private def md5hex(s: String, nBytes: Int): String =
+  private[ext] def md5hex(s: String, nBytes: Int): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
       .take(nBytes).map("%02x".format(_)).mkString
@@ -232,13 +232,13 @@ object Ivf {
     * forever once the content signature changed). The float and
     * quantized indexes use DIFFERENT families, so neither build ever
     * garbage-collects the other's live index. */
-  private def indexPrefix(family: String, corpusDir: String): String =
+  private[ext] def indexPrefix(family: String, corpusDir: String): String =
     s"${family}_${md5hex(corpusDir, 6)}"
 
   private[ext] def indexPrefixFor(corpusDir: String): String =
     indexPrefix("graft_ivf_v1", corpusDir)
 
-  private def contentSig(corpusDir: String): String = {
+  private[ext] def contentSig(corpusDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = p.getFileSystem(hadoopConf())
     if (fs.exists(p)) {

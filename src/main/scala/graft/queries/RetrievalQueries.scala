@@ -23,47 +23,21 @@ object RetrievalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Okapi BM25 more-like-this retrieval (k1=1.2, b=0.75, the Lucene
-    // idf form ln(1 + (N-df+0.5)/(df+0.5))): the first 10 documents
-    // act as queries (their full token set), every other document is
-    // scored, top-10 per query. Scale shape: the candidate stream is
-    // the tf relation joined MAP-SIDE to the broadcast (query-term,
-    // df) set — df is computed over the full vocabulary (shuffle
-    // bounded by vocab) but only query terms survive into the
-    // broadcast; doc length joins as a narrow (doc_id, dl) relation;
-    // N/avgdl ride a 1-row broadcast. Per-query ranking windows are
-    // bounded by candidates that share a query term. Text itself
-    // never joins.
+    // idf form ln(1 + (N-df+0.5)/(df+0.5))) over the BUILD-ONCE
+    // on-disk inverted index (graft.ext.Bm25 — the IVF train-once /
+    // probe-many pattern for lexical search): the first 10 documents
+    // act as queries (their full token set, read from the index's tf
+    // relation with doc_id<10 pushed to the pruned scan), every other
+    // document is scored, top-10 per query. A probe touches only the
+    // token-range-pruned tf files, the query terms' df rows, and the
+    // 1-row stats — never the corpus text.
     "q_bm25_topk" -> ((s, d) => {
-      val toks = tokenRows(Tables.documents(s, d))
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val qterms = tf.filter(col("doc_id") < 10)
+      val dir = graft.ext.Bm25.indexDirFor(d)
+      graft.ext.Bm25.ensureIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      val qterms = s.read.parquet(s"$dir/tf")
+        .filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("tok")).distinct()
-      val qdf = qterms.join(dfreq, Seq("tok"))
-      val cand = tf.join(broadcast(qdf), Seq("tok"))
-        .filter(col("doc_id") =!= col("qid"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-      val nd = col("n_docs").cast("double")
-      val avgdl = col("tot_dl").cast("double") / col("n_docs")
-      val idf = log(lit(1.0) + (nd - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val tfn = (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-      val scored = cand
-        .select(col("qid"), col("doc_id"),
-          round(idf * tfn, 6).cast("decimal(14,6)").as("c6"))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("n_match"),
-          (floor(sum(col("c6")).cast("double") * 1e4 + 0.5) / 1e4).as("score"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("rank"), col("doc_id"), col("n_match"), col("score"))
-        .orderBy(col("qid"), col("rank"))
+      graft.ext.Bm25.topK(s, dir, qterms, 10)
     }),
 
     // The inverted index itself (term → sorted posting list), reported

@@ -53,6 +53,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!q0.map(_.getLong(2)).contains(102L)) // no shared term → no candidate
   }
 
+  test("bm25 index build is idempotent and its stats agree with the tf relation") {
+    val sf01 = "/root/testdata/sf0.001"
+    val dir = graft.ext.Bm25.indexDirFor(sf01)
+    val docs = Tables.documents(spark, sf01)
+    graft.ext.Bm25.ensureIndex(docs, "doc_id", "text", dir)
+    val tfFirst = spark.read.parquet(s"$dir/tf")
+    val mtime = new java.io.File(s"$dir/stats/_SUCCESS").lastModified
+    graft.ext.Bm25.ensureIndex(docs, "doc_id", "text", dir) // must no-op
+    assert(new java.io.File(s"$dir/stats/_SUCCESS").lastModified == mtime)
+    val stats = spark.read.parquet(s"$dir/stats").collect()(0)
+    val fromTf = tfFirst.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    assert(stats.getLong(0) == fromTf.getLong(0))
+    assert(stats.getLong(1) == fromTf.getLong(1))
+    // dl in the index equals the sum of that doc's tf rows
+    val bad = tfFirst.groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("tf")).as("s")).filter(col("s") =!= col("dl")).count()
+    assert(bad == 0)
+  }
+
   test("inverted index postings are sorted, distinct, and gap-consistent") {
     val rows = RetrievalQueries.queries("q_inverted_index")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50) // sf0.001 vocab < 50 terms
