@@ -143,6 +143,22 @@ object StreamQueries {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // SCD2 maintained over the live CDC stream: per-user open
+    // intervals live in flatMapGroupsWithState state (one small record
+    // per key), each type change emits the CLOSED interval — the
+    // warehouse history table kept current without ever re-running the
+    // batch window. On bounded input the emitted set must equal the
+    // batch q_scd2 restricted to closed rows (valid_to IS NOT NULL);
+    // the open tail is exactly what remains in state.
+    "q_stream_scd2" -> ((s, d) => {
+      val src = StreamPipeline.readEvents(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[StreamPipeline.TypedEvent](StreamPipeline.typedEventEnc)
+      val closed = StreamPipeline.scd2Stream(src)
+      StreamPipeline.runAppendToMemory(s, closed.toDF(), s"scd2_${d.hashCode.abs}")
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // Trending terms over a live document stream: tokens carry a
     // synthetic event time spreading the corpus over 4 hour-buckets,
     // a 30-min watermark bounds per-(window, token) count state, and
@@ -572,6 +588,22 @@ object StreamQueries {
         |GROUP BY 1, 2
         |HAVING window_start_us + 3600000000 + 1800000000 <= (SELECT max(tus) FROM e)
         |ORDER BY window_start_us, event_type""".stripMargin,
+    // the batch SCD2 derivation restricted to CLOSED intervals
+    "q_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |             event_type
+        |           FROM events),
+        |ch AS (SELECT *, lag(event_type, 1) OVER (PARTITION BY user_id
+        |         ORDER BY tus ASC, event_id ASC) AS prev_type FROM e),
+        |c2 AS (SELECT user_id, event_id, tus, event_type FROM ch
+        |       WHERE prev_type IS NULL OR prev_type <> event_type),
+        |r AS (SELECT user_id, event_type, tus AS valid_from,
+        |        lead(tus, 1) OVER (PARTITION BY user_id
+        |          ORDER BY tus ASC, event_id ASC) AS valid_to
+        |      FROM c2)
+        |SELECT user_id, event_type, valid_from, valid_to FROM r
+        |WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from""".stripMargin,
+
     // same synthetic hour-bucket times, same inclusive aligned-end
     // close rule; max(tus) over TOKEN rows (the watermark advances on
     // the exploded stream)

@@ -398,6 +398,56 @@ object StreamPipeline {
     * mapGroupsWithState form for unbounded input: emits a session when
     * the gap closes it, holds the open session in state. Demonstrated
     * in StreamingSpec; the batch form above is the oracle-checked one. */
+  // ---- streaming SCD2 (CDC-log state maintenance) --------------------
+
+  final case class TypedEvent(user_id: Long, event_id: Long, ts: Long,
+                              event_type: String)
+  /** A CLOSED validity interval (micros). Open intervals live in state
+    * — on an unbounded CDC log they close when the next change
+    * arrives; the batch q_scd2 restricted to valid_to IS NOT NULL is
+    * the bounded-input oracle. */
+  final case class Scd2Closed(user_id: Long, event_type: String,
+                              valid_from: Long, valid_to: Long)
+  final case class Scd2State(lastType: String, fromUs: Long,
+                             lastTs: Long, lastId: Long)
+
+  implicit val typedEventEnc: Encoder[TypedEvent] = Encoders.product[TypedEvent]
+  implicit val scd2ClosedEnc: Encoder[Scd2Closed] = Encoders.product[Scd2Closed]
+
+  /** SCD type-2 maintained over a live CDC stream: per-key state holds
+    * the open interval; each type CHANGE emits the closed one. Events
+    * are sorted by (ts, event_id) WITHIN a micro-batch; across batches
+    * the operator assumes the CDC log's per-key ordering contract
+    * (Kafka-style) — a row older than the open interval's last-seen
+    * position is dropped as late rather than corrupting history.
+    * State per key is one small record, O(keys) total — no watermark
+    * needed to bound it. */
+  def scd2Stream(events: Dataset[TypedEvent]): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[Scd2State]) => {
+          val evs = it.toArray
+          java.util.Arrays.sort(evs, Ordering.by((e: TypedEvent) => (e.ts, e.event_id)))
+          val closed = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          var st = state.getOption.orNull
+          evs.foreach { e =>
+            if (st == null)
+              st = Scd2State(e.event_type, e.ts / 1000L, e.ts, e.event_id)
+            else if (e.ts > st.lastTs || (e.ts == st.lastTs && e.event_id > st.lastId)) {
+              if (e.event_type != st.lastType) {
+                closed += Scd2Closed(uid, st.lastType, st.fromUs, e.ts / 1000L)
+                st = Scd2State(e.event_type, e.ts / 1000L, e.ts, e.event_id)
+              } else st = st.copy(lastTs = e.ts, lastId = e.event_id)
+            } // else: late row behind the open interval — dropped
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+        })
+  }
+
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -176,6 +176,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream closes intervals across micro-batches and drops late rows") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // batch 1: user 1 at type A (open interval from t=1s)
+    Seq(StreamPipeline.TypedEvent(1L, 10L, 1000000000L, "A"))
+      .toDF().write.parquet(dir + "/b1")
+    val in = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/b*/").as[StreamPipeline.TypedEvent]
+    val q = StreamPipeline.scd2Stream(in)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scd2spec").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("scd2spec").count() == 0) // interval still open
+      // batch 2: a change at t=5s closes [1s, 5s)
+      Seq(StreamPipeline.TypedEvent(1L, 20L, 5000000000L, "B"))
+        .toDF().write.parquet(dir + "/b2")
+      q.processAllAvailable()
+      val closed = spark.table("scd2spec")
+        .as[StreamPipeline.Scd2Closed].collect()
+      assert(closed.toSeq == Seq(
+        StreamPipeline.Scd2Closed(1L, "A", 1000000L, 5000000L)))
+      // batch 3: a LATE C row at t=2s — behind the open B interval —
+      // must be dropped, not rewrite history or emit a bogus close
+      Seq(StreamPipeline.TypedEvent(1L, 15L, 2000000000L, "C"))
+        .toDF().write.parquet(dir + "/b3")
+      q.processAllAvailable()
+      assert(spark.table("scd2spec").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicates arriving in a LATER micro-batch") {
     import spark.implicits._
     val dir = tmpDir()
