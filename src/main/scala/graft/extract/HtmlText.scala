@@ -78,6 +78,46 @@ object HtmlText {
     out.result().trim
   }
 
+  private val HrefRe =
+    """(?i)href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""".r
+
+  /** (href, anchor-text) pairs from `<a>` tags in document order — the
+    * link-graph feed of a web-corpus pipeline (anchors are both dedup
+    * keys and quality signals). Handles double-/single-/un-quoted href
+    * values and attributes in any order; the inner markup runs through
+    * [[extract]], so nested tags strip and entities decode exactly
+    * like body text. Anchors without an href yield no row; `<a>` does
+    * not nest in HTML, so the scan resumes after each open tag. */
+  def extractLinks(html: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val lower = html.toLowerCase
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val open = lower.indexOf("<a", i)
+      if (open < 0) i = n
+      else if (open + 2 >= n) i = n
+      else if (!Character.isWhitespace(html.charAt(open + 2)) &&
+               html.charAt(open + 2) != '>') i = open + 2
+      else {
+        val close = html.indexOf('>', open)
+        if (close < 0) i = n
+        else {
+          val href = HrefRe.findFirstMatchIn(html.substring(open, close))
+            .map(m => Option(m.group(1)).orElse(Option(m.group(2)))
+              .getOrElse(m.group(3)))
+          val end = lower.indexOf("</a", close)
+          val innerEnd = if (end < 0) n else end
+          val text = extract(html.substring(close + 1, innerEnd)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
+          href.foreach(h => out += h -> text)
+          i = close + 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
   private def tryCodePoint(digits: String, radix: Int): Option[String] =
     try {
       val cp = Integer.parseInt(digits, radix)

@@ -223,6 +223,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Anchor/link extraction from HTML — the link-graph feed of a
+    // web-corpus pipeline. Every document renders to a planted page
+    // whose three anchors exercise the real parse: double-quoted,
+    // single-quoted-with-entity, and bare (unquoted, href not the
+    // first attribute); <title>/<script> content must NOT leak into
+    // anchors. The oracle predicts (idx, href, decoded text)
+    // analytically from id arithmetic, so only a real attribute parse
+    // + entity decode can match. Map-only.
+    "q_html_links" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script>var x=1;</script></head><body><p>intro</p>"),
+        lit("<a href=\"https://ref-"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/page/"), id, lit("\">ref "), id, lit("</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a href='/rel/"), id, lit("'>internal &amp; local</a>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a class=\"x\" href=/bare/"), id, lit(">bare "),
+            (col("doc_id") % 5).cast("string"), lit("</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val linksUdf = udf((h: String) => graft.extract.HtmlText.extractLinks(h))
+      Tables.documents(s, d).select(col("doc_id"), linksUdf(html).as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")))
+        .select(col("doc_id"), col("pos").as("idx"),
+          col("col._1").as("href"), col("col._2").as("anchor"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // Columnar-format breadth: the documents table round-trips through
     // ORC (Spark's second native columnar format) and the read-back is
     // pinned against DuckDB reading the PARQUET originals — per-source
@@ -351,6 +382,25 @@ object PipelineQueries {
     "q_avro_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_html_links" ->
+      """WITH a1 AS (
+        |  SELECT doc_id, 0 AS idx,
+        |    'https://ref-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/'
+        |      || CAST(doc_id AS VARCHAR) AS href,
+        |    'ref ' || CAST(doc_id AS VARCHAR) AS anchor
+        |  FROM documents),
+        |a2 AS (
+        |  SELECT doc_id, 1 AS idx, '/rel/' || CAST(doc_id AS VARCHAR) AS href,
+        |    'internal & local' AS anchor
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |a3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS idx,
+        |    '/bare/' || CAST(doc_id AS VARCHAR) AS href,
+        |    'bare ' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, idx, href, anchor FROM (
+        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+        |ORDER BY doc_id, idx""".stripMargin,
     "q_orc_roundtrip" ->
       """WITH r AS (
         |  SELECT source, doc_id,
