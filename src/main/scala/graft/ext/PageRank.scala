@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank by fixed-iteration power method (damping 0.85,
+  * dangling mass dropped — the simple documented variant; ranks then
+  * need no dangling redistribution join and stay deterministic).
+  *
+  * Cross-engine discipline: every per-edge contribution AND every
+  * per-node rank goes through the floor(x·10¹² + 0.5)/10¹² contract
+  * each iteration, with contributions summed as exact DECIMAL(28,12)
+  * (order-free) — so after any number of iterations the rank vector is
+  * bit-identical on Spark and DuckDB, and the oracle can simply unroll
+  * the same iterations as chained CTEs ([[unrolledSql]] generates them
+  * from the SAME constants).
+  *
+  * Scale shape: each iteration is one join of the edge relation with
+  * the current rank vector plus a groupBy on dst — shuffles bounded by
+  * |edges|, state by |nodes|; lineage is cut per iteration with
+  * localCheckpoint (the cluster-propagation precedent). 10 iterations
+  * is the classic fixed budget for top-k-stable host ranking.
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Iters = 10
+
+  /** edges: (src, dst, w); returns (node, rank) after [[Iters]]
+    * rounds over the node set = distinct src ∪ dst. */
+  def ranks(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    val base = (1.0 - Damping) / nNodes
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    var rank = nodes.withColumn("rank",
+      floor(lit(1.0) / nNodes * 1e12 + 0.5) / 1e12)
+    for (_ <- 1 to Iters) {
+      val contrib = edges.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (floor(lit(Damping) * col("rank") * col("w") / col("deg") * 1e12 + 0.5) / 1e12)
+            .cast("decimal(28,12)").as("c"))
+      rank = nodes.join(contrib.groupBy(col("node")).agg(sum(col("c")).as("sc")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (floor((lit(base) + coalesce(col("sc").cast("double"), lit(0.0)))
+            * 1e12 + 0.5) / 1e12).as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  /** The identical computation as DuckDB SQL: `edgesCte` must define
+    * relations `edges(src, dst, w)`; the generated chain adds nodes,
+    * outdeg, and it0..itN, returning (node, rank) from the last. */
+  def unrolledSql(edgesCte: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $edgesCte,\n")
+    sb.append("nodes AS (SELECT DISTINCT src AS node FROM edges " +
+      "UNION SELECT DISTINCT dst FROM edges),\n")
+    sb.append("nn AS (SELECT count(*) AS n FROM nodes),\n")
+    sb.append("outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY 1),\n")
+    sb.append("it0 AS (SELECT node, floor(1.0 / n * 1e12 + 0.5) / 1e12 AS rank " +
+      "FROM nodes CROSS JOIN nn),\n")
+    for (k <- 1 to Iters) {
+      sb.append(s"c$k AS (SELECT e.dst AS node, " +
+        s"CAST(floor($Damping * i.rank * e.w / od.deg * 1e12 + 0.5) / 1e12 " +
+        s"AS DECIMAL(28,12)) AS c " +
+        s"FROM edges e JOIN it${k - 1} i ON i.node = e.src " +
+        s"JOIN outdeg od ON od.src = e.src),\n")
+      sb.append(s"it$k AS (SELECT nodes.node, " +
+        s"floor(((1.0 - $Damping) / n + coalesce(CAST(s.sc AS DOUBLE), 0.0)) " +
+        s"* 1e12 + 0.5) / 1e12 AS rank " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN " +
+        s"(SELECT node, sum(c) AS sc FROM c$k GROUP BY 1) s USING (node))" +
+        (if (k < Iters) ",\n" else "\n"))
+    }
+    sb.append(s"SELECT node, rank FROM it$Iters ORDER BY node")
+    sb.toString
+  }
+}

@@ -66,6 +66,25 @@ object RetrievalQueries {
         .orderBy(col("df").desc, col("tok")).limit(50)
     }),
 
+    // PageRank over the host link graph (the q_html_links /
+    // q_url_canon derivations give every document a source host and a
+    // referenced host): 10 damped power-method rounds with per-round
+    // floor-contract rounding, so the rank vector is bit-identical to
+    // the oracle's UNROLLED iteration chain (PageRank.unrolledSql
+    // generates the CTEs from the same constants). Third member of
+    // the iterative-algorithm family beside connected components and
+    // Lloyd cells; shuffles per round bounded by |edges|.
+    "q_pagerank_hosts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(
+          concat(lower(col("source")), lit("-"),
+            (col("doc_id") % 5).cast("string"), lit(".example.com")).as("src"),
+          concat(lit("ref-"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com")).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.ext.PageRank.ranks(edges).orderBy(col("node"))
+    }),
+
     // PMI collocation mining: adjacent-bigram pointwise mutual
     // information ln(p(w1,w2) / (p(w1)·p(w2))) with a count-≥5 floor,
     // top 50. Bigrams come straight off the split array (no
@@ -148,6 +167,14 @@ object RetrievalQueries {
         |  md5(array_to_string(list_transform(ps, x -> CAST(x AS VARCHAR)), ','))
         |    AS postings_md5
         |FROM idx ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+
+    "q_pagerank_hosts" -> graft.ext.PageRank.unrolledSql(
+      """edges AS (
+        |  SELECT lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example.com' AS src,
+        |    'ref-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst,
+        |    count(*) AS w
+        |  FROM documents GROUP BY 1, 2)""".stripMargin),
 
     "q_pmi_colloc" ->
       """WITH f AS (SELECT doc_id,

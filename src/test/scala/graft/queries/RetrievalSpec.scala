@@ -91,6 +91,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("pagerank concentrates rank on the sink hub of a star graph") {
+    import spark.implicits._
+    // 5 spokes all pointing at one hub; hub has no outlinks (dangling)
+    val edges = (1 to 5).map(i => (s"s$i", "hub", 1L)).toDF("src", "dst", "w")
+    val r = graft.ext.PageRank.ranks(edges).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > r("s1") * 3) // the hub dominates every spoke
+    assert(r.values.forall(_ > 0))
+    val spokes = (1 to 5).map(i => r(s"s$i")).distinct
+    assert(spokes.size == 1) // symmetric spokes rank identically
+  }
+
+  test("pagerank ranks on the corpus graph are positive and ref hubs lead") {
+    val out = graft.SparkEntry.queries("q_pagerank_hosts")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(1) > 0))
+    // ref-* hosts are pure sinks fed by every source host — each must
+    // outrank every source host (which only receives the base mass)
+    val (refs, srcs) = out.partition(_.getString(0).startsWith("ref-"))
+    assert(refs.nonEmpty && srcs.nonEmpty)
+    assert(refs.map(_.getDouble(1)).min > srcs.map(_.getDouble(1)).max)
+  }
+
   test("pmi ranks an always-adjacent pair above independent pairs") {
     import spark.implicits._
     // "zq xq" always adjacent (PMI high); filler words independent
