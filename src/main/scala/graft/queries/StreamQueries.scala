@@ -223,6 +223,39 @@ object StreamQueries {
         .orderBy(col("user_id"), col("tus"), col("ptus"))
     }),
 
+    // the LEFT OUTER form of the stream-stream interval join: clicks
+    // with no purchase in the preceding hour must STILL emit (with
+    // null purchase columns) — but only once the min-watermark proves
+    // no match can arrive. OuterJoinEmissionSpec pins the engine's
+    // boundary: a null row emits iff click time + 1 ms ≤
+    // min(ms_floor(max click), ms_floor(max purchase)) − delay; the
+    // oracle applies exactly that cutoff to the unmatched set, while
+    // matched pairs emit unconditionally (inner semantics).
+    "q_stream_join_outer" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src = Tables.normalizeEventTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          StreamPipeline.eventTime("ts").as("ctime"))
+        .withWatermark("ctime", "30 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"),
+          StreamPipeline.eventTime("ts").as("ptime"), col("value"))
+        .withWatermark("ptime", "30 minutes")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_uid") &&
+            col("ptime") <= col("ctime") &&
+            col("ptime") >= col("ctime") - expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ctime")).as("tus"),
+          unix_micros(col("ptime")).as("ptus"), col("value"))
+      StreamPipeline.runAppendToMemory(s, joined, s"sjoino_${d.hashCode.abs}")
+        .orderBy(col("user_id"), col("tus"), col("event_id"),
+          col("ptus").asc_nulls_first)
+    }),
+
     // stream-static enrichment join: the unbounded event stream joins a
     // bounded dimension built once in batch. Spark BROADCASTS the
     // static side into every micro-batch — no state store at all (vs
@@ -694,6 +727,29 @@ object StreamQueries {
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         | AND p.ts >= c.ts - INTERVAL 1 HOUR
         |ORDER BY c.user_id, tus, ptus""".stripMargin,
+    // matched pairs unconditionally; unmatched clicks gated by the
+    // pinned t + 1ms ≤ min-watermark rule (OuterJoinEmissionSpec)
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ptus, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT least((SELECT (max(tus) // 1000) * 1000 FROM c),
+        |                   (SELECT (max(ptus) // 1000) * 1000 FROM p))
+        |             - 1800000000 AS wm),
+        |m AS (SELECT c.user_id, c.event_id, c.tus, p.ptus, p.value
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.ptus <= c.tus AND p.ptus >= c.tus - 3600000000),
+        |unmatched AS (
+        |  SELECT c.user_id, c.event_id, c.tus,
+        |    CAST(NULL AS BIGINT) AS ptus, CAST(NULL AS DOUBLE) AS value
+        |  FROM c CROSS JOIN w
+        |  WHERE c.tus + 1000 <= w.wm
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.ptus <= c.tus AND p.ptus >= c.tus - 3600000000))
+        |SELECT user_id, event_id, tus, ptus, value FROM m
+        |UNION ALL SELECT user_id, event_id, tus, ptus, value FROM unmatched
+        |ORDER BY user_id, tus, event_id, ptus NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, epoch_ns(ts) AS tns,
