@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
       (exprs: Seq[Expression]) => FixMojibake(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("luhn_redact"),
+      new ExpressionInfo(classOf[LuhnRedact].getName, "luhn_redact"),
+      (exprs: Seq[Expression]) => LuhnRedact(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("token_set_count"),
       new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
       (exprs: Seq[Expression]) => exprs(1) match {

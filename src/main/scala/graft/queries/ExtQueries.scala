@@ -1425,6 +1425,31 @@ object ExtQueries {
           graft.ext.Sampling.scrubPii(ptext).as("scrubbed"))
         .orderBy(col("doc_id"))
     }),
+    // Checksum-VALIDATED card redaction (the codegen'd LuhnRedact
+    // expression): plants a genuinely Luhn-valid card number on even
+    // docs and a checksum-broken near-miss (last digit bumped) on odd
+    // ones — only the valid runs may become [CARD], the near-misses
+    // must survive untouched, which a bare regexp scrub cannot
+    // reproduce. Oracle predicts the redacted text analytically from
+    // the same planted lists. Map-only.
+    "q_luhn_scrub" -> ((s, d) => {
+      val valid = Array("4111111111111111", "5555555555554444",
+        "4012888888881881", "6011000990139424")
+      val invalid = valid.map(v => v.init + ((v.last - '0' + 1) % 10).toString)
+      val pick = (arr: Array[String]) =>
+        (col("doc_id") % 4).cast("int") match { case c =>
+          when(c === 0, arr(0)).when(c === 1, arr(1))
+            .when(c === 2, arr(2)).otherwise(arr(3)) }
+      val planted = concat(coalesce(col("text"), lit("")), lit(" pay "),
+        when(col("doc_id") % 2 === 0, pick(valid)).otherwise(pick(invalid)),
+        lit(" ref "), col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.LuhnRedact.luhn_redact(planted).as("scrubbed"))
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrub_md5"),
+          col("scrubbed").contains("[CARD]").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
     // deterministic training-order shuffle: every doc gets a
     // reproducible pseudorandom (shard, pos) address; one bounded
     // window per shard, content never enters the sort
@@ -2881,6 +2906,25 @@ object ExtQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
         |FROM p ORDER BY doc_id""".stripMargin,
+    // same planted literals as the Spark side (shared Scala arrays);
+    // even docs' valid numbers redact, odd docs' near-misses survive
+    "q_luhn_scrub" -> {
+      val valid = Array("4111111111111111", "5555555555554444",
+        "4012888888881881", "6011000990139424")
+      val invalid = valid.map(v => v.init + ((v.last - '0' + 1) % 10).toString)
+      def pickSql(arr: Array[String]) =
+        s"""CASE doc_id % 4 WHEN 0 THEN '${arr(0)}' WHEN 1 THEN '${arr(1)}'
+           |       WHEN 2 THEN '${arr(2)}' ELSE '${arr(3)}' END""".stripMargin
+      s"""WITH p AS (SELECT doc_id,
+         |  concat(coalesce(text, ''), ' pay ',
+         |    CASE WHEN doc_id % 2 = 0 THEN '[CARD]'
+         |         ELSE ${pickSql(invalid)} END,
+         |    ' ref ', CAST(doc_id AS VARCHAR)) AS expected
+         |  FROM documents)
+         |SELECT doc_id, md5(expected) AS scrub_md5,
+         |  (doc_id % 2 = 0) AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "q_shuffle_order" ->
       """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sel
         |           FROM documents)
