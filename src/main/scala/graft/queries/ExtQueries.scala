@@ -729,6 +729,28 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Join-key skew DIAGNOSIS — the observability query you run before
+    // choosing between broadcast, salting, and AQE skew-join: the
+    // token-frequency histogram's head (top-10 hottest keys), each
+    // key's share of all rows (floor-contract micro-units), and its
+    // multiple of the mean key load. Aggregates bounded by vocabulary;
+    // the head cut is TakeOrdered. The same relation drives
+    // q_skew_aqe_join, so the report describes a real hot path.
+    "q_skew_stats" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+      freq.crossJoin(broadcast(tot))
+        .select(col("tok"), col("cnt"), col("n_keys"),
+          (floor(col("cnt").cast("double") / col("total") * 1e6 + 0.5) / 1e6)
+            .as("share"),
+          (floor(col("cnt").cast("double") * col("n_keys") / col("total")
+            * 1e2 + 0.5) / 1e2).as("x_mean"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+    }),
+
     // ---- bucketed range join (point-in-interval, equi-join plan) ----
     // clicks within 12 hours after each purchase, per user; the
     // bucket rewrite keeps the plan a hash join (RangeChunkBloomSpec
@@ -2317,6 +2339,17 @@ object ExtQueries {
         |SELECT doc_id, count(*) AS n_tok, CAST(sum(df) AS BIGINT) AS sum_df
         |FROM tt JOIN f USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_skew_stats" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |          count(*) AS n_keys FROM f)
+        |SELECT tok, cnt, n_keys,
+        |  floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share,
+        |  floor(CAST(cnt AS DOUBLE) * n_keys / total * 1e2 + 0.5) / 1e2 AS x_mean
+        |FROM f CROSS JOIN tot
+        |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
     // plain inequality join — DuckDB evaluates the range predicate
     // directly (no bucketing), an independent check of the rewrite
     "q_range_join" ->

@@ -239,6 +239,38 @@ object RelationalQueries {
         .orderBy($"user_id", $"tus", $"event_id")
     }),
 
+    // Incremental aggregate maintenance — the materialized-view merge
+    // pattern: yesterday's per-type rollup (event_id % 10 != 0) and
+    // today's delta (% 10 = 0) aggregate SEPARATELY and merge by key
+    // (counts add, decimal sums add, min/max fold through a full-outer
+    // join) — at 100 TB this is how a running rollup absorbs a new
+    // partition without rescanning history. The oracle recomputes the
+    // whole aggregate from scratch: merge path and recompute path must
+    // agree to the bit (decimal addition is exact, so they do).
+    "q_incr_agg_merge" -> ((s, d) => {
+      import s.implicits._
+      def slice(p: org.apache.spark.sql.Column) =
+        Tables.events(s, d).filter(p)
+          .select($"event_type", expr("ts div 1000").as("tus"),
+            $"value".cast("decimal(18,2)").as("v"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"v").as("tv"),
+            min($"tus").as("first_us"), max($"tus").as("last_us"))
+      val base = slice($"event_id" % 10 =!= 0)
+      val delta = slice($"event_id" % 10 === 0)
+      base.as("a").join(delta.as("b"),
+          $"a.event_type" === $"b.event_type", "full_outer")
+        .select(
+          coalesce($"a.event_type", $"b.event_type").as("event_type"),
+          (coalesce($"a.n", lit(0L)) + coalesce($"b.n", lit(0L))).as("n"),
+          (coalesce($"a.tv", lit(0).cast("decimal(18,2)")) +
+            coalesce($"b.tv", lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total_value"),
+          least($"a.first_us", $"b.first_us").as("first_us"),
+          greatest($"a.last_us", $"b.last_us").as("last_us"))
+        .orderBy($"event_type")
+    }),
+
     // SCD type-2 history: per-user event_type CHANGE rows become
     // versioned validity intervals [valid_from, valid_to) with an
     // is_current flag — the slowly-changing-dimension shape every
@@ -411,6 +443,13 @@ object RelationalQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
         |ORDER BY user_id, tus, event_id""".stripMargin,
+    // the oracle is the from-scratch recompute the merge must equal
+    "q_incr_agg_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  min(epoch_ns(ts) // 1000) AS first_us,
+        |  max(epoch_ns(ts) // 1000) AS last_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
         |             event_type

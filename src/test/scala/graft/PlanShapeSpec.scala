@@ -56,7 +56,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_bm25_topk", "q_pmi_colloc",
     // scalar join: the 1-row token-budget broadcast onto the
     // constant-cardinality (≤10 001 rows) quality-band relation
-    "q_token_budget")
+    "q_token_budget",
+    // scalar join: the 1-row (total, n_keys) broadcast onto the
+    // vocabulary-bounded frequency relation
+    "q_skew_stats")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))
