@@ -56,9 +56,8 @@ object Bm25 {
             .foreach(s => fs.delete(s.getPath, true))
       case _ => () // caller-chosen dir name: nothing safe to GC
     }
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+    val toks = TextStats.tokenRows(docs, idCol, textCol)
+      .withColumnRenamed(idCol, "doc_id")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     tf.join(dl, Seq("doc_id"))

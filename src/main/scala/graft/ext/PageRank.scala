@@ -63,7 +63,11 @@ object PageRank {
       "UNION SELECT DISTINCT dst FROM edges),\n")
     sb.append("nn AS (SELECT count(*) AS n FROM nodes),\n")
     sb.append("outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY 1),\n")
-    sb.append("it0 AS (SELECT node, floor(1.0 / n * 1e12 + 0.5) / 1e12 AS rank " +
+    // CAST to DOUBLE everywhere a decimal literal meets n: DuckDB's
+    // decimal arithmetic is exact where Spark's is IEEE — the division
+    // must happen in double on both engines
+    sb.append("it0 AS (SELECT node, " +
+      "floor(CAST(1.0 AS DOUBLE) / n * 1e12 + 0.5) / 1e12 AS rank " +
       "FROM nodes CROSS JOIN nn),\n")
     for (k <- 1 to Iters) {
       sb.append(s"c$k AS (SELECT e.dst AS node, " +
@@ -71,8 +75,15 @@ object PageRank {
         s"AS DECIMAL(28,12)) AS c " +
         s"FROM edges e JOIN it${k - 1} i ON i.node = e.src " +
         s"JOIN outdeg od ON od.src = e.src),\n")
+      // the base NUMERATOR is interpolated as the Scala-computed double
+      // (0.15000000000000002), not written as "1.0 - 0.85": DuckDB
+      // would evaluate that subtraction in EXACT decimal (≈1 ulp away
+      // from the IEEE double difference the Spark side uses), and the
+      // floor contract amplifies a 1-ulp base drift into a flipped
+      // rank digit once per ~3e4 node-iterations
       sb.append(s"it$k AS (SELECT nodes.node, " +
-        s"floor(((1.0 - $Damping) / n + coalesce(CAST(s.sc AS DOUBLE), 0.0)) " +
+        s"floor((CAST(${1.0 - Damping} AS DOUBLE) / n " +
+        s"+ coalesce(CAST(s.sc AS DOUBLE), 0.0)) " +
         s"* 1e12 + 0.5) / 1e12 AS rank " +
         s"FROM nodes CROSS JOIN nn LEFT JOIN " +
         s"(SELECT node, sum(c) AS sc FROM c$k GROUP BY 1) s USING (node))" +

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -82,6 +82,15 @@ object TextStats {
        |  len(regexp_replace($textCol, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(len($textCol), 1)
        |) / 3.0 * 1e4 + 0.5)""".stripMargin
   }
+
+  /** Non-empty whitespace token rows `(idCol, tok)` — THE shared
+    * token-row derivation (mirror: `unnest(string_split(text, ' '))`
+    * filtered of empties). Every token-relation consumer goes through
+    * here so a future change to token semantics cannot leave one copy
+    * behind and silently fork the engines' relations. */
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
 
   /** Whitespace tokens and BPE-ish subword pieces (letter runs, digit
     * runs, single punctuation) — the two standard count bases. */

@@ -305,14 +305,22 @@ object CurationQueries {
     // itself never sorts globally.
     "q_token_budget" -> ((s, d) => {
       import graft.ext.TextStats
+      // coalesce: a NULL text must still score and keep its row — an
+      // un-coalesced NULL q_fp would silently drop out of the band join
+      // while the oracle emits every document
+      val t = coalesce(col("text"), lit(""))
       val scored = Tables.documents(s, d).select(col("doc_id"),
-        TextStats.qualityIntCol(col("text")).cast("long").as("q_fp"),
-        TextStats.wsTokensCol(col("text")).cast("long").as("n_tok"))
-      val budget = scored.agg(expr("sum(n_tok) div 2").as("b"))
+        TextStats.qualityIntCol(t).cast("long").as("q_fp"),
+        TextStats.wsTokensCol(t).cast("long").as("n_tok"))
       val wBand = org.apache.spark.sql.expressions.Window
         .orderBy(col("q_fp").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val bands = scored.groupBy(col("q_fp")).agg(sum(col("n_tok")).as("btok"))
+      // the budget derives from the band relation itself (sum(btok) ==
+      // sum(n_tok)) — deriving it from `scored` would re-run the
+      // regex-heavy quality scoring over the whole corpus a third time
+      val bandTot = scored.groupBy(col("q_fp")).agg(sum(col("n_tok")).as("btok"))
+      val budget = bandTot.agg(expr("sum(btok) div 2").as("b"))
+      val bands = bandTot
         .withColumn("cum_before", coalesce(sum(col("btok")).over(wBand), lit(0L)))
         .crossJoin(broadcast(budget))
         .withColumn("band_state",
@@ -595,8 +603,8 @@ object CurationQueries {
     "q_token_budget" ->
       s"""WITH scored AS (
          |  SELECT doc_id,
-         |    CAST(${graft.ext.TextStats.qualityIntSql("text")} AS BIGINT) AS q_fp,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |    CAST(${graft.ext.TextStats.qualityIntSql("coalesce(text, '')")} AS BIGINT) AS q_fp,
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
          |  FROM documents),
          |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS b FROM scored),
          |c AS (SELECT doc_id, q_fp, n_tok,

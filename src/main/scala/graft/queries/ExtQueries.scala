@@ -737,9 +737,8 @@ object ExtQueries {
     // the head cut is TakeOrdered. The same relation drives
     // q_skew_aqe_join, so the report describes a real hot path.
     "q_skew_stats" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "")
+      val toks = graft.ext.TextStats
+        .tokenRows(Tables.documents(s, d), "doc_id", "text").select(col("tok"))
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val tot = freq.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
       freq.crossJoin(broadcast(tot))
@@ -1462,7 +1461,13 @@ object ExtQueries {
         (col("doc_id") % 4).cast("int") match { case c =>
           when(c === 0, arr(0)).when(c === 1, arr(1))
             .when(c === 2, arr(2)).otherwise(arr(3)) }
-      val planted = concat(coalesce(col("text"), lit("")), lit(" pay "),
+      // digits in the BASE text are masked first: a corpus regeneration
+      // that happened to plant a Luhn-valid run inside `text` would
+      // otherwise redact on the Spark side while the analytic oracle
+      // (which only models the planted number) left it raw
+      val planted = concat(
+        regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "x"),
+        lit(" pay "),
         when(col("doc_id") % 2 === 0, pick(valid)).otherwise(pick(invalid)),
         lit(" ref "), col("doc_id").cast("string"))
       Tables.documents(s, d)
@@ -2949,7 +2954,7 @@ object ExtQueries {
         s"""CASE doc_id % 4 WHEN 0 THEN '${arr(0)}' WHEN 1 THEN '${arr(1)}'
            |       WHEN 2 THEN '${arr(2)}' ELSE '${arr(3)}' END""".stripMargin
       s"""WITH p AS (SELECT doc_id,
-         |  concat(coalesce(text, ''), ' pay ',
+         |  concat(regexp_replace(coalesce(text, ''), '[0-9]', 'x', 'g'), ' pay ',
          |    CASE WHEN doc_id % 2 = 0 THEN '[CARD]'
          |         ELSE ${pickSql(invalid)} END,
          |    ' ref ', CAST(doc_id AS VARCHAR)) AS expected

@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalQueries {
 
-  /** Non-empty whitespace tokens, one row per (doc_id, tok). */
+  /** Non-empty whitespace tokens, one row per (doc_id, tok) — the
+    * shared [[graft.ext.TextStats.tokenRows]] derivation. */
   private def tokenRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+    graft.ext.TextStats.tokenRows(docs, "doc_id", "text")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

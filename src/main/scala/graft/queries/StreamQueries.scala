@@ -156,7 +156,11 @@ object StreamQueries {
         .as[StreamPipeline.TypedEvent](StreamPipeline.typedEventEnc)
       val closed = StreamPipeline.scd2Stream(src)
       StreamPipeline.runAppendToMemory(s, closed.toDF(), s"scd2_${d.hashCode.abs}")
-        .orderBy(col("user_id"), col("valid_from"))
+        // valid_to + event_type complete the total order: zero-length
+        // intervals can share (user_id, valid_from), and consecutive
+        // changes always differ in type
+        .orderBy(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_type"))
     }),
 
     // Trending terms over a live document stream: tokens carry a
@@ -252,8 +256,10 @@ object StreamQueries {
           unix_micros(col("ctime")).as("tus"),
           unix_micros(col("ptime")).as("ptus"), col("value"))
       StreamPipeline.runAppendToMemory(s, joined, s"sjoino_${d.hashCode.abs}")
+        // value joins the sort key: two purchases in the same
+        // microsecond matching one click differ only in value
         .orderBy(col("user_id"), col("tus"), col("event_id"),
-          col("ptus").asc_nulls_first)
+          col("ptus").asc_nulls_first, col("value").asc_nulls_first)
     }),
 
     // stream-static enrichment join: the unbounded event stream joins a
@@ -635,7 +641,8 @@ object StreamQueries {
         |          ORDER BY tus ASC, event_id ASC) AS valid_to
         |      FROM c2)
         |SELECT user_id, event_type, valid_from, valid_to FROM r
-        |WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from""".stripMargin,
+        |WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from, valid_to, event_type""".stripMargin,
 
     // same synthetic hour-bucket times, same inclusive aligned-end
     // close rule; max(tus) over TOKEN rows (the watermark advances on
@@ -749,7 +756,8 @@ object StreamQueries {
         |      AND p.ptus <= c.tus AND p.ptus >= c.tus - 3600000000))
         |SELECT user_id, event_id, tus, ptus, value FROM m
         |UNION ALL SELECT user_id, event_id, tus, ptus, value FROM unmatched
-        |ORDER BY user_id, tus, event_id, ptus NULLS FIRST""".stripMargin,
+        |ORDER BY user_id, tus, event_id, ptus NULLS FIRST,
+        |  value NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, epoch_ns(ts) AS tns,

@@ -408,6 +408,8 @@ object StreamPipeline {
     * the bounded-input oracle. */
   final case class Scd2Closed(user_id: Long, event_type: String,
                               valid_from: Long, valid_to: Long)
+  /** lastTs holds the open interval's last-seen MICROSECOND position
+    * (the oracle's tus unit). */
   final case class Scd2State(lastType: String, fromUs: Long,
                              lastTs: Long, lastId: Long)
 
@@ -430,17 +432,24 @@ object StreamPipeline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[TypedEvent], state: GroupState[Scd2State]) => {
           val evs = it.toArray
-          java.util.Arrays.sort(evs, Ordering.by((e: TypedEvent) => (e.ts, e.event_id)))
+          // order by MICROSECOND position, matching the batch oracle's
+          // (tus, event_id) keys — sorting by raw nanos would diverge
+          // from the oracle whenever two events share a microsecond
+          // but their nano-order flips the event_id tie-break
+          def tus(e: TypedEvent): Long = e.ts / 1000L
+          java.util.Arrays.sort(evs,
+            Ordering.by((e: TypedEvent) => (tus(e), e.event_id)))
           val closed = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
           var st = state.getOption.orNull
           evs.foreach { e =>
             if (st == null)
-              st = Scd2State(e.event_type, e.ts / 1000L, e.ts, e.event_id)
-            else if (e.ts > st.lastTs || (e.ts == st.lastTs && e.event_id > st.lastId)) {
+              st = Scd2State(e.event_type, tus(e), tus(e), e.event_id)
+            else if (tus(e) > st.lastTs ||
+                     (tus(e) == st.lastTs && e.event_id > st.lastId)) {
               if (e.event_type != st.lastType) {
-                closed += Scd2Closed(uid, st.lastType, st.fromUs, e.ts / 1000L)
-                st = Scd2State(e.event_type, e.ts / 1000L, e.ts, e.event_id)
-              } else st = st.copy(lastTs = e.ts, lastId = e.event_id)
+                closed += Scd2Closed(uid, st.lastType, st.fromUs, tus(e))
+                st = Scd2State(e.event_type, tus(e), tus(e), e.event_id)
+              } else st = st.copy(lastTs = tus(e), lastId = e.event_id)
             } // else: late row behind the open interval — dropped
           }
           if (st != null) state.update(st)

@@ -43,7 +43,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try Probes.map { name =>
       name -> SparkEntry.queries(name)(spark, sf).collect()
-        .map(_.mkString("")).toSeq
+        .map(_.mkString("|")).toSeq
     }.toMap
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }

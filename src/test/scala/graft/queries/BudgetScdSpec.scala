@@ -23,9 +23,10 @@ class BudgetScdSpec extends AnyFunSuite {
   test("banded token-budget cut equals the global-cumsum definition") {
     val banded = graft.SparkEntry.queries("q_token_budget")(spark, sf)
       .select(col("doc_id"), col("kept"))
+    val t = coalesce(col("text"), lit(""))
     val scored = Tables.documents(spark, sf).select(col("doc_id"),
-      graft.ext.TextStats.qualityIntCol(col("text")).cast("long").as("q_fp"),
-      graft.ext.TextStats.wsTokensCol(col("text")).cast("long").as("n_tok"))
+      graft.ext.TextStats.qualityIntCol(t).cast("long").as("q_fp"),
+      graft.ext.TextStats.wsTokensCol(t).cast("long").as("n_tok"))
     val b = scored.agg(expr("sum(n_tok) div 2")).collect()(0).getLong(0)
     val w = Window.orderBy(col("q_fp").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
