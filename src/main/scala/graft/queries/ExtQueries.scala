@@ -210,6 +210,43 @@ object ExtQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Embedding-space outlier detection — the vector-side data-quality
+    // gate: squared distance to the corpus centroid, flagged when over
+    // 2× the mean. Per-dimension means and per-vector distances follow
+    // the decimal-sum discipline (order-free), so the verdict is
+    // engine- and partitioning-exact. Shuffles bounded by n·dims
+    // narrow rows; the centroid (dims rows) and the 1-row threshold
+    // broadcast.
+    "q_embed_outliers" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          col("col").cast("double").as("x"))
+      val centroid = dims.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"),
+          sum((floor(col("x") * 1e6 + 0.5) / 1e6).cast("decimal(14,6)"))
+            .as("sx"))
+        .select(col("i"),
+          (floor(col("sx").cast("double") / col("n") * 1e6 + 0.5) / 1e6)
+            .as("m"))
+      val dist = dims.join(broadcast(centroid), Seq("i"))
+        .select(col("vec_id"),
+          (floor((col("x") - col("m")) * (col("x") - col("m")) * 1e9 + 0.5)
+            / 1e9).cast("decimal(18,9)").as("t9"))
+        .groupBy(col("vec_id"))
+        .agg((floor(sum(col("t9")).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("dist2"))
+      val thr = dist.agg(count(lit(1)).as("nv"),
+        sum((floor(col("dist2") * 1e6 + 0.5) / 1e6).cast("decimal(14,6)"))
+          .as("sd"))
+        .select((floor(col("sd").cast("double") / col("nv") * 2 * 1e6 + 0.5) / 1e6)
+          .as("thr"))
+      dist.crossJoin(broadcast(thr))
+        .select(col("vec_id"), col("dist2"), col("thr"),
+          (col("dist2") > col("thr")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    }),
+
     // cluster assignment after pairwise dedup: connected components of
     // the jaccard pairs via min-label propagation (O(diameter) rounds)
     "q_dedup_clusters" -> ((s, d) => {
@@ -511,6 +548,32 @@ object ExtQueries {
           (col("a_max") - col("a_min") < 512).as("a_bounded"),
           (col("b_max") - col("b_min") < 512).as("b_bounded"))
         .orderBy(col("tile"))
+    }),
+
+    // EXACT median/p90 without a global sort — the histogram method:
+    // integer doc lengths aggregate to a per-(source, length) count
+    // relation (bounded by distinct lengths, not corpus size), a
+    // metadata-sized cumulative window walks it, and the k-th order
+    // statistic is the first length whose cumulative count reaches
+    // k = (n+1) div 2 (lower median) / (9n+9) div 10 (= ceil(0.9n)).
+    // All integer — no quantile_cont interpolation to diverge on.
+    "q_median_exact" -> ((s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      cum.join(broadcast(tot), Seq("source"))
+        .groupBy(col("source"), col("n"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars")))
+            .as("median"),
+          min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("n_chars")))
+            .as("p90"))
+        .orderBy(col("source"))
     }),
 
     // Corpus snapshot diff — the ingest-versioning primitive: which
@@ -2109,6 +2172,43 @@ object ExtQueries {
     // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
+    "q_median_exact" ->
+      """WITH hist AS (SELECT source, n_chars, count(*) AS c
+        |              FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, n_chars, c,
+        |          sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM hist),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1)
+        |SELECT source, n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END) AS median,
+        |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN n_chars END) AS p90
+        |FROM cum JOIN tot USING (source)
+        |GROUP BY source, n ORDER BY source""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH dims AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+        |  FROM embeddings),
+        |dx AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM dims),
+        |centroid AS (
+        |  SELECT i,
+        |    floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(14,6)))
+        |               AS DOUBLE)
+        |          / count(*) * 1e6 + 0.5) / 1e6 AS m
+        |  FROM dx GROUP BY 1),
+        |dist AS (
+        |  SELECT vec_id,
+        |    floor(CAST(sum(CAST(floor((x - m) * (x - m) * 1e9 + 0.5) / 1e9
+        |                        AS DECIMAL(18,9)))
+        |               AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist2
+        |  FROM dx JOIN centroid USING (i) GROUP BY 1),
+        |thr AS (
+        |  SELECT floor(CAST(sum(CAST(floor(dist2 * 1e6 + 0.5) / 1e6
+        |                             AS DECIMAL(14,6)))
+        |               AS DOUBLE) / count(*) * 2 * 1e6 + 0.5) / 1e6 AS thr
+        |  FROM dist)
+        |SELECT vec_id, dist2, thr, (dist2 > thr) AS is_outlier
+        |FROM dist CROSS JOIN thr ORDER BY vec_id""".stripMargin,
     "q_dedup_clusters" -> clusterOracle,
     // the cluster CTE plus the q_split_assign threshold CASE, keyed on
     // cluster_id instead of doc_id

@@ -239,6 +239,19 @@ object RelationalQueries {
         .orderBy($"user_id", $"tus", $"event_id")
     }),
 
+    // Stage-ordered funnel conversion (signup → view → click →
+    // purchase): one typed per-user walk in (tus, event_id) order —
+    // single shuffle on user_id, no chained per-stage joins; the
+    // oracle is the equivalent staged-min SQL (each stage = earliest
+    // event of its type strictly after the previous stage's time).
+    "q_funnel_steps" -> ((s, d) => {
+      import graft.streaming.StreamPipeline
+      val src = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[StreamPipeline.TypedEvent](StreamPipeline.typedEventEnc)
+      StreamPipeline.funnelStages(src).toDF().orderBy(col("user_id"))
+    }),
+
     // Incremental aggregate maintenance — the materialized-view merge
     // pattern: yesterday's per-type rollup (event_id % 10 != 0) and
     // today's delta (% 10 = 0) aggregate SEPARATELY and merge by key
@@ -443,6 +456,24 @@ object RelationalQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
         |ORDER BY user_id, tus, event_id""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |             event_type
+        |           FROM events),
+        |u AS (SELECT user_id, min(tus) AS s1 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(tus) AS s2 FROM e JOIN u USING (user_id)
+        |      WHERE event_type = 'view' AND tus > s1 GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tus) AS s3 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > s2 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(tus) AS s4 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > s3 GROUP BY 1)
+        |SELECT u.user_id, s1, s2, s3, s4,
+        |  CAST(1 + CAST(s2 IS NOT NULL AS INT) + CAST(s3 IS NOT NULL AS INT)
+        |         + CAST(s4 IS NOT NULL AS INT) AS INT) AS stage_reached
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // the oracle is the from-scratch recompute the merge must equal
     "q_incr_agg_merge" ->
       """SELECT event_type, count(*) AS n,

@@ -457,6 +457,44 @@ object StreamPipeline {
         })
   }
 
+  // ---- batch funnel (stage-ordered conversion) -----------------------
+
+  final case class FunnelRow(user_id: Long, s1: Long, s2: Option[Long],
+                             s3: Option[Long], s4: Option[Long],
+                             stage_reached: Int)
+  implicit val funnelEnc: Encoder[FunnelRow] = Encoders.product[FunnelRow]
+
+  /** Stage-ordered funnel (signup → view → click → purchase): one
+    * typed per-user walk in (tus, event_id) order — each stage's
+    * timestamp is the earliest event of that type STRICTLY after the
+    * previous stage's (same-microsecond transitions don't advance, so
+    * the staged-min SQL form is the exact oracle). One shuffle on
+    * user_id; rows only for users who entered the funnel. */
+  def funnelStages(events: Dataset[TypedEvent]): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stages = Array("signup", "view", "click", "purchase")
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      val evs = it.toArray
+      java.util.Arrays.sort(evs,
+        Ordering.by((e: TypedEvent) => (e.ts / 1000L, e.event_id)))
+      val hit = new Array[Long](4)
+      var stage = 0
+      var lastTus = Long.MinValue
+      evs.foreach { e =>
+        val tus = e.ts / 1000L
+        if (stage < 4 && e.event_type == stages(stage) && tus > lastTus) {
+          hit(stage) = tus; lastTus = tus; stage += 1
+        }
+      }
+      if (stage == 0) Iterator.empty
+      else Iterator.single(FunnelRow(uid, hit(0),
+        if (stage > 1) Some(hit(1)) else None,
+        if (stage > 2) Some(hit(2)) else None,
+        if (stage > 3) Some(hit(3)) else None, stage))
+    }
+  }
+
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -59,7 +59,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_token_budget",
     // scalar join: the 1-row (total, n_keys) broadcast onto the
     // vocabulary-bounded frequency relation
-    "q_skew_stats")
+    "q_skew_stats",
+    // scalar join: the 1-row outlier threshold broadcast onto the
+    // per-vector distance relation
+    "q_embed_outliers")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))
