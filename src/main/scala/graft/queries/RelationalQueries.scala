@@ -239,6 +239,60 @@ object RelationalQueries {
         .orderBy($"user_id", $"tus", $"event_id")
     }),
 
+    // Weekly retention cohorts: users grouped by signup week, each
+    // cohort's share still active at week offsets 0..n — the classic
+    // engagement matrix. Cohorts and activity are narrow (user, week)
+    // relations; the matrix aggregate is bounded by weeks², and the
+    // single ratio goes through the floor contract.
+    "q_retention_cohorts" -> ((s, d) => {
+      import s.implicits._
+      val wk = 604800000000L // µs per week
+      val e = Tables.events(s, d)
+        .select($"user_id", expr("ts div 1000").as("tus"), $"event_type")
+      val cohorts = e.filter($"event_type" === "signup")
+        .groupBy($"user_id")
+        .agg(expr("min(tus) div 604800000000").as("cohort_wk"))
+      val active = e.select($"user_id",
+        expr("tus div 604800000000").as("act_wk")).distinct()
+      val cohortSize = cohorts.groupBy($"cohort_wk")
+        .agg(count(lit(1)).as("n_cohort"))
+      cohorts.join(active, Seq("user_id"))
+        .filter($"act_wk" >= $"cohort_wk")
+        .groupBy($"cohort_wk", ($"act_wk" - $"cohort_wk").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .join(broadcast(cohortSize), Seq("cohort_wk"))
+        .select($"cohort_wk", $"week_offset", $"n_active", $"n_cohort",
+          (floor($"n_active".cast("double") / $"n_cohort" * 1e4 + 0.5) / 1e4)
+            .as("retention"))
+        .orderBy($"cohort_wk", $"week_offset")
+    }),
+
+    // Burst detection over the hourly event-rate series: a window is a
+    // burst when its count exceeds mean + 2σ for its type. Counts,
+    // Σc, and Σc² are integers, so mean/σ derive identically on both
+    // engines; the per-window series is bounded (~720 windows/type a
+    // month), never corpus-sized.
+    "q_burst_detect" -> ((s, d) => {
+      import s.implicits._
+      val hr = 3600000000L
+      val wc = Tables.events(s, d)
+        .select($"event_type", expr("(ts div 1000) div 3600000000").as("w"))
+        .groupBy($"event_type", $"w").agg(count(lit(1)).as("c"))
+      val stats = wc.groupBy($"event_type")
+        .agg(count(lit(1)).as("nw"), sum($"c").as("sc"),
+          sum($"c" * $"c").as("sc2"))
+        .select($"event_type",
+          ($"sc".cast("double") / $"nw").as("mean"),
+          sqrt(($"nw".cast("double") * $"sc2" - $"sc".cast("double") * $"sc")
+            / ($"nw".cast("double") * $"nw")).as("sd"))
+      wc.join(broadcast(stats), Seq("event_type"))
+        .select($"event_type", ($"w" * hr).as("window_start_us"), $"c",
+          (floor($"mean" * 1e4 + 0.5) / 1e4).as("mean4"),
+          (floor($"sd" * 1e4 + 0.5) / 1e4).as("sd4"),
+          ($"c" > $"mean" + lit(2.0) * $"sd").as("is_burst"))
+        .orderBy($"event_type", $"window_start_us")
+    }),
+
     // Stage-ordered funnel conversion (signup → view → click →
     // purchase): one typed per-user walk in (tus, event_id) order —
     // single shuffle on user_id, no chained per-stage joins; the
@@ -456,6 +510,41 @@ object RelationalQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
         |ORDER BY user_id, tus, event_id""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |           FROM events),
+        |cohorts AS (SELECT user_id, min(tus) // 604800000000 AS cohort_wk
+        |            FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, tus // 604800000000 AS act_wk
+        |           FROM e),
+        |sz AS (SELECT cohort_wk, count(*) AS n_cohort FROM cohorts GROUP BY 1),
+        |m AS (SELECT cohort_wk, act_wk - cohort_wk AS week_offset,
+        |        count(DISTINCT c.user_id) AS n_active
+        |      FROM cohorts c JOIN active a USING (user_id)
+        |      WHERE act_wk >= cohort_wk GROUP BY 1, 2)
+        |SELECT cohort_wk, week_offset, n_active, n_cohort,
+        |  floor(CAST(n_active AS DOUBLE) / n_cohort * 1e4 + 0.5) / 1e4
+        |    AS retention
+        |FROM m JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q_burst_detect" ->
+      """WITH wc AS (SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS w,
+        |              count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS nw, CAST(sum(c) AS BIGINT) AS sc,
+        |         CAST(sum(c * c) AS BIGINT) AS sc2
+        |       FROM wc GROUP BY 1),
+        |sd AS (SELECT event_type,
+        |         CAST(sc AS DOUBLE) / nw AS mean,
+        |         sqrt((CAST(nw AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)
+        |              / (CAST(nw AS DOUBLE) * nw)) AS sd
+        |       FROM st)
+        |SELECT event_type, w * 3600000000 AS window_start_us, c,
+        |  floor(mean * 1e4 + 0.5) / 1e4 AS mean4,
+        |  floor(sd * 1e4 + 0.5) / 1e4 AS sd4,
+        |  (c > mean + 2.0 * sd) AS is_burst
+        |FROM wc JOIN sd USING (event_type)
+        |ORDER BY event_type, window_start_us""".stripMargin,
     "q_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
         |             event_type
