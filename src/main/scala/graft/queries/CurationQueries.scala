@@ -292,6 +292,51 @@ object CurationQueries {
         r("syz", "sy", "sz", "syy", "szz").as("r_alpha_stop"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift statistic per source: the
+    // max CDF gap between a source's doc-length distribution and the
+    // whole corpus's — the distribution-shape drift detector
+    // complementing q_source_kl's token-mix one. All-integer core:
+    // ks_num = max |cum_s·N − cum_all·n_s| over the distinct-length
+    // grid (exact longs at tested scales; the 100 TB form lifts the
+    // products to decimal(38,0)), one double division at the end.
+    // Every relation is histogram-sized (sources × distinct lengths),
+    // never corpus-sized; the grid windows are metadata-class.
+    "q_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val hist = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val grid = docs.select(col("n_chars")).distinct()
+      val sources = docs.select(col("source")).distinct()
+      val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val nAll = tot.agg(sum(col("n_s")).as("n_all"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumS = sources.crossJoin(broadcast(grid))
+        .join(hist, Seq("source", "n_chars"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("cum_s", sum(col("c")).over(wS))
+      val wA = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumAll = grid
+        .join(hist.groupBy(col("n_chars")).agg(sum(col("c")).as("ca")),
+          Seq("n_chars"), "left")
+        .withColumn("ca", coalesce(col("ca"), lit(0L)))
+        .withColumn("cum_all", sum(col("ca")).over(wA))
+        .select(col("n_chars"), col("cum_all"))
+      cumS.join(broadcast(cumAll), Seq("n_chars"))
+        .join(broadcast(tot), Seq("source"))
+        .crossJoin(broadcast(nAll))
+        .groupBy(col("source"), col("n_s"), col("n_all"))
+        .agg(max(abs(col("cum_s") * col("n_all") - col("cum_all") * col("n_s")))
+          .as("ks_num"))
+        .select(col("source"), col("n_s"),
+          (floor(col("ks_num").cast("double")
+            / (col("n_s").cast("double") * col("n_all")) * 1e6 + 0.5) / 1e6)
+            .as("ks"))
+        .orderBy(col("source"))
+    }),
+
     // Token-budget curation cut: keep the highest-quality documents
     // whose cumulative token count fits a budget (half the corpus's
     // tokens) — the "best data that fits the training run" selector.
@@ -596,6 +641,34 @@ object CurationQueries {
          |    * 1e4 + 0.5) / 1e4 AS r_alpha_stop
          |FROM agg""".stripMargin
     },
+
+    "q_ks_drift" ->
+      """WITH hist AS (SELECT source, n_chars, count(*) AS c
+        |              FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |        FROM hist GROUP BY 1),
+        |nall AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM tot),
+        |cum_s AS (
+        |  SELECT s.source, g.n_chars,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY s.source
+        |      ORDER BY g.n_chars ROWS UNBOUNDED PRECEDING) AS cum_s
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN hist h ON h.source = s.source AND h.n_chars = g.n_chars),
+        |cum_all AS (
+        |  SELECT g.n_chars,
+        |    sum(coalesce(a.ca, 0)) OVER (ORDER BY g.n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS cum_all
+        |  FROM grid g LEFT JOIN
+        |    (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ca
+        |     FROM hist GROUP BY 1) a USING (n_chars))
+        |SELECT source, n_s,
+        |  floor(CAST(max(abs(cum_s * n_all - cum_all * n_s)) AS DOUBLE)
+        |        / (CAST(n_s AS DOUBLE) * n_all) * 1e6 + 0.5) / 1e6 AS ks
+        |FROM cum_s JOIN cum_all USING (n_chars)
+        |  JOIN tot USING (source) CROSS JOIN nall
+        |GROUP BY source, n_s, n_all ORDER BY source""".stripMargin,
 
     // the oracle states the SEMANTICS (one global cumsum in quality
     // order); the Spark side must reach the same verdicts through the

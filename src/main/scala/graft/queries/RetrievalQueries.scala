@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalQueries {
 
+  /** The literal q_trigram_prefilter searches for — a real corpus
+    * bigram, so matches exist at every SF; shared with the oracle. */
+  val TrigramPattern = "key order"
+
   /** Non-empty whitespace tokens, one row per (doc_id, tok) — the
     * shared [[graft.ext.TextStats.tokenRows]] derivation. */
   private def tokenRows(docs: DataFrame): DataFrame =
@@ -64,6 +68,34 @@ object RetrievalQueries {
           md5(array_join(transform(col("ps"), _.cast("string")), ","))
             .as("postings_md5"))
         .orderBy(col("df").desc, col("tok")).limit(50)
+    }),
+
+    // Trigram-prefiltered substring search (the code-search /
+    // Zoekt-style index trick): a literal pattern's character trigrams
+    // prefilter candidates through the trigram posting relation — a
+    // doc can contain the pattern only if it contains EVERY trigram —
+    // and the exact contains() check runs on candidates alone. At
+    // 100 TB the posting intersection (df-bounded) replaces the
+    // full-text scan; the oracle is the direct LIKE evaluation, so
+    // the two-phase plan must be exactly lossless (the superset
+    // property is what makes the prefilter SAFE, the verify step what
+    // makes it EXACT). Patterns are drawn from real corpus bigrams so
+    // matches exist at every SF.
+    "q_trigram_prefilter" -> ((s, d) => {
+      val grams = TrigramPattern.sliding(3).toSeq.distinct
+      val docs = Tables.documents(s, d)
+      val tri = docs.selectExpr("doc_id",
+          "explode(if(length(text) >= 3, " +
+            "transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)), array())) AS g")
+        .distinct()
+      val cand = tri.filter(col("g").isin(grams: _*))
+        .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("ng"))
+        .filter(col("ng") === grams.length)
+      cand.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"),
+          col("text").contains(TrigramPattern).as("hit"))
+        .orderBy(col("doc_id"))
     }),
 
     // PageRank over the host link graph (the q_html_links /
@@ -167,6 +199,23 @@ object RetrievalQueries {
         |  md5(array_to_string(list_transform(ps, x -> CAST(x AS VARCHAR)), ','))
         |    AS postings_md5
         |FROM idx ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+
+    "q_trigram_prefilter" -> {
+      val grams = TrigramPattern.sliding(3).toSeq.distinct
+      val inList = grams.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+      s"""WITH tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    substring(text, CAST(i AS INT), 3) AS g
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+         |        FROM documents)),
+         |cand AS (
+         |  SELECT doc_id FROM tri WHERE g IN ($inList)
+         |  GROUP BY doc_id HAVING count(DISTINCT g) = ${grams.length})
+         |SELECT c.doc_id, contains(d.text, '$TrigramPattern') AS hit
+         |FROM cand c JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pagerank_hosts" -> graft.ext.PageRank.unrolledSql(
       """edges AS (

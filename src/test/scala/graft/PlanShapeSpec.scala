@@ -62,7 +62,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_skew_stats",
     // scalar join: the 1-row outlier threshold broadcast onto the
     // per-vector distance relation
-    "q_embed_outliers")
+    "q_embed_outliers",
+    // bounded-metadata cross: |sources| × distinct-lengths grid plus
+    // the 1-row corpus total — histogram-class relations, never
+    // corpus-sized
+    "q_ks_drift")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))

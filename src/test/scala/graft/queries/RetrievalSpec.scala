@@ -91,6 +91,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("trigram prefilter is lossless: candidates cover every true match") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val trueMatches = docs
+      .filter(col("text").contains(RetrievalQueries.TrigramPattern))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val out = graft.SparkEntry.queries("q_trigram_prefilter")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    val candidates = out.map(_._1).toSet
+    val verified = out.filter(_._2).map(_._1).toSet
+    assert(trueMatches.subsetOf(candidates), "prefilter dropped a true match")
+    assert(verified == trueMatches, "verify phase disagrees with direct scan")
+    assert(trueMatches.nonEmpty, "pattern matches nothing — test is vacuous")
+  }
+
   test("pagerank concentrates rank on the sink hub of a star graph") {
     import spark.implicits._
     // 5 spokes all pointing at one hub; hub has no outlinks (dangling)
