@@ -301,6 +301,9 @@ object CurationQueries {
     // products to decimal(38,0)), one double division at the end.
     // Every relation is histogram-sized (sources × distinct lengths),
     // never corpus-sized; the grid windows are metadata-class.
+    // (q_median_exact in ExtQueries walks the same per-(source,
+    // length) histogram without the grid fill — a change to either
+    // derivation must visit both.)
     "q_ks_drift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)

@@ -550,7 +550,10 @@ object ExtQueries {
         .orderBy(col("tile"))
     }),
 
-    // EXACT median/p90 without a global sort — the histogram method:
+    // EXACT median/p90 without a global sort — the histogram method
+    // (q_ks_drift in CurationQueries builds the same per-(source,
+    // length) histogram + cumulative window with a grid fill — a
+    // change to either derivation must visit both):
     // integer doc lengths aggregate to a per-(source, length) count
     // relation (bounded by distinct lengths, not corpus size), a
     // metadata-sized cumulative window walks it, and the k-th order

@@ -251,9 +251,9 @@ object RelationalQueries {
         .select($"user_id", expr("ts div 1000").as("tus"), $"event_type")
       val cohorts = e.filter($"event_type" === "signup")
         .groupBy($"user_id")
-        .agg(expr("min(tus) div 604800000000").as("cohort_wk"))
+        .agg(expr(s"min(tus) div $wk").as("cohort_wk"))
       val active = e.select($"user_id",
-        expr("tus div 604800000000").as("act_wk")).distinct()
+        expr(s"tus div $wk").as("act_wk")).distinct()
       val cohortSize = cohorts.groupBy($"cohort_wk")
         .agg(count(lit(1)).as("n_cohort"))
       cohorts.join(active, Seq("user_id"))

@@ -76,11 +76,11 @@ object RetrievalQueries {
     // doc can contain the pattern only if it contains EVERY trigram —
     // and the exact contains() check runs on candidates alone. At
     // 100 TB the posting intersection (df-bounded) replaces the
-    // full-text scan; the oracle is the direct LIKE evaluation, so
-    // the two-phase plan must be exactly lossless (the superset
-    // property is what makes the prefilter SAFE, the verify step what
-    // makes it EXACT). Patterns are drawn from real corpus bigrams so
-    // matches exist at every SF.
+    // full-text scan. The ORACLE replays the same two-phase candidate
+    // logic (it pins the prefilter's exact output, not losslessness);
+    // the lossless-vs-direct-scan property is proved separately by
+    // RetrievalSpec's superset test. Patterns are drawn from real
+    // corpus bigrams so matches exist at every SF.
     "q_trigram_prefilter" -> ((s, d) => {
       val grams = TrigramPattern.sliding(3).toSeq.distinct
       val docs = Tables.documents(s, d)
@@ -212,7 +212,8 @@ object RetrievalQueries {
          |cand AS (
          |  SELECT doc_id FROM tri WHERE g IN ($inList)
          |  GROUP BY doc_id HAVING count(DISTINCT g) = ${grams.length})
-         |SELECT c.doc_id, contains(d.text, '$TrigramPattern') AS hit
+         |SELECT c.doc_id,
+         |  contains(d.text, '${TrigramPattern.replace("'", "''")}') AS hit
          |FROM cand c JOIN documents d USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
