@@ -2045,6 +2045,59 @@ object ExtQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // Curation provenance — the funnel INVERTED: for every training
+    // document, WHICH stage dropped it (dup / quality / contaminated /
+    // neardup / boilerplate) or 'kept'. The ops question a curation
+    // report answers ("where did my corpus go?") that the survivors-
+    // only funnel can't. Recomputes the same stage relations as
+    // q_curation_funnel3 and resolves the FIRST failing stage through
+    // narrow id-relation joins; the oracle shares the funnel3 staged
+    // CTEs verbatim (funnel3StagesCte) with a verdict finale.
+    "q_funnel_provenance" -> ((s, d) => {
+      val benchSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      val norm = Tables.documents(s, d)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+      val bench = norm.filter(col("source").isInCollection(benchSrc))
+        .select(col("doc_id"), col("norm"))
+      val train = norm.filter(!col("source").isInCollection(benchSrc))
+        .select(col("doc_id"), col("norm"))
+      val deduped = Dedup.exactKeepFirst(train, "doc_id", "norm")
+        .select(col("doc_id"), col("norm"))
+      val gatedQ = deduped.filter(TextStats.qualityCol(col("norm")) >= 0.5)
+      val flagged = graft.ext.Contamination.screen(
+          gatedQ, bench, "doc_id", "norm", n = 3, threshPct = 10)
+        .filter(col("contaminated"))
+        .select(col("id").as("doc_id"))
+      val screened = gatedQ.join(flagged, Seq("doc_id"), "left_anti")
+      val nearDup = Dedup.minhashCrossNearDups(
+          screened, bench, "doc_id", "norm", n = 3, minJ = 0.8)
+        .select(col("i").as("doc_id")).distinct()
+      val decon = screened.join(nearDup, Seq("doc_id"), "left_anti")
+      val kept = graft.ext.Boilerplate.dropRepeatedSegments(
+          decon, "doc_id", "norm", segTokens = 8, maxDf = 2)
+        .filter(col("kept_segs") > 0 && col("kept_segs") * 2 >= col("total_segs"))
+        .select(col("id").as("doc_id"))
+      train.select(col("doc_id"))
+        .join(deduped.select(col("doc_id"), lit(1).as("in_dd")),
+          Seq("doc_id"), "left")
+        .join(gatedQ.select(col("doc_id"), lit(1).as("in_qg")),
+          Seq("doc_id"), "left")
+        .join(flagged.select(col("doc_id"), lit(1).as("in_scr")),
+          Seq("doc_id"), "left")
+        .join(nearDup.select(col("doc_id"), lit(1).as("in_nd")),
+          Seq("doc_id"), "left")
+        .join(kept.select(col("doc_id"), lit(1).as("in_g3")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("in_dd").isNull, "dup")
+            .when(col("in_qg").isNull, "quality")
+            .when(col("in_scr").isNotNull, "contaminated")
+            .when(col("in_nd").isNotNull, "neardup")
+            .when(col("in_g3").isNull, "boilerplate")
+            .otherwise("kept").as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact-substring SELF-dedup (Lee et al. '22 policy, deterministic
     // form): 8-grams occurring in ≥ 2 distinct docs are excised from
     // all of them — alignment-free, unlike the fixed-window line dedup.
@@ -2161,6 +2214,71 @@ object ExtQueries {
   private def cdcOracle: String =
     cdcCore("coalesce(text, '')") +
       "SELECT * FROM chunks ORDER BY doc_id, chunk_idx"
+
+  /** Shared staged-CTE prefix of the funnel3 oracle (through g3,
+    * the boilerplate gate): q_curation_funnel3 appends the
+    * shuffle-order finale, q_funnel_provenance the
+    * first-failing-stage verdict — one derivation, two finales. */
+  private def funnel3StagesCte: String =
+    s"""WITH b AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
+         |           FROM documents
+         |           WHERE source IN ('src0','src1','src2','src3','src4')),
+         |tr AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
+         |       FROM documents
+         |       WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+         |dd AS (SELECT doc_id, norm FROM (
+         |         SELECT doc_id, norm,
+         |           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |         FROM tr) t WHERE rn = 1),
+         |qg AS (SELECT doc_id, norm FROM dd
+         |       WHERE ${TextStats.qualitySql("norm")} >= 0.5),
+         |ttok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
+         |         FROM (SELECT doc_id, string_split(norm,' ') t FROM qg)),
+         |tsh AS (SELECT DISTINCT a.doc_id, a.w||' '||b.w||' '||c.w AS s
+         |        FROM ttok a JOIN ttok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+         |                    JOIN ttok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+         |btok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
+         |         FROM (SELECT doc_id, string_split(norm,' ') t FROM b)),
+         |bshd AS (SELECT DISTINCT a.doc_id, a.w||' '||b.w||' '||c.w AS s
+         |         FROM btok a JOIN btok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+         |                     JOIN btok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+         |bset AS (SELECT DISTINCT s FROM bshd),
+         |scr AS (SELECT doc_id FROM (
+         |          SELECT a.doc_id, count(*) AS n_sh, count(bs.s) AS n_hit
+         |          FROM tsh a LEFT JOIN bset bs USING (s) GROUP BY 1) t
+         |        WHERE n_hit * 100 >= n_sh * 10),
+         |s1 AS (SELECT doc_id, norm FROM qg
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM scr)),
+         |tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+         |bsz AS (SELECT doc_id, count(*) AS n FROM bshd GROUP BY 1),
+         |nd AS (SELECT DISTINCT i.doc_id FROM (
+         |         SELECT a.doc_id, x.doc_id AS j, count(*) AS c
+         |         FROM tsh a JOIN bshd x ON a.s = x.s
+         |         JOIN s1 ON s1.doc_id = a.doc_id
+         |         GROUP BY a.doc_id, x.doc_id) i
+         |       JOIN tsz ON tsz.doc_id = i.doc_id
+         |       JOIN bsz ON bsz.doc_id = i.j
+         |       WHERE i.c * 1.0 / (tsz.n + bsz.n - i.c) >= 0.8),
+         |s2 AS (SELECT doc_id, norm FROM s1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |d3 AS (SELECT doc_id, string_split(coalesce(norm,''),' ') AS arr FROM s2),
+         |e3 AS (SELECT doc_id, arr,
+         |         unnest(range(CAST(ceil(len(arr)/8.0) AS BIGINT))) AS seg
+         |       FROM d3),
+         |s3 AS (SELECT doc_id, seg,
+         |         array_to_string(arr[(seg*8+1):(seg*8+8)],' ') AS segtext
+         |       FROM e3),
+         |f3 AS (SELECT segtext, count(DISTINCT doc_id) AS df FROM s3 GROUP BY 1),
+         |k3 AS (SELECT s3.doc_id FROM s3 JOIN f3 USING (segtext) WHERE f3.df < 2),
+         |c3 AS (SELECT doc_id, count(*) AS kept_segs FROM k3 GROUP BY 1),
+         |t3 AS (SELECT doc_id, CAST(ceil(len(arr)/8.0) AS BIGINT) AS total_segs
+         |       FROM d3),
+         |g3 AS (SELECT t3.doc_id,
+         |         CAST(coalesce(c3.kept_segs,0) AS BIGINT) AS kept_segs,
+         |         t3.total_segs
+         |       FROM t3 LEFT JOIN c3 USING (doc_id)
+         |       WHERE coalesce(c3.kept_segs,0) > 0
+         |         AND coalesce(c3.kept_segs,0)*2 >= t3.total_segs)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -3373,65 +3491,7 @@ object ExtQueries {
     // pinned by q_dedup_minhash/q_decontaminate_neardup), boilerplate
     // retention gate, md5 shard/pos
     "q_curation_funnel3" ->
-      s"""WITH b AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
-         |           FROM documents
-         |           WHERE source IN ('src0','src1','src2','src3','src4')),
-         |tr AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
-         |       FROM documents
-         |       WHERE source NOT IN ('src0','src1','src2','src3','src4')),
-         |dd AS (SELECT doc_id, norm FROM (
-         |         SELECT doc_id, norm,
-         |           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
-         |         FROM tr) t WHERE rn = 1),
-         |qg AS (SELECT doc_id, norm FROM dd
-         |       WHERE ${TextStats.qualitySql("norm")} >= 0.5),
-         |ttok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
-         |         FROM (SELECT doc_id, string_split(norm,' ') t FROM qg)),
-         |tsh AS (SELECT DISTINCT a.doc_id, a.w||' '||b.w||' '||c.w AS s
-         |        FROM ttok a JOIN ttok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
-         |                    JOIN ttok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
-         |btok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
-         |         FROM (SELECT doc_id, string_split(norm,' ') t FROM b)),
-         |bshd AS (SELECT DISTINCT a.doc_id, a.w||' '||b.w||' '||c.w AS s
-         |         FROM btok a JOIN btok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
-         |                     JOIN btok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
-         |bset AS (SELECT DISTINCT s FROM bshd),
-         |scr AS (SELECT doc_id FROM (
-         |          SELECT a.doc_id, count(*) AS n_sh, count(bs.s) AS n_hit
-         |          FROM tsh a LEFT JOIN bset bs USING (s) GROUP BY 1) t
-         |        WHERE n_hit * 100 >= n_sh * 10),
-         |s1 AS (SELECT doc_id, norm FROM qg
-         |       WHERE doc_id NOT IN (SELECT doc_id FROM scr)),
-         |tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
-         |bsz AS (SELECT doc_id, count(*) AS n FROM bshd GROUP BY 1),
-         |nd AS (SELECT DISTINCT i.doc_id FROM (
-         |         SELECT a.doc_id, x.doc_id AS j, count(*) AS c
-         |         FROM tsh a JOIN bshd x ON a.s = x.s
-         |         JOIN s1 ON s1.doc_id = a.doc_id
-         |         GROUP BY a.doc_id, x.doc_id) i
-         |       JOIN tsz ON tsz.doc_id = i.doc_id
-         |       JOIN bsz ON bsz.doc_id = i.j
-         |       WHERE i.c * 1.0 / (tsz.n + bsz.n - i.c) >= 0.8),
-         |s2 AS (SELECT doc_id, norm FROM s1
-         |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
-         |d3 AS (SELECT doc_id, string_split(coalesce(norm,''),' ') AS arr FROM s2),
-         |e3 AS (SELECT doc_id, arr,
-         |         unnest(range(CAST(ceil(len(arr)/8.0) AS BIGINT))) AS seg
-         |       FROM d3),
-         |s3 AS (SELECT doc_id, seg,
-         |         array_to_string(arr[(seg*8+1):(seg*8+8)],' ') AS segtext
-         |       FROM e3),
-         |f3 AS (SELECT segtext, count(DISTINCT doc_id) AS df FROM s3 GROUP BY 1),
-         |k3 AS (SELECT s3.doc_id FROM s3 JOIN f3 USING (segtext) WHERE f3.df < 2),
-         |c3 AS (SELECT doc_id, count(*) AS kept_segs FROM k3 GROUP BY 1),
-         |t3 AS (SELECT doc_id, CAST(ceil(len(arr)/8.0) AS BIGINT) AS total_segs
-         |       FROM d3),
-         |g3 AS (SELECT t3.doc_id,
-         |         CAST(coalesce(c3.kept_segs,0) AS BIGINT) AS kept_segs,
-         |         t3.total_segs
-         |       FROM t3 LEFT JOIN c3 USING (doc_id)
-         |       WHERE coalesce(c3.kept_segs,0) > 0
-         |         AND coalesce(c3.kept_segs,0)*2 >= t3.total_segs),
+      (funnel3StagesCte + s""",
          |sh3 AS (SELECT doc_id, kept_segs, total_segs,
          |          md5(CAST(doc_id AS VARCHAR)) AS sel FROM g3)
          |SELECT doc_id,
@@ -3439,7 +3499,17 @@ object ExtQueries {
          |  CAST(row_number() OVER (PARTITION BY substr(sel,1,1)
          |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos,
          |  kept_segs, total_segs
-         |FROM sh3 ORDER BY shard, pos""".stripMargin,
+         |FROM sh3 ORDER BY shard, pos""".stripMargin),
+    "q_funnel_provenance" ->
+      (funnel3StagesCte + s"""
+         |SELECT tr.doc_id,
+         |  CASE WHEN tr.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'dup'
+         |       WHEN tr.doc_id NOT IN (SELECT doc_id FROM qg) THEN 'quality'
+         |       WHEN tr.doc_id IN (SELECT doc_id FROM scr) THEN 'contaminated'
+         |       WHEN tr.doc_id IN (SELECT doc_id FROM nd) THEN 'neardup'
+         |       WHEN tr.doc_id NOT IN (SELECT doc_id FROM g3) THEN 'boilerplate'
+         |       ELSE 'kept' END AS verdict
+         |FROM tr ORDER BY doc_id""".stripMargin),
     // self-excision: same cut rule, the repeated-gram set (df ≥ 2 over
     // distinct docs) replacing the external benchmark
     "q_self_excise" ->

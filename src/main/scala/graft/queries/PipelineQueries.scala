@@ -254,6 +254,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // Schema evolution across shard generations — the operational
+    // reality of a long-lived 100 TB corpus: v1 shards lack a column
+    // later generations carry. mergeSchema unifies the read; v1 rows
+    // surface NULL for the new column and every row keeps its
+    // generation tag. The oracle derives the same union analytically
+    // (even docs are v1, odd v2 with quality = n_chars % 100), so a
+    // reader that dropped v1 rows, failed on the missing column, or
+    // misaligned columns cannot match.
+    "q_schema_merge" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_schmerge_${Integer.toHexString(d.hashCode)}").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") % 100).as("quality"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("doc_id"), col("source"), col("quality"), col("gen"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Columnar-format breadth: the documents table round-trips through
     // ORC (Spark's second native columnar format) and the read-back is
     // pinned against DuckDB reading the PARQUET originals — per-source
@@ -401,6 +425,14 @@ object PipelineQueries {
         |SELECT doc_id, idx, href, anchor FROM (
         |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
         |ORDER BY doc_id, idx""".stripMargin,
+    "q_schema_merge" ->
+      """SELECT doc_id, source, CAST(NULL AS BIGINT) AS quality,
+        |  CAST(1 AS INT) AS gen
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars % 100 AS quality, CAST(2 AS INT) AS gen
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_orc_roundtrip" ->
       """WITH r AS (
         |  SELECT source, doc_id,
