@@ -11,6 +11,14 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
   */
 object ExtQueries {
 
+  /** Planted foreign-language tails for q_lang_mix — stopword-dense so
+    * the half-document language ID detects them decisively; shared
+    * verbatim with the oracle's CASE literals. */
+  private[queries] val LangMixBlocks: Seq[(String, String)] = Seq(
+    "de" -> "der die das und ist nicht der die das und",
+    "fr" -> "le les et est une dans le les et est",
+    "es" -> "el la los y es que el la los y")
+
   private val shingleCte =
     """WITH tok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
       |             FROM (SELECT doc_id, string_split(text,' ') t FROM documents)),
@@ -257,6 +265,21 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup threshold-sensitivity sweep — the observability query
+    // behind CHOOSING minJ: how many near-dup pairs survive at 0.7 /
+    // 0.8 / 0.9, from ONE pair computation (conditional aggregation
+    // over the floored Jaccard, no re-run per threshold). A cliff
+    // between thresholds tells the curator the dedup verdict is
+    // unstable; a plateau that it is safe.
+    "q_dedup_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, minJ = 0.7)
+      pairs.agg(
+        count(lit(1)).as("ge_70"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("ge_80"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("ge_90"))
+    }),
+
     // leakage-safe train/val/test split: the md5 selector draws on the
     // near-dup CLUSTER id, not the document id, so near-duplicates can
     // never straddle a split boundary (the train/test contamination
@@ -464,6 +487,39 @@ object ExtQueries {
     "q_quality_score" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), TextStats.qualityCol(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Code-switching / language-mixture detection: language-ID each
+    // HALF of the document and flag disagreement — the multilingual-
+    // corpus hygiene check (mixed documents poison both per-language
+    // LMs and language-stratified sampling). Every 4th doc gets a
+    // planted foreign tail (stopword blocks shared verbatim with the
+    // oracle), so both the mixed and unmixed branches are exercised;
+    // the oracle recomputes the same halves, so the verdict is pinned
+    // regardless of where the split lands. Map-only.
+    "q_lang_mix" -> ((s, d) => {
+      val blockFor = LangMixBlocks
+      val block = when(col("doc_id") % 3 === 0, blockFor(0)._2)
+        .when(col("doc_id") % 3 === 1, blockFor(1)._2)
+        .otherwise(blockFor(2)._2)
+      val combined = when(col("doc_id") % 4 === 0,
+        concat(coalesce(col("text"), lit("")), lit(" "), block))
+        .otherwise(coalesce(col("text"), lit("")))
+      val docs = Tables.documents(s, d)
+        .withColumn("combined", combined)
+        .withColumn("half", expr("(size(split(combined, ' ')) + 1) div 2"))
+        .withColumn("head_txt",
+          concat_ws(" ", slice(split(col("combined"), " "), lit(1), col("half"))))
+        .withColumn("tail_txt",
+          concat_ws(" ", slice(split(col("combined"), " "),
+            col("half") + 1, size(split(col("combined"), " ")) - col("half"))))
+      docs.select(col("doc_id"),
+          TextStats.langIdCol(col("head_txt")).as("lang_head"),
+          TextStats.langIdCol(col("tail_txt")).as("lang_tail"))
+        .withColumn("is_mixed",
+          col("lang_head") =!= col("lang_tail") &&
+            col("lang_head") =!= "unknown" && col("lang_tail") =!= "unknown")
         .orderBy(col("doc_id"))
     }),
     "q_token_stats" -> ((s, d) => {
@@ -2306,6 +2362,19 @@ object ExtQueries {
         |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN n_chars END) AS p90
         |FROM cum JOIN tot USING (source)
         |GROUP BY source, n ORDER BY source""".stripMargin,
+    // same raw-J ≥ 0.7 filter, same floor4 presentation, conditional
+    // counts cast to BIGINT (DuckDB integer sums are HUGEINT)
+    "q_dedup_threshold_sweep" ->
+      (shingleCte +
+        """,p AS (SELECT i, j,
+          |        floor(c * 1.0 / (sa.n_sh + sb.n_sh - c) * 1e4 + 0.5) / 1e4 AS j4
+          |      FROM inter JOIN sizes sa ON sa.doc_id = i
+          |                 JOIN sizes sb ON sb.doc_id = j
+          |      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.7)
+          |SELECT CAST(count(*) AS BIGINT) AS ge_70,
+          |  CAST(sum(CASE WHEN j4 >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ge_80,
+          |  CAST(sum(CASE WHEN j4 >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_90
+          |FROM p""".stripMargin),
     "q_embed_outliers" ->
       """WITH dims AS (
         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
@@ -2432,6 +2501,32 @@ object ExtQueries {
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_mix" -> {
+      val blockCase = s"""CASE WHEN doc_id % 3 = 0 THEN '${LangMixBlocks(0)._2}'
+                         |       WHEN doc_id % 3 = 1 THEN '${LangMixBlocks(1)._2}'
+                         |       ELSE '${LangMixBlocks(2)._2}' END""".stripMargin
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN coalesce(text, '') || ' ' || ($blockCase)
+         |         ELSE coalesce(text, '') END AS combined
+         |  FROM documents),
+         |h AS (SELECT doc_id, string_split(combined, ' ') AS t,
+         |        (len(string_split(combined, ' ')) + 1) // 2 AS half
+         |      FROM c),
+         |seg AS (SELECT doc_id,
+         |          coalesce(array_to_string(t[1 : half], ' '), '') AS head_txt,
+         |          coalesce(array_to_string(t[half + 1 : len(t)], ' '), '')
+         |            AS tail_txt
+         |        FROM h)
+         |SELECT doc_id,
+         |  ${TextStats.langIdSql("head_txt")} AS lang_head,
+         |  ${TextStats.langIdSql("tail_txt")} AS lang_tail,
+         |  (${TextStats.langIdSql("head_txt")} <> ${TextStats.langIdSql("tail_txt")}
+         |   AND ${TextStats.langIdSql("head_txt")} <> 'unknown'
+         |   AND ${TextStats.langIdSql("tail_txt")} <> 'unknown') AS is_mixed
+         |FROM seg ORDER BY doc_id""".stripMargin
+    },
     "q_quality_score" ->
       s"""SELECT doc_id, ${TextStats.qualitySql("text")} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
