@@ -37,7 +37,17 @@ object Bm25 {
 
   /** Build the inverted index on disk; `_SUCCESS`-guarded no-op when
     * it already exists. One tokenize pass feeds both aggregates; df
-    * derives from the WRITTEN tf relation (no second corpus scan). */
+    * derives from the WRITTEN tf relation (no second corpus scan).
+    *
+    * SINGLE-WRITER assumption (like the IVF precedent): there is no
+    * lock between the `_SUCCESS` probe, the sibling GC, and the build —
+    * two drivers building concurrently can overwrite each other's
+    * partial output, and the GC can delete a stale-signature sibling
+    * out from under a reader still probing it. Correct for this
+    * harness (one driver owns the corpus) and for any deployment where
+    * index builds are serialized by an external scheduler; a
+    * multi-writer serving tier should stage to a temp dir + atomic
+    * rename and age-gate the GC instead. */
   def ensureIndex(docs: DataFrame, idCol: String, textCol: String,
                   dir: String): Unit = {
     val spark = docs.sparkSession

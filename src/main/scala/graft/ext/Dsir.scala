@@ -78,11 +78,17 @@ object Dsir {
         .as("b"))
       .select((-col("b.neg_lr")).as("t"), col("b.tid").as("tid"))
     // max over struct(-logratio, doc_id) = the LAST row of the top-k
-    // under (logratio DESC, doc_id ASC) — the selection boundary
+    // under (logratio DESC, doc_id ASC) — the selection boundary.
+    // k = 0 (or an empty scored input reaching the agg) leaves the
+    // boundary row NULL; the predicate would then evaluate to NULL on
+    // every row and a consumer's !selected / count would silently drop
+    // them — coalesce pins "no boundary" to selected = false.
     scored.crossJoin(broadcast(kth))
       .withColumn("selected",
-        col("logratio") > col("t") ||
-          (col("logratio") === col("t") && col("doc_id") <= col("tid")))
+        coalesce(
+          col("logratio") > col("t") ||
+            (col("logratio") === col("t") && col("doc_id") <= col("tid")),
+          lit(false)))
       .drop("t", "tid")
   }
 }

@@ -103,8 +103,13 @@ object Similarity {
         max(when(col("nlabel") =!= col("qlabel"),
           struct(col("cos").as("c"), (-col("nid")).as("ni")))).as("n"))
       .select(col("qid"), col("qlabel").as("label"),
-        (-col("p.ni")).as("pos_id"), round(col("p.c"), 4).as("pos_cos"),
-        (-col("n.ni")).as("neg_id"), round(col("n.c"), 4).as("neg_cos"))
+        // terminal cosines through the repo's floor display contract
+        // (round() on a float-derived double is banned by the verify
+        // discipline — only transcendental-derived values may round)
+        (-col("p.ni")).as("pos_id"),
+        (floor(col("p.c") * 1e4 + 0.5) / 1e4).as("pos_cos"),
+        (-col("n.ni")).as("neg_id"),
+        (floor(col("n.c") * 1e4 + 0.5) / 1e4).as("neg_cos"))
   }
 
   /** Per-executor cache of the deterministic hyperplane matrix: weights

@@ -551,9 +551,11 @@ object CurationQueries {
         |  FROM p)
         |SELECT qid, qlabel AS label,
         |  max(CASE WHEN qlabel = nlabel AND rn = 1 THEN nid END) AS pos_id,
-        |  max(CASE WHEN qlabel = nlabel AND rn = 1 THEN round(cos, 4) END) AS pos_cos,
+        |  max(CASE WHEN qlabel = nlabel AND rn = 1
+        |      THEN floor(cos * 1e4 + 0.5) / 1e4 END) AS pos_cos,
         |  max(CASE WHEN qlabel <> nlabel AND rn = 1 THEN nid END) AS neg_id,
-        |  max(CASE WHEN qlabel <> nlabel AND rn = 1 THEN round(cos, 4) END) AS neg_cos
+        |  max(CASE WHEN qlabel <> nlabel AND rn = 1
+        |      THEN floor(cos * 1e4 + 0.5) / 1e4 END) AS neg_cos
         |FROM r GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
 
     "q_zipf_slope" ->

@@ -281,26 +281,24 @@ object PipelineQueries {
     // Columnar-format breadth: the documents table round-trips through
     // ORC (Spark's second native columnar format) and the read-back is
     // pinned against DuckDB reading the PARQUET originals — per-source
-    // row counts plus an order-independent corpus digest (per-row
-    // id:md5(text) records, sorted by doc_id inside the per-source
-    // list). A lossy writer, reader, or schema coercion breaks the
-    // digest. Scale shape: one distributed write, one distributed
-    // scan, per-source bounded collect only in the final digest.
+    // row counts plus an ORDER-FREE corpus digest: bit_xor over a
+    // 60-bit prefix of md5(id:md5(text)) per row (the q_corpus_checksum
+    // xor_sig pattern — commutative, partial-aggregable, no per-source
+    // collect_list buffer, so the digest stays O(1) per aggregation
+    // state at any corpus size). A lossy writer, reader, or schema
+    // coercion breaks the signature. Scale shape: one distributed
+    // write, one distributed scan, constant-size aggregate state.
     "q_orc_roundtrip" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_orc_rt_${Integer.toHexString(d.hashCode)}").toString
       Tables.documents(s, d).write.mode("overwrite").format("orc").save(dir)
+      val rec = concat_ws(":", col("doc_id").cast("string"),
+        md5(coalesce(col("text"), lit(""))))
       s.read.format("orc").load(dir)
-        .select(col("source"), col("doc_id"),
-          concat_ws(":", col("doc_id").cast("string"),
-            md5(coalesce(col("text"), lit("")))).as("rec"))
+        .select(col("source"),
+          conv(substring(md5(rec), 1, 15), 16, 10).cast("long").as("h"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          md5(array_join(
-            transform(
-              sort_array(collect_list(struct(col("doc_id").as("i"),
-                col("rec").as("r")))),
-              x => x.getField("r")), "|")).as("corpus_md5"))
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("xor_sig"))
         .orderBy(col("source"))
     }),
 
@@ -435,11 +433,12 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "q_orc_roundtrip" ->
       """WITH r AS (
-        |  SELECT source, doc_id,
-        |    CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, '')) AS rec
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, ''))
+        |    ), 1, 15) AS BIGINT) AS h
         |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  md5(array_to_string(list(rec ORDER BY doc_id), '|')) AS corpus_md5
+        |SELECT source, count(*) AS n_docs, bit_xor(h) AS xor_sig
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_extract_fixtures"      -> FixtureGolden.extractFixtures,
     "q_extract_legacy"        -> FixtureGolden.extractLegacy,
