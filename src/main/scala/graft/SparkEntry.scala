@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.ExtQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.RetrievalQueries.queries ++
+      graft.queries.IngestQueries.queries ++
       graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.ExtQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.RetrievalQueries.oracleSql ++
+      graft.queries.IngestQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql
 }
