@@ -38,19 +38,86 @@ object Bpe {
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
 
-  /** `k` BPE merges trained iteratively: each round aggregates pair
-    * counts over the (persisted, distinct-word-sized) symbol relation,
-    * takes the single argmax row, and rewrites the symbol arrays
-    * map-only. Returns the ordered merge table (round, left, right,
-    * cnt) — the artifact a tokenizer ships. */
+  /** Distinct-word cap for driver-local training. The (word, count)
+    * relation is MODEL state, not corpus data — published BPE trainers
+    * (Sennrich's reference implementation, HF tokenizers) all collect
+    * it and run the merge loop locally, because each round's work is
+    * O(Σ|word|) over the vocabulary, thousands of times smaller than a
+    * distributed round's job-scheduling floor. At 100 TB the
+    * vocabulary still caps in the millions (Heaps' law), so the local
+    * path is the expected one; a pathological vocabulary above the cap
+    * falls back to the distributed per-round loop, whose shuffles stay
+    * bounded by distinct-pair cardinality. Both paths are
+    * bit-identical: exact long counts, total (cnt DESC, l, r) argmax
+    * order, the same greedy merge-skip-2 scan
+    * (ExtOpsSpec's lockstep test pins this). */
+  val MaxDriverVocab: Int = 1 << 20
+
+  /** `k` BPE merges trained iteratively: each round counts adjacent
+    * symbol pairs weighted by word frequency, takes the (cnt DESC,
+    * l, r) argmax, and rewrites the symbol arrays greedily. Returns
+    * the ordered merge table (round, left, right, cnt) — the artifact
+    * a tokenizer ships. ONE corpus-wide aggregation produces the
+    * vocabulary; training then runs on the driver when the vocabulary
+    * fits [[MaxDriverVocab]] (the normal case), else distributed. */
   def trainMerges(df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, Long)] = {
-    val spark = df.sparkSession
+    val wc = wordCounts(df, textCol)
+    val head = wc.limit(MaxDriverVocab + 1).collect()
+    if (head.length <= MaxDriverVocab)
+      trainMergesLocal(head.map(r => (r.getString(0), r.getLong(1))).toSeq, k)
+    else trainMergesDistributed(wc, k)
+  }
+
+  /** Driver-local merge loop over the collected vocabulary — exact
+    * long pair counts, (cnt DESC, l ASC, r ASC) argmax, greedy
+    * merge-skip-2 application; byte-for-byte the distributed loop's
+    * semantics. */
+  private[ext] def trainMergesLocal(vocab: Seq[(String, Long)],
+                                    k: Int): Seq[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (a, c) =>
+        var i = 0
+        while (i + 1 < a.length) {
+          counts.merge((a(i), a(i + 1)), c, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = 0L
+        counts.forEach { (p, c) =>
+          val better = bl == null || c > bc ||
+            (c == bc && (p._1 < bl || (p._1 == bl && p._2 < br)))
+          if (better) { bl = p._1; br = p._2; bc = c }
+        }
+        merges += ((round, bl, br, bc))
+        words = words.map { case (a, c) => (applyOne(a, bl, br), c) }
+        round += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** Distributed per-round loop — the above-cap fallback. Each round
+    * LOCAL-CHECKPOINTS the rewritten symbol relation (the connected-
+    * components precedent): persisting alone keeps the logical plan
+    * growing by one UDF layer per round, and at a realistic merge
+    * budget (k in the hundreds) the O(k²) accumulated plan strings
+    * OOM the driver before the data is ever large. */
+  private[ext] def trainMergesDistributed(wc: DataFrame,
+                                          k: Int): Seq[(Int, String, String, Long)] = {
+    val spark = wc.sparkSession
     import spark.implicits._
     val splitChars = udf((w: String) => w.map(_.toString).toArray)
-    var words = wordCounts(df, textCol)
+    var words = wc
       .select(splitChars(col("w")).as("syms"), col("wc"))
-      .persist()
-    words.count() // materialize before the loop
+      .localCheckpoint() // eager: materializes AND truncates lineage
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     try {
       var round = 0
@@ -84,8 +151,7 @@ object Bpe {
             out.toArray
           })
           val next = words.select(applyMerge(col("syms")).as("syms"), col("wc"))
-            .persist()
-          next.count()
+            .localCheckpoint() // eager; truncates the per-round UDF lineage
           words.unpersist()
           words = next
           round += 1

@@ -1791,17 +1791,23 @@ object ExtQueries {
         .limit(20)
     }),
 
-    // BPE applied: train 6 merges (k driver-held model rows, like the
-    // IVF centroids), tokenize each DISTINCT word once (map-only,
-    // merges in the closure), fan back to documents through the word
-    // join — per-doc subword token counts, the number every packing/
-    // budget decision downstream consumes. The oracle replays all six
-    // training rounds AND the greedy merge application in SQL over a
-    // bracketed ⟨STX⟩sym⟨ETX⟩ representation (each symbol carries its
-    // own delimiter pair, so literal left-to-right replace is exactly
-    // the trainer's merge-skip-2 scan, including `a a a a` → `aa aa`).
+    // BPE applied at a REALISTIC merge budget: train 256 merges (k
+    // driver-held model rows, like the IVF centroids — the corpus
+    // vocabulary exhausts partway, which both engines treat as no-op
+    // rounds), tokenize each DISTINCT word once (map-only, merges in
+    // the closure), fan back to documents through the word join —
+    // per-doc subword token counts, the number every packing/budget
+    // decision downstream consumes. The GENERATED oracle replays all
+    // 256 training rounds AND the greedy merge application in SQL over
+    // a bracketed ⟨STX⟩sym⟨ETX⟩ representation (each symbol carries
+    // its own delimiter pair, so literal left-to-right replace is
+    // exactly the trainer's merge-skip-2 scan, including `a a a a` →
+    // `aa aa`); its w-CTEs are MATERIALIZED — each is referenced twice
+    // (next round's pair counts + next round's rewrite), and DuckDB
+    // would otherwise inline them into a 2^k plan (measured: k=64
+    // never finishes inlined, 48 s materialized at k=256/sf0.01).
     "q_bpe_encode" -> ((s, d) =>
-      graft.ext.Bpe.encode(Tables.documents(s, d), "doc_id", "text", 6)
+      graft.ext.Bpe.encode(Tables.documents(s, d), "doc_id", "text", 256)
         .orderBy(col("doc_id"))),
 
     // Content-defined chunking (LBFS '01 / FastCDC): boundaries where
@@ -2190,7 +2196,7 @@ object ExtQueries {
   private def bpeEncodeOracle(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS (SELECT w, count(*) AS wc,
+      """WITH w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
         |    regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g') AS s
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE w <> '' GROUP BY w)""".stripMargin)
@@ -2205,7 +2211,7 @@ object ExtQueries {
         |         unnest(generate_series(1, len(syms) - 1)) AS u(i)
         |  ) GROUP BY l, r),
         |m$t AS (SELECT l, r FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
-        |w$t AS (SELECT w, wc, replace(s,
+        |w$t AS MATERIALIZED (SELECT w, wc, replace(s,
         |    coalesce(chr(2) || (SELECT l || chr(3) || chr(2) || r FROM m$t) || chr(3), chr(1)),
         |    coalesce(chr(2) || (SELECT l || r FROM m$t) || chr(3), chr(1))) AS s
         |  FROM w$p)""".stripMargin)
@@ -3467,7 +3473,7 @@ object ExtQueries {
         |      WHERE len(w) >= 2)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
-    "q_bpe_encode" -> bpeEncodeOracle(6),
+    "q_bpe_encode" -> bpeEncodeOracle(256),
     "q_chunk_cdc" -> cdcOracle,
     // the same integerized Tukey fences from quantile_cont
     "q_outlier_iqr" ->

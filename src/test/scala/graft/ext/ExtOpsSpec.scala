@@ -523,6 +523,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(merges == Seq((0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L)))
   }
 
+  test("BPE local and distributed trainers are in bit-exact lockstep") {
+    import spark.implicits._
+    // the driver-local fast path must produce the distributed loop's
+    // exact merge table — counts, argmax tie-breaks (es/st at 9,
+    // lo/ow at 7), and greedy application — trained PAST vocabulary
+    // exhaustion (k=25 > the 16 merges this corpus supports), where
+    // both loops must stop on the same empty pair relation
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val wc = graft.ext.Bpe.wordCounts(corpus, "text")
+    val vocab = wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val local = graft.ext.Bpe.trainMergesLocal(vocab, k = 25)
+    val dist = graft.ext.Bpe.trainMergesDistributed(wc, k = 25)
+    assert(local == dist)
+    assert(local.nonEmpty && local.size < 25,
+      "expected the tiny vocabulary to exhaust before 25 merges")
+    // the public API picks the local path at real-corpus vocabulary
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val realVocab = graft.ext.Bpe.wordCounts(docs, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(graft.ext.Bpe.trainMerges(docs, "text", 300) ==
+      graft.ext.Bpe.trainMergesLocal(realVocab, 300))
+  }
+
   test("BPE encode: trained merges give per-doc subword token counts") {
     import spark.implicits._
     val corpus = Seq(
