@@ -173,6 +173,49 @@ object Urls {
     concat(scheme, lit("://"), host, portPart, pathC, qs)
   }
 
+  // ---- domain blocklist (the UT1-style gate) ------------------------
+  // RefinedWeb/C4 run a domain blocklist (Université Toulouse 1's UT1
+  // list in the published recipes) as the FIRST curation stage: any
+  // document whose registrable domain appears on the list is dropped
+  // before dedup ever sees it. The list is model-sized, driver-held,
+  // and BROADCAST — the probe side never shuffles for it.
+
+  /** Planted blocklist — three registrable domains that exist in the
+    * planted URL space at every SF (mirrored verbatim into the
+    * oracles; a production system swaps in the real UT1 table). */
+  val BlockedDomains: Seq[String] =
+    Seq("src0-0.example.com", "src7-3.example.com", "src12-1.example.com")
+
+  /** The blocklist's SQL IN-list, generated from [[BlockedDomains]]
+    * so both engines share one source of truth. */
+  def blockedDomainsSql: String =
+    BlockedDomains.map(d => s"'$d'").mkString("(", ", ", ")")
+
+  /** Blocklist join key of a (possibly messy) URL: lowercase host
+    * minus a leading `www.` — messy-case hosts and www/apex spellings
+    * of one registrable domain must hit the same list entry. */
+  def blockKeyCol(urlCol: Column): Column =
+    regexp_replace(lower(hostCol(urlCol)), "^www\\.", "")
+
+  /** The blocklist as a 1-column broadcastable relation. */
+  def blocklistDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    BlockedDomains.toDF("bdom")
+  }
+
+  /** Per-document blocklist verdict over the planted URL — map-only
+    * except the broadcast-hash lookup against the 3-row list. */
+  def domainBlock(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"),
+        blockKeyCol(plantedUrlCol(col("source"), col("lang"), col("doc_id")))
+          .as("domain"))
+      .join(broadcast(blocklistDf(spark).withColumn("b", lit(true))),
+        col("domain") === col("bdom"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("b"), lit(false)).as("blocked"))
+  }
+
   /** The canonicalization contract query body: both messy spellings of
     * every document's URL must canonicalize to the same string (and the
     * result is predicted analytically by the oracle). */

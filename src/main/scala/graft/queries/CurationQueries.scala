@@ -132,6 +132,16 @@ object CurationQueries {
     // window, the per-lang vocab aggregates, the per-doc score re-agg,
     // and the band window — text itself moves only through the
     // canonical-dedup exchange; selection is TakeOrdered.
+    // UT1-style domain blocklist verdict (the RefinedWeb recipe's
+    // first stage, standalone form): registrable domain of the planted
+    // URL against a driver-held 3-row list — broadcast-hash lookup,
+    // the probe side never shuffles. The oracle mirrors the domain
+    // algebra and the literal list (one source of truth:
+    // Urls.BlockedDomains).
+    "q_domain_block" -> ((s, d) =>
+      graft.ext.Urls.domainBlock(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     "q_refinedweb_funnel" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val src = col("source"); val lang = col("lang"); val id = col("doc_id")
@@ -143,7 +153,15 @@ object CurationQueries {
         graft.ext.Urls.messyUrlCol(2)(src, lang, id).as("url"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("canon")).orderBy(col("doc_id"))
-      val deduped = orig.unionByName(dup)
+      // stage 0 (published order: the UT1 gate runs before dedup):
+      // broadcast anti-join on the registrable domain — no shuffle of
+      // the text rows, so the funnel still crosses ONE exchange
+      val unblocked = orig.unionByName(dup)
+        .withColumn("bkey", graft.ext.Urls.blockKeyCol(col("url")))
+        .join(broadcast(graft.ext.Urls.blocklistDf(s)),
+          col("bkey") === col("bdom"), "left_anti")
+        .drop("bkey")
+      val deduped = unblocked
         .withColumn("canon", graft.ext.Urls.canonicalizeUrl(col("url")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -504,10 +522,28 @@ object CurationQueries {
     // back onto the originals (lower id wins on the shared canonical),
     // so the oracle starts from `documents` and chains the verified
     // structural-gate, per-lang LM band, and E-S draw forms
+    // domain algebra = the q_url_parse oracle's; the IN-list is
+    // generated from Urls.BlockedDomains (one source of truth)
+    "q_domain_block" ->
+      s"""SELECT doc_id,
+         |  lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR)
+         |    || '.example.com' AS domain,
+         |  (lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR)
+         |    || '.example.com') IN ${graft.ext.Urls.blockedDomainsSql}
+         |    AS blocked
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // survivors = the structural gate MINUS the UT1 blocklist (both
+    // messy spellings of a doc share its registrable domain, so the
+    // gate removes originals and clones together and the URL-dedup
+    // stage is otherwise unchanged: originals outrank their +1M
+    // clones)
     "q_refinedweb_funnel" ->
       s"""WITH survivors AS (
          |  SELECT doc_id, lang, n_chars, text FROM documents
-         |  WHERE ${CurationFilters.structuralKeepSql("text")}),
+         |  WHERE ${CurationFilters.structuralKeepSql("text")}
+         |    AND (lower(source) || '-' || CAST(doc_id % 5 AS VARCHAR)
+         |         || '.example.com') NOT IN ${graft.ext.Urls.blockedDomainsSql}),
          |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
          |         FROM survivors),
          |tt AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),

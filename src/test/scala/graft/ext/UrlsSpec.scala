@@ -84,6 +84,24 @@ class UrlsSpec extends AnyFunSuite {
     assert(canon("https://ex.com/#top") == "https://ex.com")
   }
 
+  test("domain blocklist: verdicts match the list; lookup is broadcast") {
+    // id 0 is src0 with %5=0 → src0-0.example.com, ON the list; the
+    // rest of the fixture docs map off-list
+    val out = Urls.domainBlock(docs).orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap ==
+      Map(0L -> true, 7L -> false, 9L -> false, 10L -> false, 11L -> false))
+    val plan = Urls.domainBlock(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist lookup must be a broadcast join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"blocklist gate must not shuffle the probe side:\n$plan")
+    // the messy spellings hit the same list entry (case/www noise)
+    val messy = docs.select(col("doc_id"),
+      Urls.blockKeyCol(Urls.messyUrlCol(2)(col("source"), col("lang"),
+        col("doc_id"))).as("k")).orderBy("doc_id").collect()
+    assert(messy.head.getString(1) == "src0-0.example.com")
+  }
+
   test("both messy variants collapse onto one canonical for every doc") {
     val out = Urls.urlCanon(docs)
     assert(out.filter(!col("collapse_ok")).count() == 0)
