@@ -66,6 +66,15 @@ object Bm25 {
             .foreach(s => fs.delete(s.getPath, true))
       case _ => () // caller-chosen dir name: nothing safe to GC
     }
+    writeTf(docs, idCol, textCol, dir, mode = "overwrite")
+    deriveFromTf(spark, dir)
+  }
+
+  /** Tokenize `docs` and write their (tok, doc_id, tf, dl) rows into
+    * the token-partitioned tf store — `overwrite` for the initial
+    * build, `append` for streaming maintenance. */
+  private def writeTf(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String, mode: String): Unit = {
     val toks = TextStats.tokenRows(docs, idCol, textCol)
       .withColumnRenamed(idCol, "doc_id")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -74,16 +83,37 @@ object Bm25 {
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
       .repartition(col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/tf")
+      .write.mode(mode).parquet(s"$dir/tf")
+  }
+
+  /** Re-derive df/ and stats/ from the WRITTEN tf relation (distinct
+    * per doc for dl) — never from the corpus: the derived relations
+    * must agree with tf/ forever, and the re-derivation cost is
+    * bounded by index cardinality (posting rows), not corpus size.
+    * Shared by the initial build and streaming maintenance. */
+  private def deriveFromTf(spark: SparkSession, dir: String): Unit = {
     val tfIdx = spark.read.parquet(s"$dir/tf")
     tfIdx.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .repartition(col("tok")).sortWithinPartitions(col("tok"))
       .write.mode("overwrite").parquet(s"$dir/df")
-    // dl re-derived from the written index (distinct per doc), not the
-    // corpus: the one-row stats read must agree with tf/ forever
     tfIdx.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Streaming index maintenance (the Ivf.ingestIntoIndex pattern for
+    * lexical search): APPEND one micro-batch of new documents' tf rows
+    * to the token-partitioned store, then re-derive df/stats from the
+    * index. Per batch: one tokenize pass over the BATCH (never the
+    * corpus) plus an index-bounded aggregation — probes launched after
+    * the batch commits score the union corpus with the same pruned
+    * scan as the original build. Ingested doc ids must be new;
+    * redelivery dedup is the caller's contract (exactly-once file
+    * sources here). Single-writer, like [[ensureIndex]]. */
+  def ingestIntoIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                      idCol: String, textCol: String): Unit = {
+    writeTf(batch, idCol, textCol, dir, mode = "append")
+    deriveFromTf(spark, dir)
   }
 
   /** Top-k BM25 per query from the persisted index. `queryTerms` is

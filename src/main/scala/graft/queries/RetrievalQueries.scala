@@ -150,38 +150,45 @@ object RetrievalQueries {
     })
   )
 
+  /** The full BM25 replay parameterized over the corpus relation —
+    * shared by q_bm25_topk (`documents`) and q_stream_bm25_ingest
+    * (documents UNION their +1M-id streamed copies), so the streamed
+    * index is held to the exact batch-over-the-union semantics. */
+  private[queries] def bm25OracleSql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM corpus),
+       |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tt GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+       |          FROM dl),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |qterms AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 10),
+       |cand AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+       |      (t.tf * 2.2) /
+       |      (t.tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+       |    , 6) AS DECIMAL(14,6)) AS c6
+       |  FROM tf t JOIN qterms q USING (tok) JOIN dl USING (doc_id)
+       |  JOIN dfreq USING (tok) CROSS JOIN stats
+       |  WHERE t.doc_id <> q.qid),
+       |scored AS (
+       |  SELECT qid, doc_id, count(*) AS n_match,
+       |    floor(CAST(sum(c6) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM cand GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, n_match, score,
+       |        CAST(row_number() OVER (PARTITION BY qid
+       |          ORDER BY score DESC, doc_id) AS INT) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, doc_id, n_match, score
+       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
-    "q_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |              FROM documents),
-        |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tt GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
-        |          FROM dl),
-        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |qterms AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 10),
-        |cand AS (
-        |  SELECT q.qid, t.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |      (t.tf * 2.2) /
-        |      (t.tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
-        |    , 6) AS DECIMAL(14,6)) AS c6
-        |  FROM tf t JOIN qterms q USING (tok) JOIN dl USING (doc_id)
-        |  JOIN dfreq USING (tok) CROSS JOIN stats
-        |  WHERE t.doc_id <> q.qid),
-        |scored AS (
-        |  SELECT qid, doc_id, count(*) AS n_match,
-        |    floor(CAST(sum(c6) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS score
-        |  FROM cand GROUP BY 1, 2),
-        |r AS (SELECT qid, doc_id, n_match, score,
-        |        CAST(row_number() OVER (PARTITION BY qid
-        |          ORDER BY score DESC, doc_id) AS INT) AS rank
-        |      FROM scored)
-        |SELECT qid, rank, doc_id, n_match, score
-        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_bm25_topk" -> bm25OracleSql("SELECT doc_id, text FROM documents"),
 
     "q_inverted_index" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -35,6 +35,25 @@ object StreamQueries {
     p
   }
 
+  /** Write `df` as the single parquet file `name`.parquet inside
+    * `srcDir` — one file per planned micro-batch for the
+    * maxFilesPerTrigger=1 ingest harnesses. */
+  private def writeOnePart(srcDir: java.nio.file.Path, name: String,
+                           df: DataFrame): Unit = {
+    val build = srcDir.resolve(s"${name}_build")
+    df.coalesce(1).write.parquet(build.toString)
+    val part = Option(build.toFile.listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $build"))
+    java.nio.file.Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(build.toFile); ()
+  }
+
   /** Scratch dir holding `table`.parquet TWICE — verbatim (every row a
     * planted exact duplicate) or once verbatim + once through
     * `variant` (planted transformed duplicates) — the doubled-source
@@ -418,24 +437,10 @@ object StreamQueries {
         k = 16, iters = 2)
       val srcDir = freshScratchDir(d, "annnew")
       java.nio.file.Files.createDirectories(srcDir)
-      def writeOne(name: String, df: DataFrame): Unit = {
-        val build = srcDir.resolve(s"${name}_build")
-        df.coalesce(1).write.parquet(build.toString)
-        val part = Option(build.toFile.listFiles)
-          .getOrElse(Array.empty[java.io.File])
-          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written under $build"))
-        java.nio.file.Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
-        def deleteRec(f: java.io.File): Unit = {
-          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-          f.delete(); ()
-        }
-        deleteRec(build.toFile)
-      }
       val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
         col("embedding"))
-      writeOne("a", copies.filter(col("vec_id") % 2 === 0))
-      writeOne("b", copies.filter(col("vec_id") % 2 =!= 0))
+      writeOnePart(srcDir, "a", copies.filter(col("vec_id") % 2 === 0))
+      writeOnePart(srcDir, "b", copies.filter(col("vec_id") % 2 =!= 0))
       val stream = s.readStream.schema(copies.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       StreamPipeline.ivfIngest(s, stream, idxDir, "vec_id", "embedding")
@@ -445,6 +450,36 @@ object StreamQueries {
         .filter(col("rank") === 1)
         .select(col("qid"), col("nid").as("hit"))
         .orderBy(col("qid"))
+    }),
+
+    // streaming LEXICAL index maintenance (the ann_ingest pattern for
+    // BM25): a fresh index is built on the base documents, then a +1M-
+    // id copy of every doc arrives as TWO micro-batches (two source
+    // files, maxFilesPerTrigger=1); each batch's tf rows append to the
+    // token-partitioned store and df/stats re-derive from the INDEX
+    // (Bm25.ingestIntoIndex — batch-bounded tokenize, posting-bounded
+    // aggregation, no corpus rescan). The post-stream probe runs the
+    // normal pruned top-k, and the ORACLE replays full BM25 over the
+    // union corpus in SQL — hash-exact, so stale df/stats, a missed
+    // batch, or double-ingest cannot match (n_docs/avgdl/df all shift).
+    "q_stream_bm25_ingest" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val idxDir = freshScratchDir(d, "bm25idx").toString
+      graft.ext.Bm25.ensureIndex(docs, "doc_id", "text", idxDir)
+      val srcDir = freshScratchDir(d, "bm25new")
+      java.nio.file.Files.createDirectories(srcDir)
+      val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      writeOnePart(srcDir, "a", copies.filter(col("doc_id") % 2 === 0))
+      writeOnePart(srcDir, "b", copies.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.bm25Ingest(s, stream, idxDir, "doc_id", "text")
+      val qterms = s.read.parquet(s"$idxDir/tf")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      graft.ext.Bm25.topK(s, idxDir, qterms, 10)
     }),
 
     // the curation funnel running THROUGH the streaming engine over a
@@ -576,6 +611,12 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // full BM25 replayed over the union corpus (shared generator with
+    // q_bm25_topk) — the maintained index must score EXACTLY as a
+    // from-scratch batch build over base ∪ streamed copies
+    "q_stream_bm25_ingest" -> RetrievalQueries.bm25OracleSql(
+      """SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents""".stripMargin),
     // the batch screen's own oracle — streaming and batch must agree
     // on bounded input (unification), and the stateless form makes
     // the agreement exact under any micro-batch split

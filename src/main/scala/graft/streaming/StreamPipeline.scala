@@ -337,6 +337,33 @@ object StreamPipeline {
     batches.get()
   }
 
+  /** Streaming BM25 index maintenance — [[ivfIngest]]'s pattern
+    * applied to the lexical index ([[graft.ext.Bm25.ingestIntoIndex]]):
+    * each micro-batch of new documents is tokenized (batch-bounded
+    * work), its tf rows appended to the token-partitioned store, and
+    * df/stats re-derived from the INDEX (posting-bounded, the corpus
+    * is never rescanned). State is the on-disk index, not a state
+    * store; probes after a committed batch score the union corpus.
+    * @return number of non-empty micro-batches ingested (the
+    *         cross-batch contract in StreamingSpec pins ≥ 2). */
+  def bm25Ingest(spark: SparkSession, stream: DataFrame, indexDir: String,
+                 idCol: String, textCol: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.ext.Bm25.ingestIntoIndex(batch.sparkSession, indexDir, batch,
+            idCol, textCol)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    batches.get()
+  }
+
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction
     * wait needed — output is complete when the sources are committed.

