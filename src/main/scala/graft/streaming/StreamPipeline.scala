@@ -402,7 +402,7 @@ object StreamPipeline {
       .select(col("user_id"), col("ts")).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
-        val ts = it.map(_.ts).toArray
+        val ts = boundedBuffer(uid, it.map(_.ts))
         java.util.Arrays.sort(ts)
         val out = scala.collection.mutable.ArrayBuffer[Session]()
         var idx = 0
@@ -443,6 +443,34 @@ object StreamPipeline {
   implicit val typedEventEnc: Encoder[TypedEvent] = Encoders.product[TypedEvent]
   implicit val scd2ClosedEnc: Encoder[Scd2Closed] = Encoders.product[Scd2Closed]
 
+  /** Per-key micro-batch buffer cap for the typed-group operators
+    * (scd2 / funnel / sessionize): each buffers ONE key's events from
+    * ONE micro-batch on an executor to sort them. Fine for the stated
+    * workload (per-user event counts), but a pathological hot key — a
+    * bot account, a default/null user id — would otherwise grow the
+    * buffer until the executor OOMs with no indication of which key
+    * did it. The guard fails LOUDLY at the cap with the key and the
+    * fix (salt the key, pre-aggregate, shorten the trigger interval so
+    * batches shrink, or raise the cap). See SCALE.md
+    * "Bounded-group assumption". */
+  val MaxGroupEvents: Int = 1 << 20
+
+  private[streaming] def boundedBuffer[T](key: Any, it: Iterator[T],
+      cap: Int = MaxGroupEvents)(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    while (it.hasNext) {
+      buf += it.next()
+      if (buf.length > cap)
+        throw new IllegalStateException(
+          s"group '$key' exceeds MaxGroupEvents=$cap events in one " +
+            "micro-batch — a hot key would OOM the executor silently. Salt or " +
+            "pre-aggregate the key, shrink the trigger interval, or raise the " +
+            "cap (SCALE.md: bounded-group assumption).")
+    }
+    buf.toArray
+  }
+
   /** SCD type-2 maintained over a live CDC stream: per-key state holds
     * the open interval; each type CHANGE emits the closed one. Events
     * are sorted by (ts, event_id) WITHIN a micro-batch; across batches
@@ -458,7 +486,7 @@ object StreamPipeline {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[TypedEvent], state: GroupState[Scd2State]) => {
-          val evs = it.toArray
+          val evs = boundedBuffer(uid, it)
           // order by MICROSECOND position, matching the batch oracle's
           // (tus, event_id) keys — sorting by raw nanos would diverge
           // from the oracle whenever two events share a microsecond
@@ -502,7 +530,7 @@ object StreamPipeline {
     import spark.implicits._
     val stages = Array("signup", "view", "click", "purchase")
     events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
-      val evs = it.toArray
+      val evs = boundedBuffer(uid, it)
       java.util.Arrays.sort(evs,
         Ordering.by((e: TypedEvent) => (e.ts / 1000L, e.event_id)))
       val hit = new Array[Long](4)
@@ -529,7 +557,7 @@ object StreamPipeline {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          val ts = it.map(_.ts).toArray
+          val ts = boundedBuffer(uid, it.map(_.ts))
           java.util.Arrays.sort(ts)
           val closed = scala.collection.mutable.ArrayBuffer[Session]()
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0, Long.MinValue))

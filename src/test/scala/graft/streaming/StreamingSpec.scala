@@ -333,6 +333,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(top1.nonEmpty)
   }
 
+  test("bounded-group guard: a hot key fails loudly at the cap, not OOM") {
+    // under the cap: identity
+    assert(StreamPipeline.boundedBuffer(1L, Iterator(1, 2, 3), cap = 3)
+      .sameElements(Array(1, 2, 3)))
+    // over the cap: a descriptive failure naming the key
+    val e = intercept[IllegalStateException] {
+      StreamPipeline.boundedBuffer(42L, Iterator.from(0), cap = 100)
+    }
+    assert(e.getMessage.contains("42") && e.getMessage.contains("100"))
+    assert(e.getMessage.contains("bounded-group"))
+  }
+
   test("BM25 ingest appends across micro-batches; stats track the union") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
