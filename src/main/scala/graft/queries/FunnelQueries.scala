@@ -1,0 +1,461 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.queries.ExtHelpers._
+
+/** Curation-funnel family: staged corpus funnels, contamination
+  * screens, BPE train/encode, self-excision, drop provenance.
+  *
+  * Split out of ExtQueries (round 12) with zero behavior change; keys
+  * and oracle text are unchanged. Shared planted fixtures and oracle
+  * generators live in [[ExtHelpers]].
+  */
+object FunnelQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the end-to-end curation funnel: language gate → quality gate →
+    // exact dedup → deterministic 50% sample, composed in ONE Catalyst
+    // plan — both filters fuse into the scan stage, the dedup window is
+    // the only shuffle, and the sample filter is map-only on its output
+    "q_curation_funnel" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("source"),
+        TextStats.langIdCol(col("text")).as("lang_pred"),
+        TextStats.qualityCol(col("text")).as("quality"))
+      val gated = scored.filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      graft.ext.Sampling.sample(
+          Dedup.exactKeepFirst(gated, "doc_id", "text"), "doc_id", 0.5)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // train/test contamination screen: src0 plays the benchmark suite,
+    // the rest of the corpus is the training candidate set; benchmark
+    // n-grams broadcast — no shuffle of candidate content
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Contamination.screen(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3, threshPct = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // NEAR-duplicate decontamination: training docs whose 3-gram
+    // Jaccard against ANY benchmark doc reaches 0.8 — catches the
+    // paraphrased/lightly-edited leakage the exact n-gram screen
+    // misses. Banded MinHash on both corpora, candidates only from
+    // cross (band,key) collisions, exact-Jaccard verify; the oracle is
+    // the full cross-pair exact-Jaccard join (all-pairs form DuckDB
+    // can afford at oracle scale; the engine never materializes it)
+    "q_decontaminate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val benchSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      graft.ext.Dedup.minhashCrossNearDups(
+          docs.filter(!col("source").isInCollection(benchSrc)),
+          docs.filter(col("source").isInCollection(benchSrc)),
+          "doc_id", "text", n = 3, minJ = 0.8)
+        .select(col("i").as("doc_id"), col("j").as("bench_id"), col("jaccard"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // decontamination by EXCISION: shared 3-gram spans are cut from
+    // the candidate text instead of dropping whole documents; bench
+    // grams broadcast, only (id, positions) shuffle, text never does
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Contamination.excise(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // curation funnel v2 — the ROUND-7 operators composed in one plan:
+    // canonical-form dedup (normalize → keep-first) → cross-document
+    // boilerplate removal → an integer-compare retention gate (keep
+    // docs retaining ≥ half their segments) → deterministic
+    // training-order shuffle. Every stage is individually
+    // oracle-verified; this query proves they COMPOSE (clean_text is
+    // computed but unused, so Catalyst prunes the reassembly concat
+    // out of the final plan).
+    "q_curation_funnel2" -> ((s, d) => {
+      val canon = Tables.documents(s, d)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+      val deduped = Dedup.exactKeepFirst(canon, "doc_id", "norm")
+        .select(col("doc_id"), col("norm"))
+      val cleaned = graft.ext.Boilerplate.dropRepeatedSegments(
+        deduped, "doc_id", "norm", segTokens = 8, maxDf = 2)
+      val gated = cleaned
+        .filter(col("kept_segs") > 0 && col("kept_segs") * 2 >= col("total_segs"))
+        .select(col("id").as("doc_id"), col("kept_segs"), col("total_segs"))
+      graft.ext.Sampling.shuffleOrder(gated, "doc_id")
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("kept_segs"), col("total_segs"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // BPE training round-1 statistics: adjacent character-pair counts
+    // weighted by word frequency over the whole corpus — the subword
+    // tokenizer trainer's inner-loop aggregation (Sennrich '16). The
+    // corpus collapses to the distinct-word relation in one pass; the
+    // pair shuffle is bounded by distinct-pair cardinality (≤ |Σ|²),
+    // never corpus size. Top-20 with count-desc/pair-asc tie-break =
+    // the first merge candidates a tokenizer would consider.
+    "q_bpe_merges" -> ((s, d) => {
+      graft.ext.Bpe.pairCounts(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // BPE applied at a REALISTIC merge budget: train 256 merges (k
+    // driver-held model rows, like the IVF centroids — the corpus
+    // vocabulary exhausts partway, which both engines treat as no-op
+    // rounds), tokenize each DISTINCT word once (map-only, merges in
+    // the closure), fan back to documents through the word join —
+    // per-doc subword token counts, the number every packing/budget
+    // decision downstream consumes. The GENERATED oracle replays all
+    // 256 training rounds AND the greedy merge application in SQL over
+    // a bracketed ⟨STX⟩sym⟨ETX⟩ representation (each symbol carries
+    // its own delimiter pair, so literal left-to-right replace is
+    // exactly the trainer's merge-skip-2 scan, including `a a a a` →
+    // `aa aa`); its w-CTEs are MATERIALIZED — each is referenced twice
+    // (next round's pair counts + next round's rewrite), and DuckDB
+    // would otherwise inline them into a 2^k plan (measured: k=64
+    // never finishes inlined, 48 s materialized at k=256/sf0.01).
+    "q_bpe_encode" -> ((s, d) =>
+      graft.ext.Bpe.encode(Tables.documents(s, d), "doc_id", "text", 256)
+        .orderBy(col("doc_id"))),
+
+    // The ingestion-HYGIENE funnel: the round's cleanup operators
+    // composed in ONE plan — mojibake repair → NFC composition →
+    // accent-fold + case/punctuation normalize as the DEDUP KEY →
+    // keep-first — while the OUTPUT keeps the repaired, composed text
+    // (so the oracle pins fix+NFC byte-for-byte, not just the key).
+    // Every third doc carries planted mojibake, the rest a decomposed
+    // sequence; dedup is accent-/case-insensitive (résumé == resume).
+    // One shuffle total (the keep-first window); everything upstream
+    // is map-only codegen.
+    "q_hygiene_funnel" -> ((s, d) => {
+      val raw = concat(substring(col("text"), 1, 80),
+        when(col("doc_id") % 3 === 0, lit(" caf\u00C3\u00A9"))
+          .otherwise(lit(" e\u0301nd ok")))
+      val clean = graft.functions.UnicodeNormalize.nfc(
+        graft.functions.FixMojibake.fix_mojibake(raw))
+      val key = TextStats.normalizeCol(
+        graft.functions.UnicodeNormalize.asciiFold(clean))
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), clean.as("clean_text"), key.as("__k"))
+      Dedup.exactKeepFirst(staged, "doc_id", "__k")
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // curation funnel v3 — the full leakage-hygiene pipeline in ONE
+    // plan: normalize → canonical dedup → quality gate (map-only,
+    // fuses into the scan) → exact 3-gram contamination screen (bench
+    // grams broadcast) → MinHash near-dup decontamination (band
+    // collisions only — catches the paraphrased leakage the exact
+    // screen misses) → cross-document boilerplate retention gate →
+    // deterministic training-order shuffle. The text column moves
+    // through exactly ONE shuffle (the dedup window); every
+    // decontamination stage exchanges compact hashed/id relations
+    // only — asserted by PlanShapeSpec (no cross join, no text
+    // exchange beyond the dedup).
+    "q_curation_funnel3" -> ((s, d) => {
+      val benchSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      val norm = Tables.documents(s, d)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+      val bench = norm.filter(col("source").isInCollection(benchSrc))
+        .select(col("doc_id"), col("norm"))
+      val train = norm.filter(!col("source").isInCollection(benchSrc))
+        .select(col("doc_id"), col("norm"))
+      val deduped = Dedup.exactKeepFirst(train, "doc_id", "norm")
+        .select(col("doc_id"), col("norm"))
+      val gatedQ = deduped.filter(TextStats.qualityCol(col("norm")) >= 0.5)
+      val flagged = graft.ext.Contamination.screen(
+          gatedQ, bench, "doc_id", "norm", n = 3, threshPct = 10)
+        .filter(col("contaminated"))
+        .select(col("id").as("doc_id"))
+      val screened = gatedQ.join(flagged, Seq("doc_id"), "left_anti")
+      val nearDup = Dedup.minhashCrossNearDups(
+          screened, bench, "doc_id", "norm", n = 3, minJ = 0.8)
+        .select(col("i").as("doc_id")).distinct()
+      val decon = screened.join(nearDup, Seq("doc_id"), "left_anti")
+      val cleaned = graft.ext.Boilerplate.dropRepeatedSegments(
+        decon, "doc_id", "norm", segTokens = 8, maxDf = 2)
+      val gated = cleaned
+        .filter(col("kept_segs") > 0 && col("kept_segs") * 2 >= col("total_segs"))
+        .select(col("id").as("doc_id"), col("kept_segs"), col("total_segs"))
+      graft.ext.Sampling.shuffleOrder(gated, "doc_id")
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("kept_segs"), col("total_segs"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Curation provenance — the funnel INVERTED: for every training
+    // document, WHICH stage dropped it (dup / quality / contaminated /
+    // neardup / boilerplate) or 'kept'. The ops question a curation
+    // report answers ("where did my corpus go?") that the survivors-
+    // only funnel can't. Recomputes the same stage relations as
+    // q_curation_funnel3 and resolves the FIRST failing stage through
+    // narrow id-relation joins; the oracle shares the funnel3 staged
+    // CTEs verbatim (funnel3StagesCte) with a verdict finale.
+    "q_funnel_provenance" -> ((s, d) => {
+      val benchSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      val norm = Tables.documents(s, d)
+        .withColumn("norm", TextStats.normalizeCol(col("text")))
+      val bench = norm.filter(col("source").isInCollection(benchSrc))
+        .select(col("doc_id"), col("norm"))
+      val train = norm.filter(!col("source").isInCollection(benchSrc))
+        .select(col("doc_id"), col("norm"))
+      val deduped = Dedup.exactKeepFirst(train, "doc_id", "norm")
+        .select(col("doc_id"), col("norm"))
+      val gatedQ = deduped.filter(TextStats.qualityCol(col("norm")) >= 0.5)
+      val flagged = graft.ext.Contamination.screen(
+          gatedQ, bench, "doc_id", "norm", n = 3, threshPct = 10)
+        .filter(col("contaminated"))
+        .select(col("id").as("doc_id"))
+      val screened = gatedQ.join(flagged, Seq("doc_id"), "left_anti")
+      val nearDup = Dedup.minhashCrossNearDups(
+          screened, bench, "doc_id", "norm", n = 3, minJ = 0.8)
+        .select(col("i").as("doc_id")).distinct()
+      val decon = screened.join(nearDup, Seq("doc_id"), "left_anti")
+      val kept = graft.ext.Boilerplate.dropRepeatedSegments(
+          decon, "doc_id", "norm", segTokens = 8, maxDf = 2)
+        .filter(col("kept_segs") > 0 && col("kept_segs") * 2 >= col("total_segs"))
+        .select(col("id").as("doc_id"))
+      train.select(col("doc_id"))
+        .join(deduped.select(col("doc_id"), lit(1).as("in_dd")),
+          Seq("doc_id"), "left")
+        .join(gatedQ.select(col("doc_id"), lit(1).as("in_qg")),
+          Seq("doc_id"), "left")
+        .join(flagged.select(col("doc_id"), lit(1).as("in_scr")),
+          Seq("doc_id"), "left")
+        .join(nearDup.select(col("doc_id"), lit(1).as("in_nd")),
+          Seq("doc_id"), "left")
+        .join(kept.select(col("doc_id"), lit(1).as("in_g3")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("in_dd").isNull, "dup")
+            .when(col("in_qg").isNull, "quality")
+            .when(col("in_scr").isNotNull, "contaminated")
+            .when(col("in_nd").isNotNull, "neardup")
+            .when(col("in_g3").isNull, "boilerplate")
+            .otherwise("kept").as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact-substring SELF-dedup (Lee et al. '22 policy, deterministic
+    // form): 8-grams occurring in ≥ 2 distinct docs are excised from
+    // all of them — alignment-free, unlike the fixed-window line dedup.
+    // The corpus is its own benchmark; the repeated-gram minority
+    // broadcasts, df counted over 16-byte (gram, id) rows.
+    "q_self_excise" -> ((s, d) => {
+      graft.ext.Contamination.selfExcise(Tables.documents(s, d),
+          "doc_id", "text", n = 8, minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // curation funnel: each stage reuses its already-proven SQL mirror
+    "q_curation_funnel" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, source,
+         |    ${TextStats.langIdSql("text")} AS lang_pred,
+         |    ${TextStats.qualitySql("text")} AS quality
+         |  FROM documents),
+         |gated AS (
+         |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |  FROM gated)
+         |SELECT doc_id, source, quality FROM deduped
+         |WHERE rn = 1 AND md5(CAST(doc_id AS VARCHAR)) < '80000000'
+         |ORDER BY doc_id""".stripMargin,
+    // contamination: distinct 3-grams per doc (same tok-self-join form
+    // as the dedup oracles), benchmark = src0, flag at ≥10% overlap via
+    // integer compare so engines can't disagree on rounding
+    "q_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, generate_subscripts(t,1) pos, unnest(t) w
+        |  FROM (SELECT doc_id, source, string_split(text,' ') t FROM documents)),
+        |sh AS (SELECT DISTINCT a.doc_id, a.source, a.w || ' ' || b.w || ' ' || c.w AS s
+        |       FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+        |                  JOIN tok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        |cand AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+        |SELECT cand.doc_id, count(*) AS n_sh, count(bench.s) AS n_hit,
+        |  (count(bench.s) * 100 >= count(*) * 10) AS contaminated
+        |FROM cand LEFT JOIN bench ON cand.s = bench.s
+        |GROUP BY cand.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // excision: same shared-3-gram rule; a token at 1-based position p
+    // is cut iff a shared gram starts in [p-2, p]
+    // cross-corpus exact-Jaccard (all pairs between the two splits) —
+    // the LSH banding must recover every pair at 0.8, same contract
+    // the self-join jaccardOracle pins for q_dedup_minhash
+    "q_decontaminate_neardup" ->
+      """WITH tok AS (SELECT doc_id, generate_subscripts(t,1) pos, unnest(t) w
+        |             FROM (SELECT doc_id, string_split(text,' ') t FROM documents)),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+        |       FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+        |                  JOIN tok c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+        |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+        |train AS (SELECT doc_id FROM documents
+        |          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |bench AS (SELECT doc_id FROM documents
+        |          WHERE source IN ('src0','src1','src2','src3','src4')),
+        |inter AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          JOIN train t ON t.doc_id = a.doc_id
+        |          JOIN bench x ON x.doc_id = b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i AS doc_id, j AS bench_id,
+        |  floor(c * 1.0 / (sa.n_sh + sb.n_sh - c) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH cand AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents WHERE source <> 'src0'),
+        |bench AS (SELECT DISTINCT array_to_string(toks[i : i + 2], ' ') AS g
+        |          FROM (SELECT string_split(text, ' ') AS toks
+        |                FROM documents WHERE source = 'src0'),
+        |               unnest(CASE WHEN len(toks) >= 3 THEN generate_series(1, len(toks) - 2)
+        |                           ELSE [] END) AS u(i)),
+        |candg AS (SELECT doc_id, i AS pos, array_to_string(toks[i : i + 2], ' ') AS g
+        |          FROM cand,
+        |               unnest(CASE WHEN len(toks) >= 3 THEN generate_series(1, len(toks) - 2)
+        |                           ELSE [] END) AS u(i)),
+        |bad AS (SELECT doc_id, list(DISTINCT pos) AS bad_starts
+        |        FROM candg JOIN bench USING (g) GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT c.doc_id,
+        |    list_filter(c.toks, (t, p) ->
+        |      len(list_filter(coalesce(b.bad_starts, []), x -> x >= p - 2 AND x <= p)) = 0) AS kept,
+        |    len(c.toks) AS n_tok
+        |  FROM cand c LEFT JOIN bad b USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(n_tok - len(kept) AS INT) AS n_removed
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+    // v2 funnel: the four stage mirrors chained as CTEs
+    "q_curation_funnel2" ->
+      s"""WITH n0 AS (SELECT doc_id, ${TextStats.normalizeSql("text")} AS norm
+         |            FROM documents),
+         |dd AS (SELECT doc_id, norm FROM (
+         |         SELECT doc_id, norm,
+         |           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |         FROM n0) t
+         |       WHERE rn = 1),
+         |d AS (SELECT doc_id, string_split(coalesce(norm,''),' ') AS arr FROM dd),
+         |e AS (SELECT doc_id, arr,
+         |        unnest(range(CAST(ceil(len(arr)/8.0) AS BIGINT))) AS seg
+         |      FROM d),
+         |s AS (SELECT doc_id, seg,
+         |        array_to_string(arr[(seg*8+1):(seg*8+8)],' ') AS segtext
+         |      FROM e),
+         |f AS (SELECT segtext, count(DISTINCT doc_id) AS df FROM s GROUP BY 1),
+         |k AS (SELECT s.doc_id FROM s JOIN f USING (segtext) WHERE f.df < 2),
+         |c AS (SELECT doc_id, count(*) AS kept_segs FROM k GROUP BY 1),
+         |t AS (SELECT doc_id, CAST(ceil(len(arr)/8.0) AS BIGINT) AS total_segs
+         |      FROM d),
+         |g AS (SELECT t.doc_id,
+         |        CAST(coalesce(c.kept_segs,0) AS BIGINT) AS kept_segs,
+         |        t.total_segs
+         |      FROM t LEFT JOIN c USING (doc_id)
+         |      WHERE coalesce(c.kept_segs,0) > 0
+         |        AND coalesce(c.kept_segs,0)*2 >= t.total_segs),
+         |sh AS (SELECT doc_id, kept_segs, total_segs,
+         |         md5(CAST(doc_id AS VARCHAR)) AS sel FROM g)
+         |SELECT doc_id,
+         |  CAST(strpos('0123456789abcdef', substr(sel,1,1)) - 1 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY substr(sel,1,1)
+         |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos,
+         |  kept_segs, total_segs
+         |FROM sh ORDER BY shard, pos""".stripMargin,
+    // BPE round-1 pair statistics: same weighted adjacent-pair count
+    // over the word relation (substr is character-based in both
+    // engines; the corpus is BMP-only)
+    "q_bpe_merges" ->
+      """WITH w AS (SELECT w, count(*) AS wc FROM (
+        |       SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |     WHERE w <> '' GROUP BY 1),
+        |p AS (SELECT wc, substr(w, i, 2) AS pair
+        |      FROM w, unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |      WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeOracle(256),
+    // hygiene funnel: the repaired+composed text AND the
+    // accent-insensitive dedup key both stated analytically, then the
+    // same keep-first window
+    "q_hygiene_funnel" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    substr(text, 1, 80) || CASE WHEN doc_id % 3 = 0
+         |      THEN ' caf' || chr(233)
+         |      ELSE ' ' || chr(233) || 'nd ok' END AS clean_text,
+         |    substr(text, 1, 80) || CASE WHEN doc_id % 3 = 0
+         |      THEN ' cafe' ELSE ' end ok' END AS folded
+         |  FROM documents),
+         |k AS (SELECT doc_id, clean_text,
+         |        ${TextStats.normalizeSql("folded")} AS key FROM c),
+         |r AS (SELECT doc_id, clean_text,
+         |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+         |      FROM k)
+         |SELECT doc_id, clean_text FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    // v3 funnel: every stage's verified CTE mirror chained — normalize,
+    // keep-first dedup, quality gate, exact 3-gram screen (integer
+    // compare), all-pairs cross jaccard ≥ 0.8 (the LSH recall contract
+    // pinned by q_dedup_minhash/q_decontaminate_neardup), boilerplate
+    // retention gate, md5 shard/pos
+    "q_curation_funnel3" ->
+      (funnel3StagesCte + s""",
+         |sh3 AS (SELECT doc_id, kept_segs, total_segs,
+         |          md5(CAST(doc_id AS VARCHAR)) AS sel FROM g3)
+         |SELECT doc_id,
+         |  CAST(strpos('0123456789abcdef', substr(sel,1,1)) - 1 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY substr(sel,1,1)
+         |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos,
+         |  kept_segs, total_segs
+         |FROM sh3 ORDER BY shard, pos""".stripMargin),
+    "q_funnel_provenance" ->
+      (funnel3StagesCte + s"""
+         |SELECT tr.doc_id,
+         |  CASE WHEN tr.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'dup'
+         |       WHEN tr.doc_id NOT IN (SELECT doc_id FROM qg) THEN 'quality'
+         |       WHEN tr.doc_id IN (SELECT doc_id FROM scr) THEN 'contaminated'
+         |       WHEN tr.doc_id IN (SELECT doc_id FROM nd) THEN 'neardup'
+         |       WHEN tr.doc_id NOT IN (SELECT doc_id FROM g3) THEN 'boilerplate'
+         |       ELSE 'kept' END AS verdict
+         |FROM tr ORDER BY doc_id""".stripMargin),
+    // self-excision: same cut rule, the repeated-gram set (df ≥ 2 over
+    // distinct docs) replacing the external benchmark
+    "q_self_excise" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cg AS (SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+        |       FROM d, unnest(CASE WHEN len(toks) >= 8 THEN generate_series(1, len(toks) - 7)
+        |                           ELSE [] END) AS u(i)),
+        |rep AS (SELECT g FROM (
+        |          SELECT g, count(DISTINCT doc_id) AS df FROM cg GROUP BY 1) t
+        |        WHERE df >= 2),
+        |bad AS (SELECT doc_id, list(DISTINCT pos) AS bad_starts
+        |        FROM cg JOIN rep USING (g) GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT d.doc_id,
+        |    list_filter(d.toks, (t, p) ->
+        |      len(list_filter(coalesce(b.bad_starts, []), x -> x >= p - 7 AND x <= p)) = 0) AS kept,
+        |    len(d.toks) AS n_tok
+        |  FROM d LEFT JOIN bad b USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(n_tok - len(kept) AS INT) AS n_removed
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+  )
+}

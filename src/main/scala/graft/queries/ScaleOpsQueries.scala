@@ -1,0 +1,557 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.queries.ExtHelpers._
+
+/** Scale-technique family: as-of/range/salted/skew joins, chunking,
+  * bloom screens, tf-idf, sampling/splits/mixtures, packing, ordering.
+  *
+  * Split out of ExtQueries (round 12) with zero behavior change; keys
+  * and oracle text are unchanged. Shared planted fixtures and oracle
+  * generators live in [[ExtHelpers]].
+  */
+object ScaleOpsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- tf-idf term ranking (corpus indexing / relevance) ----------
+    // Per-document top-3 terms by tf·idf. Shape: tf is the one big
+    // shuffle (map-side combined on (doc, tok)); df is bounded by
+    // vocabulary cardinality and BROADCAST back, as is the one-row
+    // corpus count — document content never shuffles twice. Ranking
+    // sorts on the ROUNDED score (then term) so the order never hinges
+    // on a final-ulp disagreement between engines.
+    "q_tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + lit(1)).cast("double") /
+            (col("df") + lit(1)).cast("double")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- as-of join (point-in-time lookup) --------------------------
+    // for each click, the user's most recent purchase at-or-before it
+    // (inclusive); union-tag + running window — ONE shuffle, no range
+    // explosion (see AsofJoin scaladoc). The oracle is DuckDB's native
+    // ASOF JOIN — an independent implementation of the same semantics.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      graft.ext.AsofJoin.asofJoin(clicks, purchases, "user_id", "ts",
+          payload = Seq("pts", "value"), outPrefix = "prior_")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"),
+          expr("prior_pts div 1000").as("prior_tus"),
+          col("prior_value"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
+    // NEAREST direction: each click attaches the purchase minimizing
+    // |Δt| (tie → the earlier one) — still ONE shuffle: both carries
+    // are windows over the same key partitioning (Exchange reused,
+    // PlanShapeSpec keeps watch). Oracle: DuckDB LATERAL argmin.
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      graft.ext.AsofJoin.asofJoinNearest(clicks, purchases, "user_id", "ts",
+          payload = Seq("pts", "value"), outPrefix = "near_")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"),
+          expr("near_pts div 1000").as("near_tus"),
+          col("near_value"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
+    // forward direction: each click attaches its NEXT purchase (the
+    // attribution-window shape); oracle = DuckDB's native forward ASOF
+    "q_asof_join_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      graft.ext.AsofJoin.asofJoin(clicks, purchases, "user_id", "ts",
+          payload = Seq("pts", "value"), outPrefix = "next_",
+          direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"),
+          expr("next_pts div 1000").as("next_tus"),
+          col("next_value"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
+    // ---- skew-safe aggregation (oracle = the direct groupBy) --------
+    "q_salted_agg" -> ((s, d) => {
+      graft.ext.Skew.saltedAgg(Tables.events(s, d), "event_type",
+          col("value").cast("decimal(18,2)"), saltBuckets = 16)
+        // terminal decimal → double for engine-stable hashing (exact value)
+        .withColumn("total", col("total").cast("double"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- skew-safe join (hot fact keys × small dim) -----------------
+    // events has only 5 distinct event_types — every key is hot, the
+    // adversarial case for a hash join. The salted form spreads each
+    // key over 16 reducers and must reproduce the plain join exactly
+    // (aggregated per dim attribute so the gate stays compact).
+    "q_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_code", substring(md5(col("event_type")), 1, 8))
+      graft.ext.Skew.saltedJoin(
+          ev.select(col("event_type"), col("event_id"), col("value")),
+          dim, "event_type", saltBuckets = 16)
+        .groupBy(col("type_code"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("type_code"))
+    }),
+
+    // ---- AQE-repaired skewed join (runtime split, no salt) ----------
+    // The token→document-frequency join is naturally skewed: stopword
+    // tokens own a large share of the corpus, so their shuffle
+    // partitions dwarf the median. The query declares the PLAIN
+    // sort-merge join (merge-hinted — a vocab table at 100 TB is past
+    // broadcast size) and leaves the repair to AQE's OptimizeSkewedJoin
+    // at runtime; ScaleTechniquesSpec executes the same operator under
+    // skew-scaled thresholds and asserts the finalized plan splits the
+    // hot partitions (skew=true). Result is AQE-invariant — the oracle
+    // evaluates the join directly.
+    "q_skew_aqe_join" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      graft.ext.Skew.aqeJoin(toks, df, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Join-key skew DIAGNOSIS — the observability query you run before
+    // choosing between broadcast, salting, and AQE skew-join: the
+    // token-frequency histogram's head (top-10 hottest keys), each
+    // key's share of all rows (floor-contract micro-units), and its
+    // multiple of the mean key load. Aggregates bounded by vocabulary;
+    // the head cut is TakeOrdered. The same relation drives
+    // q_skew_aqe_join, so the report describes a real hot path.
+    "q_skew_stats" -> ((s, d) => {
+      val toks = graft.ext.TextStats
+        .tokenRows(Tables.documents(s, d), "doc_id", "text").select(col("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+      freq.crossJoin(broadcast(tot))
+        .select(col("tok"), col("cnt"), col("n_keys"),
+          (floor(col("cnt").cast("double") / col("total") * 1e6 + 0.5) / 1e6)
+            .as("share"),
+          (floor(col("cnt").cast("double") * col("n_keys") / col("total")
+            * 1e2 + 0.5) / 1e2).as("x_mean"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+    }),
+
+    // ---- bucketed range join (point-in-interval, equi-join plan) ----
+    // clicks within 12 hours after each purchase, per user; the
+    // bucket rewrite keeps the plan a hash join (RangeChunkBloomSpec
+    // asserts no BroadcastNestedLoopJoin). Oracle = DuckDB's plain
+    // inequality join — an independent evaluation of the predicate.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // ts is long nanos (nanosAsLong) — convert to epoch micros
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("cus"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("lo"),
+          (expr("ts div 1000") + RangeJoinWindowUs).as("hi"),
+          col("event_id").as("purchase_id"))
+      graft.ext.RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+          "cus", "lo", "hi", bucketWidth = RangeJoinWindowUs)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("cus")).as("first_click_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // ---- sliding-window chunking (training-sequence windows) --------
+    // 64-token windows, 16-token overlap; map-only — no shuffle at any
+    // corpus size; rows carry (id, idx, count, md5), never the text
+    "q_chunk_docs" -> ((s, d) =>
+      graft.ext.Chunking.slidingChunks(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // ---- chunk → pack composition (sequence prep end to end) --------
+    // sliding windows feed token-budget bins per source: the full
+    // training-sequence materialization path, still without the chunk
+    // text ever entering a shuffle (only (ids, counts) move; the
+    // writer re-slices text from the co-partitioned source)
+    "q_chunk_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = graft.ext.Chunking.slidingChunks(docs, "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      chunks
+        .withColumn("cum", sum(col("chunk_tokens").cast("long")).over(w))
+        .withColumn("bin", expr("(cum - chunk_tokens) div 512"))
+        .select(col("doc_id"), col("chunk_idx"), col("source"),
+          col("chunk_tokens"), col("bin"))
+        .orderBy(col("source"), col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- bloom membership screen (cross-corpus overlap) -------------
+    // member set = texts of every 7th doc; candidates = the whole
+    // corpus. The sketch's error is one-sided: the oracle pins exact
+    // membership per row plus the no-false-negative invariant — a
+    // missed member flips a boolean and fails the gate. (The exact fp
+    // join here exists to CHECK the contract; production screens only
+    // exact-join the survivors.)
+    "q_bloom_screen" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("fp", xxhash64(col("text")))
+      val members = docs.filter(col("doc_id") % 7 === 0).select(col("fp")).distinct()
+      graft.ext.Bloom.screenByLongKey(docs, members, "fp") // sized from members.count()
+        .join(members.withColumn("__m", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("__m").isNotNull.as("is_member"),
+          (col("bloom_hit") || col("__m").isNull).as("no_false_negative"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic sampling (reproducible across engines) -------
+    // per-stratum keep-rates, map-only filter — no shuffle at any scale
+    "q_sample_stratified" -> ((s, d) => {
+      graft.ext.Sampling.stratifiedSample(Tables.documents(s, d),
+          "doc_id", "source", SampleRates, defaultRate = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // exactly-k-per-stratum via smallest-hash rank, with the 0.5
+    // over-sampling pre-filter that makes the shape scale (see
+    // Sampling scaladoc); the oracle applies the identical pre-filter
+    "q_sample_per_source" -> ((s, d) => {
+      graft.ext.Sampling.topKPerStratum(Tables.documents(s, d),
+          "doc_id", "source", k = 5, prefilterRate = 0.5)
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // deterministic train/val/test assignment: disjoint md5-selector
+    // ranges (80/10/10) — every engine, run, and partitioning assigns
+    // each document to the same split; map-only, no shuffle, and
+    // adding documents never reassigns existing ones
+    "q_split_assign" -> ((s, d) => {
+      val sel = graft.ext.Sampling.selector(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"),
+          when(sel < lit(graft.ext.Sampling.thresholdHex(0.8)), "train")
+            .when(sel < lit(graft.ext.Sampling.thresholdHex(0.9)), "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // data-mixture sampling: per-source keep-rates computed IN-PLAN so
+    // every source contributes equal expected tokens, then the same
+    // map-only hash-threshold filter; rates broadcast back — the
+    // corpus never shuffles
+    "q_mix_sources" -> ((s, d) => {
+      graft.ext.Sampling.tokenBalancedSample(Tables.documents(s, d),
+          "doc_id", "source", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // temperature-weighted mixture PLAN (α = 0.5): the per-source
+    // weights/rates a multilingual pipeline samples by — √n mass
+    // reweighting inside a quarter-token budget, small sources keep
+    // proportionally more of themselves. The whole plan is
+    // integer/decimal/sqrt algebra under the floor-rounding
+    // discipline, so it is hash-exact cross-engine (α is fixed at 0.5
+    // because sqrt is correctly-rounded IEEE and pow is not).
+    "q_source_mixture" -> ((s, d) => {
+      graft.ext.Sampling.temperatureMixture(Tables.documents(s, d),
+          "source", "text", budgetDen = 4)
+        .orderBy(col("source"))
+    }),
+    // deterministic training-order shuffle: every doc gets a
+    // reproducible pseudorandom (shard, pos) address; one bounded
+    // window per shard, content never enters the sort
+    "q_shuffle_order" -> ((s, d) => {
+      graft.ext.Sampling.shuffleOrder(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+    // sequence packing: per-source token-budget bins via a running-sum
+    // window — strata pack independently (no global order), content
+    // never enters the window
+    "q_pack_sequences" -> ((s, d) => {
+      graft.ext.Packing.packByStratum(Tables.documents(s, d),
+          "doc_id", "source", "text", budget = 500)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Content-defined chunking (LBFS '01 / FastCDC): boundaries where
+    // the 8-byte window's polynomial hash satisfies h % 64 == 0, so an
+    // edit reshapes only the chunk it lands in and every later chunk
+    // keeps its md5 identity — the property chunk-level dedup needs to
+    // survive drift, which fixed windows (q_chunk_docs) cannot give.
+    // One codegen'd boundary pass + column algebra; narrow, no shuffle.
+    // The oracle replays every window hash in SQL (exact small-field
+    // integer math, products ≤ 2^41 — no overflow on either engine).
+    "q_chunk_cdc" -> ((s, d) =>
+      graft.ext.Chunking.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Curriculum ordering (easy→hard training schedule): stage from
+    // ABSOLUTE quality-score deciles (map-only — no global sort or
+    // ntile, which would funnel the corpus through one partition at
+    // scale), deterministic md5 order within each stage (one
+    // stage-partitioned window, the shuffleOrder shape). Stage and
+    // position are reproducible under corpus growth: adding documents
+    // never moves an existing doc's stage, only its neighbors' pos.
+    "q_curriculum_order" -> ((s, d) => {
+      val stage = floor(TextStats.qualityCol(col("text")) * 10).cast("int")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stage"))
+        .orderBy(col("__sel"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stage.as("stage"),
+          graft.ext.Sampling.selector(col("doc_id")).as("__sel"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("stage"), col("pos"))
+        .orderBy(col("stage"), col("pos"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, tok) AS rank FROM scored)
+        |SELECT doc_id, tok, tf, df, score, cast(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // DuckDB's native ASOF JOIN: an independent engine's implementation
+    // of the same inclusive point-in-time semantics
+    "q_asof_join" ->
+      """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
+        |  epoch_ns(p.ts) // 1000 AS prior_tus, p.value AS prior_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
+    // nearest-|Δt| argmin per click via LATERAL; tie → earlier p.ts —
+    // the same deterministic rule as the union-tag plan's db<=df pick
+    "q_asof_nearest" ->
+      """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
+        |  epoch_ns(p.pts) // 1000 AS near_tus, p.value AS near_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |LEFT JOIN LATERAL (
+        |  SELECT r.ts AS pts, r.value
+        |  FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = e.user_id
+        |  ORDER BY abs(epoch_ns(r.ts) - epoch_ns(e.ts)), r.ts LIMIT 1) p ON true
+        |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
+    "q_asof_join_fwd" ->
+      """SELECT e.user_id, e.event_id, epoch_ns(e.ts) // 1000 AS tus,
+        |  epoch_ns(p.ts) // 1000 AS next_tus, p.value AS next_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.user_id, tus, e.event_id""".stripMargin,
+    // the salted two-phase form must equal the direct aggregate
+    "q_salted_agg" ->
+      """SELECT event_type, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the salted join must equal the plain join (aggregated compactly)
+    "q_salted_join" ->
+      """SELECT substring(md5(event_type), 1, 8) AS type_code, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the AQE-left join must equal the direct evaluation (sum of each
+    // token's document frequency per doc — integer-exact)
+    "q_skew_aqe_join" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS df FROM tt GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tok, CAST(sum(df) AS BIGINT) AS sum_df
+        |FROM tt JOIN f USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_skew_stats" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |          count(*) AS n_keys FROM f)
+        |SELECT tok, cnt, n_keys,
+        |  floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share,
+        |  floor(CAST(cnt AS DOUBLE) * n_keys / total * 1e2 + 0.5) / 1e2 AS x_mean
+        |FROM f CROSS JOIN tot
+        |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
+    // plain inequality join — DuckDB evaluates the range predicate
+    // directly (no bucketing), an independent check of the rewrite
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        |  min(epoch_ns(c.ts) // 1000) AS first_click_us
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_ns(c.ts) // 1000
+        |     BETWEEN epoch_ns(p.ts) // 1000
+        |         AND epoch_ns(p.ts) // 1000 + 43200000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same window arithmetic (64-token chunks, stride 48), same
+    // single-space tokenization as the Spark side
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |          ELSE CAST(ceil((len(toks) - 64)::DOUBLE / 48) AS BIGINT) + 1 END)) AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same windows, same running-sum binning, all integers
+    "q_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |        unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |          ELSE CAST(ceil((len(toks) - 64)::DOUBLE / 48) AS BIGINT) + 1 END)) AS chunk_idx
+        |      FROM t),
+        |ch AS (SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+        |         CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS chunk_tokens
+        |       FROM c)
+        |SELECT doc_id, chunk_idx, source, chunk_tokens,
+        |  (CAST(sum(chunk_tokens) OVER w AS BIGINT) - chunk_tokens) // 512 AS bin
+        |FROM ch
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY source, doc_id, chunk_idx""".stripMargin,
+    // exact membership is SQL; the sketch's one-sided-error invariant
+    // is the boolean the engine must never flip
+    "q_bloom_screen" ->
+      """SELECT doc_id,
+        |  text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS is_member,
+        |  true AS no_false_negative
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // deterministic sampling: md5 hex compared lexicographically — the
+    // thresholds are Sampling.thresholdHex(rate) values verbatim
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '80000000'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '40000000'
+        |       ELSE '20000000' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_per_source" ->
+      """SELECT doc_id, source, rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000') t
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // the same 80/10/10 selector ranges as thresholdHex(0.8/0.9)
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccd' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical rate → threshold derivation: integer token totals,
+    // IEEE double division, floor(x+0.5) (NOT round(): Spark half-up
+    // vs DuckDB half-even), %08x hex — bit-identical thresholds
+    "q_mix_sources" ->
+      """WITH tot AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_s
+        |             FROM documents GROUP BY 1),
+        |m AS (SELECT min(t_s) AS m FROM tot),
+        |th AS (SELECT source,
+        |         CASE WHEN CAST(m.m AS DOUBLE) / CAST(t_s AS DOUBLE) >= 1.0 THEN 'g'
+        |              ELSE printf('%08x', CAST(least(
+        |                floor(CAST(m.m AS DOUBLE) / CAST(t_s AS DOUBLE) * 4294967296.0 + 0.5),
+        |                4294967295.0) AS BIGINT)) END AS thresh
+        |       FROM tot, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN th USING (source)
+        |WHERE md5(CAST(d.doc_id AS VARCHAR)) < th.thresh
+        |ORDER BY d.doc_id""".stripMargin,
+    // same √n temperature plan: floored-6-decimal sqrt terms summed as
+    // DECIMAL (order-free), double ratios floored to 4 decimals, the
+    // budget an integer floor-quarter of total tokens — every emitted
+    // double identical bit-for-bit cross-engine
+    "q_source_mixture" ->
+      """WITH p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT *,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |             AS DECIMAL(24,6)) AS sq
+        |      FROM p),
+        |tot AS (SELECT CAST(sum(sq) AS DECIMAL(38,6)) AS sqsum,
+        |               CAST(sum(n_tokens) AS BIGINT) // 4 AS budget FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |    AS weight,
+        |  least(1.0, floor(CAST(budget AS DOUBLE) *
+        |      (floor(CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE) * 1e4 + 0.5) / 1e4) /
+        |      CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4) AS rate
+        |FROM s CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sel
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(strpos('0123456789abcdef', substr(sel,1,1)) - 1 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(sel,1,1)
+        |         ORDER BY substr(sel,2), doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, cum,
+        |  (cum - n_tok) // 500 AS bin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_chunk_cdc" -> cdcOracle,
+    // stage = the same fixed-point quality decile (bit-identical
+    // doubles — q_quality_score pins the formula), md5 order within
+    "q_curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id, ${TextStats.qualitySql("text")} AS qual,
+         |            md5(CAST(doc_id AS VARCHAR)) AS sel FROM documents)
+         |SELECT doc_id, CAST(floor(qual * 10) AS INT) AS stage,
+         |  CAST(row_number() OVER (PARTITION BY floor(qual * 10)
+         |         ORDER BY sel, doc_id) AS BIGINT) AS pos
+         |FROM q ORDER BY stage, pos""".stripMargin,
+  )
+}

@@ -166,7 +166,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // Same planted-near-dup corpus the declared query uses: the raw
     // synthetic embeddings are random unit vectors (max pairwise cos
     // ≈ 0.6), so a realistic threshold needs planted duplicates.
-    val emb = graft.queries.ExtQueries.plantedNearDupCorpus(
+    val emb = graft.queries.ExtHelpers.plantedNearDupCorpus(
       spark.read.parquet(s"$sf/embeddings.parquet"))
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("i", "j", "cos").collect()
