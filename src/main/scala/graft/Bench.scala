@@ -53,7 +53,18 @@ object Bench {
       "q_tar_members", "q_chunk_cdc", "q_hygiene_funnel",
       "q_gopher_filter", "q_dsir_select", "q_semdedup",
       "q_refinedweb_funnel",
-      "q_bm25_topk", "q_token_budget")
+      "q_bm25_topk", "q_token_budget",
+      // round-12 widening (the drift guard previously watched 54/200
+      // queries): the expensive round-11 additions the verdict named,
+      // plus every non-trivial round-12 query, plus iterative /
+      // analytics shapes that were time-unwatched
+      "q_pagerank_hosts", "q_inverted_index", "q_scd2", "q_image_funnel",
+      "q_stream_scd2", "q_dedup_editdist",
+      "q_warc_members", "q_wet_text", "q_trigram_prefilter",
+      "q_domain_block", "q_stream_bm25_ingest", "q_bpe_encode",
+      "q_pmi_colloc", "q_retention_cohorts", "q_median_exact",
+      "q_ks_drift", "q_funnel_provenance", "q_zorder_layout",
+      "q_corpus_diff", "q_dedup_threshold_sweep")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
