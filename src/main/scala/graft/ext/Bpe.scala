@@ -75,7 +75,7 @@ object Bpe {
   private[ext] def trainMergesLocal(vocab: Seq[(String, Long)],
                                     k: Int): Seq[(Int, String, String, Long)] = {
     var words: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+      vocab.map { case (w, c) => (codePoints(w), c) }.toArray
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var round = 0
     var exhausted = false
@@ -92,8 +92,13 @@ object Bpe {
       else {
         var bl: String = null; var br: String = null; var bc = 0L
         counts.forEach { (p, c) =>
+          // ties break in CODE-POINT order (= UTF-8 byte order), the
+          // order Spark's UTF8String sort and DuckDB's collation both
+          // use — JVM compareTo is UTF-16 code-unit order, which flips
+          // supplementary-plane symbols against U+E000..U+FFFF chars
+          def lt(a: String, b: String) = utf8Lt(a, b)
           val better = bl == null || c > bc ||
-            (c == bc && (p._1 < bl || (p._1 == bl && p._2 < br)))
+            (c == bc && (lt(p._1, bl) || (p._1 == bl && lt(p._2, br))))
           if (better) { bl = p._1; br = p._2; bc = c }
         }
         merges += ((round, bl, br, bc))
@@ -102,6 +107,36 @@ object Bpe {
       }
     }
     merges.toList
+  }
+
+  /** Initial BPE symbols = CODE POINTS, never UTF-16 chars: a char
+    * split shatters supplementary-plane symbols into lone surrogates,
+    * which Spark's UTF8String cannot represent (String.getBytes(UTF_8)
+    * replaces an unpaired surrogate with '?'), silently corrupting the
+    * distributed trainer's pair relation and its argmax order. */
+  private[ext] def codePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Code-point-order string compare — equal to UTF-8 byte order,
+    * matching Spark's UTF8String and DuckDB's collation. Differs from
+    * JVM `compareTo` (UTF-16 code units) only when one side contains a
+    * supplementary-plane character. */
+  private[ext] def utf8Lt(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
   }
 
   /** Distributed per-round loop — the above-cap fallback. Each round
@@ -114,10 +149,22 @@ object Bpe {
                                           k: Int): Seq[(Int, String, String, Long)] = {
     val spark = wc.sparkSession
     import spark.implicits._
-    val splitChars = udf((w: String) => w.map(_.toString).toArray)
+    val splitChars = udf((w: String) => codePoints(w))
+    // localCheckpoint persists internal RDD blocks that Dataset
+    // .unpersist does NOT free (the checkpointed RDD is not in the
+    // CacheManager); without explicit freeing, k rounds of
+    // vocabulary-sized blocks linger until driver GC. Track the RDD
+    // ids each checkpoint creates and unpersist the previous round's
+    // deterministically.
+    val sc = spark.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var before = persistedIds
     var words = wc
       .select(splitChars(col("w")).as("syms"), col("wc"))
       .localCheckpoint() // eager: materializes AND truncates lineage
+    var wordsIds = persistedIds -- before
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     try {
       var round = 0
@@ -150,14 +197,17 @@ object Bpe {
             }
             out.toArray
           })
+          before = persistedIds
           val next = words.select(applyMerge(col("syms")).as("syms"), col("wc"))
             .localCheckpoint() // eager; truncates the per-round UDF lineage
-          words.unpersist()
+          val nextIds = persistedIds -- before
+          freeIds(wordsIds) // previous round's blocks, freed NOW not at GC
+          wordsIds = nextIds
           words = next
           round += 1
         }
       }
-    } finally { words.unpersist(); () }
+    } finally { freeIds(wordsIds) }
     merges.toList
   }
 
@@ -191,7 +241,7 @@ object Bpe {
     val merges: Seq[(String, String)] =
       trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }
     val tokCount = udf { (w: String) =>
-      var syms: Array[String] = w.map(_.toString).toArray
+      var syms: Array[String] = codePoints(w)
       merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
       syms.length
     }

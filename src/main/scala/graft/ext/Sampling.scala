@@ -255,13 +255,17 @@ object Sampling {
     val u32 = conv(substring(selector(col(keyCol)), 1, 8), 16, 10)
       .cast("double")
     val u = (u32 + 1.0) / 4294967296.0
-    // E-S requires w > 0: w = 0 would give u^(1/0) = u^Inf = 0 (the row
-    // silently never sampled) and w < 0 a key > 1 (the row dominating
-    // every draw) — both corrupt the semantics without a trace, so a
-    // non-positive weight fails LOUDLY at evaluation time instead.
+    // E-S requires a finite w > 0: w = 0 would give u^(1/0) = u^Inf = 0
+    // (the row silently never sampled), w < 0 a key > 1 (the row
+    // dominating every draw), NULL a NULL key (sorts last — silently
+    // never sampled), and NaN a NaN key (sorts FIRST under desc —
+    // silently occupying every slot). All four corrupt the semantics
+    // without a trace, so anything but a finite positive weight fails
+    // LOUDLY at evaluation time instead.
     val w = weight.cast("double")
-    val key = when(w <= 0.0,
-        raise_error(concat(lit("weightedTopK: non-positive weight "), w))
+    val key = when(w.isNull || isnan(w) || w <= 0.0,
+        raise_error(concat(lit("weightedTopK: weight must be finite and > 0, got "),
+          coalesce(w.cast("string"), lit("NULL"))))
           .cast("double"))
       .otherwise(pow(u, lit(1.0) / w))
     df.withColumn("es_key", key)

@@ -68,9 +68,9 @@ object TrigramIndex {
     * the gram-range-pruned posting files — never the corpus text; the
     * caller joins text back for the exact verify on candidates alone. */
   def candidates(spark: SparkSession, dir: String, pattern: String): DataFrame = {
-    val grams = pattern.sliding(3).toSeq.distinct
     require(pattern.length >= 3,
       s"trigram prefilter needs a pattern of >= 3 chars, got '$pattern'")
+    val grams = pattern.sliding(3).toSeq.distinct
     spark.read.parquet(s"$dir/postings")
       .filter(col("g").isin(grams: _*))
       .groupBy(col("doc_id")).agg(count_distinct(col("g")).as("ng"))

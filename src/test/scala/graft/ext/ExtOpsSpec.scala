@@ -523,6 +523,31 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(merges == Seq((0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L)))
   }
 
+  test("BPE tie-break order is code-point (UTF-8) order, not UTF-16") {
+    // U+1F600 (surrogate pair, lead 0xD83D) vs U+FFFD: JVM compareTo
+    // ranks the surrogate FIRST (0xD83D < 0xFFFD), code-point/UTF-8
+    // order ranks it LAST (0x1F600 > 0xFFFD) — Spark's UTF8String and
+    // DuckDB both use the latter, so the local trainer must too
+    val smiley = new String(Character.toChars(0x1F600))
+    assert(smiley.compareTo("�") < 0)      // the UTF-16 trap
+    assert(!graft.ext.Bpe.utf8Lt(smiley, "�")) // code-point order
+    assert(graft.ext.Bpe.utf8Lt("�", smiley))
+    // prefix + equality cases
+    assert(graft.ext.Bpe.utf8Lt("ab", "abc"))
+    assert(!graft.ext.Bpe.utf8Lt("abc", "abc"))
+    assert(graft.ext.Bpe.utf8Lt("a", "b"))
+    // and a tied-count corpus containing both symbols trains the SAME
+    // merge on the local path as Spark's own ordering picks
+    import spark.implicits._
+    val corpus = Seq(s"x$smiley x�").toDF("text")
+    val wc = graft.ext.Bpe.wordCounts(corpus, "text")
+    val local = graft.ext.Bpe.trainMergesLocal(
+      wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 1)
+    val dist = graft.ext.Bpe.trainMergesDistributed(wc, 1)
+    assert(local == dist)
+    assert(local.head._3 == "�") // the code-point-smaller pair wins
+  }
+
   test("BPE local and distributed trainers are in bit-exact lockstep") {
     import spark.implicits._
     // the driver-local fast path must produce the distributed loop's

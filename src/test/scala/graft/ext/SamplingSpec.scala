@@ -248,4 +248,23 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect()
     assert(picked.count(_ >= 2001L) >= 12)
   }
+
+  test("weightedTopK fails loudly on zero, negative, NULL, and NaN weights") {
+    import spark.implicits._
+    // each would otherwise corrupt the draw SILENTLY: 0 → never
+    // sampled, <0 → dominates, NULL → key NULL (sorts last), NaN →
+    // key NaN (sorts FIRST under desc, occupying every slot)
+    for (w <- Seq(0.0, -3.0, Double.NaN)) {
+      val df = Seq((1L, 5.0), (2L, w)).toDF("doc_id", "w")
+      val e = intercept[Exception] {
+        Sampling.weightedTopK(df, "doc_id", col("w"), 2).collect()
+      }
+      assert(e.getMessage.contains("weightedTopK"), s"w=$w: ${e.getMessage}")
+    }
+    val withNull = Seq((1L, Some(5.0)), (2L, None)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedTopK(withNull, "doc_id", col("w"), 2).collect()
+    }
+    assert(e.getMessage.contains("weightedTopK"))
+  }
 }

@@ -120,8 +120,10 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "probe rebuilds postings inline")
     assert(!plan.contains("documents.parquet"),
       "candidate generation touches the corpus")
-    // and the index is pure (g, doc_id) — re-probing returns candidates
-    assert(cand.limit(1).count() >= 0)
+    // and the index-only probe actually yields the candidate set (the
+    // losslessness test proved matches exist at this SF, so empty here
+    // would mean a broken postings read, not an absent pattern)
+    assert(cand.count() > 0, "index probe returned no candidates")
   }
 
   test("pagerank concentrates rank on the sink hub of a star graph") {
