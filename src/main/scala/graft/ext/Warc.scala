@@ -260,6 +260,84 @@ object Warc {
     u(textCol, idCol)
   }
 
+  /** One document's WET-derivation outcome — see [[deriveWet]]. */
+  final case class DerivedWet(doc_id: Long, response_ok: Boolean,
+                              derived_md5: String, wet_md5: String,
+                              derived_eq_wet: Boolean)
+  implicit val derivedWetEnc: Encoder[DerivedWet] = Encoders.product[DerivedWet]
+
+  /** Strip the HTTP message head (everything through the first
+    * CRLF CRLF) from an `application/http` response payload. */
+  private def httpBody(p: Array[Byte]): Array[Byte] = {
+    val i = indexOfCrlfCrlf(p, 0)
+    if (i < 0) p else java.util.Arrays.copyOfRange(p, i + 4, p.length)
+  }
+
+  /** The WET DERIVATION itself — the transform that turns a crawl's
+    * WARC into its WET sibling: per document, take the `response`
+    * record, strip the HTTP head, render the HTML body to text
+    * ([[graft.extract.HtmlText]] — tags stripped, block tags to
+    * newlines, entities decoded, whitespace collapsed), and compare
+    * the result against the `conversion` record the archive ships.
+    * Emits (response_ok, derived_md5, wet_md5, derived_eq_wet); a
+    * digest-failed response degrades to the error row while the
+    * conversion payload still reports. One narrow map pass — the
+    * record bytes and the rendered text never shuffle. */
+  def deriveWet(df: DataFrame, idCol: String, binCol: String): Dataset[DerivedWet] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        splitRecords(bytes) match {
+          case Seq(_, Parsed(_, _, respPay), Parsed(_, _, Some(convPay))) =>
+            respPay match {
+              case Some(p) =>
+                val derived = graft.extract.HtmlText.extract(
+                  httpBody(p), MaxRecordBytes)
+                DerivedWet(id, response_ok = true,
+                  md5Hex(derived.getBytes(UTF_8)), md5Hex(convPay),
+                  derived == new String(convPay, UTF_8))
+              case None =>
+                DerivedWet(id, response_ok = false, "", md5Hex(convPay),
+                  derived_eq_wet = false)
+            }
+          case _ => DerivedWet(id, response_ok = false, "", "",
+            derived_eq_wet = false)
+        }
+      }
+  }
+
+  /** A WET record with its decoded TEXT — what the extraction half of
+    * the pipeline consumes ([[WarcMember]] carries the metadata
+    * contract). `ok=false` members carry empty text. */
+  final case class WetText(doc_id: Long, member_idx: Int, target_uri: String,
+                           ok: Boolean, rec_text: String)
+  implicit val wetTextEnc: Encoder[WetText] = Encoders.product[WetText]
+
+  /** Composed `.wet.gz` walk emitting each conversion record's payload
+    * TEXT (UTF-8) — the extraction that turns a WET shard into a
+    * documents relation, ready for the curation gates downstream. Same
+    * two-layer walk and per-member error isolation as
+    * [[wetRecordMeta]]; still one narrow 1→N pass, no shuffle. */
+  def wetRecordText(df: DataFrame, idCol: String, binCol: String): Dataset[WetText] = {
+    implicit val tupleEnc: Encoder[(Long, Array[Byte])] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Compressed.splitInflateMembers(bytes).zipWithIndex.map {
+          case (Some(member), i) =>
+            splitRecords(member) match {
+              case Seq(Parsed(_, uri, Some(payload))) =>
+                WetText(id, i, uri, ok = true, new String(payload, UTF_8))
+              case _ => WetText(id, i, "", ok = false, "")
+            }
+          case (None, i) => WetText(id, i, "", ok = false, "")
+        }
+      }
+  }
+
   /** Composed `.wet.gz` walk: gzip-member split (CRC-verified) → WARC
     * record parse per member → text payload fields. One narrow 1→N
     * pass; a member damaged at EITHER layer emits the error contract
