@@ -22,6 +22,15 @@ object CurationQueries {
       CurationFilters.gopherFrame(in, "text").orderBy(col("doc_id"))
     }),
 
+    // fastText-shaped LINEAR classifier gate (DCLM / FineWeb-Edu's
+    // model-based stage; Joulin et al. 2016): hashed unigram+bigram
+    // buckets, broadcast-sized weight table, integer Σw > θ·N keep.
+    // Map-only — the learned half of the curation recipe.
+    "q_quality_classifier" -> ((s, d) =>
+      graft.ext.LinearGate.scoreFrame(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .orderBy(col("doc_id"))),
+
     // C4 line-level filter (Raffel et al. 2020 §2.2): terminal-punct +
     // ≥5-word lines survive, ≥3 surviving lines keep the page, lorem
     // ipsum / brace pages drop; retained text pinned by md5. Map-only.
@@ -412,6 +421,11 @@ object CurationQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_quality_classifier" ->
+      s"""WITH res AS (
+         |${graft.ext.LinearGate.scoreSql("documents")})
+         |SELECT * FROM res ORDER BY doc_id""".stripMargin,
 
     "q_gopher_filter" ->
       s"""WITH rel AS (

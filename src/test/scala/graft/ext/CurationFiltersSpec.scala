@@ -97,4 +97,35 @@ class CurationFiltersSpec extends AnyFunSuite {
     assert(g.filter(col("n_words") >= 50).count() > 0)
     assert(g.filter(col("n_words") < 50).count() > 0)
   }
+
+  test("linear classifier gate: features, weights, and the integer gate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), // 3 unigrams + 2 bigrams = 5 feats
+      (2L, "solo"),             // 1 token: unigrams only, NO bigram
+      (3L, ""),                 // empty: zero feats, keep=false
+      (4L, null.asInstanceOf[String])) // NULL text = empty
+      .toDF("doc_id", "text")
+    val out = LinearGate.scoreFrame(df, "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(5, 1, 0, 0))
+    assert(!out(2).getBoolean(3) && !out(3).getBoolean(3))
+    // driver-side replay of the md5-bucket → weight → Σw/N algebra
+    def bucket(g: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % LinearGate.Buckets
+    }
+    val feats = Seq("alpha", "beta", "gamma", "alpha_beta", "beta_gamma")
+    val s = feats.map(g => LinearGate.weightOf(bucket(g))).sum
+    assert(out(0).getBoolean(3) == (s > LinearGate.Threshold * 5))
+    assert(out(0).getDouble(2) ==
+      math.floor(s.toDouble / 5 * 1e4 + 0.5) / 1e4)
+    // the corpus splits: a one-sided gate would be a vacuous filter
+    val corpus = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val scored = LinearGate.scoreFrame(corpus, "text")
+    assert(scored.filter(col("keep")).count() > 0)
+    assert(scored.filter(!col("keep")).count() > 0)
+  }
 }
