@@ -50,29 +50,47 @@ object CurationFilters {
   // ---- Gopher -------------------------------------------------------
 
   /** All Gopher rule measures + the keep verdict as one struct-free
-    * projection; call via [[gopherFrame]] for the named columns. */
+    * projection; call via [[gopherFrame]] for the named columns.
+    *
+    * STAGED evaluation: higher-order functions are interpreted (no
+    * whole-stage codegen), so an expression tree that mentions the
+    * tokenized array N times re-tokenizes the document N times per
+    * row. The word/line/lowercased arrays therefore materialize in
+    * one projection, the integer counts in a second, and the ratio/
+    * verdict algebra — all cheap attribute arithmetic — in the third
+    * (CollapseProject declines to merge them back: it will not
+    * duplicate expensive expressions). Same trap and fix as
+    * [[LinearGate.scoreFrame]], measured there at 14×. */
   def gopherFrame(df: DataFrame, textCol: String): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val ws = wordsCol(text)
-    val nw = size(ws).cast("long")
-    // Σ word length for the mean-word-length window [3, 10]
-    val cs = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-    val nAlpha = size(filter(ws, w =>
-      length(regexp_replace(w, "[^A-Za-z]", "")) > 0)).cast("long")
-    val lower8 = transform(ws, w => lower(w))
+    val arrays = df.select(col("doc_id"), text.as("__t"),
+        wordsCol(text).as("__ws"), linesCol(text).as("__ls"))
+      .select(col("*"), transform(col("__ws"), w => lower(w)).as("__lw"))
+    val t = col("__t"); val ws = col("__ws"); val ls = col("__ls")
     val stopHits = RequiredStops
-      .map(s => when(array_contains(lower8, s), 1).otherwise(0))
+      .map(s => when(array_contains(col("__lw"), s), 1).otherwise(0))
       .reduce(_ + _)
-    val nHash = length(text) - length(regexp_replace(text, "#", ""))
-    val nEllOcc = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
-    val nSym = (nHash + nEllOcc).cast("long")
-    val ls = linesCol(text)
-    val nl = size(ls).cast("long")
-    val nBullet = size(filter(ls, l =>
-      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* "))))
-      .cast("long")
-    val nEllLine = size(filter(ls, l => endswith(rtrim(l), lit("..."))))
-      .cast("long")
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllOcc = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val counts = arrays.select(
+      col("doc_id"),
+      size(ws).cast("long").as("__nw"),
+      // Σ word length for the mean-word-length window [3, 10]
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("__cs"),
+      size(filter(ws, w =>
+        length(regexp_replace(w, "[^A-Za-z]", "")) > 0)).cast("long")
+        .as("__nalpha"),
+      stopHits.as("__stop"),
+      (nHash + nEllOcc).cast("long").as("__nsym"),
+      size(ls).cast("long").as("__nl"),
+      size(filter(ls, l =>
+        startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* "))))
+        .cast("long").as("__nbullet"),
+      size(filter(ls, l => endswith(rtrim(l), lit("..."))))
+        .cast("long").as("__nellline"))
+    val nw = col("__nw"); val cs = col("__cs"); val nAlpha = col("__nalpha")
+    val nSym = col("__nsym"); val nl = col("__nl")
+    val nBullet = col("__nbullet"); val nEllLine = col("__nellline")
     val nwSafe = greatest(nw, lit(1L))
     val nlSafe = greatest(nl, lit(1L))
     def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
@@ -83,8 +101,8 @@ object CurationFilters {
         (nBullet * 10 < nl * 9) &&
         (nEllLine * 10 < nl * 3) &&
         (nAlpha * 5 >= nw * 4) &&
-        (stopHits >= 2)
-    df.select(
+        (col("__stop") >= 2)
+    counts.select(
       col("doc_id"),
       nw.cast("int").as("n_words"),
       r4(cs.cast("double") / nwSafe).as("mean_wlen"),
@@ -92,7 +110,7 @@ object CurationFilters {
       r4(nBullet.cast("double") / nlSafe).as("frac_bullet"),
       r4(nEllLine.cast("double") / nlSafe).as("frac_ellipsis"),
       r4(nAlpha.cast("double") / nwSafe).as("frac_alpha"),
-      stopHits.cast("int").as("stop_hits"),
+      col("__stop").cast("int").as("stop_hits"),
       keep.as("keep"))
   }
 
@@ -141,18 +159,33 @@ object CurationFilters {
     * would empty the pipe. Same integer cross-multiplied comparisons
     * as [[gopherFrame]]. */
   def structuralKeepCol(text: Column): Column = {
-    val ws = wordsCol(text)
-    val nw = size(ws).cast("long")
-    val cs = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-    val nAlpha = size(filter(ws, w =>
-      length(regexp_replace(w, "[^A-Za-z]", "")) > 0)).cast("long")
+    // ONE aggregate pass over ONE tokenization: the word array is the
+    // HOF's operand (evaluated once), the three counts fold together,
+    // and the verdict computes in the finish lambda where `acc` is a
+    // BOUND variable — the naive form mentioned the split four times
+    // and, HOFs being interpreted, re-tokenized the row four times
+    // (the LinearGate.scoreFrame trap, in predicate position where a
+    // staged projection isn't available).
     val nHash = length(text) - length(regexp_replace(text, "#", ""))
     val nEllOcc = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val nSym = (nHash + nEllOcc).cast("long")
-    (nw >= 50 && nw <= 100000) &&
-      (cs >= nw * 3 && cs <= nw * 10) &&
-      (nSym * 10 <= nw) &&
-      (nAlpha * 5 >= nw * 4)
+    aggregate(wordsCol(text),
+      struct(lit(0L).as("nw"), lit(0L).as("cs"), lit(0L).as("na")),
+      (acc, w) => struct(
+        (acc.getField("nw") + 1L).as("nw"),
+        (acc.getField("cs") + length(w)).as("cs"),
+        (acc.getField("na") +
+          when(length(regexp_replace(w, "[^A-Za-z]", "")) > 0, 1L)
+            .otherwise(0L)).as("na")),
+      acc => {
+        val nw = acc.getField("nw")
+        val cs = acc.getField("cs")
+        val na = acc.getField("na")
+        (nw >= 50L && nw <= 100000L) &&
+          (cs >= nw * 3 && cs <= nw * 10) &&
+          (nSym * 10 <= nw) &&
+          (na * 5 >= nw * 4)
+      })
   }
 
   /** DuckDB mirror of [[structuralKeepCol]] (a WHERE-clause predicate
