@@ -40,15 +40,13 @@ object Boilerplate {
   private[ext] def segments(df: DataFrame, idCol: String, textCol: String,
                             segTokens: Int): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive: $segTokens")
-    val arr = split(coalesce(col(textCol), lit("")), " ")
-    // split() never yields an empty array (worst case [""]), so the
-    // segment count ceil(|arr|/segTokens) is always ≥ 1 and the
-    // sequence() endpoints stay ascending.
-    val nSeg = ceil(size(arr) / lit(segTokens.toDouble)).cast("int")
+    // token array staged as a column before the transform slices into
+    // it (interpreted-HOF re-evaluation — the LinearGate trap)
     df.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), nSeg - 1),
-        j => concat_ws(" ", slice(arr, j * segTokens + 1, lit(segTokens)))))
-        .as(Seq("seg", "segtext")))
+        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+      .select(col("id"),
+        posexplode(segmentArray(col("__toks"), segTokens))
+          .as(Seq("seg", "segtext")))
   }
 
   /** Removes every segment whose corpus-wide document frequency is
@@ -89,15 +87,22 @@ object Boilerplate {
         col("total_segs"))
   }
 
-  /** Array of non-overlapping `segTokens`-token segments of `textCol`
-    * in document order — the column form of [[segments]]' grid for
-    * map-only WITHIN-document operators (no Generate, no shuffle). */
-  def segmentArray(textCol: Column, segTokens: Int): Column = {
+  /** Array of non-overlapping `segTokens`-token segments of a
+    * MATERIALIZED token-array column, in document order — the column
+    * form of [[segments]]' grid for map-only WITHIN-document operators
+    * (no Generate, no shuffle). Takes the token array, not the text:
+    * the transform lambda slices into `toks` per segment, and HOF
+    * lambdas re-evaluate their operand expression per element — an
+    * inline split() here would re-tokenize the document once per
+    * segment. Callers project `split(text, " ")` into its own column
+    * first. split() never yields an empty array (worst case [""]), so
+    * the segment count ceil(|toks|/segTokens) is ≥ 1 and the
+    * sequence() endpoints stay ascending. */
+  def segmentArray(toks: Column, segTokens: Int): Column = {
     require(segTokens > 0, s"segTokens must be positive: $segTokens")
-    val arr = split(coalesce(textCol, lit("")), " ")
-    val nSeg = ceil(size(arr) / lit(segTokens.toDouble)).cast("int")
+    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
     transform(sequence(lit(0), nSeg - 1),
-      j => concat_ws(" ", slice(arr, j * segTokens + 1, lit(segTokens))))
+      j => concat_ws(" ", slice(toks, j * segTokens + 1, lit(segTokens))))
   }
 
   /** Keep-first-occurrence distinct over a string array — the

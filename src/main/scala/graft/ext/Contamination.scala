@@ -63,11 +63,12 @@ object Contamination {
       grams.foreach(g => if (java.util.Arrays.binarySearch(arr, g) >= 0) h += 1)
       h
     }
-    val toks = split(col(textCol), " ")
+    val toks = col("__toks") // staged first — see Dedup.rawShingleRows
     val grams = array_distinct(transform(Dedup.gramStartIdx(toks, n),
       i => xxhash64(Dedup.gramAt(toks, i, n))))
     candidates
-      .select(col(idCol).as("id"), grams.as("__g"))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), grams.as("__g"))
       .filter(size(col("__g")) > 0)
       .select(col("id"), size(col("__g")).cast("long").as("n_sh"),
         hitCount(col("__g")).as("n_hit"))

@@ -213,25 +213,31 @@ object CurationFilters {
     * md5 of the retained text so the cleaned payload is pinned without
     * hashing megabytes through the comparator. */
   def c4Frame(df: DataFrame, textCol: String): DataFrame = {
+    // staged like gopherFrame: the retained-line array is an
+    // interpreted HOF, so the naive form re-filtered (and re-split
+    // every line of) the document once per reference — 3× for `kept`,
+    // 4× for `ls`
     val text = coalesce(col(textCol), lit(""))
-    val ls = linesCol(text)
-    val kept = filter(ls, l => {
-      val t = rtrim(l)
-      val last = substring(t, -1, 1)
-      (last === "." || last === "!" || last === "?" || last === "\"") &&
-        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5
-    })
-    val hasLorem = contains(lower(text), lit("lorem ipsum"))
-    val hasBrace = contains(text, lit("{"))
-    val nKept = size(kept)
-    df.select(
+    val staged = df
+      .select(col("doc_id"), text.as("__t"), linesCol(text).as("__ls"))
+      .select(col("doc_id"), col("__t"), col("__ls"),
+        filter(col("__ls"), l => {
+          val t = rtrim(l)
+          val last = substring(t, -1, 1)
+          (last === "." || last === "!" || last === "?" || last === "\"") &&
+            size(filter(split(l, "\\s+"), w => w =!= "")) >= 5
+        }).as("__kept"))
+    val hasLorem = contains(lower(col("__t")), lit("lorem ipsum"))
+    val hasBrace = contains(col("__t"), lit("{"))
+    val nKept = size(col("__kept"))
+    staged.select(
       col("doc_id"),
-      size(ls).as("n_lines"),
+      size(col("__ls")).as("n_lines"),
       nKept.as("n_kept"),
       hasLorem.as("has_lorem"),
       hasBrace.as("has_brace"),
       (nKept >= 3 && !hasLorem && !hasBrace).as("keep"),
-      md5(concat_ws("\n", kept).cast("binary")).as("cleaned_md5"))
+      md5(concat_ws("\n", col("__kept")).cast("binary")).as("cleaned_md5"))
   }
 
   /** DuckDB mirror of [[c4Frame]]. */

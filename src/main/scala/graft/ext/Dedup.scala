@@ -86,9 +86,14 @@ object Dedup {
     concat_ws(" ", slice(toks, i, lit(n)))
 
   private def rawShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // the token array materializes BEFORE the gram transform slices
+    // into it: HOF lambdas are interpreted, so gramAt over an inline
+    // split() would re-tokenize the document per shingle — O(words²)
+    // per row (the LinearGate.scoreFrame trap, measured 14× there)
+    val toks = col("__toks")
     val shingles = transform(gramStartIdx(toks, n), i => gramAt(toks, i, n))
-    df.select(col(idCol).as("id"), explode(shingles).as("s"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(shingles).as("s"))
   }
 
   /** Distinct (id, xxhash64(shingle)) — the join-ready hashed form.
@@ -106,8 +111,9 @@ object Dedup {
     * needed on the input). Same gram construction as every other
     * shingle consumer. */
   def hashedShingleSet(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(explode(transform(gramStartIdx(toks, n),
+    val toks = col("__toks") // staged first — see rawShingleRows
+    df.select(split(col(textCol), " ").as("__toks"))
+      .select(explode(transform(gramStartIdx(toks, n),
         i => xxhash64(gramAt(toks, i, n)))).as("g"))
       .distinct()
   }

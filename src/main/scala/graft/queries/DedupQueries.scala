@@ -311,17 +311,23 @@ object DedupQueries {
     // text never moves — the per-doc form line_dedup's cross-doc df
     // count cannot take
     "q_para_dedup" -> ((s, d) => {
-      val segs = graft.ext.Boilerplate.segmentArray(col("text"), segTokens = 6)
+      // tokens, then segments, then the planted array each materialize
+      // before their consumers reference them (interpreted-HOF
+      // re-evaluation — the LinearGate trap; segs was re-derived 4×)
+      val segs = col("__segs")
       Tables.documents(s, d)
+        .withColumn("__toks", split(coalesce(col("text"), lit("")), " "))
+        .withColumn("__segs",
+          graft.ext.Boilerplate.segmentArray(col("__toks"), segTokens = 6))
         .withColumn("psegs",
           when(size(segs) >= 2, concat(segs, slice(segs, 1, 2)))
             .otherwise(segs))
+        .withColumn("__kept",
+          graft.ext.Boilerplate.keepFirstDistinct(col("psegs")))
         .select(col("doc_id"),
-          concat_ws(" ", graft.ext.Boilerplate.keepFirstDistinct(col("psegs")))
-            .as("clean_text"),
+          concat_ws(" ", col("__kept")).as("clean_text"),
           size(col("psegs")).as("n_segs"),
-          size(graft.ext.Boilerplate.keepFirstDistinct(col("psegs")))
-            .as("kept_segs"))
+          size(col("__kept")).as("kept_segs"))
         .orderBy(col("doc_id"))
     }),
 

@@ -164,10 +164,16 @@ object TextQualityQueries {
     // are bounded by distinct-bigram cardinality, never corpus size;
     // docs with < 2 tokens have no bigrams and no row (both sides).
     "q_bigram_logprob" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // toks MUST be a materialized column before the transform lambda
+      // slices into it: HOFs are interpreted, so slicing an inline
+      // split() re-tokenizes the document per bigram — O(words²)/row
+      // (the LinearGate.scoreFrame trap)
+      val toks = col("__toks")
       val bidx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
         .otherwise(array().cast("array<int>"))
-      val bigr = Tables.documents(s, d).select(col("doc_id"),
+      val bigr = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"),
           explode(transform(bidx, i => concat_ws(" ", slice(toks, i, lit(2)))))
             .as("bg"))
       val bgFreq = bigr.groupBy(col("bg")).agg(count(lit(1)).as("cnt2"))
@@ -315,16 +321,23 @@ object TextQualityQueries {
     // token and trigram duplication counts, pure column algebra —
     // map-only, integer outputs so the gate can't hinge on rounding
     "q_repetition" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // same staging as q_bigram_logprob: the trigram transform slices
+      // into the token array per element, so the array must be a
+      // materialized column, not an inline split — and the trigram
+      // array itself materializes before its two consumers
+      val toks = col("__toks")
       val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
         .otherwise(array().cast("array<int>"))
       val tris = transform(idx, i => concat_ws(" ", slice(toks, i, lit(3))))
-      Tables.documents(s, d).select(
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), col("__toks"), tris.as("__tris"))
+        .select(
           col("doc_id"),
           size(toks).as("n_tok"),
           size(array_distinct(toks)).as("n_tok_uniq"),
-          size(tris).as("n_tri"),
-          size(array_distinct(tris)).as("n_tri_uniq"))
+          size(col("__tris")).as("n_tri"),
+          size(array_distinct(col("__tris"))).as("n_tri_uniq"))
         .withColumn("repetitive", col("n_tok_uniq") * 2 < col("n_tok"))
         .orderBy(col("doc_id"))
     }),

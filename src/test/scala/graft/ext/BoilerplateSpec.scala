@@ -79,17 +79,21 @@ class BoilerplateSpec extends AnyFunSuite {
       (1L, "a b c d e f g h a b c d tail only"),
       (2L, "no repeats at all in this one")
     ).toDF("doc_id", "text")
-    val out = df.select($"doc_id",
+    val out = df
+      .withColumn("__toks", split($"text", " ")) // segmentArray's staged-array contract
+      .select($"doc_id",
         concat_ws(" ", Boilerplate.keepFirstDistinct(
-          Boilerplate.segmentArray($"text", 4))).as("clean"))
+          Boilerplate.segmentArray($"__toks", 4))).as("clean"))
       .orderBy($"doc_id").as[(Long, String)].collect()
     assert(out(0)._2 == "a b c d e f g h tail only")
     assert(out(1)._2 == "no repeats at all in this one")
   }
 
   test("within-doc dedup is a single map-only projection — no shuffle") {
-    val plan = corpus.select($"doc_id",
-        Boilerplate.keepFirstDistinct(Boilerplate.segmentArray($"text", 4)))
+    val plan = corpus
+      .withColumn("__toks", split($"text", " "))
+      .select($"doc_id",
+        Boilerplate.keepFirstDistinct(Boilerplate.segmentArray($"__toks", 4)))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
     assert(!plan.contains("Generate"), s"expected no Generate in:\n$plan")
