@@ -65,7 +65,8 @@ object Bench {
       "q_pmi_colloc", "q_retention_cohorts", "q_median_exact",
       "q_ks_drift", "q_funnel_provenance", "q_zorder_layout",
       "q_corpus_diff", "q_dedup_threshold_sweep",
-      "q_wet_funnel", "q_warc_derive_wet", "q_quality_classifier")
+      "q_wet_funnel", "q_warc_derive_wet", "q_quality_classifier",
+      "q_stream_warc")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

@@ -288,25 +288,28 @@ object Warc {
       Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        splitRecords(bytes) match {
-          case Seq(_, Parsed(_, _, respPay), Parsed(_, _, Some(convPay))) =>
-            respPay match {
-              case Some(p) =>
-                val derived = graft.extract.HtmlText.extract(
-                  httpBody(p), MaxRecordBytes)
-                DerivedWet(id, response_ok = true,
-                  md5Hex(derived.getBytes(UTF_8)), md5Hex(convPay),
-                  derived == new String(convPay, UTF_8))
-              case None =>
-                DerivedWet(id, response_ok = false, "", md5Hex(convPay),
-                  derived_eq_wet = false)
-            }
-          case _ => DerivedWet(id, response_ok = false, "", "",
-            derived_eq_wet = false)
-        }
-      }
+      .map { case (id, bytes) => deriveOne(id, bytes) }
   }
+
+  /** Per-document derivation body of [[deriveWet]] — pure, for spec
+    * coverage of the degraded paths without a session. */
+  private[ext] def deriveOne(id: Long, bytes: Array[Byte]): DerivedWet =
+    splitRecords(bytes) match {
+      case Seq(_, Parsed(_, _, respPay), Parsed(_, _, Some(convPay))) =>
+        respPay match {
+          case Some(p) =>
+            val derived = graft.extract.HtmlText.extract(
+              httpBody(p), MaxRecordBytes)
+            DerivedWet(id, response_ok = true,
+              md5Hex(derived.getBytes(UTF_8)), md5Hex(convPay),
+              derived == new String(convPay, UTF_8))
+          case None =>
+            DerivedWet(id, response_ok = false, "", md5Hex(convPay),
+              derived_eq_wet = false)
+        }
+      case _ => DerivedWet(id, response_ok = false, "", "",
+        derived_eq_wet = false)
+    }
 
   /** A WET record with its decoded TEXT — what the extraction half of
     * the pipeline consumes ([[WarcMember]] carries the metadata

@@ -579,6 +579,44 @@ object StreamQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Streaming WARC shard ingest — the crawl-side arrival story: two
+    // parquet shard files delivered one per micro-batch, each batch's
+    // documents packed into the planted WARC stream and walked by the
+    // SAME recordMeta flatMap the batch query uses. Stateless 1→N
+    // Append (no watermark, no state store): each record row emits in
+    // whichever batch its shard arrived, so the union across batches
+    // equals the batch walk of the whole corpus — the q_warc_members
+    // oracle verbatim. At scale this is continuous crawl ingestion:
+    // new .warc.gz shards land, the walker maps them as they arrive.
+    "q_stream_warc" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val p = freshScratchDir(d, "warcstream")
+      java.nio.file.Files.createDirectories(p)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+        f.delete(); ()
+      }
+      Seq(0, 1).foreach { par =>
+        val build = p.resolve(s"build_$par")
+        docs.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.parquet(build.toString)
+        val part = Option(build.toFile.listFiles)
+          .getOrElse(Array.empty[java.io.File])
+          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $build"))
+        java.nio.file.Files.move(part.toPath, p.resolve(s"$par.parquet"))
+        deleteRec(build.toFile)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val withBin = stream.withColumn("payload",
+        graft.ext.Warc.warcPlantedCol(col("text"), col("doc_id"), 101))
+      val recs = graft.ext.Warc.recordMeta(withBin, "doc_id", "payload").toDF()
+      StreamPipeline.runAppendToMemory(s, recs, s"warcstream_${d.hashCode.abs}")
+        .orderBy(col("doc_id"), col("member_idx"))
+    }),
+
     "q_stream_decontaminate" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val p = freshScratchDir(d, "decon")
@@ -627,6 +665,8 @@ object StreamQueries {
     // the batch CDC oracle verbatim — chunking is per-document, so the
     // stream must emit the identical chunk relation
     "q_stream_chunk_cdc" -> ExtQueries.oracleSql("q_chunk_cdc"),
+    // stateless Append: union across batches = the batch walk
+    "q_stream_warc" -> IngestQueries.oracleSql("q_warc_members"),
     // maintained-index recall is structural (copy ≡ original ⇒ same
     // cell, cosine 1.0): top-1 of every query is its ingested copy
     "q_stream_ann_ingest" ->

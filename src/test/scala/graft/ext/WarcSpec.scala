@@ -140,6 +140,31 @@ class WarcSpec extends AnyFunSuite {
       new String(parsed.head.payload.get, UTF_8) == "beta")
   }
 
+  test("WARC→WET derivation: happy path, digest damage, junk bytes") {
+    val t = "hello wet world"
+    val info = Warc.record("warcinfo", None, "application/warc-fields",
+      "urn:uuid:i", "2026-01-01T00:00:00Z", "format: WARC\r\n".getBytes(UTF_8))
+    val html = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      s"<html><body><p>$t</p></body></html>").getBytes(UTF_8)
+    val resp = Warc.record("response", Some("https://e.com/1"),
+      "application/http; msgtype=response", "urn:uuid:r",
+      "2026-01-01T00:00:00Z", html)
+    val conv = Warc.record("conversion", Some("https://e.com/1"),
+      "text/plain", "urn:uuid:c", "2026-01-01T00:00:00Z", t.getBytes(UTF_8))
+    val good = Warc.deriveOne(1L, info ++ resp ++ conv)
+    assert(good.response_ok && good.derived_eq_wet)
+    assert(good.derived_md5 == md5(t.getBytes(UTF_8)))
+    // digest-damaged response: conversion still reports, derive degrades
+    val dmg = resp.clone()
+    dmg(dmg.length - 5) = (dmg(dmg.length - 5) ^ 0xff).toByte
+    val degraded = Warc.deriveOne(2L, info ++ dmg ++ conv)
+    assert(!degraded.response_ok && degraded.derived_md5 == "" &&
+      degraded.wet_md5 == md5(t.getBytes(UTF_8)) && !degraded.derived_eq_wet)
+    // junk bytes: the error row, never a throw
+    val junk = Warc.deriveOne(3L, Array.fill[Byte](64)(0x41))
+    assert(!junk.response_ok && junk.derived_md5 == "" && junk.wet_md5 == "")
+  }
+
   test("writer digest matches an independent md5 of the payload") {
     val payload = "digest me".getBytes(UTF_8)
     val r = Warc.record("resource", None, "text/plain", "urn:uuid:d",
