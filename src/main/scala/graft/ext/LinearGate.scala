@@ -68,6 +68,12 @@ object LinearGate {
     concat(ws, bigrams)
   }
 
+  /** Σ bucket weight over a MATERIALIZED feature-array column — the
+    * classifier's inner sum, exposed for composed taggers
+    * ([[Attributes]]). Same staging contract as [[featsCol]]. */
+  private[ext] def sumWeightCol(fs: Column): Column =
+    aggregate(fs, lit(0L), (acc, g) => acc + weightCol(bucketCol(g)))
+
   /** (doc_id, n_feats, mean_w, keep) — classifier inference over
     * `textCol`. Map-only; one pass. */
   def scoreFrame(df: DataFrame, textCol: String): DataFrame = {
@@ -79,8 +85,7 @@ object LinearGate {
       .select(col("doc_id"), tokens.as("__ws"))
       .select(col("doc_id"), featsCol(col("__ws")).as("__fs"))
       .select(col("doc_id"), size(col("__fs")).cast("long").as("__n"),
-        aggregate(col("__fs"), lit(0L),
-          (acc, g) => acc + weightCol(bucketCol(g))).as("__s"))
+        sumWeightCol(col("__fs")).as("__s"))
     staged.select(
       col("doc_id"),
       col("__n").cast("int").as("n_feats"),

@@ -31,6 +31,37 @@ object CurationQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
         .orderBy(col("doc_id"))),
 
+    // Dolma tag-once/mix-many (Soldaini et al. 2024): all five taggers
+    // persist once per corpus signature; the MIX is a predicate over
+    // the attribute columns joined back by id. This mix: the learned
+    // classifier AND the Gopher structural gate.
+    "q_dolma_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = graft.ext.Attributes.attrDirFor(d)
+      graft.ext.Attributes.ensureAttributes(docs, dir)
+      graft.ext.Attributes
+        .mixed(s, dir, docs, col("clf_keep") && col("gopher_keep"))
+        .select(col("doc_id"), col("n_words"), col("quality_q4"),
+          col("lang"), col("gopher_keep"), col("clf_keep"),
+          md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A SECOND mix over the SAME persisted attributes — the economics
+    // the architecture buys: different thresholds, zero re-tagging
+    // (MixPlanSpec pins that this plan contains no tagger lambdas).
+    "q_dolma_remix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = graft.ext.Attributes.attrDirFor(d)
+      graft.ext.Attributes.ensureAttributes(docs, dir)
+      graft.ext.Attributes.mixed(s, dir, docs,
+        col("quality_q4") >= 5000L && col("n_words") >= 30 && !col("clf_keep"))
+        .select(col("doc_id"), col("n_words"), col("quality_q4"),
+          col("lang"), col("gopher_keep"), col("clf_keep"),
+          md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4 line-level filter (Raffel et al. 2020 §2.2): terminal-punct +
     // ≥5-word lines survive, ≥3 surviving lines keep the page, lorem
     // ipsum / brace pages drop; retained text pinned by md5. Map-only.
@@ -420,12 +451,49 @@ object CurationQueries {
     })
   )
 
+  /** DuckDB mirror of the Dolma attributes relation + a mix predicate
+    * over it: re-derives every tagger (the oracle has no persisted
+    * artifact) and filters with `pred` — exactly what the engine's
+    * join-against-persisted-attrs must equal. */
+  private def dolmaAttrsSql(pred: String): String = {
+    val B = graft.ext.LinearGate.Buckets
+    val T = graft.ext.LinearGate.Threshold
+    s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+       |w AS (SELECT doc_id, tx,
+       |        list_filter(string_split_regex(tx, '\\s+'), x -> x <> '') AS ws
+       |      FROM t),
+       |f AS (SELECT doc_id, tx, ws,
+       |        list_concat(ws,
+       |          CASE WHEN len(ws) >= 2
+       |            THEN list_transform(range(1, len(ws)),
+       |                   i -> ws[i] || '_' || ws[i + 1])
+       |            ELSE CAST([] AS VARCHAR[]) END) AS fs
+       |      FROM w),
+       |a AS (SELECT doc_id, tx,
+       |        CAST(len(ws) AS INT) AS n_words,
+       |        CAST(${graft.ext.TextStats.qualityIntSql("tx")} AS BIGINT) AS quality_q4,
+       |        ${graft.ext.TextStats.langIdSql("tx")} AS lang,
+       |        (${graft.ext.CurationFilters.structuralKeepSql("tx")}) AS gopher_keep,
+       |        (CAST(coalesce(list_sum(list_transform(fs, g ->
+       |           ((CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $B)
+       |             * 2654435761) % 2003 - 1001)), 0) AS BIGINT)
+       |          > $T * CAST(len(fs) AS BIGINT)) AS clf_keep
+       |      FROM f)
+       |SELECT doc_id, n_words, quality_q4, lang, gopher_keep, clf_keep,
+       |  md5(tx) AS text_md5
+       |FROM a WHERE $pred ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_quality_classifier" ->
       s"""WITH res AS (
          |${graft.ext.LinearGate.scoreSql("documents")})
          |SELECT * FROM res ORDER BY doc_id""".stripMargin,
+
+    "q_dolma_mix" -> dolmaAttrsSql("clf_keep AND gopher_keep"),
+    "q_dolma_remix" ->
+      dolmaAttrsSql("quality_q4 >= 5000 AND n_words >= 30 AND NOT clf_keep"),
 
     "q_gopher_filter" ->
       s"""WITH rel AS (

@@ -128,4 +128,26 @@ class CurationFiltersSpec extends AnyFunSuite {
     assert(scored.filter(col("keep")).count() > 0)
     assert(scored.filter(!col("keep")).count() > 0)
   }
+
+  test("a Dolma re-mix reads persisted attributes — no tagger re-runs") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val dir = Attributes.attrDirFor(d)
+    Attributes.ensureAttributes(docs, dir)
+    Attributes.ensureAttributes(docs, dir) // idempotent: _SUCCESS guard
+    val mixed = Attributes.mixed(spark, dir, docs,
+      col("quality_q4") >= 5000L)
+    val plan = mixed.queryExecution.executedPlan.toString
+    // the tag pass is all interpreted lambdas (filter/transform/
+    // aggregate) — a mix that re-tagged would show them; reading the
+    // artifact shows a plain parquet scan of the attrs dir instead
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"tagger lambdas in a mix plan:\n$plan")
+    assert(plan.contains("graft_attrs_v1"), "mix does not read the artifact")
+    // and the attributes agree with a fresh tagging of the same corpus
+    val fresh = Attributes.tagFrame(docs).orderBy("doc_id").collect()
+    val stored = spark.read.parquet(s"$dir/attrs").orderBy("doc_id").collect()
+    assert(fresh.sameElements(stored))
+  }
 }
