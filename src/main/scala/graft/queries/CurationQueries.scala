@@ -31,6 +31,26 @@ object CurationQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
         .orderBy(col("doc_id"))),
 
+    // Multi-pattern keyword tagging — one broadcast Aho–Corasick pass
+    // matches all terms at once (the banned-/topic-term list stage).
+    // Terms are BORDERLESS (no proper prefix = suffix), so occurrences
+    // of one term never overlap and the oracle's replace-count equals
+    // the automaton's all-occurrence count; the nesting chains
+    // (scan ⊃ can ⊃ an, table ⊃ able) exercise dictionary suffixes.
+    "q_keyword_tag" -> ((s, d) => {
+      val tagged = graft.ext.KeywordTag.tagFrame(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", KeywordTerms)
+      // per-term named columns (the checker's row hash takes scalars,
+      // not lists) — also pins the array's index alignment
+      val termCols = KeywordTerms.zipWithIndex.map { case (t, i) =>
+        element_at(col("hit_counts"), i + 1).as(s"c_$t")
+      }
+      tagged.select(col("doc_id") +: col("n_hits") +: col("n_terms_hit") +:
+        termCols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dolma tag-once/mix-many (Soldaini et al. 2024): all five taggers
     // persist once per corpus signature; the MIX is a predicate over
     // the attribute columns joined back by id. This mix: the learned
@@ -451,6 +471,11 @@ object CurationQueries {
     })
   )
 
+  /** q_keyword_tag's term list — shared verbatim with the oracle. All
+    * borderless (see the query comment); two nesting chains. */
+  private val KeywordTerms: Seq[String] =
+    Seq("scan", "can", "an", "table", "able", "merge", "row", "spark")
+
   /** DuckDB mirror of the Dolma attributes relation + a mix predicate
     * over it: re-derives every tagger (the oracle has no persisted
     * artifact) and filters with `pred` — exactly what the engine's
@@ -490,6 +515,21 @@ object CurationQueries {
       s"""WITH res AS (
          |${graft.ext.LinearGate.scoreSql("documents")})
          |SELECT * FROM res ORDER BY doc_id""".stripMargin,
+
+    "q_keyword_tag" -> {
+      def cnt(p: String) =
+        s"CAST((len(t) - len(replace(t, '$p', ''))) // ${p.length} AS BIGINT)"
+      val cnts = KeywordTerms.map(cnt)
+      val termCols = KeywordTerms.zip(cnts)
+        .map { case (t, c) => s"$c AS c_$t" }
+      s"""SELECT doc_id,
+         |  ${cnts.mkString(" + ")} AS n_hits,
+         |  CAST(${cnts.map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END")
+                  .mkString(" + ")} AS INT) AS n_terms_hit,
+         |  ${termCols.mkString(",\n  ")}
+         |FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_dolma_mix" -> dolmaAttrsSql("clf_keep AND gopher_keep"),
     "q_dolma_remix" ->

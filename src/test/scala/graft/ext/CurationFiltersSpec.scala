@@ -129,6 +129,27 @@ class CurationFiltersSpec extends AnyFunSuite {
     assert(scored.filter(!col("keep")).count() > 0)
   }
 
+  test("Aho–Corasick: dictionary suffixes, overlaps, and the frame") {
+    import spark.implicits._
+    // the classic example: "ushers" must hit she, he (inside "she"),
+    // and hers — dictionary-suffix links, not just trie walks
+    val auto = KeywordTag.build(Seq("he", "she", "his", "hers"))
+    assert(auto.countAll("ushers", 4).toSeq == Seq(1L, 1L, 0L, 1L))
+    // self-overlapping occurrences ALL count: "aaaa" holds three "aa"
+    assert(KeywordTag.build(Seq("aa")).countAll("aaaa", 1).toSeq == Seq(3L))
+    // no match states
+    assert(auto.countAll("zzz", 4).toSeq == Seq(0L, 0L, 0L, 0L))
+    // the frame: null text is empty, counts align with patterns
+    val df = Seq((1L, Some("she sells hers")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = KeywordTag.tagFrame(df, "doc_id", "text",
+      Seq("he", "she", "his", "hers")).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L) // he=2 (in she, hers), she=1, hers=1
+    assert(out(0).getInt(2) == 3)   // three distinct terms hit
+    assert(out(0).getSeq[Long](3) == Seq(2L, 1L, 0L, 1L))
+    assert(out(1).getLong(1) == 0L && out(1).getInt(2) == 0)
+  }
+
   test("a Dolma re-mix reads persisted attributes — no tagger re-runs") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.queries.Tables.documents(spark, d)
