@@ -80,6 +80,17 @@ object Attributes {
       .write.mode("overwrite").parquet(s"$dir/attrs")
   }
 
+  /** Streaming attributes maintenance (the Bm25.ingestIntoIndex
+    * pattern): APPEND one micro-batch of new documents' attribute rows
+    * to the persisted relation — the tag pass runs over the BATCH,
+    * never the corpus, and every mix launched after the batch commits
+    * sees the union. Ingested doc ids must be new (same contract as
+    * the index ingest paths). */
+  def ingestIntoAttributes(dir: String, batch: DataFrame): Unit =
+    tagFrame(batch)
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("append").parquet(s"$dir/attrs")
+
   /** A MIX: join the persisted attributes back to the corpus by id and
     * keep rows satisfying `pred` (a predicate over attribute columns).
     * The plan reads the attrs parquet — no tagger re-runs, no text

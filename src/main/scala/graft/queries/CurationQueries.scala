@@ -480,10 +480,11 @@ object CurationQueries {
     * over it: re-derives every tagger (the oracle has no persisted
     * artifact) and filters with `pred` — exactly what the engine's
     * join-against-persisted-attrs must equal. */
-  private def dolmaAttrsSql(pred: String): String = {
+  private[queries] def dolmaAttrsSql(pred: String,
+                                     rel: String = "documents"): String = {
     val B = graft.ext.LinearGate.Buckets
     val T = graft.ext.LinearGate.Threshold
-    s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+    s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM $rel),
        |w AS (SELECT doc_id, tx,
        |        list_filter(string_split_regex(tx, '\\s+'), x -> x <> '') AS ws
        |      FROM t),

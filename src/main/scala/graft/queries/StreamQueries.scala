@@ -579,6 +579,35 @@ object StreamQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Streaming Dolma-attributes maintenance: base attributes built
+    // from the corpus, then two micro-batches of NEW documents
+    // (shifted ids, same text algebra the oracle can replay) append
+    // their attribute rows via foreachBatch — tagging runs over each
+    // BATCH, never the corpus. The final mix joins the grown relation
+    // against the union corpus; the oracle re-derives every tagger
+    // over the union, so only a correct incremental append can match.
+    "q_stream_attrs_ingest" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val attrsDir = freshScratchDir(d, "attrsing").toString
+      graft.ext.Attributes.ensureAttributes(docs, attrsDir)
+      val srcDir = freshScratchDir(d, "attrsnew")
+      java.nio.file.Files.createDirectories(srcDir)
+      val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      writeOnePart(srcDir, "a", copies.filter(col("doc_id") % 2 === 0))
+      writeOnePart(srcDir, "b", copies.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.attrsIngest(s, stream, attrsDir)
+      graft.ext.Attributes.mixed(s, attrsDir, docs.unionByName(copies),
+          col("clf_keep") && col("gopher_keep"))
+        .select(col("doc_id"), col("n_words"), col("quality_q4"),
+          col("lang"), col("gopher_keep"), col("clf_keep"),
+          md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming WARC shard ingest — the crawl-side arrival story: two
     // parquet shard files delivered one per micro-batch, each batch's
     // documents packed into the planted WARC stream and walked by the
@@ -667,6 +696,12 @@ object StreamQueries {
     "q_stream_chunk_cdc" -> ExtQueries.oracleSql("q_chunk_cdc"),
     // stateless Append: union across batches = the batch walk
     "q_stream_warc" -> IngestQueries.oracleSql("q_warc_members"),
+    // incremental attribute appends must equal a full tag of the union
+    "q_stream_attrs_ingest" -> CurationQueries.dolmaAttrsSql(
+      "clf_keep AND gopher_keep",
+      rel = """(SELECT doc_id, text FROM documents
+              | UNION ALL
+              | SELECT doc_id + 1000000, text FROM documents) AS u""".stripMargin),
     // maintained-index recall is structural (copy ≡ original ⇒ same
     // cell, cosine 1.0): top-1 of every query is its ingested copy
     "q_stream_ann_ingest" ->

@@ -364,6 +364,27 @@ object StreamPipeline {
     batches.get()
   }
 
+  /** Streaming Dolma-attributes maintenance: per micro-batch, tag the
+    * batch and append its attribute rows to the persisted relation
+    * ([[graft.ext.Attributes.ingestIntoAttributes]]). Returns the
+    * number of non-empty batches processed. */
+  def attrsIngest(spark: SparkSession, stream: DataFrame,
+                  attrsDir: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.ext.Attributes.ingestIntoAttributes(attrsDir, batch)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    batches.get()
+  }
+
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction
     * wait needed — output is complete when the sources are committed.
