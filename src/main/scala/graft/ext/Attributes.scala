@@ -44,7 +44,7 @@ object Attributes {
         filter(split(text, "\\s+"), w => w =!= "").as("__ws"))
       .select(col("doc_id"), col("__t"), col("__ws"),
         LinearGate.featsCol(col("__ws")).as("__fs"))
-      .select(col("doc_id"), col("__t"),
+      .select(col("doc_id"), col("__t"), col("__ws"),
         size(col("__ws")).as("__nw"),
         size(col("__fs")).cast("long").as("__nf"),
         LinearGate.sumWeightCol(col("__fs")).as("__sw"))
@@ -53,32 +53,20 @@ object Attributes {
       col("__nw").as("n_words"),
       TextStats.qualityIntCol(col("__t")).cast("long").as("quality_q4"),
       TextStats.langIdCol(col("__t")).as("lang"),
-      CurationFilters.structuralKeepCol(col("__t")).as("gopher_keep"),
+      CurationFilters.structuralKeepFromTokens(col("__ws"), col("__t"))
+        .as("gopher_keep"),
       (col("__sw") > lit(LinearGate.Threshold) * col("__nf")).as("clf_keep"))
   }
 
   /** Persist the attributes relation; `_SUCCESS`-guarded no-op when it
-    * already exists. Single-writer (the Bm25/Ivf assumption). */
-  def ensureAttributes(docs: DataFrame, dir: String): Unit = {
-    val spark = docs.sparkSession
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/attrs/_SUCCESS"))) return
-    val prefixRe = "^(graft_attrs_v1_[0-9a-f]+_).*".r
-    dirPath.getName match {
-      case prefixRe(prefix) =>
-        val parent = dirPath.getParent
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent)
-            .filter(s => s.getPath.getName.startsWith(prefix) &&
-              s.getPath.getName != dirPath.getName)
-            .foreach(s => fs.delete(s.getPath, true))
-      case _ => () // caller-chosen dir name: nothing safe to GC
+    * already exists. Single-writer (see [[ArtifactDir]]). */
+  def ensureAttributes(docs: DataFrame, dir: String): Unit =
+    ArtifactDir.ensure(docs.sparkSession, dir, "attrs",
+      "^(graft_attrs_v1_[0-9a-f]+_).*".r) {
+      tagFrame(docs)
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/attrs")
     }
-    tagFrame(docs)
-      .sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/attrs")
-  }
 
   /** Streaming attributes maintenance (the Bm25.ingestIntoIndex
     * pattern): APPEND one micro-batch of new documents' attribute rows

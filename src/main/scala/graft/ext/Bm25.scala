@@ -49,26 +49,12 @@ object Bm25 {
     * multi-writer serving tier should stage to a temp dir + atomic
     * rename and age-gate the GC instead. */
   def ensureIndex(docs: DataFrame, idCol: String, textCol: String,
-                  dir: String): Unit = {
-    val spark = docs.sparkSession
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats/_SUCCESS"))) return
-    // GC same-corpus siblings left behind by a content change
-    val prefixRe = "^(graft_bm25_v1_[0-9a-f]+_).*".r
-    dirPath.getName match {
-      case prefixRe(prefix) =>
-        val parent = dirPath.getParent
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent)
-            .filter(s => s.getPath.getName.startsWith(prefix) &&
-              s.getPath.getName != dirPath.getName)
-            .foreach(s => fs.delete(s.getPath, true))
-      case _ => () // caller-chosen dir name: nothing safe to GC
+                  dir: String): Unit =
+    ArtifactDir.ensure(docs.sparkSession, dir, "stats",
+      "^(graft_bm25_v1_[0-9a-f]+_).*".r) {
+      writeTf(docs, idCol, textCol, dir, mode = "overwrite")
+      deriveFromTf(docs.sparkSession, dir)
     }
-    writeTf(docs, idCol, textCol, dir, mode = "overwrite")
-    deriveFromTf(spark, dir)
-  }
 
   /** Tokenize `docs` and write their (tok, doc_id, tf, dl) rows into
     * the token-partitioned tf store — `overwrite` for the initial

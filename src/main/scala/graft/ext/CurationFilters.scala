@@ -158,7 +158,13 @@ object CurationFilters {
     * vacuous (single-line pages with no English function words) and
     * would empty the pipe. Same integer cross-multiplied comparisons
     * as [[gopherFrame]]. */
-  def structuralKeepCol(text: Column): Column = {
+  def structuralKeepCol(text: Column): Column =
+    structuralKeepFromTokens(wordsCol(text), text)
+
+  /** [[structuralKeepCol]] over an ALREADY-MATERIALIZED token array —
+    * for callers that stage the tokenization anyway ([[Attributes]]),
+    * so the gate doesn't pay a second split of the same text. */
+  def structuralKeepFromTokens(ws: Column, text: Column): Column = {
     // ONE aggregate pass over ONE tokenization: the word array is the
     // HOF's operand (evaluated once), the three counts fold together,
     // and the verdict computes in the finish lambda where `acc` is a
@@ -169,7 +175,7 @@ object CurationFilters {
     val nHash = length(text) - length(regexp_replace(text, "#", ""))
     val nEllOcc = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val nSym = (nHash + nEllOcc).cast("long")
-    aggregate(wordsCol(text),
+    aggregate(ws,
       struct(lit(0L).as("nw"), lit(0L).as("cs"), lit(0L).as("na")),
       (acc, w) => struct(
         (acc.getField("nw") + 1L).as("nw"),

@@ -354,25 +354,16 @@ object Ivf {
                              dir: String, k: Int, iters: Int, sampleTarget: Int)(
       writeCorpus: (DataFrame, Model, Array[Array[Double]]) => Unit): Unit = {
     val spark = emb.sparkSession
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS"))) return
-    // GC: the content-signature key means a regenerated corpus gets a
-    // NEW index dir and its predecessors are unreachable forever —
-    // delete same-corpus siblings (same family+path-hash prefix,
-    // different signature/params) so the index root doesn't grow
-    // unboundedly.
-    val prefixRe = "^((?:graft_ivf_v1|graft_ivfq8_v1|graft_ivfpq_v1)_[0-9a-f]+_).*".r
-    dirPath.getName match {
-      case prefixRe(prefix) =>
-        val parent = dirPath.getParent
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent)
-            .filter(s => s.getPath.getName.startsWith(prefix) &&
-              s.getPath.getName != dirPath.getName)
-            .foreach(s => fs.delete(s.getPath, true))
-      case _ => () // caller-chosen dir name: nothing safe to GC
+    ArtifactDir.ensure(spark, dir, "corpus",
+      "^((?:graft_ivf_v1|graft_ivfq8_v1|graft_ivfpq_v1)_[0-9a-f]+_).*".r) {
+      buildIndexBody(emb, idCol, vecCol, dir, k, iters, sampleTarget)(writeCorpus)
     }
+  }
+
+  private def buildIndexBody(emb: DataFrame, idCol: String, vecCol: String,
+                             dir: String, k: Int, iters: Int, sampleTarget: Int)(
+      writeCorpus: (DataFrame, Model, Array[Array[Double]]) => Unit): Unit = {
+    val spark = emb.sparkSession
     // ONE sample draw (count + filtered collect) serves the coarse
     // quantizer here AND the callback's subspace training (PQ) — a
     // second draw with the same parameters would be a byte-identical

@@ -35,33 +35,19 @@ object TrigramIndex {
     * it already exists. One explode+distinct pass over the corpus —
     * the cost every inline probe used to pay. */
   def ensureIndex(docs: DataFrame, idCol: String, textCol: String,
-                  dir: String): Unit = {
-    val spark = docs.sparkSession
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings/_SUCCESS"))) return
-    // GC same-corpus siblings left behind by a content change
-    val prefixRe = "^(graft_tri_v1_[0-9a-f]+_).*".r
-    dirPath.getName match {
-      case prefixRe(prefix) =>
-        val parent = dirPath.getParent
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent)
-            .filter(s => s.getPath.getName.startsWith(prefix) &&
-              s.getPath.getName != dirPath.getName)
-            .foreach(s => fs.delete(s.getPath, true))
-      case _ => () // caller-chosen dir name: nothing safe to GC
+                  dir: String): Unit =
+    ArtifactDir.ensure(docs.sparkSession, dir, "postings",
+      "^(graft_tri_v1_[0-9a-f]+_).*".r) {
+      docs.selectExpr(s"$idCol AS doc_id",
+          s"explode(if(length($textCol) >= 3, " +
+            s"transform(sequence(1, length($textCol) - 2), " +
+            s"i -> substring($textCol, i, 3)), array())) AS g")
+        .distinct()
+        .select(col("g"), col("doc_id"))
+        .repartition(col("g"))
+        .sortWithinPartitions(col("g"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/postings")
     }
-    docs.selectExpr(s"$idCol AS doc_id",
-        s"explode(if(length($textCol) >= 3, " +
-          s"transform(sequence(1, length($textCol) - 2), " +
-          s"i -> substring($textCol, i, 3)), array())) AS g")
-      .distinct()
-      .select(col("g"), col("doc_id"))
-      .repartition(col("g"))
-      .sortWithinPartitions(col("g"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-  }
 
   /** Candidate doc ids for a literal `pattern` (≥3 chars): documents
     * containing ALL of the pattern's distinct trigrams. Touches only

@@ -292,11 +292,28 @@ object Warc {
   }
 
   /** Per-document derivation body of [[deriveWet]] — pure, for spec
-    * coverage of the degraded paths without a session. */
-  private[ext] def deriveOne(id: Long, bytes: Array[Byte]): DerivedWet =
-    splitRecords(bytes) match {
-      case Seq(_, Parsed(_, _, respPay), Parsed(_, _, Some(convPay))) =>
-        respPay match {
+    * coverage of the degraded paths without a session.
+    *
+    * Records are selected by WARC-Type, not position: real captures
+    * interleave warcinfo/request/metadata records around the
+    * response/conversion pair, and a positional match would render
+    * the wrong payload on any such layout. A digest-damaged record
+    * loses its type with its payload (the error contract), so a
+    * stream whose response was the damaged record degrades to the
+    * no-response row — while the conversion record still reports. */
+  private[ext] def deriveOne(id: Long, bytes: Array[Byte]): DerivedWet = {
+    val records = splitRecords(bytes)
+    val conv = records.collectFirst {
+      case Parsed("conversion", _, Some(p)) => p
+    }
+    val resp = records.collectFirst {
+      case Parsed("response", _, Some(p)) => p
+    }
+    conv match {
+      case None => DerivedWet(id, response_ok = false, "", "",
+        derived_eq_wet = false)
+      case Some(convPay) =>
+        resp match {
           case Some(p) =>
             val derived = graft.extract.HtmlText.extract(
               httpBody(p), MaxRecordBytes)
@@ -307,9 +324,8 @@ object Warc {
             DerivedWet(id, response_ok = false, "", md5Hex(convPay),
               derived_eq_wet = false)
         }
-      case _ => DerivedWet(id, response_ok = false, "", "",
-        derived_eq_wet = false)
     }
+  }
 
   /** A WET record with its decoded TEXT — what the extraction half of
     * the pipeline consumes ([[WarcMember]] carries the metadata

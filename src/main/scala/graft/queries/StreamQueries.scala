@@ -622,21 +622,8 @@ object StreamQueries {
         .select(col("doc_id"), col("text"))
       val p = freshScratchDir(d, "warcstream")
       java.nio.file.Files.createDirectories(p)
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-        f.delete(); ()
-      }
-      Seq(0, 1).foreach { par =>
-        val build = p.resolve(s"build_$par")
-        docs.filter(col("doc_id") % 2 === par).coalesce(1)
-          .write.parquet(build.toString)
-        val part = Option(build.toFile.listFiles)
-          .getOrElse(Array.empty[java.io.File])
-          .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written under $build"))
-        java.nio.file.Files.move(part.toPath, p.resolve(s"$par.parquet"))
-        deleteRec(build.toFile)
-      }
+      Seq(0, 1).foreach(par => writeOnePart(p, par.toString,
+        docs.filter(col("doc_id") % 2 === par)))
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(p.toString)
       val withBin = stream.withColumn("payload",

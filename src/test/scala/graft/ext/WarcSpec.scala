@@ -163,6 +163,23 @@ class WarcSpec extends AnyFunSuite {
     // junk bytes: the error row, never a throw
     val junk = Warc.deriveOne(3L, Array.fill[Byte](64)(0x41))
     assert(!junk.response_ok && junk.derived_md5 == "" && junk.wet_md5 == "")
+    // records select by TYPE, not position: a request record
+    // interleaved before the response (the normal capture layout)
+    // must not shift the match
+    val req = Warc.record("request", Some("https://e.com/1"),
+      "application/http; msgtype=request", "urn:uuid:q",
+      "2026-01-01T00:00:00Z", "GET / HTTP/1.1\r\n\r\n".getBytes(UTF_8))
+    val interleaved = Warc.deriveOne(4L, info ++ req ++ resp ++ conv)
+    assert(interleaved.response_ok && interleaved.derived_eq_wet)
+    // and a conversion-only stream (warcinfo, metadata, conversion)
+    // reports the wet payload with NO response — never renders a
+    // non-response payload as if it were one
+    val meta = Warc.record("metadata", Some("https://e.com/1"),
+      "application/warc-fields", "urn:uuid:m",
+      "2026-01-01T00:00:00Z", "fetch: ok\r\n".getBytes(UTF_8))
+    val noResp = Warc.deriveOne(5L, info ++ meta ++ conv)
+    assert(!noResp.response_ok && noResp.derived_md5 == "" &&
+      noResp.wet_md5 == md5(t.getBytes(UTF_8)))
   }
 
   test("writer digest matches an independent md5 of the payload") {
