@@ -211,22 +211,28 @@ object FunnelQueries {
         .select(col("doc_id"), col("norm"))
       val train = norm.filter(!col("source").isInCollection(benchSrc))
         .select(col("doc_id"), col("norm"))
+      // every stage output is consumed TWICE — by the next stage and
+      // by the provenance join — so each persists (the production
+      // shape: a funnel materializes per-stage manifests; without
+      // this, the final five joins re-execute each stage's full
+      // lineage, ~5× the funnel's work — measured 3.5 s → see bench)
       val deduped = Dedup.exactKeepFirst(train, "doc_id", "norm")
-        .select(col("doc_id"), col("norm"))
+        .select(col("doc_id"), col("norm")).persist()
       val gatedQ = deduped.filter(TextStats.qualityCol(col("norm")) >= 0.5)
+        .persist()
       val flagged = graft.ext.Contamination.screen(
           gatedQ, bench, "doc_id", "norm", n = 3, threshPct = 10)
         .filter(col("contaminated"))
-        .select(col("id").as("doc_id"))
-      val screened = gatedQ.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("id").as("doc_id")).persist()
+      val screened = gatedQ.join(flagged, Seq("doc_id"), "left_anti").persist()
       val nearDup = Dedup.minhashCrossNearDups(
           screened, bench, "doc_id", "norm", n = 3, minJ = 0.8)
-        .select(col("i").as("doc_id")).distinct()
+        .select(col("i").as("doc_id")).distinct().persist()
       val decon = screened.join(nearDup, Seq("doc_id"), "left_anti")
       val kept = graft.ext.Boilerplate.dropRepeatedSegments(
           decon, "doc_id", "norm", segTokens = 8, maxDf = 2)
         .filter(col("kept_segs") > 0 && col("kept_segs") * 2 >= col("total_segs"))
-        .select(col("id").as("doc_id"))
+        .select(col("id").as("doc_id")).persist()
       train.select(col("doc_id"))
         .join(deduped.select(col("doc_id"), lit(1).as("in_dd")),
           Seq("doc_id"), "left")

@@ -78,6 +78,25 @@ class ArchivePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("∀ random patterns+text: Aho–Corasick equals brute-force counts") {
+    // small alphabet forces dense overlaps, nestings, and shared
+    // prefixes — the automaton's hard cases
+    val patGen: Gen[List[String]] = Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
+    val textGen: Gen[String] = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    def brute(text: String, p: String): Long =
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    samples(Gen.zip(patGen, textGen), 120).foreach { case (ps0, text) =>
+      val ps = ps0.distinct
+      val got = KeywordTag.build(ps).countAll(text, ps.length).toSeq
+      val want = ps.map(p => brute(text, p))
+      assert(got == want, s"patterns=$ps text=$text got=$got want=$want")
+    }
+  }
+
   test("∀ ascii docs: CDC chunks tile [1, n] exactly with no overlap") {
     val docGen = Gen.chooseNum(0, 600).flatMap(n =>
       Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString))
