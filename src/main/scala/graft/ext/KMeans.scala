@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the topic
+  * clustering / cluster-balanced-sampling primitive of a training-data
+  * pipeline (the SemDeDup cells are a driver-sample variant; this is
+  * the full-corpus operator).
+  *
+  * Cross-engine discipline: everything after quantization is INTEGER.
+  * Points quantize once to non-negative longs
+  * `floor((x + Shift) · Quant)` (float→double cast is exact, the add
+  * and the power-of-two multiply are IEEE-identical on Spark and
+  * DuckDB), centroids live at scale `Quant · CScale`, distances are
+  * exact long sums of squared diffs, and centroid means use truncating
+  * division — identical on positive operands in Scala (`/`), Spark
+  * (`div`) and DuckDB (`//`). Ties in the argmin break to the lowest
+  * centroid index via struct-ordered `array_min`. The oracle
+  * ([[unrolledSql]]) replays the SAME rounds as chained CTEs from the
+  * same constants, so assignments are bit-identical after any number
+  * of iterations — no float sum ever crosses engines.
+  *
+  * Scale shape: the E-step is MAP-ONLY — centroids are k·d longs of
+  * broadcast driver metadata riding the expression tree, never a join.
+  * The M-step's shuffle carries only k·d rows per partition after
+  * map-side combine (posexplode is narrow; partial aggregation
+  * collapses each partition to ≤ k·d partial sums), and the collect is
+  * k·d bounded model metadata — the Ivf precedent. The quantized
+  * points localCheckpoint once (the MLlib-style cache every Lloyd
+  * implementation needs: iters+1 passes re-read them); overflow is
+  * impossible by construction (|x| < Shift = 4 → q < 2^17,
+  * scaled diff < 2^26, squared < 2^52, ×dim(64) < 2^58 « 2^63).
+  *
+  * Overlong-row guard: quantization raises on |x| ≥ Shift rather than
+  * silently wrapping — a corrupt embedding fails the job loudly (the
+  * weightedTopK precondition precedent).
+  */
+object KMeans {
+
+  /** Embedding components must satisfy |x| < Shift (asserted). */
+  val Shift = 4.0
+  /** Point quantization scale (2^14 — exact power-of-two multiply). */
+  val Quant = 16384L
+  /** Extra centroid scale so means keep 8 fractional bits. */
+  val CScale = 256L
+
+  /** Non-negative long quantization of a float/double array column. */
+  def quantCol(vec: Column): Column =
+    transform(vec, x => {
+      val xd = x.cast("double")
+      when(abs(xd) >= lit(Shift),
+        raise_error(concat(lit(s"KMeans: |component| >= $Shift: "), xd.cast("string"))))
+        .otherwise(floor((xd + lit(Shift)) * lit(Quant.toDouble)))
+        .cast("long")
+    })
+
+  /** Squared distance from the quantized point column `q` to one
+    * centroid (scale Quant·CScale), as an exact long sum. */
+  private def distTo(c: Array[Long]): Column =
+    aggregate(
+      zip_with(col("q"), typedLit(c.toSeq), (x, y) => {
+        val dd = x * lit(CScale) - y
+        dd * dd
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Map-only assignment of every point to its nearest centroid;
+    * ties break to the lowest index (struct-ordered array_min). */
+  private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val best = array_min(array(cents.indices.map(i =>
+      struct(distTo(cents(i)).as("d"), lit(i).as("c"))): _*))
+    pts.withColumn("cluster", best.getField("c"))
+  }
+
+  /** Lloyd k-means: k centroids seeded from the k lowest-id points,
+    * `iters` rounds of (assign, mean-update; an emptied cluster keeps
+    * its previous centroid), returning the final (idCol, cluster)
+    * assignment against the post-update centroids. */
+  def fit(em: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"KMeans: need k >= 1, iters >= 0 (got $k, $iters)")
+    val pts = em
+      .select(col(idCol).cast("long").as("vec_id"), quantCol(col(vecCol)).as("q"))
+      .localCheckpoint()
+    var cents: Array[Array[Long]] = pts.orderBy(col("vec_id")).limit(k).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).map(_ * CScale).toArray)
+    require(cents.length == k, s"KMeans: k=$k but only ${cents.length} points")
+    for (_ <- 1 to iters) {
+      val sums = assign(pts, cents)
+        .select(col("cluster"), posexplode(col("q")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // an emptied cluster keeps its centroid
+      sums.foreach { r =>
+        // positive operands: Scala `/`, Spark `div`, DuckDB `//` agree
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) * CScale / r.getLong(3)
+      }
+      cents = next
+    }
+    assign(pts, cents).select(col("vec_id"), col("cluster"))
+  }
+
+  /** The identical computation as DuckDB SQL over `table(vec_id,
+    * embedding)`: CTE chain `pts, c0, a1, s1, c1, …, a{iters+1}`;
+    * the final relation is `a${iters + 1}(vec_id, cluster)`. Callers
+    * append their own SELECT. */
+  def unrolledSql(k: Int, iters: Int, dim: Int, table: String): String = {
+    val sb = new StringBuilder
+    val sq = s"(p.q[j]*$CScale - c.c[j])"
+    sb.append(s"WITH pts AS (SELECT vec_id, list_transform($table.embedding, " +
+      s"x -> CAST(floor((CAST(x AS DOUBLE) + CAST($Shift AS DOUBLE)) * $Quant) AS BIGINT)) AS q " +
+      s"FROM $table),\n")
+    sb.append(s"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, " +
+      s"list_transform(q, x -> x * $CScale) AS c " +
+      s"FROM (SELECT * FROM pts ORDER BY vec_id LIMIT $k)),\n")
+    for (t <- 1 to iters + 1) {
+      sb.append(s"a$t AS (SELECT vec_id, q, CAST(cidx AS INT) AS cluster FROM (" +
+        s"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM (" +
+        s"SELECT p.vec_id, p.q, c.cidx, " +
+        s"list_sum(list_transform(range(1, ${dim + 1}), j -> $sq * $sq)) AS dist " +
+        s"FROM pts p CROSS JOIN c${t - 1} c)) WHERE rn = 1)")
+      if (t <= iters) {
+        sb.append(s",\ns$t AS (SELECT cluster, j, sum(q[j]) AS s, count(*) AS n " +
+          s"FROM a$t CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS j) GROUP BY 1, 2),\n")
+        sb.append(s"c$t AS (SELECT prev.cidx, coalesce(nw.c, prev.c) AS c " +
+          s"FROM c${t - 1} prev LEFT JOIN (SELECT cluster AS cidx, " +
+          s"list(CAST(s * $CScale // n AS BIGINT) ORDER BY j) AS c FROM s$t GROUP BY 1) nw " +
+          s"USING (cidx)),\n")
+      } else sb.append("\n")
+    }
+    sb.toString
+  }
+}

@@ -192,9 +192,42 @@ object AnnQueries {
             .as("recon_ok"))
         .orderBy(col("vec_id"))
     }),
+
+    // ---- topic clustering (distributed Lloyd k-means) ---------------
+    // Fixed-point integer k-means (see ext.KMeans scaladoc): the
+    // E-step is map-only against broadcast centroid literals, the
+    // M-step shuffle is k·d rows per partition after map-side combine,
+    // and the oracle replays the identical rounds as unrolled CTEs —
+    // assignments are bit-exact cross-engine, no recall contract
+    // needed (unlike the ANN family above).
+    "q_kmeans_topics" -> ((s, d) =>
+      graft.ext.KMeans.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 4)
+        .orderBy(col("vec_id"))),
+    // cluster-balanced subset: the topic-diversity sampling step —
+    // k-means assignment composed with the deterministic k-per-stratum
+    // draw (md5 selector; no RNG, no full-stratum sort at scale via
+    // topKPerStratum's prefilter lever)
+    "q_kmeans_balanced_sample" -> ((s, d) => {
+      val asg = graft.ext.KMeans.fit(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 4)
+      graft.ext.Sampling.topKPerStratum(asg, "vec_id", "cluster", k = 25)
+        .orderBy(col("cluster"), col("rank"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_kmeans_topics" ->
+      (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
+        "SELECT vec_id, cluster FROM a5 ORDER BY vec_id"),
+    "q_kmeans_balanced_sample" ->
+      (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
+        """SELECT vec_id, cluster, rank FROM (
+          |  SELECT vec_id, cluster,
+          |    row_number() OVER (PARTITION BY cluster
+          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+          |  FROM a5)
+          |WHERE rank <= 25 ORDER BY cluster, rank""".stripMargin),
     "q_knn_brute" ->
       """SELECT qid, cast(rank AS INT) AS rank, nid, round(score, 4) AS score FROM (
         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
