@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan '05) over a token stream —
+  * the fixed-memory frequency estimator for heavy-hitter mining when
+  * the vocabulary itself is too large to aggregate exactly: the sketch
+  * is Depth·Width counters REGARDLESS of corpus or vocabulary size,
+  * where the exact `vocab` aggregation shuffles one row per distinct
+  * token.
+  *
+  * Scale shape: one narrow token explode, a Depth× row multiplier that
+  * map-side combine collapses to ≤ Depth·Width partial sums per
+  * partition, and a Depth·Width-row sketch relation (4096 rows at the
+  * defaults) that BROADCASTS to every estimate join — the corpus is
+  * never shuffled and never rescanned per probe. Estimation never
+  * under-counts (the CMS guarantee: every point estimate ≥ the true
+  * count); over-count error is bounded by ε·N with ε = e/Width per the
+  * paper.
+  *
+  * Determinism: the row hashes are the repo's md5 selector arithmetic
+  * (`conv(substr(md5("r:" ++ tok)), 16, 10) % Width` — identical in
+  * DuckDB via the `'0x' || substr(md5(…))` cast precedent), so the
+  * whole sketch, every estimate, and the heavy-hitter ranking are
+  * bit-exact across engines — the oracle replays the sketch rather
+  * than trusting a planted contract.
+  */
+object CountMin {
+
+  /** Independent hash rows. */
+  val Depth = 4
+  /** Buckets per row (error bound ε = e/Width of total token mass). */
+  val Width = 1024L
+
+  /** Row-r bucket of a token: first 8 md5 hex digits of "r:token". */
+  def bucket(r: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$r:"), tok).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % Width
+
+  /** One row per token occurrence (the `Sampling.vocab` tokenizer). */
+  def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** The sketch: (r, b, cnt), ≤ Depth·Width rows. */
+  def sketch(toks: DataFrame): DataFrame =
+    toks.select(posexplode(array((0 until Depth).map(r => bucket(r, col("tok"))): _*)))
+      .groupBy(col("pos").as("r"), col("col").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for candidate tokens: min over the Depth row
+    * counters, where a counter no token ever hashed to is a true ZERO
+    * (left join + coalesce — an inner join would silently overestimate
+    * absent probes by dropping their empty rows). `cands` must carry a
+    * `tok` column; all its columns pass through. The sketch side
+    * broadcasts (bounded Depth·Width rows). */
+  def estimates(cands: DataFrame, sk: DataFrame): DataFrame = {
+    val passThrough = cands.columns.map(col).toSeq
+    cands
+      .select(passThrough :+
+        posexplode(array((0 until Depth).map(r => bucket(r, col("tok"))): _*)): _*)
+      .withColumnsRenamed(Map("pos" -> "r", "col" -> "b"))
+      .join(broadcast(sk), Seq("r", "b"), "left")
+      .groupBy(passThrough: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -317,6 +317,23 @@ object TextQualityQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)
     }),
+    // heavy hitters via count-min sketch (ext.CountMin): the
+    // fixed-memory alternative to the vocab aggregation when the token
+    // space won't fit a shuffle — Depth·Width counters total. The
+    // exact-count side here exists only as the query's verification
+    // contract (overestimate_ok: the CMS ≥-true guarantee per token);
+    // a production probe joins candidates against the broadcast sketch
+    // alone. Deterministic md5 row hashes → the oracle REPLAYS the
+    // sketch, it doesn't trust a plant.
+    "q_cms_heavy_hitters" -> ((s, d) => {
+      val toks = graft.ext.CountMin.tokens(Tables.documents(s, d), "text")
+      val sk = graft.ext.CountMin.sketch(toks)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      graft.ext.CountMin.estimates(exact, sk)
+        .withColumn("overestimate_ok", col("est") >= col("n"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
     // within-doc repetition signals (the Gopher-style quality rule):
     // token and trigram duplication counts, pure column algebra —
     // map-only, integer outputs so the gate can't hinge on rounding
@@ -573,6 +590,26 @@ object TextQualityQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    "q_cms_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |                   FROM documents) t WHERE tok <> ''),
+         |rb AS (
+         |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8)
+         |            AS BIGINT) % ${graft.ext.CountMin.Width} AS b
+         |  FROM toks CROSS JOIN (SELECT unnest(range(${graft.ext.CountMin.Depth})) AS r)),
+         |sk AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+         |ex AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+         |est AS (
+         |  SELECT e.tok, e.n, min(coalesce(s.cnt, 0)) AS est
+         |  FROM ex e
+         |  CROSS JOIN (SELECT unnest(range(${graft.ext.CountMin.Depth})) AS r2)
+         |  LEFT JOIN sk s ON s.r = r2
+         |   AND s.b = CAST('0x' || substr(md5(CAST(r2 AS VARCHAR) || ':' || e.tok), 1, 8)
+         |             AS BIGINT) % ${graft.ext.CountMin.Width}
+         |  GROUP BY 1, 2)
+         |SELECT tok, n, est, est >= n AS overestimate_ok
+         |FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |w AS (SELECT doc_id, a,
