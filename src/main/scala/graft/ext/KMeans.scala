@@ -73,16 +73,13 @@ object KMeans {
     pts.withColumn("cluster", best.getField("c"))
   }
 
-  /** Lloyd k-means: k centroids seeded from the k lowest-id points,
-    * `iters` rounds of (assign, mean-update; an emptied cluster keeps
-    * its previous centroid), returning the final (idCol, cluster)
-    * assignment against the post-update centroids. */
-  def fit(em: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 0, s"KMeans: need k >= 1, iters >= 0 (got $k, $iters)")
-    val pts = em
-      .select(col(idCol).cast("long").as("vec_id"), quantCol(col(vecCol)).as("q"))
-      .localCheckpoint()
+  private def quantPoints(em: DataFrame, idCol: String, vecCol: String): DataFrame =
+    em.select(col(idCol).cast("long").as("vec_id"), quantCol(col(vecCol)).as("q"))
+
+  /** The Lloyd loop over an already-quantized (vec_id, q) relation:
+    * seed from the k lowest ids, `iters` rounds of (assign,
+    * mean-update; an emptied cluster keeps its previous centroid). */
+  private def lloyd(pts: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = pts.orderBy(col("vec_id")).limit(k).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).map(_ * CScale).toArray)
@@ -100,7 +97,33 @@ object KMeans {
       }
       cents = next
     }
-    assign(pts, cents).select(col("vec_id"), col("cluster"))
+    cents
+  }
+
+  /** Train and return the centroid model alone — k·d longs of driver
+    * metadata, the broadcastable artifact a serving/streaming tier
+    * assigns against ([[assignWith]]). */
+  def fitCentroids(em: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, s"KMeans: need k >= 1, iters >= 0 (got $k, $iters)")
+    lloyd(quantPoints(em, idCol, vecCol).localCheckpoint(), k, iters)
+  }
+
+  /** Map-only assignment of a (possibly streaming) relation against a
+    * trained centroid model: no join, no shuffle, no state — the
+    * centroids ride the expression tree as literals. */
+  def assignWith(em: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[Array[Long]]): DataFrame =
+    assign(quantPoints(em, idCol, vecCol), cents)
+      .select(col("vec_id"), col("cluster"))
+
+  /** Lloyd k-means: [[fitCentroids]] then the final (idCol, cluster)
+    * assignment against the post-update centroids. */
+  def fit(em: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"KMeans: need k >= 1, iters >= 0 (got $k, $iters)")
+    val pts = quantPoints(em, idCol, vecCol).localCheckpoint()
+    assign(pts, lloyd(pts, k, iters)).select(col("vec_id"), col("cluster"))
   }
 
   /** The identical computation as DuckDB SQL over `table(vec_id,

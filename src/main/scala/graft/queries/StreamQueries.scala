@@ -482,6 +482,35 @@ object StreamQueries {
       graft.ext.Bm25.topK(s, idxDir, qterms, 10)
     }),
 
+    // streaming topic-shard routing: centroids train once on the base
+    // corpus (k·d longs of driver metadata), then a LIVE stream of new
+    // embeddings is assigned map-only per micro-batch — no join, no
+    // state store — and appended to a cluster-partitioned shard store.
+    // The oracle replays the batch k-means on the base corpus: the
+    // shifted copies carry identical embeddings, so their streamed
+    // assignments must equal the batch assignments exactly, whatever
+    // order the two micro-batches commit in.
+    "q_stream_kmeans_ingest" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.ext.KMeans.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 4)
+      val srcDir = freshScratchDir(d, "kmnew")
+      java.nio.file.Files.createDirectories(srcDir)
+      val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+      writeOnePart(srcDir, "a", copies.filter(col("vec_id") % 2 === 0))
+      writeOnePart(srcDir, "b", copies.filter(col("vec_id") % 2 =!= 0))
+      val outDir = freshScratchDir(d, "kmshards").toString
+      val stream = s.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.kmeansIngest(s, stream, outDir, cents,
+        "vec_id", "embedding")
+      s.read.parquet(outDir)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -671,6 +700,9 @@ object StreamQueries {
     "q_stream_bm25_ingest" -> RetrievalQueries.bm25OracleSql(
       """SELECT doc_id, text FROM documents
         |    UNION ALL SELECT doc_id + 1000000, text FROM documents""".stripMargin),
+    "q_stream_kmeans_ingest" ->
+      (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
+        "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),
     // the batch screen's own oracle — streaming and batch must agree
     // on bounded input (unification), and the stateless form makes
     // the agreement exact under any micro-batch split

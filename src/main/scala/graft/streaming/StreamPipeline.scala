@@ -368,6 +368,32 @@ object StreamPipeline {
     * batch and append its attribute rows to the persisted relation
     * ([[graft.ext.Attributes.ingestIntoAttributes]]). Returns the
     * number of non-empty batches processed. */
+  /** Streaming topic-shard routing — [[ivfIngest]]'s pattern applied
+    * to the k-means model: each micro-batch of new embeddings is
+    * assigned to its nearest trained centroid MAP-ONLY (the centroids
+    * are k·d longs of driver metadata riding the closure — no join, no
+    * shuffle, no state store) and appended to the store partitioned by
+    * cluster, so every topic shard stays directly scannable between
+    * batches. @return non-empty micro-batches ingested. */
+  def kmeansIngest(spark: SparkSession, stream: DataFrame, outDir: String,
+                   cents: Array[Array[Long]],
+                   idCol: String, vecCol: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.ext.KMeans.assignWith(batch, idCol, vecCol, cents)
+            .write.mode("append").partitionBy("cluster").parquet(outDir)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    batches.get()
+  }
+
   def attrsIngest(spark: SparkSession, stream: DataFrame,
                   attrsDir: String): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)

@@ -76,6 +76,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("streaming ingest routes across ≥2 micro-batches exactly like batch assignment") {
+    val tmp = java.nio.file.Files.createTempDirectory("kmspec").toString
+    val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val cents = KMeans.fitCentroids(blobs, "vec_id", "embedding", k = 3, iters = 3)
+    // two files → maxFilesPerTrigger=1 forces two micro-batches
+    blobs.filter($"vec_id" % 2 === 0).coalesce(1).write.parquet(s"$srcDir/a")
+    blobs.filter($"vec_id" % 2 =!= 0).coalesce(1).write.parquet(s"$srcDir/b")
+    val stream = spark.readStream.schema(blobs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val nBatches = graft.streaming.StreamPipeline.kmeansIngest(
+      spark, stream, outDir, cents, "vec_id", "embedding")
+    assert(nBatches >= 2, s"expected >=2 micro-batches, got $nBatches")
+    val streamed = spark.read.parquet(outDir)
+      .select($"vec_id", $"cluster".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val direct = KMeans.assignWith(blobs, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(streamed == direct)
+  }
+
   test("|component| ≥ Shift fails loudly, not by silent wraparound") {
     val df = Seq((0L, Seq(0.0f, 99.0f)), (1L, Seq(0.1f, 0.2f)))
       .toDF("vec_id", "embedding")
