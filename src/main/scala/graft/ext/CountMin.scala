@@ -49,6 +49,22 @@ object CountMin {
       .groupBy(col("pos").as("r"), col("col").as("b"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Append one batch's PARTIAL sketch to an on-disk store. CMS is
+    * mergeable — counters of independent sketches sum — so maintenance
+    * is append-only: no read-modify-write of live data, crash-safe,
+    * single-writer like the other ingest stores ([[graft.ext.Bm25]]
+    * scaladoc). The store grows ≤ Depth·Width rows per batch between
+    * compactions; [[storeSketch]] folds it back to one sketch. */
+  def ingestIntoStore(dir: String, batch: DataFrame, textCol: String): Unit =
+    sketch(tokens(batch, textCol)).write.mode("append").parquet(dir)
+
+  /** The merged sketch of everything ingested: SUM per counter before
+    * any min — the mergeability identity sum-of-sketches =
+    * sketch-of-union. */
+  def storeSketch(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates for candidate tokens: min over the Depth row
     * counters, where a counter no token ever hashed to is a true ZERO
     * (left join + coalesce — an inner join would silently overestimate

@@ -511,6 +511,35 @@ object StreamQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // streaming count-min maintenance: per micro-batch PARTIAL
+    // sketches append to the store (no read side at all — counters of
+    // independent sketches sum), and the merged store must equal the
+    // sketch of the unioned corpus bit-for-bit: the mergeability
+    // identity, asserted by replaying the doubled corpus in the
+    // oracle. The exact-count side is the contract verifier only.
+    "q_stream_cms_ingest" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val srcDir = freshScratchDir(d, "cmsnew")
+      java.nio.file.Files.createDirectories(srcDir)
+      val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      writeOnePart(srcDir, "a", docs)
+      writeOnePart(srcDir, "b", copies)
+      val storeDir = freshScratchDir(d, "cmsstore").toString
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.cmsIngest(s, stream, storeDir, "text")
+      val union = docs.select(col("text")).unionAll(copies.select(col("text")))
+      val exact = graft.ext.CountMin.tokens(union, "text")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      graft.ext.CountMin
+        .estimates(exact, graft.ext.CountMin.storeSketch(s, storeDir))
+        .withColumn("overestimate_ok", col("est") >= col("n"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -703,6 +732,8 @@ object StreamQueries {
     "q_stream_kmeans_ingest" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),
+    "q_stream_cms_ingest" -> TextQualityQueries.cmsOracleSql(
+      "SELECT text FROM documents UNION ALL SELECT text FROM documents"),
     // the batch screen's own oracle — streaming and batch must agree
     // on bounded input (unification), and the stateless form makes
     // the agreement exact under any micro-batch split

@@ -425,6 +425,32 @@ object TextQualityQueries {
     }),
   )
 
+  /** The count-min replay over any `SELECT text …` corpus relation —
+    * shared by the batch query and the streaming-ingest query (whose
+    * merged store must equal the sketch of the unioned corpus: the
+    * mergeability identity). */
+  def cmsOracleSql(docsFrom: String): String =
+    s"""WITH docs AS ($docsFrom),
+       |toks AS (
+       |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |                   FROM docs) t WHERE tok <> ''),
+       |rb AS (
+       |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8)
+       |            AS BIGINT) % ${graft.ext.CountMin.Width} AS b
+       |  FROM toks CROSS JOIN (SELECT unnest(range(${graft.ext.CountMin.Depth})) AS r)),
+       |sk AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+       |ex AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+       |est AS (
+       |  SELECT e.tok, e.n, min(coalesce(s.cnt, 0)) AS est
+       |  FROM ex e
+       |  CROSS JOIN (SELECT unnest(range(${graft.ext.CountMin.Depth})) AS r2)
+       |  LEFT JOIN sk s ON s.r = r2
+       |   AND s.b = CAST('0x' || substr(md5(CAST(r2 AS VARCHAR) || ':' || e.tok), 1, 8)
+       |             AS BIGINT) % ${graft.ext.CountMin.Width}
+       |  GROUP BY 1, 2)
+       |SELECT tok, n, est, est >= n AS overestimate_ok
+       |FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_pred
@@ -590,26 +616,7 @@ object TextQualityQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |WHERE tok <> '' GROUP BY tok
         |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
-    "q_cms_heavy_hitters" ->
-      s"""WITH toks AS (
-         |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
-         |                   FROM documents) t WHERE tok <> ''),
-         |rb AS (
-         |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8)
-         |            AS BIGINT) % ${graft.ext.CountMin.Width} AS b
-         |  FROM toks CROSS JOIN (SELECT unnest(range(${graft.ext.CountMin.Depth})) AS r)),
-         |sk AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
-         |ex AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
-         |est AS (
-         |  SELECT e.tok, e.n, min(coalesce(s.cnt, 0)) AS est
-         |  FROM ex e
-         |  CROSS JOIN (SELECT unnest(range(${graft.ext.CountMin.Depth})) AS r2)
-         |  LEFT JOIN sk s ON s.r = r2
-         |   AND s.b = CAST('0x' || substr(md5(CAST(r2 AS VARCHAR) || ':' || e.tok), 1, 8)
-         |             AS BIGINT) % ${graft.ext.CountMin.Width}
-         |  GROUP BY 1, 2)
-         |SELECT tok, n, est, est >= n AS overestimate_ok
-         |FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin,
+    "q_cms_heavy_hitters" -> cmsOracleSql("SELECT text FROM documents"),
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |w AS (SELECT doc_id, a,

@@ -394,6 +394,29 @@ object StreamPipeline {
     batches.get()
   }
 
+  /** Streaming count-min maintenance: each micro-batch's PARTIAL
+    * sketch (bounded Depth·Width rows of batch-local counting) appends
+    * to the store — the sketch-mergeability identity makes this the
+    * rare ingest with NO read side at all; serving folds the log with
+    * one bounded groupBy ([[graft.ext.CountMin.storeSketch]]).
+    * @return non-empty micro-batches ingested. */
+  def cmsIngest(spark: SparkSession, stream: DataFrame, storeDir: String,
+                textCol: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.ext.CountMin.ingestIntoStore(storeDir, batch, textCol)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    batches.get()
+  }
+
   def attrsIngest(spark: SparkSession, stream: DataFrame,
                   attrsDir: String): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)

@@ -55,6 +55,17 @@ class CountMinSpec extends AnyFunSuite {
     assert(top.getLong(2) >= 50, s"alpha true count is 50: $top")
   }
 
+  test("sum of split-corpus sketches equals the union sketch (mergeability)") {
+    val (left, right) = (docs.filter($"doc_id" <= 20), docs.filter($"doc_id" > 20))
+    val merged = CountMin.sketch(CountMin.tokens(left, "text"))
+      .unionAll(CountMin.sketch(CountMin.tokens(right, "text")))
+      .groupBy($"r", $"b").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = CountMin.sketch(toks)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("an absent probe token gets a 0-or-collision-mass estimate, never a drop") {
     val sk = CountMin.sketch(toks)
     val cand = Seq("neverseen").toDF("tok")
