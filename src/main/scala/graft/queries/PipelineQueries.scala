@@ -15,6 +15,35 @@ object PipelineQueries {
 
   private val FixtureDir = "/root/reference/nifi-extracttext-processors/src/test/resources"
 
+  /** The planted page + real-parse link rows shared by q_html_links
+    * and q_anchor_text: every document renders to HTML whose three
+    * anchors exercise double-quoted, single-quoted-with-entity, and
+    * bare-attribute parses; <title>/<script> content must NOT leak.
+    * Returns (doc_id, idx, href, anchor) via the REAL extractor UDF —
+    * the oracles predict these rows analytically from id arithmetic,
+    * so only a correct attribute parse + entity decode can match. */
+  private def plantedLinkRows(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script>var x=1;</script></head><body><p>intro</p>"),
+      lit("<a href=\"https://ref-"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/page/"), id, lit("\">ref "), id, lit("</a>"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<a href='/rel/"), id, lit("'>internal &amp; local</a>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a class=\"x\" href=/bare/"), id, lit(">bare "),
+          (col("doc_id") % 5).cast("string"), lit("</a>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val linksUdf = udf((h: String) => graft.extract.HtmlText.extractLinks(h))
+    docs.select(col("doc_id"), linksUdf(html).as("ls"))
+      .select(col("doc_id"), posexplode(col("ls")))
+      .select(col("doc_id"), col("pos").as("idx"),
+        col("col._1").as("href"), col("col._2").as("anchor"))
+  }
+
   private def docsWithSentiment(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("sentiment", Sentiment.sentimentCol(col("text")))
 
@@ -231,27 +260,35 @@ object PipelineQueries {
     // anchors. The oracle predicts (idx, href, decoded text)
     // analytically from id arithmetic, so only a real attribute parse
     // + entity decode can match. Map-only.
-    "q_html_links" -> ((s, d) => {
-      val id = col("doc_id").cast("string")
-      val html = concat(
-        lit("<html><head><title>Doc "), id,
-        lit("</title><script>var x=1;</script></head><body><p>intro</p>"),
-        lit("<a href=\"https://ref-"), (col("doc_id") % 7).cast("string"),
-        lit(".example.com/page/"), id, lit("\">ref "), id, lit("</a>"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit("<a href='/rel/"), id, lit("'>internal &amp; local</a>")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("<a class=\"x\" href=/bare/"), id, lit(">bare "),
-            (col("doc_id") % 5).cast("string"), lit("</a>")))
-          .otherwise(lit("")),
-        lit("</body></html>"))
-      val linksUdf = udf((h: String) => graft.extract.HtmlText.extractLinks(h))
-      Tables.documents(s, d).select(col("doc_id"), linksUdf(html).as("ls"))
-        .select(col("doc_id"), posexplode(col("ls")))
-        .select(col("doc_id"), col("pos").as("idx"),
-          col("col._1").as("href"), col("col._2").as("anchor"))
-        .orderBy(col("doc_id"), col("idx"))
+    "q_html_links" -> ((s, d) =>
+      plantedLinkRows(Tables.documents(s, d))
+        .select(col("doc_id"), col("idx"), col("href"), col("anchor"))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    // Anchor-text corpus construction over the same planted link
+    // graph: anchors describe the TARGET page (the classic web-corpus
+    // training/retrieval signal), so per registrable target host we
+    // keep the top-3 anchor strings by frequency plus the host's
+    // inlink total. Only absolute links aggregate here — a relative
+    // href needs the page's own base URL joined in first (documented,
+    // not silently hosted as ""). Scale shape: the ranking window runs
+    // over the (host, anchor, cnt) AGGREGATE — bounded by distinct
+    // anchor-text cardinality, never the link stream — and the totals
+    // join is host-cardinality.
+    "q_anchor_text" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val abs = plantedLinkRows(Tables.documents(s, d))
+        .withColumn("host", regexp_extract(col("href"), "^https?://([^/]+)", 1))
+        .filter(col("host") =!= "")
+      val perAnchor = abs.groupBy(col("host"), col("anchor"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = abs.groupBy(col("host")).agg(count(lit(1)).as("n_links"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("cnt").desc, col("anchor"))
+      perAnchor.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .join(totals, Seq("host"))
+        .orderBy(col("host"), col("rank"))
     }),
 
     // Schema evolution across shard generations — the operational
@@ -423,6 +460,23 @@ object PipelineQueries {
         |SELECT doc_id, idx, href, anchor FROM (
         |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
         |ORDER BY doc_id, idx""".stripMargin,
+    // only the a1 anchors are absolute (the relative /rel and /bare
+    // hrefs are excluded until resolved against a base URL — mirroring
+    // the engine's documented absolute-only aggregation)
+    "q_anchor_text" ->
+      """WITH l AS (
+        |  SELECT 'ref-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |    'ref ' || CAST(doc_id AS VARCHAR) AS anchor
+        |  FROM documents),
+        |pa AS (SELECT host, anchor, count(*) AS cnt FROM l GROUP BY 1, 2),
+        |t AS (SELECT host, count(*) AS n_links FROM l GROUP BY 1),
+        |r AS (SELECT host, anchor, cnt,
+        |        row_number() OVER (PARTITION BY host
+        |                           ORDER BY cnt DESC, anchor) AS rank
+        |      FROM pa)
+        |SELECT host, anchor, cnt, rank, n_links
+        |FROM r JOIN t USING (host) WHERE rank <= 3
+        |ORDER BY host, rank""".stripMargin,
     "q_schema_merge" ->
       """SELECT doc_id, source, CAST(NULL AS BIGINT) AS quality,
         |  CAST(1 AS INT) AS gen
