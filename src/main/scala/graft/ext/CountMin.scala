@@ -65,13 +65,25 @@ object CountMin {
     spark.read.parquet(dir)
       .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Column names [[estimates]] uses internally — a candidate relation
+    * carrying any of them would collide with the explode/join plumbing
+    * and mis-estimate, so the contract is enforced loudly. */
+  private val ReservedCols = Set("r", "b", "pos", "col", "cnt", "est")
+
   /** Point estimates for candidate tokens: min over the Depth row
     * counters, where a counter no token ever hashed to is a true ZERO
     * (left join + coalesce — an inner join would silently overestimate
     * absent probes by dropping their empty rows). `cands` must carry a
-    * `tok` column; all its columns pass through. The sketch side
-    * broadcasts (bounded Depth·Width rows). */
+    * `tok` column and none of [[ReservedCols]]; all its columns pass
+    * through with SET semantics (the estimate groups by every
+    * candidate column, so exact-duplicate candidate rows collapse to
+    * one — pass a distinct/aggregated candidate relation). The sketch
+    * side broadcasts (bounded Depth·Width rows). */
   def estimates(cands: DataFrame, sk: DataFrame): DataFrame = {
+    require(cands.columns.contains("tok"), "estimates: cands needs a 'tok' column")
+    val clash = cands.columns.filter(ReservedCols)
+    require(clash.isEmpty,
+      s"estimates: candidate columns collide with internals: ${clash.mkString(", ")}")
     val passThrough = cands.columns.map(col).toSeq
     cands
       .select(passThrough :+

@@ -45,15 +45,22 @@ object KMeans {
   /** Extra centroid scale so means keep 8 fractional bits. */
   val CScale = 256L
 
-  /** Non-negative long quantization of a float/double array column. */
-  def quantCol(vec: Column): Column =
-    transform(vec, x => {
+  /** Non-negative long quantization of a float/double array column.
+    * NULL vectors and NULL components raise like out-of-range values —
+    * a null would otherwise quantize to null and silently drag its
+    * centroid coordinate toward zero in the M-step. */
+  def quantCol(vec: Column): Column = {
+    val quantized = transform(vec, x => {
       val xd = x.cast("double")
-      when(abs(xd) >= lit(Shift),
-        raise_error(concat(lit(s"KMeans: |component| >= $Shift: "), xd.cast("string"))))
+      when(xd.isNull || abs(xd) >= lit(Shift),
+        raise_error(concat(lit(s"KMeans: component null or |x| >= $Shift: "),
+          coalesce(xd.cast("string"), lit("null")))))
         .otherwise(floor((xd + lit(Shift)) * lit(Quant.toDouble)))
         .cast("long")
     })
+    when(vec.isNull, raise_error(lit("KMeans: null embedding vector")))
+      .otherwise(quantized)
+  }
 
   /** Squared distance from the quantized point column `q` to one
     * centroid (scale Quant·CScale), as an exact long sum. */
@@ -102,11 +109,20 @@ object KMeans {
 
   /** Train and return the centroid model alone — k·d longs of driver
     * metadata, the broadcastable artifact a serving/streaming tier
-    * assigns against ([[assignWith]]). */
+    * assigns against ([[assignWith]]). The quantized-points
+    * localCheckpoint lives only for the iters+1 training passes:
+    * Dataset.unpersist does NOT free checkpoint blocks (the Bpe
+    * precedent), so the blocks are freed deterministically here
+    * instead of lingering until driver GC. */
   def fitCentroids(em: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Array[Array[Long]] = {
     require(k >= 1 && iters >= 0, s"KMeans: need k >= 1, iters >= 0 (got $k, $iters)")
-    lloyd(quantPoints(em, idCol, vecCol).localCheckpoint(), k, iters)
+    val sc = em.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val pts = quantPoints(em, idCol, vecCol).localCheckpoint()
+    try lloyd(pts, k, iters)
+    finally (sc.getPersistentRDDs.keySet.toSet -- before)
+      .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
   }
 
   /** Map-only assignment of a (possibly streaming) relation against a
@@ -118,13 +134,14 @@ object KMeans {
       .select(col("vec_id"), col("cluster"))
 
   /** Lloyd k-means: [[fitCentroids]] then the final (idCol, cluster)
-    * assignment against the post-update centroids. */
+    * assignment against the post-update centroids. The final
+    * assignment deliberately re-reads the SOURCE (one extra map-only
+    * quantization pass) rather than the training checkpoint, so the
+    * checkpoint blocks can be freed the moment training ends instead
+    * of living as long as the caller's plan. */
   def fit(em: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 0, s"KMeans: need k >= 1, iters >= 0 (got $k, $iters)")
-    val pts = quantPoints(em, idCol, vecCol).localCheckpoint()
-    assign(pts, lloyd(pts, k, iters)).select(col("vec_id"), col("cluster"))
-  }
+          k: Int, iters: Int): DataFrame =
+    assignWith(em, idCol, vecCol, fitCentroids(em, idCol, vecCol, k, iters))
 
   /** The identical computation as DuckDB SQL over `table(vec_id,
     * embedding)`: CTE chain `pts, c0, a1, s1, c1, …, a{iters+1}`;

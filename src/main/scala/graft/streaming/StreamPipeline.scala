@@ -317,10 +317,12 @@ object StreamPipeline {
     * storage (not a state store), and the k-row centroid model is the
     * only driver-resident object. Centroid drift is handled by the
     * next full rebuild, the standard IVF maintenance split. */
-  /** @return number of non-empty micro-batches ingested (the
-    *         cross-batch contract in StreamingSpec pins ≥ 2). */
-  def ivfIngest(spark: SparkSession, stream: DataFrame, indexDir: String,
-                idCol: String, vecCol: String): Long = {
+  /** The shared ingest drain: run `body` on every non-empty
+    * micro-batch until the sources are fully committed, returning the
+    * non-empty batch count (the cross-batch contracts in StreamingSpec
+    * and the ingest queries pin ≥ 2). All five store-maintenance
+    * ingests below are this loop plus one per-batch line. */
+  private def drainIngest(stream: DataFrame)(body: DataFrame => Unit): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
@@ -328,14 +330,20 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           batches.incrementAndGet()
-          graft.ext.Ivf.ingestIntoIndex(batch.sparkSession, indexDir, batch,
-            idCol, vecCol)
+          body(batch)
         }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     batches.get()
   }
+
+  /** @return number of non-empty micro-batches ingested. */
+  def ivfIngest(spark: SparkSession, stream: DataFrame, indexDir: String,
+                idCol: String, vecCol: String): Long =
+    drainIngest(stream)(batch =>
+      graft.ext.Ivf.ingestIntoIndex(batch.sparkSession, indexDir, batch,
+        idCol, vecCol))
 
   /** Streaming BM25 index maintenance — [[ivfIngest]]'s pattern
     * applied to the lexical index ([[graft.ext.Bm25.ingestIntoIndex]]):
@@ -343,96 +351,44 @@ object StreamPipeline {
     * work), its tf rows appended to the token-partitioned store, and
     * df/stats re-derived from the INDEX (posting-bounded, the corpus
     * is never rescanned). State is the on-disk index, not a state
-    * store; probes after a committed batch score the union corpus.
-    * @return number of non-empty micro-batches ingested (the
-    *         cross-batch contract in StreamingSpec pins ≥ 2). */
+    * store; probes after a committed batch score the union corpus. */
   def bm25Ingest(spark: SparkSession, stream: DataFrame, indexDir: String,
-                 idCol: String, textCol: String): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batches.incrementAndGet()
-          graft.ext.Bm25.ingestIntoIndex(batch.sparkSession, indexDir, batch,
-            idCol, textCol)
-        }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    batches.get()
-  }
+                 idCol: String, textCol: String): Long =
+    drainIngest(stream)(batch =>
+      graft.ext.Bm25.ingestIntoIndex(batch.sparkSession, indexDir, batch,
+        idCol, textCol))
 
-  /** Streaming Dolma-attributes maintenance: per micro-batch, tag the
-    * batch and append its attribute rows to the persisted relation
-    * ([[graft.ext.Attributes.ingestIntoAttributes]]). Returns the
-    * number of non-empty batches processed. */
   /** Streaming topic-shard routing — [[ivfIngest]]'s pattern applied
     * to the k-means model: each micro-batch of new embeddings is
     * assigned to its nearest trained centroid MAP-ONLY (the centroids
     * are k·d longs of driver metadata riding the closure — no join, no
     * shuffle, no state store) and appended to the store partitioned by
     * cluster, so every topic shard stays directly scannable between
-    * batches. @return non-empty micro-batches ingested. */
+    * batches. */
   def kmeansIngest(spark: SparkSession, stream: DataFrame, outDir: String,
                    cents: Array[Array[Long]],
-                   idCol: String, vecCol: String): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batches.incrementAndGet()
-          graft.ext.KMeans.assignWith(batch, idCol, vecCol, cents)
-            .write.mode("append").partitionBy("cluster").parquet(outDir)
-        }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    batches.get()
-  }
+                   idCol: String, vecCol: String): Long =
+    drainIngest(stream)(batch =>
+      graft.ext.KMeans.assignWith(batch, idCol, vecCol, cents)
+        .write.mode("append").partitionBy("cluster").parquet(outDir))
 
   /** Streaming count-min maintenance: each micro-batch's PARTIAL
     * sketch (bounded Depth·Width rows of batch-local counting) appends
     * to the store — the sketch-mergeability identity makes this the
     * rare ingest with NO read side at all; serving folds the log with
-    * one bounded groupBy ([[graft.ext.CountMin.storeSketch]]).
-    * @return non-empty micro-batches ingested. */
+    * one bounded groupBy ([[graft.ext.CountMin.storeSketch]]). */
   def cmsIngest(spark: SparkSession, stream: DataFrame, storeDir: String,
-                textCol: String): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batches.incrementAndGet()
-          graft.ext.CountMin.ingestIntoStore(storeDir, batch, textCol)
-        }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    batches.get()
-  }
+                textCol: String): Long =
+    drainIngest(stream)(batch =>
+      graft.ext.CountMin.ingestIntoStore(storeDir, batch, textCol))
 
+  /** Streaming Dolma-attributes maintenance: per micro-batch, tag the
+    * batch and append its attribute rows to the persisted relation
+    * ([[graft.ext.Attributes.ingestIntoAttributes]]). */
   def attrsIngest(spark: SparkSession, stream: DataFrame,
-                  attrsDir: String): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batches.incrementAndGet()
-          graft.ext.Attributes.ingestIntoAttributes(attrsDir, batch)
-        }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    batches.get()
-  }
+                  attrsDir: String): Long =
+    drainIngest(stream)(batch =>
+      graft.ext.Attributes.ingestIntoAttributes(attrsDir, batch))
 
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction

@@ -97,6 +97,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(streamed == direct)
   }
 
+  test("null components and null vectors fail loudly, not by quantizing to null") {
+    // a null would otherwise propagate through every distance and let
+    // array_min silently assign the row while dragging its centroid
+    // coordinate toward zero in the M-step
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    val nullComp = spark.sql(
+      "SELECT 0L AS vec_id, array(CAST(NULL AS FLOAT), CAST(0.1 AS FLOAT)) AS embedding " +
+        "UNION ALL SELECT 1L, array(CAST(0.2 AS FLOAT), CAST(0.3 AS FLOAT))")
+    val e1 = intercept[Exception] {
+      KMeans.fit(nullComp, "vec_id", "embedding", k = 1, iters = 1).collect()
+    }
+    assert(messages(e1).exists(_.contains("KMeans")), s"unexpected error: $e1")
+    val nullVec = spark.sql(
+      "SELECT 0L AS vec_id, CAST(NULL AS ARRAY<FLOAT>) AS embedding " +
+        "UNION ALL SELECT 1L, array(CAST(0.2 AS FLOAT), CAST(0.3 AS FLOAT))")
+    val e2 = intercept[Exception] {
+      KMeans.fit(nullVec, "vec_id", "embedding", k = 1, iters = 1).collect()
+    }
+    assert(messages(e2).exists(_.contains("KMeans")), s"unexpected error: $e2")
+  }
+
   test("|component| ≥ Shift fails loudly, not by silent wraparound") {
     val df = Seq((0L, Seq(0.0f, 99.0f)), (1L, Seq(0.1f, 0.2f)))
       .toDF("vec_id", "embedding")
