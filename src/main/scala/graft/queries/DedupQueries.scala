@@ -30,6 +30,26 @@ object DedupQueries {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", n = 3, minJ = 0.8)
         .orderBy(col("i"), col("j"))
     }),
+    // cross-source duplication accounting ("which sources copy from
+    // which"): the sub-quadratic near-dup pair relation joined back to
+    // each side's source, pair order normalized (least, greatest) so
+    // the matrix is triangular whatever order the pair emitted in.
+    // Shuffles: the pair path's own + two id-keyed joins against a
+    // 2-column relation + a source²-bounded aggregate — the guidance
+    // artifact for dedup policy and license review at corpus scale.
+    "q_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, minJ = 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.as("sa"), col("i") === col("sa.doc_id"))
+        .join(src.as("sb"), col("j") === col("sb.doc_id"))
+        .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+          greatest(col("sa.source"), col("sb.source")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
     // df-capped inverted index: candidates from shingles with df ≤ 20
     // only (boilerplate shingles carry no dedup signal but dominate
     // the Σdf² pair blowup), full Jaccard re-verified on survivors;
@@ -387,6 +407,18 @@ object DedupQueries {
     // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
+    "q_source_overlap" -> (ExtHelpers.shingleCte +
+      """,dpairs AS (
+        |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
+        |                         JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
+        |m AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |         greatest(da.source, db.source) AS src_b
+        |  FROM dpairs JOIN documents da ON da.doc_id = i
+        |              JOIN documents db ON db.doc_id = j)
+        |SELECT src_a, src_b, count(*) AS n_pairs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q_dedup_ngram_capped" -> jaccardCappedOracle,
     // planted-duplicate contracts for the engine-specific-hash dedup
     // ops (see the query scaladocs for why each bound is what it is)
