@@ -22,6 +22,14 @@ object CurationQueries {
       CurationFilters.gopherFrame(in, "text").orderBy(col("doc_id"))
     }),
 
+    // BERT-style MLM training-pair construction (Devlin et al. 2019):
+    // deterministic md5-derived 80/10/10 decisions per position, the
+    // random replacement drawn from the document's own tokens — see
+    // ext.MlmMask. Map-only; the oracle replays every decision.
+    "q_mlm_masking" -> ((s, d) =>
+      graft.ext.MlmMask.maskFrame(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // fastText-shaped LINEAR classifier gate (DCLM / FineWeb-Edu's
     // model-based stage; Joulin et al. 2016): hashed unigram+bigram
     // buckets, broadcast-sized weight table, integer Σw > θ·N keep.
@@ -511,6 +519,9 @@ object CurationQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_mlm_masking" ->
+      graft.ext.MlmMask.oracleSql("documents", "doc_id", "text"),
 
     "q_quality_classifier" ->
       s"""WITH res AS (
