@@ -69,7 +69,8 @@ object Bench {
       "q_stream_warc", "q_dolma_mix", "q_dolma_remix", "q_keyword_tag",
       "q_stream_attrs_ingest", "q_kmeans_topics", "q_kmeans_balanced_sample",
       "q_cms_heavy_hitters", "q_stream_kmeans_ingest", "q_stream_cms_ingest",
-      "q_anchor_text", "q_source_overlap", "q_mlm_masking")
+      "q_anchor_text", "q_source_overlap", "q_mlm_masking",
+      "q_fim_transform")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

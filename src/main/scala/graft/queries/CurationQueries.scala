@@ -30,6 +30,13 @@ object CurationQueries {
       graft.ext.MlmMask.maskFrame(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // fill-in-the-middle PSM transform (Bavarian et al. 2022): two
+    // md5-chosen token cuts per document, emitted as <PRE> prefix
+    // <SUF> suffix <MID> middle — see ext.Fim. Map-only.
+    "q_fim_transform" -> ((s, d) =>
+      graft.ext.Fim.psmFrame(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // fastText-shaped LINEAR classifier gate (DCLM / FineWeb-Edu's
     // model-based stage; Joulin et al. 2016): hashed unigram+bigram
     // buckets, broadcast-sized weight table, integer Σw > θ·N keep.
@@ -522,6 +529,9 @@ object CurationQueries {
 
     "q_mlm_masking" ->
       graft.ext.MlmMask.oracleSql("documents", "doc_id", "text"),
+
+    "q_fim_transform" ->
+      graft.ext.Fim.oracleSql("documents", "doc_id", "text"),
 
     "q_quality_classifier" ->
       s"""WITH res AS (
