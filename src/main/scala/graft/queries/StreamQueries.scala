@@ -611,6 +611,24 @@ object StreamQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MLM pair construction running THROUGH the streaming engine:
+    // every masking decision is a deterministic per-row projection, so
+    // the streamed pairs must equal the batch transform exactly under
+    // ANY micro-batch split — zero state, Append mode
+    "q_stream_mlm" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val p = freshScratchDir(d, "mlmstream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
+      writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val masked = graft.ext.MlmMask.maskFrame(stream, "doc_id", "text")
+      StreamPipeline.runAppendToMemory(s, masked, s"mlmstream_${d.hashCode.abs}")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_stream_chunk_cdc" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val p = freshScratchDir(d, "cdcstream")
@@ -741,6 +759,9 @@ object StreamQueries {
     // the batch gate's own oracle — stateless projection, so stream
     // and batch agree exactly under any micro-batch split
     "q_stream_gopher" -> CurationQueries.oracleSql("q_gopher_filter"),
+    // the batch MLM oracle verbatim — masking is a stateless per-row
+    // projection, so the streamed pairs are split-invariant
+    "q_stream_mlm" -> CurationQueries.oracleSql("q_mlm_masking"),
     // the batch CDC oracle verbatim — chunking is per-document, so the
     // stream must emit the identical chunk relation
     "q_stream_chunk_cdc" -> ExtQueries.oracleSql("q_chunk_cdc"),
