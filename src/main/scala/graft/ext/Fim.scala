@@ -17,10 +17,6 @@ import org.apache.spark.sql.functions._
   * spans are slices, the output one array concat + join. No shuffle. */
 object Fim {
 
-  private def u32(parts: Column*): Column =
-    conv(substring(md5(concat(parts: _*).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-
   /** (idCol, fim_text, c1, c2): the PSM string plus the cut points for
     * auditability. Documents shorter than 2 tokens still transform
     * (possibly-empty spans; the sentinels always emit). */
@@ -29,9 +25,9 @@ object Fim {
       .withColumn("n", size(col("a")).cast("long"))
     def key(tag: String) =
       concat(col(idCol).cast("string"), lit(s":$tag"))
-    val c1 = u32(key("fim1")) % (col("n") + 1)
+    val c1 = Sampling.u32(key("fim1")) % (col("n") + 1)
     val withC1 = base.withColumn("c1", c1)
-    val c2 = col("c1") + u32(key("fim2")) % (col("n") - col("c1") + 1)
+    val c2 = col("c1") + Sampling.u32(key("fim2")) % (col("n") - col("c1") + 1)
     val withC2 = withC1.withColumn("c2", c2)
     val pre = slice(col("a"), lit(1), col("c1").cast("int"))
     val mid = slice(col("a"), (col("c1") + 1).cast("int"),

@@ -29,37 +29,35 @@ object MlmMask {
   /** Of 10 selected slots: 0–7 mask, 8 random-replace, 9 keep. */
   val MaskOf10 = 8L
 
-  private def u32(parts: Column*): Column =
-    conv(substring(md5(concat(parts: _*).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-
   /** (idCol, masked_text, targets): masked_text is the input with the
     * selected positions rewritten per the 80/10/10 rule; targets is
-    * "pos=token" for every selected position, space-joined. */
+    * "pos=token" for every selected position, space-joined. ONE
+    * annotation pass computes each position's selection hash once
+    * (both emitted columns project from the materialized annotated
+    * array — positions come from the array itself, never
+    * sequence(0, n-1), whose n=0 case is the DESCENDING [0, -1]). */
   def maskFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.select(col(idCol), split(col(textCol), " ").as("a"))
       .withColumn("n", size(col("a")))
     def key(i: Column) =
       concat(col(idCol).cast("string"), lit(":"), i.cast("string"))
-    def sel(i: Column) = u32(key(i), lit(":sel")) % 100 < lit(SelPct)
-    def op(i: Column) = u32(key(i), lit(":op")) % 10
-    def pick(i: Column) = (u32(key(i), lit(":pick")) % col("n")).cast("int")
-    val masked = transform(col("a"), (x, i) =>
-      when(sel(i),
-        when(op(i) < lit(MaskOf10), lit("[MASK]"))
-          .when(op(i) === lit(MaskOf10), element_at(col("a"), pick(i) + 1))
-          .otherwise(x))
-        .otherwise(x))
-    // positions via an (i, x) struct pass over the array itself — NOT
-    // sequence(0, n-1), whose n=0 case is the DESCENDING [0, -1]
-    val targets = array_join(
-      transform(
-        filter(transform(col("a"), (x, i) => struct(i.as("i"), x.as("x"))),
-          s => sel(s.getField("i"))),
-        s => concat(s.getField("i").cast("string"), lit("="), s.getField("x"))),
-      " ")
-    base.select(col(idCol), array_join(masked, " ").as("masked_text"),
-      targets.as("targets"))
+    def sel(i: Column) = Sampling.u32(key(i), lit(":sel")) % 100 < lit(SelPct)
+    def op(i: Column) = Sampling.u32(key(i), lit(":op")) % 10
+    def pick(i: Column) = (Sampling.u32(key(i), lit(":pick")) % col("n")).cast("int")
+    val ann = transform(col("a"), (x, i) =>
+      struct(sel(i).as("s"), i.as("i"), x.as("x"),
+        when(sel(i),
+          when(op(i) < lit(MaskOf10), lit("[MASK]"))
+            .when(op(i) === lit(MaskOf10), element_at(col("a"), pick(i) + 1))
+            .otherwise(x))
+          .otherwise(x).as("m")))
+    base.withColumn("ann", ann).select(col(idCol),
+      array_join(transform(col("ann"), e => e.getField("m")), " ")
+        .as("masked_text"),
+      array_join(
+        transform(filter(col("ann"), e => e.getField("s")),
+          e => concat(e.getField("i").cast("string"), lit("="), e.getField("x"))),
+        " ").as("targets"))
   }
 
   /** The identical computation as DuckDB SQL over `table(idCol, textCol)`. */

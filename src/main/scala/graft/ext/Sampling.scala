@@ -33,6 +33,14 @@ object Sampling {
   /** Deterministic per-row selector in hex: uniform on [0, 16^32). */
   def selector(key: Column): Column = md5(key.cast("string").cast("binary"))
 
+  /** The numeric form of [[selector]]: first 8 md5 hex digits of the
+    * concatenated parts as a uint32-ranged long — shared by the
+    * hashed-decision operators (MLM masking, FIM cuts). The DuckDB
+    * mirror is `CAST('0x' || substr(md5(expr), 1, 8) AS BIGINT)`. */
+  def u32(parts: Column*): Column =
+    conv(substring(md5(concat(parts: _*).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
   /** Hex-prefix threshold for a keep-rate in [0, 1]: 8 hex digits =
     * rate·2^32 rounded, zero-padded ("80000000" ≈ 0.5). Rate 1.0 maps
     * to "g" — lexicographically above every hex digest — so keep-all

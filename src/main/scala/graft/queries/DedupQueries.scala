@@ -407,11 +407,8 @@ object DedupQueries {
     // 1-(1-J^4)^16 > 1-1e-21 on this corpus — the verified MinHash
     // output equals the exact all-pairs result (checked at sf0.01).
     "q_dedup_minhash" -> jaccardOracle,
-    "q_source_overlap" -> (ExtHelpers.shingleCte +
-      """,dpairs AS (
-        |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
-        |                         JOIN sizes sb ON sb.doc_id = j
-        |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
+    "q_source_overlap" -> (ExtHelpers.shingleCte + ExtHelpers.dpairsCte +
+      """,
         |m AS (
         |  SELECT least(da.source, db.source) AS src_a,
         |         greatest(da.source, db.source) AS src_b
@@ -471,15 +468,8 @@ object DedupQueries {
     // cluster_id instead of doc_id
     "q_split_grouped" ->
       ("WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-        """,dpairs AS (
-          |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
-          |                         JOIN sizes sb ON sb.doc_id = j
-          |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
-          |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
-          |reach(id, lbl) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j),
+        ExtHelpers.reachCte +
+        """,
           |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id
           |             FROM reach GROUP BY id)
           |SELECT doc_id, cluster_id,

@@ -94,19 +94,32 @@ object ExtHelpers {
         |WHERE cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt) >= 0.8
         |ORDER BY i, j""".stripMargin
 
-  /** Transitive closure over the jaccard-pair edges (recursive CTE) —
-    * min reachable id per node = the cluster canonical. */
-  private[queries] val clusterOracle =
-    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-      """,dpairs AS (
-        |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
-        |                         JOIN sizes sb ON sb.doc_id = j
-        |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
+  /** The jaccard-threshold near-dup pair relation — chains after
+    * [[shingleCte]]; the ONE definition every pair-consuming oracle
+    * shares (a threshold/shingle change edits exactly here). */
+  private[queries] val dpairsCte =
+    """,dpairs AS (
+      |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
+      |                         JOIN sizes sb ON sb.doc_id = j
+      |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8)""".stripMargin
+
+  /** [[dpairsCte]] plus the symmetric edge set and the recursive
+    * reachability closure (`reach(id, lbl)`) — callers add their own
+    * min-label aggregation. Requires the `WITH RECURSIVE` prefix. */
+  private[queries] val reachCte =
+    dpairsCte +
+      """,
         |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
         |reach(id, lbl) AS (
         |  SELECT doc_id, doc_id FROM documents
         |  UNION
-        |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j)
+        |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j)""".stripMargin
+
+  /** Transitive closure over the jaccard-pair edges (recursive CTE) —
+    * min reachable id per node = the cluster canonical. */
+  private[queries] val clusterOracle =
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + reachCte +
+      """
         |SELECT id AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -116,16 +129,8 @@ object ExtHelpers {
     * keep-best (q_dedup_minhash's own oracle proves the LSH pair set
     * equals this jaccard relation on this corpus). */
   private[queries] def keepCanonicalOracle: String =
-    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") +
-      s""",dpairs AS (
-         |  SELECT i, j FROM inter JOIN sizes sa ON sa.doc_id = i
-         |                         JOIN sizes sb ON sb.doc_id = j
-         |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8),
-         |edges AS (SELECT i, j FROM dpairs UNION ALL SELECT j, i FROM dpairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.i, r.lbl FROM edges e JOIN reach r ON r.id = e.j),
+    "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ") + reachCte +
+      s""",
          |clusters AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
          |scored AS (SELECT doc_id, ${TextStats.qualitySql("text")} AS quality
          |           FROM documents),
