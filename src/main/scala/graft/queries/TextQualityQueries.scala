@@ -309,6 +309,73 @@ object TextQualityQueries {
           col("scrubbed").contains("[CARD]").as("redacted"))
         .orderBy(col("doc_id"))
     }),
+    // stupid-backoff trigram scoring (Brants et al. 2007 — the
+    // smoothing designed FOR distributed n-gram LMs: no normalization
+    // pass, so every model relation is one bounded aggregation). The
+    // model trains on the EVEN-id half and scores ALL docs, so the
+    // odd half genuinely exercises all three legs: seen trigram →
+    // C(w1w2w3)/C(w1w2); else seen bigram → 0.4·C(w2w3)/C(w2); else
+    // 0.4²·(C(w3)+1)/(N+V) — the unigram leg is Laplace-floored (a
+    // documented deviation: the paper assumes vocab coverage, but a
+    // scoring-side token absent from training would hit log 0).
+    // Prefix property guarantees each leg's denominator is non-null
+    // when its numerator is. Shuffles bounded by distinct-gram
+    // cardinality; same round-6 → decimal-sum → floor-mean discipline
+    // as the bigram scorer. Per-doc n_exact/n_bo1/n_bo2 expose the
+    // backoff mix as integers.
+    "q_trigram_backoff" -> ((s, d) => {
+      val toks = col("__toks")
+      def grams(df: DataFrame, k: Int, alias: String) = {
+        val idx = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+          .otherwise(array().cast("array<int>"))
+        df.select(col("doc_id"),
+          explode(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
+            .as(alias))
+      }
+      val docsAll = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      val train = docsAll.filter(col("doc_id") % 2 === 0)
+      val tri = grams(train, 3, "tg").groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+      val bi = grams(train, 2, "g").groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      val uni = grams(train, 1, "g").groupBy(col("g")).agg(count(lit(1)).as("cu"))
+      val totals = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+      val w = split(col("tg"), " ")
+      val rows = grams(docsAll, 3, "tg")
+        .select(col("doc_id"), col("tg"),
+          concat_ws(" ", w(0), w(1)).as("ctx12"),
+          concat_ws(" ", w(1), w(2)).as("bg23"),
+          w(1).as("w2"), w(2).as("w3"))
+      val joined = rows
+        .join(tri, Seq("tg"), "left")
+        .join(bi.select(col("g").as("ctx12"), col("cb").as("c12")), Seq("ctx12"), "left")
+        .join(bi.select(col("g").as("bg23"), col("cb").as("c23")), Seq("bg23"), "left")
+        .join(uni.select(col("g").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+        .join(uni.select(col("g").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+        .crossJoin(broadcast(totals))
+      val p = when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c12").cast("double"))
+        .when(col("c23").isNotNull,
+          lit(0.4) * col("c23").cast("double") / col("cu2").cast("double"))
+        .otherwise(lit(0.4) * lit(0.4)
+          * (coalesce(col("cu3"), lit(0L)).cast("double") + lit(1.0))
+          / (col("n").cast("double") + col("v").cast("double")))
+      val logp6 = round(log(p), 6).cast("decimal(14,6)")
+      joined
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tg"),
+          sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("c3").isNull && col("c23").isNotNull, 1L).otherwise(0L))
+            .as("n_bo1"),
+          sum(when(col("c3").isNull && col("c23").isNull, 1L).otherwise(0L))
+            .as("n_bo2"),
+          sum(logp6).as("slog"))
+        .select(col("doc_id"), col("n_tg"), col("n_exact"), col("n_bo1"),
+          col("n_bo2"),
+          (floor(col("slog").cast("double") / col("n_tg") * 1e4 + 0.5) / 1e4)
+            .as("mean_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary building (BPE-precursor token counts): partial agg +
     // one shuffle bounded by vocabulary cardinality, deterministic
     // truncation (count desc, token asc)
@@ -542,6 +609,49 @@ object TextQualityQueries {
         |                      AS DECIMAL(14,6))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
         |    AS mean_logp
         |FROM b JOIN m USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_trigram_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |tg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(a)-2),
+        |                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS tg
+        |       FROM t WHERE len(a) >= 3),
+        |trbg AS (SELECT unnest(list_transform(generate_series(1, len(a)-1),
+        |                                      i -> a[i] || ' ' || a[i+1])) AS g
+        |         FROM t WHERE doc_id % 2 = 0 AND len(a) >= 2),
+        |trun AS (SELECT unnest(a) AS g FROM t WHERE doc_id % 2 = 0),
+        |t3 AS (SELECT tg AS g, count(*) AS c3 FROM tg
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |t2 AS (SELECT g, count(*) AS cb FROM trbg GROUP BY 1),
+        |t1 AS (SELECT g, count(*) AS cu FROM trun GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM t1),
+        |rows_ AS (SELECT doc_id, tg,
+        |            string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2] AS ctx12,
+        |            string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3] AS bg23,
+        |            string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
+        |          FROM tg),
+        |sc AS (SELECT r.doc_id, t3.c3, b23.cb AS c23,
+        |         CASE WHEN t3.c3 IS NOT NULL
+        |                THEN CAST(t3.c3 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+        |              WHEN b23.cb IS NOT NULL
+        |                THEN CAST(0.4 AS DOUBLE) * CAST(b23.cb AS DOUBLE)
+        |                     / CAST(u2.cu AS DOUBLE)
+        |              ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |                   * (CAST(coalesce(u3.cu, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |                   / (CAST(tt.n AS DOUBLE) + CAST(tt.v AS DOUBLE)) END AS p
+        |       FROM rows_ r
+        |       LEFT JOIN t3 ON t3.g = r.tg
+        |       LEFT JOIN t2 b12 ON b12.g = r.ctx12
+        |       LEFT JOIN t2 b23 ON b23.g = r.bg23
+        |       LEFT JOIN t1 u2 ON u2.g = r.w2
+        |       LEFT JOIN t1 u3 ON u3.g = r.w3
+        |       CROSS JOIN tt)
+        |SELECT doc_id, count(*) AS n_tg,
+        |  CAST(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN c3 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+        |  CAST(sum(CASE WHEN c3 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+        |  floor(CAST(sum(CAST(round(ln(p), 6) AS DECIMAL(14,6))) AS DOUBLE)
+        |        / count(*) * 1e4 + 0.5) / 1e4 AS mean_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quality_topquartile" ->
       s"""WITH q AS (SELECT doc_id, source, ${TextStats.qualitySql("text")} AS quality
          |           FROM documents),

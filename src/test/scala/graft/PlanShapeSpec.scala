@@ -66,7 +66,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded-metadata cross: |sources| × distinct-lengths grid plus
     // the 1-row corpus total — histogram-class relations, never
     // corpus-sized
-    "q_ks_drift")
+    "q_ks_drift",
+    // scalar join: the 1-row (N, V) training-corpus totals broadcast
+    // onto the per-trigram scoring rows (the Laplace leg's
+    // denominator) — the q_unigram_logprob shape
+    "q_trigram_backoff")
 
   private def batchQueries =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_"))
