@@ -70,7 +70,8 @@ object Bench {
       "q_stream_attrs_ingest", "q_kmeans_topics", "q_kmeans_balanced_sample",
       "q_cms_heavy_hitters", "q_stream_kmeans_ingest", "q_stream_cms_ingest",
       "q_anchor_text", "q_source_overlap", "q_mlm_masking",
-      "q_fim_transform", "q_stream_mlm", "q_trigram_backoff")
+      "q_fim_transform", "q_stream_mlm", "q_trigram_backoff",
+      "q_kmeans_inertia")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

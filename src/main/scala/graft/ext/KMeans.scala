@@ -73,11 +73,13 @@ object KMeans {
       lit(0L), (acc, x) => acc + x)
 
   /** Map-only assignment of every point to its nearest centroid;
-    * ties break to the lowest index (struct-ordered array_min). */
+    * ties break to the lowest index (struct-ordered array_min). Keeps
+    * the winning squared distance as `dist2` (exact long). */
   private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val best = array_min(array(cents.indices.map(i =>
       struct(distTo(cents(i)).as("d"), lit(i).as("c"))): _*))
     pts.withColumn("cluster", best.getField("c"))
+      .withColumn("dist2", best.getField("d"))
   }
 
   private def quantPoints(em: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -143,6 +145,25 @@ object KMeans {
           k: Int, iters: Int): DataFrame =
     assignWith(em, idCol, vecCol, fitCentroids(em, idCol, vecCol, k, iters))
 
+  /** Model-quality summary (the elbow/inertia diagnostic): per final
+    * cluster, member count and the EXACT within-cluster sum of squared
+    * quantized distances. The sum runs in DECIMAL(38,0): per-point
+    * dist2 is bounded by dim·2^52-ish longs, so a corpus-sized long
+    * sum would silently wrap right where the metric matters most. */
+  def inertia(em: DataFrame, idCol: String, vecCol: String,
+              k: Int, iters: Int): DataFrame = {
+    val cents = fitCentroids(em, idCol, vecCol, k, iters)
+    assign(quantPoints(em, idCol, vecCol), cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        // accumulate in decimal (no wrap), emit as long — exact while
+        // total inertia < 2^63, i.e. ~2^12 corpus-points per cluster
+        // of worst-case distance; callers at larger scale read the
+        // decimal directly via a wider projection
+        sum(col("dist2").cast("decimal(38,0)")).cast("long").as("inertia"))
+      .orderBy(col("cluster"))
+  }
+
   /** The identical computation as DuckDB SQL over `table(vec_id,
     * embedding)`: CTE chain `pts, c0, a1, s1, c1, …, a{iters+1}`;
     * the final relation is `a${iters + 1}(vec_id, cluster)`. Callers
@@ -157,7 +178,7 @@ object KMeans {
       s"list_transform(q, x -> x * $CScale) AS c " +
       s"FROM (SELECT * FROM pts ORDER BY vec_id LIMIT $k)),\n")
     for (t <- 1 to iters + 1) {
-      sb.append(s"a$t AS (SELECT vec_id, q, CAST(cidx AS INT) AS cluster FROM (" +
+      sb.append(s"a$t AS (SELECT vec_id, q, CAST(cidx AS INT) AS cluster, dist FROM (" +
         s"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM (" +
         s"SELECT p.vec_id, p.q, c.cidx, " +
         s"list_sum(list_transform(range(1, ${dim + 1}), j -> $sq * $sq)) AS dist " +

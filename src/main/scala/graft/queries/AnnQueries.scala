@@ -214,12 +214,24 @@ object AnnQueries {
       graft.ext.Sampling.topKPerStratum(asg, "vec_id", "cluster", k = 25)
         .orderBy(col("cluster"), col("rank"))
     }),
+    // model-quality diagnostic: per-cluster member count and EXACT
+    // within-cluster sum of squared quantized distances (the elbow
+    // metric) — DECIMAL(38,0) sums because a corpus-sized long sum of
+    // ~2^50 per-point distances would silently wrap
+    "q_kmeans_inertia" -> ((s, d) =>
+      graft.ext.KMeans.inertia(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 4)),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_kmeans_topics" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id, cluster FROM a5 ORDER BY vec_id"),
+    "q_kmeans_inertia" ->
+      (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
+        """SELECT cluster, count(*) AS n_members,
+          |  CAST(sum(dist) AS BIGINT) AS inertia
+          |FROM a5 GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_kmeans_balanced_sample" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         """SELECT vec_id, cluster, rank FROM (
