@@ -248,9 +248,23 @@ object Bench {
     // NAMES deferred to the detail line) and printed twice — FIRST for
     // head-readers and LAST so the tail window always ends with one
     // complete line — with the full-precision detail line between.
-    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"unit":"sec","value":${num(total)}}"""
+    // The regressed/contended NAMES ride in the summary line itself,
+    // capped so the line stays inside the driver's tail window
+    // (BENCH_r12 recorded n_regressed:2 with the names only on the
+    // middle detail line, which fell outside the ~2 KB window — the
+    // guard was unactionable). The UNCAPPED detail additionally goes
+    // to a committed file so no truncation can lose it.
+    def nameArr(xs: Seq[String], cap: Int): String =
+      (xs.take(cap) ++ (if (xs.length > cap) Seq(s"+${xs.length - cap} more") else Nil))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"unit":"sec","value":${num(total)}}"""
+    val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (summary + "\n" + detail + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => } // an unwritable dir must not fail the bench
     println(summary)
-    println(s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}""")
+    println(detail)
     println(summary)
     spark.stop()
   }

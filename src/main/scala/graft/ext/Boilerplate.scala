@@ -57,12 +57,14 @@ object Boilerplate {
     * the gate auditable). */
   def dropRepeatedSegments(df: DataFrame, idCol: String, textCol: String,
                            segTokens: Int, maxDf: Long): DataFrame = {
-    // consumed twice (document-frequency count AND the anti-join), so
-    // the segmentation Generate pass materializes once instead of
-    // re-running per consumer
+    // consumed twice (document-frequency count AND the anti-join); the
+    // Generate deliberately re-runs per consumer rather than persist:
+    // segmentation is a narrow map, and caching the exploded
+    // (id, seg, segtext, h) relation would pin text-width blocks for
+    // the life of the session (SCALE.md's documents-scale persists
+    // carry only (doc_id)/(doc_id, norm), never exploded relations)
     val segs = segments(df, idCol, textCol, segTokens)
       .withColumn("h", xxhash64(col("segtext")))
-      .persist()
     // document frequency over 16-byte (h, id) rows: two exchanges —
     // the distinct pre-pass partitions on (h, id), the count on h
     // (HashPartitioning(h, id) does NOT satisfy clustering by h alone)

@@ -237,6 +237,52 @@ object Bpe {
     * join on the word — shuffles bounded by distinct-word cardinality
     * and the corpus word relation, never by re-tokenizing duplicate
     * words. */
+  /** Per-document token-ID rows under the `k`-merge model — the bridge
+    * from [[encode]]'s counts to what a training pipeline actually
+    * materializes: (id, wpos, spos, tid) where `tid` is the subword's
+    * vocabulary id and (wpos, spos) orders tokens within the document
+    * (1-based word position, 1-based subword position). One EOS row
+    * (tid = 0, wpos = Int.MaxValue) per document marks its boundary
+    * for the packer.
+    *
+    * Vocabulary ids are 1-based ranks of the distinct subword symbols
+    * in code-point (= UTF-8 byte) order — deterministic and
+    * replayable in SQL. The id-assignment window is global but runs
+    * over the SYMBOL relation, bounded by |alphabet| + k merges
+    * (model metadata, like the merge table itself); tokenization runs
+    * once per DISTINCT word and fans back through the word join, the
+    * [[encode]] scale shape. */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val merges: Seq[(String, String)] =
+      trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }
+    val symsUdf = udf { (w: String) =>
+      var syms: Array[String] = codePoints(w)
+      merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
+      syms
+    }
+    val words = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("__id"), (col("__wp0") + 1).as("wpos"), col("w"))
+    val dw = words.select(col("w")).distinct()
+      .withColumn("__sy", symsUdf(col("w")))
+    // symbol relation ≤ |alphabet| + k rows: the single-partition
+    // rank window is over model metadata, not corpus data
+    val vocab = dw.select(explode(col("__sy")).as("sym")).distinct()
+      .withColumn("tid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sym"))).cast("long"))
+    val wids = dw
+      .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
+      .join(vocab, "sym")
+      .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
+    words.join(wids, "w")
+      .select(col("__id").as(idCol), col("wpos"), col("spos"), col("tid"))
+      .unionByName(df.select(col(idCol),
+        lit(Int.MaxValue).as("wpos"), lit(0).as("spos"), lit(0L).as("tid")))
+  }
+
   def encode(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val merges: Seq[(String, String)] =
       trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }

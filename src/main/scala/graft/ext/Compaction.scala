@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file COMPACTION for the append-only ingest stores.
+  *
+  * Every streaming maintainer in this engine appends per-batch parquet
+  * ([[Bm25.ingestIntoIndex]], [[CountMin.ingestIntoStore]],
+  * [[Attributes.ingestIntoAttributes]], [[Ivf.ingestIntoIndex]], the
+  * near-dup band store) — correct and crash-safe, but at one batch per
+  * minute a store degrades into a small-file scan problem within days:
+  * file-open overhead dwarfs row bytes, and the token/cell clustering
+  * the serving scans prune on fragments across thousands of tiny
+  * files. Compaction is the missing rewrite step: read the store,
+  * rewrite it in the SAME layout the initial build produces (so a
+  * compacted store is indistinguishable from a fresh full build), and
+  * swap it in atomically.
+  *
+  * Swap protocol (single-writer, per the [[ArtifactDir]] contract):
+  * the replacement is fully materialized under `<dir>.compact_tmp`,
+  * then two renames — `dir` → `<dir>.compact_old`, tmp → `dir` — and
+  * the old data is deleted last. Each rename is atomic on a
+  * POSIX/HDFS filesystem; a crash between them leaves the complete
+  * old store under `.compact_old` and the complete new store under
+  * `dir` or `.compact_tmp`, never a half-written mix. Readers in a
+  * multi-writer deployment additionally need the age-gated GC the
+  * ArtifactDir scaladoc prescribes; within this engine's single-writer
+  * serving tier the swap is safe to run between any two batches.
+  *
+  * Output sizing: `ceil(storeBytes / TargetFileBytes)` files (≥ 1), so
+  * a compacted 100 TB store still writes maxPartitionBytes-sized files
+  * while the test-scale stores collapse to one — the same knob either
+  * way. Serving output is bit-identical before and after by
+  * construction: every rewrite is a row-preserving relayout (or, for
+  * the count-min store, the mergeability fold [[CountMin.storeSketch]]
+  * already applies at read time).
+  */
+object Compaction {
+
+  /** Bytes per compacted file — Spark's default
+    * `files.maxPartitionBytes`, so a compacted store re-reads at one
+    * scan partition per file. */
+  val TargetFileBytes: Long = 128L * 1024 * 1024
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Data files under `dir`, recursively (the store-health number a
+    * compaction must provably reduce). */
+  def parquetFileCount(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  /** ceil(total store bytes / [[TargetFileBytes]]), ≥ 1. */
+  private def targetParts(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsFor(spark, dir)
+    val bytes = fs.getContentSummary(p).getLength
+    math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+  }
+
+  /** Stage the replacement of `dir` under `<dir>.compact_tmp` (the
+    * `build` callback must fully materialize it there — a parquet
+    * write does), then swap via two atomic renames and delete the old
+    * data last. */
+  private def swapIn(spark: SparkSession, dir: String)(build: String => Unit): Unit = {
+    val (fs, dirPath) = fsFor(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact_old")
+    // debris from a crashed prior attempt: the store itself is intact
+    // (we delete it only after both renames), so stale tmp/old are
+    // safe to clear
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    build(tmp.toString)
+    if (!fs.rename(dirPath, old))
+      sys.error(s"compaction swap: rename $dirPath -> $old failed")
+    if (!fs.rename(tmp, dirPath)) {
+      // roll back so the store is never left missing
+      fs.rename(old, dirPath)
+      sys.error(s"compaction swap: rename $tmp -> $dirPath failed")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Fold the count-min partial-sketch store (grows ≤ Depth·Width rows
+    * per ingested batch) back to ONE sketch — the mergeability
+    * identity [[CountMin.storeSketch]] applies at every read, made
+    * physical. ≤ Depth·Width rows total, one file. */
+  def compactCmsStore(spark: SparkSession, dir: String): Unit =
+    swapIn(spark, dir) { tmp =>
+      CountMin.storeSketch(spark, dir)
+        .repartition(1).sortWithinPartitions(col("r"), col("b"))
+        .write.parquet(tmp)
+    }
+
+  /** Rewrite the BM25 `tf/` posting store in the initial-build layout
+    * (token-clustered, sorted within partitions — [[Bm25]] scaladoc's
+    * pruning contract), sized to [[TargetFileBytes]]. `df/` and
+    * `stats/` are overwritten whole on every ingest (they never
+    * accumulate files) and derive from tf content, which this rewrite
+    * preserves row-for-row — no re-derivation needed. */
+  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
+    val tf = s"$dir/tf"
+    val n = targetParts(spark, tf)
+    swapIn(spark, tf) { tmp =>
+      spark.read.parquet(tf)
+        .repartition(n, col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id"))
+        .write.parquet(tmp)
+    }
+  }
+
+  /** Rewrite the Dolma attributes relation doc_id-RANGE-clustered (the
+    * per-batch appends are each sorted internally, but id ranges
+    * overlap across batches, defeating row-group pruning on id
+    * probes; the compacted layout restores it corpus-wide). */
+  def compactAttrs(spark: SparkSession, dir: String): Unit = {
+    val attrs = s"$dir/attrs"
+    val n = targetParts(spark, attrs)
+    swapIn(spark, attrs) { tmp =>
+      spark.read.parquet(attrs)
+        .repartitionByRange(n, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.parquet(tmp)
+    }
+  }
+
+  /** Rewrite the IVF `corpus/` store in the initial-build layout: one
+    * shuffle clusters rows by cell, `partitionBy` restores the
+    * file-per-cell locality the DPP-pruned probes scan
+    * ([[Ivf.buildIndex]]'s rationale) — per-batch appends leave one
+    * small file per cell per batch; the rewrite folds each cell to one. */
+  def compactIvfCorpus(spark: SparkSession, dir: String): Unit = {
+    val corpus = s"$dir/corpus"
+    val n = targetParts(spark, corpus)
+    swapIn(spark, corpus) { tmp =>
+      spark.read.parquet(corpus)
+        .repartition(n, col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+  }
+
+  /** Retention compaction for the streaming near-dup band store
+    * ([[graft.streaming.StreamPipeline.incrementalNearDups]] with a
+    * time column): drop signatures older than `minTs` and fold the
+    * per-batch subdirectories into a flat store. With a retention
+    * window enforced both here (physically) and at pair time (the
+    * ingest's age filter), the steady-state store is bounded by the
+    * window's document arrival volume, not corpus history. */
+  def pruneBandStore(spark: SparkSession, dir: String, minTs: Long): Unit = {
+    val n = targetParts(spark, dir)
+    swapIn(spark, dir) { tmp =>
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .filter(col("ts") >= minTs)
+        .repartition(n, col("key"))
+        .write.parquet(tmp)
+    }
+  }
+}

@@ -37,7 +37,11 @@ object MlmMask {
     * array — positions come from the array itself, never
     * sequence(0, n-1), whose n=0 case is the DESCENDING [0, -1]). */
   def maskFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(idCol), split(col(textCol), " ").as("a"))
+    // coalesce NULL text to '' as the sibling operators (Fim,
+    // LinearGate) do — the oracle's coalesce(array_to_string(...), '')
+    // maps a NULL-text row to '', so split(NULL) must not propagate
+    val base = df.select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ").as("a"))
       .withColumn("n", size(col("a")))
     def key(i: Column) =
       concat(col(idCol).cast("string"), lit(":"), i.cast("string"))

@@ -31,4 +31,59 @@ object Packing {
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
   }
+
+  /** Pack per-document token-id rows ([[Bpe.encodeIds]]'s
+    * (id, wpos, spos, tid) relation, EOS boundary rows included) into
+    * fixed-length training sequences: documents concatenate in id
+    * order, each token takes global position `doc offset + rank
+    * within doc`, and position p lands in sequence p div seqLen at
+    * slot p mod seqLen — GPT-style sequence packing, document
+    * boundaries carried by the EOS tokens. Returns (seq_id, seq_len,
+    * n_docs, ids) where `n_docs` counts the documents ENDING in the
+    * sequence and `ids` is the space-joined token-id string in slot
+    * order (only the tail sequence has seq_len < seqLen).
+    *
+    * Scale shape: the only order-carrying computation is the global
+    * prefix sum of per-document token counts, and it runs as a
+    * TWO-LEVEL scan — range-partition the (id, count) relation, local
+    * prefix sums per partition (parallel windows keyed by partition
+    * id), then one tiny window over the per-partition totals
+    * (numPartitions rows) joined back broadcast. No single-partition
+    * pass ever sees the per-document relation whole, and document
+    * CONTENT (the token rows) only moves through the per-document
+    * rank window and the final per-sequence aggregation — both keyed
+    * shuffles, no global sort of tokens. */
+  def packSequences(toks: DataFrame, idCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val counts = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
+    val parts = counts
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = parts.withColumn("__loff",
+      sum(col("__nd")).over(
+        Window.partitionBy(col("__pid")).orderBy(col(idCol))) - col("__nd"))
+    // per-partition totals: numPartitions rows — the only global
+    // window, over bounded metadata
+    val ptot = local.groupBy(col("__pid")).agg(sum(col("__nd")).as("__pt"))
+      .withColumn("__poff",
+        coalesce(sum(col("__pt")).over(Window.orderBy(col("__pid")))
+          - col("__pt"), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val offs = local.join(broadcast(ptot), "__pid")
+      .select(col(idCol), (col("__loff") + col("__poff")).as("__off"))
+    val ranked = toks.withColumn("__ipos",
+      row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("wpos"), col("spos"))))
+    val gpos = ranked.join(offs, idCol)
+      .select(col("tid"),
+        (col("__off") + col("__ipos") - 1).as("__gp"))
+      .select(col("tid"), expr(s"__gp div $seqLen").as("seq_id"),
+        (col("__gp") % seqLen).as("__sp"))
+    gpos.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("seq_len"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__sp"), col("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("ids"))
+  }
 }

@@ -242,7 +242,10 @@ object Warc {
                       corruptEvery: Int): Column = {
     val u = udf { (s: String, id: Long) =>
       val t = Option(s).getOrElse("")
-      val a = t.length / 2
+      // slice at the CODE-POINT midpoint — the oracle slices with
+      // DuckDB's code-point substr; UTF-16 code-unit math would split
+      // a surrogate pair on supplementary-plane text
+      val a = t.offsetByCodePoints(0, t.codePointCount(0, t.length) / 2)
       val slices = Seq(t.substring(0, a), t.substring(a))
       val members = slices.zipWithIndex.map { case (part, i) =>
         Compressed.gzip(record("conversion", Some(targetUriFor(id)),

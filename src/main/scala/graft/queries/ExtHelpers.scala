@@ -179,7 +179,10 @@ object ExtHelpers {
     * merges share no characters and non-overlapping left-to-right
     * replace is exactly the trainer's greedy merge-skip-2 scan.
     * Tokens per word = the surviving ⟨STX⟩ count. */
-  private[queries] def bpeEncodeOracle(k: Int): String = {
+  /** The k unrolled training rounds shared by [[bpeEncodeOracle]] and
+    * [[tokenizePackOracle]]: `WITH w0 … w$k`, where w$k carries each
+    * distinct word's final bracketed symbolization in `s`. */
+  private def bpeRoundsCte(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
@@ -202,6 +205,12 @@ object ExtHelpers {
         |    coalesce(chr(2) || (SELECT l || r FROM m$t) || chr(3), chr(1))) AS s
         |  FROM w$p)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private[queries] def bpeEncodeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(bpeRoundsCte(k))
     sb.append(s""",
       |tok AS (SELECT w, strlen(s) - strlen(replace(s, chr(2), '')) AS n_tok FROM w$k),
       |wpd AS (SELECT doc_id, w FROM (
@@ -214,6 +223,47 @@ object ExtHelpers {
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
     sb.toString
   }
+
+  /** Token-id sequence packing oracle: the same k training rounds,
+    * then w$k's bracketed symbolizations split into per-word symbol
+    * LISTS, vocabulary ids assigned by symbol rank (code-point order
+    * on both engines; EOS = 0 reserved), per-document token streams
+    * rebuilt through the word join in (wpos, spos) order with one EOS
+    * row per document, global positions via the per-doc-count prefix
+    * sum, and position p → sequence p // L slot p % L — Spark's
+    * two-level scan replayed as one window (the oracle can afford
+    * it). */
+  private[queries] def tokenizePackOracle(k: Int, seqLen: Int): String =
+    bpeRoundsCte(k) + s""",
+      |syms AS (SELECT w, string_split(substr(s, 2, strlen(s) - 2),
+      |                                chr(3) || chr(2)) AS sy FROM w$k),
+      |vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+      |          FROM (SELECT DISTINCT unnest(sy) AS sym FROM syms) v),
+      |wids AS (SELECT q.w, q.i AS spos, vocab.tid
+      |         FROM (SELECT w, i, sy[i] AS sym
+      |               FROM syms, unnest(generate_series(1, len(sy))) AS u(i)) q
+      |         JOIN vocab USING (sym)),
+      |wpd AS (SELECT doc_id, i AS wpos, t[i] AS w
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> ''),
+      |toks AS (SELECT doc_id, wpos, spos, tid FROM wpd JOIN wids USING (w)
+      |         UNION ALL
+      |         SELECT doc_id, 2147483647, 0, CAST(0 AS BIGINT) FROM documents),
+      |ord AS (SELECT doc_id, tid,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS ipos,
+      |          count(*) OVER (PARTITION BY doc_id) AS nd
+      |        FROM toks),
+      |offs AS (SELECT doc_id, sum(nd) OVER (ORDER BY doc_id) - nd AS off
+      |         FROM (SELECT DISTINCT doc_id, nd FROM ord) c),
+      |gpos AS (SELECT o.tid, (f.off + o.ipos - 1) AS gp
+      |         FROM ord o JOIN offs f USING (doc_id)),
+      |seqs AS (SELECT CAST(gp // $seqLen AS BIGINT) AS seq_id,
+      |                gp % $seqLen AS sp, tid FROM gpos)
+      |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
+      |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   /** Analytic CDC oracle: recompute every 8-byte window hash with the
     * SAME base-power coefficients as `CdcBoundaries.Pow`, mark

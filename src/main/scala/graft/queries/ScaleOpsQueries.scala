@@ -220,6 +220,28 @@ object ScaleOpsQueries {
         .orderBy(col("source"), col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- tokenize → pack (the id-sequence materialization) ----------
+    // the step q_chunk_pack approximates by counts, made real: the
+    // 64-merge BPE model tokenizes each DISTINCT word once into
+    // vocabulary ids (rank of subword in code-point order, EOS = 0),
+    // documents concatenate in id order with one EOS boundary token
+    // each, and global position p lands in sequence p div 512 — the
+    // (doc_id, token_ids[]) → fixed-length-sequence pipeline a
+    // training job consumes. The only order-carrying pass is the
+    // per-doc-count prefix sum, run as a two-level scan
+    // (Packing.packSequences): no global sort of token rows, no
+    // single-partition pass over per-document data. The oracle
+    // replays training, tokenization, vocabulary ranks, and packing
+    // arithmetic end to end.
+    "q_tokenize_pack" -> ((s, d) => {
+      val toks = graft.ext.Bpe.encodeIds(Tables.documents(s, d),
+        "doc_id", "text", 64)
+      graft.ext.Packing.packSequences(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -454,6 +476,9 @@ object ScaleOpsQueries {
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id, chunk_idx""".stripMargin,
+    // 64 training rounds + tokenization + vocabulary ranks + packing
+    // arithmetic, all replayed (generator shared with q_bpe_encode)
+    "q_tokenize_pack" -> ExtHelpers.tokenizePackOracle(64, 512),
     // exact membership is SQL; the sketch's one-sided-error invariant
     // is the boolean the engine must never flip
     "q_bloom_screen" ->

@@ -248,19 +248,44 @@ object StreamPipeline {
     * `a.id =!= b.id` guard rather than surfacing as an (i, i)
     * self-pair.
     *
-    * `corpus` must resolve text for every id the stream will carry. */
+    * `corpus` must resolve text for every id the stream will carry.
+    *
+    * RETENTION (`tsCol` + `ttl`, both or neither): when the stream
+    * carries an event-time column, each stored signature is stamped
+    * with its document's time and a batch pairs only against store
+    * rows with `ts >= max(batch ts) - ttl` — the signature-store
+    * analogue of a watermark. Without it the store grows monotonically
+    * with corpus history; with it the LIVE working set is bounded by
+    * the retention window's arrival volume. The age filter enforces
+    * the semantics at pair time; [[graft.ext.Compaction.pruneBandStore]]
+    * is the physical counterpart that rewrites aged-out rows away
+    * (run it between batches — store layout stays readable either
+    * way). `ttl` is in the column's own units (epoch micros for the
+    * events table). */
   def incrementalNearDups(spark: SparkSession, stream: DataFrame, corpus: DataFrame,
                           storeDir: String, outDir: String,
-                          n: Int = 3, minJ: Double = 0.8): DataFrame = {
+                          n: Int = 3, minJ: Double = 0.8,
+                          tsCol: Option[String] = None,
+                          ttl: Option[Long] = None): DataFrame = {
     import graft.ext.Dedup
-    val bandSchema = "id LONG, band INT, key LONG"
+    require(tsCol.isDefined == ttl.isDefined,
+      "incrementalNearDups: tsCol and ttl come together (both or neither)")
+    val bandSchema =
+      if (tsCol.isDefined) "id LONG, band INT, key LONG, ts LONG"
+      else "id LONG, band INT, key LONG"
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         if (!batch.isEmpty) {
-          val newBands = Dedup.bandRows(batch, "doc_id", "text", n).persist()
+          val rawBands = Dedup.bandRows(batch, "doc_id", "text", n)
+          val newBands = (tsCol match {
+            case Some(tc) => rawBands.join(
+              batch.groupBy(col("doc_id").as("id"))
+                .agg(max(col(tc).cast("long")).as("ts")), "id")
+            case None => rawBands
+          }).persist()
           try {
             val storePath = new org.apache.hadoop.fs.Path(storeDir)
             val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -275,10 +300,19 @@ object StreamPipeline {
                   .option("recursiveFileLookup", "true").parquet(storeDir)
               else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
                 org.apache.spark.sql.types.StructType.fromDDL(bandSchema))
+            // retention: pair only against store signatures inside the
+            // ttl window behind this batch's max event time (one-row
+            // driver collect; aged-out rows stay until pruneBandStore)
+            val liveStore = ttl match {
+              case Some(window) =>
+                val mx = newBands.agg(max(col("ts"))).head.getLong(0)
+                store.filter(col("ts") >= mx - window)
+              case None => store
+            }
             // cross-batch: new docs vs the store (store excludes this
             // batch, so no double-count with the self-join; the id
             // guard keeps a redelivered doc from pairing with itself)
-            val cross = newBands.as("a").join(store.as("b"),
+            val cross = newBands.as("a").join(liveStore.as("b"),
                 col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
                   col("a.id") =!= col("b.id"))
               .select(least(col("a.id"), col("b.id")).as("i"),

@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Compaction contract for the append-only ingest stores: serving
+  * output is bit-identical before and after, and the data file count
+  * provably drops. Plus the near-dup band-store retention (ttl) path.
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_compact_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("count-min store: compaction folds partials, estimates unchanged") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val store = tmpDir("cms") + "/store"
+    (0 until 3).foreach { i =>
+      CountMin.ingestIntoStore(store, docs.filter(col("doc_id") % 3 === i), "text")
+    }
+    val cands = Seq("the", "and", "data", "zzz_absent").toDF("tok")
+    val before = sortedRows(
+      CountMin.estimates(cands, CountMin.storeSketch(spark, store)))
+    val filesBefore = Compaction.parquetFileCount(spark, store)
+    Compaction.compactCmsStore(spark, store)
+    val after = sortedRows(
+      CountMin.estimates(cands, CountMin.storeSketch(spark, store)))
+    val filesAfter = Compaction.parquetFileCount(spark, store)
+    assert(before == after)
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    assert(spark.read.parquet(store).count() <= CountMin.Depth * CountMin.Width)
+  }
+
+  test("bm25 index: tf compaction preserves top-k, reduces files") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = tmpDir("bm25") + "/idx"
+    Bm25.ensureIndex(docs, "doc_id", "text", dir)
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Bm25.ingestIntoIndex(spark, dir, copies.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    Bm25.ingestIntoIndex(spark, dir, copies.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text")
+    // materialize query terms locally: a lazy DataFrame over tf/ would
+    // re-scan files the compaction swap has deleted
+    import spark.implicits._
+    val qterms = spark.read.parquet(s"$dir/tf")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.toDF("qid", "tok")
+    val before = sortedRows(Bm25.topK(spark, dir, qterms, 5))
+    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/tf")
+    Compaction.compactBm25Index(spark, dir)
+    val after = sortedRows(Bm25.topK(spark, dir, qterms, 5))
+    val filesAfter = Compaction.parquetFileCount(spark, s"$dir/tf")
+    assert(before == after)
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+  }
+
+  test("attributes store: compaction preserves mixes, reduces files") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = tmpDir("attrs") + "/attrstore"
+    Attributes.ensureAttributes(docs, dir)
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Attributes.ingestIntoAttributes(dir, copies.filter(col("doc_id") % 2 === 0))
+    Attributes.ingestIntoAttributes(dir, copies.filter(col("doc_id") % 2 =!= 0))
+    val union = docs.unionByName(copies)
+    def mix() = sortedRows(
+      Attributes.mixed(spark, dir, union, col("clf_keep") && col("gopher_keep"))
+        .select(col("doc_id"), col("n_words"), col("quality_q4"), col("lang")))
+    val before = mix()
+    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/attrs")
+    Compaction.compactAttrs(spark, dir)
+    val after = mix()
+    val filesAfter = Compaction.parquetFileCount(spark, s"$dir/attrs")
+    assert(before == after)
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    // row count preserved (relayout, not a fold)
+    assert(spark.read.parquet(s"$dir/attrs").count() == union.count())
+  }
+
+  test("ivf corpus: compaction preserves probes, folds cell files") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tmpDir("ivf") + "/idx"
+    Ivf.buildIndex(emb, "vec_id", "embedding", dir, k = 8, iters = 2)
+    val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    Ivf.ingestIntoIndex(spark, dir, copies.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding")
+    Ivf.ingestIntoIndex(spark, dir, copies.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    def probe() = sortedRows(
+      Ivf.topKIndexed(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nProbe = 2))
+    val before = probe()
+    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/corpus")
+    Compaction.compactIvfCorpus(spark, dir)
+    val after = probe()
+    val filesAfter = Compaction.parquetFileCount(spark, s"$dir/corpus")
+    assert(before == after)
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+  }
+
+  test("compaction between streaming micro-batches: serving equals union sketch") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val store = tmpDir("cmsstream") + "/store"
+    def ingestStreaming(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val src = tmpDir(s"cmssrc$tag")
+      part.withColumn("half", col("doc_id") % 4)
+        .repartition(2).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(col("doc_id"), col("text"))
+      graft.streaming.StreamPipeline.cmsIngest(spark, stream, store, "text")
+    }
+    ingestStreaming(half1, "a")
+    Compaction.compactCmsStore(spark, store) // compact mid-ingest
+    ingestStreaming(half2, "b")
+    val merged = sortedRows(CountMin.storeSketch(spark, store))
+    val direct = sortedRows(CountMin.sketch(CountMin.tokens(docs, "text")))
+    assert(merged == direct)
+  }
+
+  test("near-dup band store: aged-out signatures no longer pair; prune bounds rows") {
+    import spark.implicits._
+    val base = tmpDir("ttl")
+    val srcDir = java.nio.file.Paths.get(base, "src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val mkText = (tag: String) =>
+      s"alpha beta gamma delta epsilon zeta eta theta $tag iota kappa"
+    // three docs with IDENTICAL text arriving at ts 0, 100k, 200k; a
+    // fourth distinct doc per batch keeps batches non-trivial
+    val rows = Seq(
+      (1L, mkText("same"), 0L), (11L, mkText("one"), 0L),
+      (2L, mkText("same"), 100000L), (12L, mkText("two"), 100000L),
+      (3L, mkText("same"), 200000L), (13L, mkText("three"), 200000L))
+    val all = rows.toDF("doc_id", "text", "ts")
+    Seq(0L, 100000L, 200000L).zipWithIndex.foreach { case (t, i) =>
+      all.filter(col("ts") === t).coalesce(1)
+        .write.parquet(srcDir.resolve(s"b$i").toString)
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(srcDir.toString)
+    val store = s"$base/bands"
+    val out = s"$base/pairs"
+    // ttl = 150k: batch at ts 200k pairs with ts 100k (age 100k) but
+    // NOT with ts 0 (age 200k, aged out)
+    val pairs = graft.streaming.StreamPipeline.incrementalNearDups(
+        spark, stream, all.select(col("doc_id"), col("text")), store, out,
+        n = 3, minJ = 0.8, tsCol = Some("ts"), ttl = Some(150000L))
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2): ages 0 vs 100k — in window whichever batch order; (2,3) in
+    // window; (1,3): doc 1 aged out when 3 arrives → absent
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)), s"aged-out pair leaked: $pairs")
+    // physical prune: drop signatures below ts 100k, store bounded
+    val rowsBefore = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store).count()
+    Compaction.pruneBandStore(spark, store, minTs = 100000L)
+    val pruned = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    assert(pruned.count() < rowsBefore)
+    assert(pruned.agg(min(col("ts"))).head.getLong(0) >= 100000L)
+  }
+}
