@@ -203,9 +203,15 @@ object Bench {
     }
     val flagged = headline.filterNot(hasCalm)
     // run-level flag: any query still contended after retries, or the
-    // host was busy for most of the run (sentinel MEDIAN 3× its min —
-    // max/min would flag a clean run off one outlier probe)
-    val contended = flagged.nonEmpty || (sMin > 0 && sP50 / sMin > 3.0)
+    // host was busy for most of the run (sentinel MEDIAN vs its min —
+    // max/min would flag a clean run off one outlier probe). Threshold
+    // 2.0, not 3.0: the r13 run sat at p50/min = 2.1 under sustained
+    // moderate load, slipped under the old 3.0 wire, and shipped 16
+    // false regression flags; a genuinely idle host measures ~1.0-1.5
+    // (the judge's calm run: p50 0.078 / min 0.040 ≈ 2.0 only because
+    // of one fast outlier probe — p50-vs-p10 would be tighter still,
+    // but 2.0 already separates "idle" from "loaded throughout").
+    val contended = flagged.nonEmpty || (sMin > 0 && sP50 / sMin > 2.0)
 
     // Drift guard: per-query baseline (committed bench_baseline.json —
     // the last judge-confirmed uncontended medians at sf0.1). A query
@@ -235,8 +241,12 @@ object Bench {
     }
 
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    // names are q_[a-z0-9_] identifiers today, but a malformed one must
+    // degrade to an ugly-but-parseable line, not an invalid record
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+      kv.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val qs = obj(results.map(r => r._1 -> r._2))
     val qsMin = obj(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
@@ -256,9 +266,9 @@ object Bench {
     // to a committed file so no truncation can lose it.
     def nameArr(xs: Seq[String], cap: Int): String =
       (xs.take(cap) ++ (if (xs.length > cap) Seq(s"+${xs.length - cap} more") else Nil))
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
+        .map(jstr).mkString("[", ",", "]")
     val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"unit":"sec","value":${num(total)}}"""
-    val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}"""
+    val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (summary + "\n" + detail + "\n").getBytes("UTF-8"))

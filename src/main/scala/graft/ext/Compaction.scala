@@ -78,18 +78,37 @@ object Compaction {
     val (fs, dirPath) = fsFor(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact_tmp")
     val old = new org.apache.hadoop.fs.Path(dir + ".compact_old")
-    // debris from a crashed prior attempt: the store itself is intact
-    // (we delete it only after both renames), so stale tmp/old are
-    // safe to clear
+    // RECOVER before clearing debris. A crash between the two renames
+    // of a prior attempt leaves `dir` ABSENT with the complete old
+    // store under `.compact_old` (and the complete new store under
+    // `.compact_tmp` — build materializes it fully before any rename).
+    // Those are then the ONLY copies: deleting them as "debris" would
+    // be permanent data loss. Roll BACK (restore the old store) rather
+    // than forward — conservative, and this run re-compacts anyway.
+    if (!fs.exists(dirPath)) {
+      if (fs.exists(old)) {
+        if (!fs.rename(old, dirPath))
+          sys.error(s"compaction recovery: rename $old -> $dirPath failed")
+      } else sys.error(
+        s"compaction: store $dirPath is missing and no .compact_old backup " +
+        "exists — refusing to proceed (nothing to compact, nothing to recover)")
+    }
+    // dir is now intact (we delete it only after both renames), so any
+    // remaining tmp/old from a crashed attempt is redundant debris
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     build(tmp.toString)
     if (!fs.rename(dirPath, old))
       sys.error(s"compaction swap: rename $dirPath -> $old failed")
     if (!fs.rename(tmp, dirPath)) {
-      // roll back so the store is never left missing
-      fs.rename(old, dirPath)
-      sys.error(s"compaction swap: rename $tmp -> $dirPath failed")
+      // roll back so the store is never left missing; a failed rollback
+      // must be loud — the old store survives under .compact_old and
+      // the recovery path above restores it on the next attempt
+      if (!fs.rename(old, dirPath))
+        sys.error(s"compaction swap: rename $tmp -> $dirPath failed AND " +
+          s"rollback $old -> $dirPath failed — old store preserved at $old; " +
+          "re-running compaction will restore it")
+      sys.error(s"compaction swap: rename $tmp -> $dirPath failed (rolled back)")
     }
     fs.delete(old, true)
     ()
@@ -162,8 +181,16 @@ object Compaction {
     * window's document arrival volume, not corpus history. */
   def pruneBandStore(spark: SparkSession, dir: String, minTs: Long): Unit = {
     val n = targetParts(spark, dir)
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    // fail with intent, not an analysis error: a band store built
+    // without tsCol has no ts column and cannot be age-pruned
+    val missing = Seq("ts", "key").filterNot(store.columns.contains)
+    if (missing.nonEmpty) sys.error(
+      s"pruneBandStore: band store at $dir has no ${missing.mkString("/")} " +
+      "column — it was built without retention (incrementalNearDups tsCol); " +
+      "rebuild the store with a time column to enable pruning")
     swapIn(spark, dir) { tmp =>
-      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      store
         .filter(col("ts") >= minTs)
         .repartition(n, col("key"))
         .write.parquet(tmp)

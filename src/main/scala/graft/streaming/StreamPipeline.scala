@@ -305,8 +305,14 @@ object StreamPipeline {
             // driver collect; aged-out rows stay until pruneBandStore)
             val liveStore = ttl match {
               case Some(window) =>
-                val mx = newBands.agg(max(col("ts"))).head.getLong(0)
-                store.filter(col("ts") >= mx - window)
+                // max(ts) is NULL when every event time in the batch is
+                // NULL (or the batch is empty): there is no "now" to
+                // anchor the window, so skip the age filter for this
+                // batch rather than NPE-killing the stream — pairing
+                // against the whole store is correct, just unpruned
+                val mxRow = newBands.agg(max(col("ts"))).head
+                if (mxRow.isNullAt(0)) store
+                else store.filter(col("ts") >= mxRow.getLong(0) - window)
               case None => store
             }
             // cross-batch: new docs vs the store (store excludes this

@@ -145,6 +145,50 @@ class CompactionSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("crash between swap renames: next compaction recovers, no data loss") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val store = tmpDir("crash") + "/store"
+    (0 until 2).foreach { i =>
+      CountMin.ingestIntoStore(store, docs.filter(col("doc_id") % 2 === i), "text")
+    }
+    val cands = Seq("the", "and", "data").toDF("tok")
+    val before = sortedRows(
+      CountMin.estimates(cands, CountMin.storeSketch(spark, store)))
+    // simulate the crash window between the two swap renames: dir is
+    // ABSENT, the complete old store sits at .compact_old, a complete
+    // replacement at .compact_tmp — the only two copies on disk
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(store)
+    val oldP = new org.apache.hadoop.fs.Path(store + ".compact_old")
+    val tmpP = new org.apache.hadoop.fs.Path(store + ".compact_tmp")
+    spark.read.parquet(store).write.parquet(tmpP.toString)
+    assert(fs.rename(dirP, oldP))
+    assert(!fs.exists(dirP))
+    // re-running compaction must first restore the store, then compact
+    Compaction.compactCmsStore(spark, store)
+    assert(fs.exists(dirP) && !fs.exists(oldP) && !fs.exists(tmpP))
+    val after = sortedRows(
+      CountMin.estimates(cands, CountMin.storeSketch(spark, store)))
+    assert(before == after)
+    // store-gone-and-no-backup refuses loudly instead of deleting debris
+    assert(fs.rename(dirP, tmpP))
+    val e = intercept[RuntimeException](Compaction.compactCmsStore(spark, store))
+    assert(e.getMessage.contains("refusing to proceed"))
+    assert(fs.rename(tmpP, dirP)) // restore for any later suite ordering
+  }
+
+  test("pruneBandStore on a store built without tsCol fails with intent") {
+    import spark.implicits._
+    val dir = tmpDir("notscol") + "/bands"
+    Seq((1L, "x", 0)).toDF("id", "key", "band").write.parquet(dir)
+    val e = intercept[RuntimeException](
+      Compaction.pruneBandStore(spark, dir, minTs = 0L))
+    assert(e.getMessage.contains("built without retention"))
+  }
+
   test("near-dup band store: aged-out signatures no longer pair; prune bounds rows") {
     import spark.implicits._
     val base = tmpDir("ttl")
