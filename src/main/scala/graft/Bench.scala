@@ -71,7 +71,10 @@ object Bench {
       "q_cms_heavy_hitters", "q_stream_kmeans_ingest", "q_stream_cms_ingest",
       "q_anchor_text", "q_source_overlap", "q_mlm_masking",
       "q_fim_transform", "q_stream_mlm", "q_trigram_backoff",
-      "q_kmeans_inertia")
+      "q_kmeans_inertia",
+      // round-14 additions (enter bench_baseline at its next refresh)
+      "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
+      "q_store_compact", "q_pack_attention")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

@@ -88,4 +88,171 @@ object Attributes {
             pred: Column): DataFrame =
     docs.join(spark.read.parquet(s"$dir/attrs"), Seq("doc_id"))
       .filter(pred)
+
+  // ------------------------------------------------------------------
+  // SPAN-level attributes (the published Dolma attribute format carries
+  // (start, end, score) SPANS, not just doc-level scalars): each tagger
+  // emits the character ranges it flags, and a mix can EXCISE the spans
+  // instead of dropping the document — the first thing a curation user
+  // needs when scrubbing PII without losing the page. Offsets follow
+  // the Dolma JSON convention: `start` inclusive / `end` exclusive,
+  // 0-based characters; `p_start`/`p_end` carry the same span in
+  // 1-based whitespace-token positions (both conventions pinned so
+  // consumers can't misread one as the other). Retuning a span POLICY
+  // (which tags, what score threshold) filters the persisted relation —
+  // it never re-tags, same economics as the doc-level store above.
+  // ------------------------------------------------------------------
+
+  val TagPiiCard = "pii_card"
+  val TagContaminated = "contaminated"
+
+  /** Deterministic span-attributes location (corpus signature keyed,
+    * like [[attrDirFor]] — a regenerated corpus keys to a new dir). */
+  def spanDirFor(corpusDir: String,
+                 root: String = sys.props("java.io.tmpdir")): String =
+    s"$root/${Ivf.indexPrefix("graft_spans_v1", corpusDir)}_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
+
+  /** Character offset (0-based) where 1-based token `p` starts, under
+    * the single-space join convention (`split(text, " ")` round-trips
+    * through `array_join(_, " ")`). Cost is O(text) per EVALUATION —
+    * only ever computed for the sparse flagged positions, never per
+    * token. */
+  private def charStart(toks: Column, p: Column): Column =
+    when(p <= 1, lit(0))
+      .otherwise(length(array_join(slice(toks, lit(1), p - 1), " ")) + 1)
+
+  private def charEnd(toks: Column, p: Column): Column =
+    charStart(toks, p) + length(element_at(toks, p))
+
+  private def spanSchema = Seq("doc_id", "tag", "p_start", "p_end",
+    "start", "end", "score")
+
+  /** PII spans: one span per whitespace token that is a contiguous
+    * 13–19 digit run passing the Luhn check — the same validation
+    * [[graft.functions.LuhnRedact]] redacts by, reused verbatim (a
+    * token spans `[CARD]` here iff the scrubber would rewrite it), so
+    * the span tagger and the redactor cannot drift. Map-only: flagged
+    * positions found per-row, exploded sparsely. */
+  def piiCardSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = col("__toks")
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+      .select(col("doc_id"), toks,
+        explode(filter(
+          transform(toks, (t, i0) => struct((i0 + 1).as("p"), t.as("t"))),
+          s => s.getField("t").rlike("^[0-9]{13,19}$") &&
+            graft.functions.LuhnRedact.luhn_redact(s.getField("t")) === "[CARD]"
+        )).as("h"))
+      .select(col("doc_id"), lit(TagPiiCard).as("tag"),
+        col("h.p").as("p_start"), col("h.p").as("p_end"),
+        charStart(toks, col("h.p")).cast("int").as("start"),
+        charEnd(toks, col("h.p")).cast("int").as("end"),
+        lit(1.0).as("score"))
+  }
+
+  /** Contamination spans: MAXIMAL runs of tokens covered by a benchmark
+    * n-gram — the span form of [[Contamination]]'s excision rule (same
+    * [[Dedup]] gram windows/hashes, so spans and cuts can't drift; a
+    * token at 1-based p is covered iff a flagged gram starts in
+    * [p-n+1, p]). Scale shape: bench grams broadcast; only (doc_id,
+    * pos) 12-byte rows shuffle into the gaps-and-islands windows —
+    * the SPARSE flagged minority, never per-token rows; text re-joins
+    * once at the end (spans side small → AQE broadcasts it). Score is
+    * the span's covered-token count. */
+  def contaminatedSpans(candidates: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 3,
+                        broadcastBench: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchGrams = Dedup.hashedShingleSet(benchmark, textCol, n)
+    val toks = col("__toks")
+    val candGrams = candidates
+      .select(col(idCol).as("doc_id"), split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+      .select(col("doc_id"), explode(transform(Dedup.gramStartIdx(toks, n),
+        i => struct(i.as("pos"), xxhash64(Dedup.gramAt(toks, i, n)).as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val badStarts = candGrams
+      .join(if (broadcastBench) broadcast(benchGrams) else benchGrams,
+        Seq("g"), "left_semi")
+    val covered = badStarts
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = covered
+      .withColumn("__grp", col("p") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("p")).as("p_start"), max(col("p")).as("p_end"))
+    islands
+      .join(candidates.select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__toks")), Seq("doc_id"))
+      .select(col("doc_id"), lit(TagContaminated).as("tag"),
+        col("p_start"), col("p_end"),
+        charStart(toks, col("p_start")).cast("int").as("start"),
+        charEnd(toks, col("p_end")).cast("int").as("end"),
+        (col("p_end") - col("p_start") + 1).cast("double").as("score"))
+  }
+
+  /** All span taggers in one relation. */
+  def spanTagFrame(candidates: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 3): DataFrame =
+    piiCardSpans(candidates, idCol, textCol)
+      .unionByName(contaminatedSpans(candidates, benchmark, idCol, textCol, n))
+      .select(spanSchema.map(col): _*)
+
+  /** Persist the span relation, `_SUCCESS`-guarded ([[ArtifactDir]]). */
+  def ensureSpanAttributes(candidates: DataFrame, benchmark: DataFrame,
+                           dir: String, idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 3): Unit =
+    ArtifactDir.ensure(candidates.sparkSession, dir, "spans",
+      "^(graft_spans_v1_[0-9a-f]+_).*".r) {
+      spanTagFrame(candidates, benchmark, idCol, textCol, n)
+        .repartitionByRange(candidates.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
+        .write.mode("overwrite").parquet(s"$dir/spans")
+    }
+
+  /** The span MIX: cut every selected span out of the text instead of
+    * dropping the document. Overlapping/adjacent spans (a PII token
+    * inside a contaminated run, two taggers flagging the same region)
+    * are first MERGED into disjoint intervals — gaps-and-islands via a
+    * running max(end) — because cutting raw overlapping ranges
+    * right-to-left double-counts the overlap. The cut itself is one
+    * fold over the ≤ a-handful merged spans per doc, descending by
+    * start so earlier offsets stay valid as later text shrinks.
+    * Emits (doc_id, clean_text, n_spans, n_chars_cut); docs with no
+    * selected span pass through with zero counts. Text never shuffles:
+    * the merged-span side is the sparse minority and broadcasts into
+    * the final join. */
+  def exciseSpans(docs: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("end"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val merged = spans
+      .select(col("doc_id"), col("start"), col("end"))
+      .withColumn("__new",
+        when(col("start") > coalesce(max(col("end")).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+    val perDoc = merged.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(struct(col("start"), col("end"))), asc = false)
+        .as("__sp"),
+      count(lit(1)).cast("int").as("n_spans"),
+      sum(col("end") - col("start")).cast("int").as("n_chars_cut"))
+    val noSpans = array().cast("array<struct<start:int,end:int>>")
+    docs.select(col(idCol).as("doc_id"), coalesce(col(textCol), lit("")).as("__tx"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        aggregate(coalesce(col("__sp"), noSpans), col("__tx"),
+          (acc, sp) => concat(
+            acc.substr(lit(1), sp.getField("start")),
+            acc.substr(sp.getField("end") + 1, length(acc))))
+          .as("clean_text"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_chars_cut"), lit(0)).as("n_chars_cut"))
+  }
 }

@@ -48,6 +48,103 @@ object Chunking {
         md5(array_join(chunk, " ")).as("chunk_md5"))
   }
 
+  /** The sentence relation: (idCol, sent_idx, start, end, n_tok,
+    * sentence) under the pinned [[Sentences]] rule table. `start`/`end`
+    * are 0-based char offsets (end-exclusive); the unterminated final
+    * sentence closes at text end (UAX SB2 — same boundary-append
+    * plumbing as [[cdcChunks]]). Empty/NULL documents emit no rows.
+    *
+    * Scale shape: ONE codegen'd boundary pass
+    * ([[graft.functions.SentenceEnds]]) + row-local algebra — a narrow
+    * map, no per-token explode, no shuffle at any corpus size. */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col("__t"))
+    val lastE = when(size(col("__e")) === 0, lit(0))
+      .otherwise(element_at(col("__e"), size(col("__e"))))
+    val tx = coalesce(col(textCol), lit(""))
+    df.select(col(idCol), tx.as("__t"),
+        graft.functions.SentenceEnds.sentence_ends(tx).as("__e"))
+      .filter(n > 0)
+      .withColumn("__ends",
+        when(lastE < n, concat(col("__e"), array(n.cast("int"))))
+          .otherwise(col("__e")))
+      .select(col(idCol), col("__t"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("sent_idx", "e")))
+      // previous boundary; +1 skips the single separating space (the
+      // corpus-wide single-space token convention)
+      .withColumn("start", when(col("sent_idx") === 0, lit(0))
+        .otherwise(element_at(col("__ends"), col("sent_idx")) + 1))
+      .withColumn("sentence",
+        col("__t").substr(col("start") + 1, col("e") - col("start")))
+      .select(col(idCol), col("sent_idx"), col("start"), col("e").as("end"),
+        size(split(col("sentence"), " ")).as("n_tok"), col("sentence"))
+  }
+
+  /** Sentence-boundary chunking: greedily pack CONSECUTIVE sentences
+    * into chunks of at most `maxTokens` tokens — a sentence that would
+    * overflow the running chunk starts the next one; a single
+    * over-budget sentence gets its own chunk (never split). Chunks
+    * therefore never cut mid-sentence, the property sliding/CDC windows
+    * can't give.
+    *
+    * Emits (idCol, chunk_idx, n_sentences, n_tok, chunk_md5). The
+    * greedy fold is per-document and runs INSIDE the row as an
+    * `aggregate` over the sentence-length array — same narrow no-
+    * shuffle shape as [[sentences]]; nothing about the sequential rule
+    * forces a cross-row pass. */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    val n = length(col("__t"))
+    val lastE = when(size(col("__e")) === 0, lit(0))
+      .otherwise(element_at(col("__e"), size(col("__e"))))
+    val tx = coalesce(col(textCol), lit(""))
+    val ends = col("__ends")
+    df.select(col(idCol), tx.as("__t"),
+        graft.functions.SentenceEnds.sentence_ends(tx).as("__e"))
+      .filter(n > 0)
+      .withColumn("__ends",
+        when(lastE < n, concat(col("__e"), array(n.cast("int"))))
+          .otherwise(col("__e")))
+      .withColumn("__sents",
+        transform(sequence(lit(1), size(ends)), k => {
+          val st = when(k === 1, lit(0))
+            .otherwise(element_at(ends, k - 1) + 1)
+          col("__t").substr(st + 1, element_at(ends, k) - st)
+        }))
+      .withColumn("__nts", transform(col("__sents"), s => size(split(s, " "))))
+      // greedy fold: accumulator (current chunk c, tokens in it a,
+      // per-sentence assignments o)
+      .withColumn("__assign",
+        aggregate(col("__nts"),
+          struct(lit(0).as("c"), lit(0).as("a"),
+            array().cast("array<int>").as("o")),
+          (st, nt) => {
+            val newChunk = st.getField("a") > 0 &&
+              (st.getField("a") + nt > maxTokens)
+            val c2 = when(newChunk, st.getField("c") + 1)
+              .otherwise(st.getField("c"))
+            struct(c2.as("c"),
+              when(newChunk, nt).otherwise(st.getField("a") + nt).as("a"),
+              concat(st.getField("o"), array(c2)).as("o"))
+          },
+          st => st.getField("o")))
+      .select(col(idCol), col("__sents"), col("__nts"), col("__assign"),
+        explode(sequence(lit(0), element_at(col("__assign"), -1)))
+          .as("chunk_idx"))
+      .withColumn("__chunk_text",
+        array_join(transform(
+          filter(zip_with(col("__sents"), col("__assign"),
+            (s2, a) => struct(s2.as("s"), a.as("a"))),
+            p => p.getField("a") === col("chunk_idx")),
+          p => p.getField("s")), " "))
+      .select(col(idCol), col("chunk_idx"),
+        size(filter(col("__assign"), a => a === col("chunk_idx")))
+          .as("n_sentences"),
+        size(split(col("__chunk_text"), " ")).as("n_tok"),
+        md5(col("__chunk_text")).as("chunk_md5"))
+  }
+
   /** Content-defined chunking (LBFS/FastCDC family): boundaries from
     * [[graft.functions.CdcBoundaries]]' window-hash condition, so an
     * edit reshapes only the chunk it lands in — every later chunk

@@ -53,7 +53,56 @@ object Packing {
     * CONTENT (the token rows) only moves through the per-document
     * rank window and the final per-sequence aggregation — both keyed
     * shuffles, no global sort of tokens. */
-  def packSequences(toks: DataFrame, idCol: String, seqLen: Int): DataFrame = {
+  def packSequences(toks: DataFrame, idCol: String, seqLen: Int): DataFrame =
+    globalPositions(toks, idCol, seqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("seq_len"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__sp"), col("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("ids"))
+
+  /** [[packSequences]] plus the per-slot `doc_idx` column a training
+    * consumer needs to MASK cross-document attention inside a packed
+    * sequence: slot s carries the running count of EOS tokens in slots
+    * BEFORE s (exclusive), so every token of the first document segment
+    * reads 0, the segment after the first EOS reads 1, and an EOS
+    * belongs to the document it closes. Emits (seq_id, seq_len, n_docs,
+    * ids, doc_idx) — `doc_idx` space-joined in slot order like `ids`.
+    *
+    * Same two-level scan as [[packSequences]] (shared
+    * [[globalPositions]]); the EOS prefix count folds inside the
+    * per-sequence row over the already-collected slot array — no new
+    * global pass. */
+  def packSequencesWithDocIdx(toks: DataFrame, idCol: String,
+                              seqLen: Int): DataFrame =
+    globalPositions(toks, idCol, seqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("seq_len"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        array_sort(collect_list(struct(col("__sp"), col("tid")))).as("__slots"))
+      .select(col("seq_id"), col("seq_len"), col("n_docs"),
+        array_join(transform(col("__slots"),
+          s => s.getField("tid").cast("string")), " ").as("ids"),
+        // exclusive running EOS count: append the CURRENT count, then
+        // bump it when this slot is an EOS
+        array_join(aggregate(col("__slots"),
+          struct(lit(0L).as("c"), array().cast("array<string>").as("o")),
+          (st, e) => struct(
+            when(e.getField("tid") === 0L, st.getField("c") + 1L)
+              .otherwise(st.getField("c")).as("c"),
+            concat(st.getField("o"),
+              array(st.getField("c").cast("string"))).as("o")),
+          st => st.getField("o")), " ").as("doc_idx"))
+
+  /** The shared packing core: global token position for every token
+    * row, as (tid, seq_id, __sp). The only order-carrying computation
+    * is the per-document-count prefix sum, run as a TWO-LEVEL scan —
+    * see the scaladoc on [[packSequences]]'s original definition
+    * (local per-partition windows + one numPartitions-row window
+    * broadcast back; no global sort of token rows). */
+  private def globalPositions(toks: DataFrame, idCol: String,
+                              seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val counts = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
     val parts = counts
@@ -74,16 +123,10 @@ object Packing {
     val ranked = toks.withColumn("__ipos",
       row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("wpos"), col("spos"))))
-    val gpos = ranked.join(offs, idCol)
+    ranked.join(offs, idCol)
       .select(col("tid"),
         (col("__off") + col("__ipos") - 1).as("__gp"))
       .select(col("tid"), expr(s"__gp div $seqLen").as("seq_id"),
         (col("__gp") % seqLen).as("__sp"))
-    gpos.groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("seq_len"),
-        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_docs"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__sp"), col("tid")))),
-          s => s.getField("tid").cast("string")), " ").as("ids"))
   }
 }

@@ -483,8 +483,69 @@ object CurationQueries {
         .select(col("doc_id"), col("q_fp"), col("n_tok"),
           (col("cum_before") + col("cum_in") <= col("b")).as("kept"))
       nonB.unionByName(bd).orderBy(col("doc_id"))
+    }),
+
+    // SPAN-level Dolma attributes (Soldaini et al. 2024 — the published
+    // attribute format carries (start, end, score) SPANS): PII card
+    // spans (Luhn-validated, exactly the runs LuhnRedact would rewrite)
+    // and contaminated spans (maximal benchmark-3-gram-covered token
+    // runs — the span form of the excision rule) persist once per
+    // corpus signature; span POLICIES then filter the relation without
+    // re-tagging. Cards planted valid-on-even / checksum-broken-on-odd
+    // (only valid ones may span); src0 plays the benchmark. Both
+    // offset conventions emitted: 0-based char [start,end) + 1-based
+    // token [p_start,p_end].
+    "q_span_attrs" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), spanPlantedCol.as("text"))
+      val dir = graft.ext.Attributes.spanDirFor(d)
+      graft.ext.Attributes.ensureSpanAttributes(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"), dir, n = 3)
+      s.read.parquet(s"$dir/spans")
+        .orderBy(col("doc_id"), col("tag"), col("start"))
+    }),
+
+    // The span MIX: SCRUB instead of drop — cut every pii_card span
+    // plus contaminated spans covering ≥ 6 tokens (shorter runs
+    // survive: a real policy choice exercised through the persisted
+    // relation — re-tuning it touches only the small span store, the
+    // taggers never re-run). Overlaps (the planted card inside a
+    // shared '... pay CARD ref ...' gram run) merge before cutting.
+    "q_span_mix" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), spanPlantedCol.as("text"))
+      val cand = all.filter(col("source") =!= "src0")
+      val dir = graft.ext.Attributes.spanDirFor(d)
+      graft.ext.Attributes.ensureSpanAttributes(
+        cand, all.filter(col("source") === "src0"), dir, n = 3)
+      val spans = s.read.parquet(s"$dir/spans")
+        .filter(col("tag") === graft.ext.Attributes.TagPiiCard ||
+          col("score") >= 6.0)
+      graft.ext.Attributes.exciseSpans(cand, spans)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Planted corpus for the span taggers — the q_luhn_scrub planting
+    * discipline: base-text digits masked (a regenerated corpus can't
+    * sneak a Luhn-valid run past the oracle), then a known-valid card
+    * on even ids / its checksum-broken near-miss on odd ones. */
+  private val SpanCards: Array[String] = Array(
+    "4111111111111111", "5555555555554444",
+    "4012888888881881", "6011000990139424")
+  private val SpanCardsBad: Array[String] =
+    SpanCards.map(v => v.init + ((v.last - '0' + 1) % 10).toString)
+
+  private def spanPlantedCol: org.apache.spark.sql.Column = {
+    def pick(arr: Array[String]) =
+      when(col("doc_id") % 4 === 0, arr(0)).when(col("doc_id") % 4 === 1, arr(1))
+        .when(col("doc_id") % 4 === 2, arr(2)).otherwise(arr(3))
+    concat(regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "x"),
+      lit(" pay "),
+      when(col("doc_id") % 2 === 0, pick(SpanCards)).otherwise(pick(SpanCardsBad)),
+      lit(" ref "), col("doc_id").cast("string"))
+  }
 
   /** q_keyword_tag's term list — shared verbatim with the oracle. All
     * borderless (see the query comment); two nesting chains. */
@@ -525,7 +586,116 @@ object CurationQueries {
        |FROM a WHERE $pred ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB Luhn check for the digit-run token expression `t` —
+    * mirrors [[graft.functions.LuhnRedact.luhnValid]]: from the
+    * rightmost digit (k=1 of the reversed string, NOT doubled), double
+    * every second, subtract 9 over 9, total ≡ 0 (mod 10). */
+  private def luhnSql(t: String): String =
+    s"""list_sum(list_transform(generate_series(1, length($t)), k ->
+       |  CASE WHEN k % 2 = 0 THEN
+       |    CASE WHEN 2 * CAST(substr(reverse($t), k, 1) AS INT) > 9
+       |         THEN 2 * CAST(substr(reverse($t), k, 1) AS INT) - 9
+       |         ELSE 2 * CAST(substr(reverse($t), k, 1) AS INT) END
+       |  ELSE CAST(substr(reverse($t), k, 1) AS INT) END)) % 10 = 0""".stripMargin
+
+  /** Shared CTE chain deriving the span relation (pii + contaminated)
+    * from scratch — the oracle has no persisted artifact. Char offsets
+    * under the single-space join convention: token p starts at
+    * len(join(toks[1:p-1],' '))+1 (0 for p=1). */
+  private def spanCtesSql: String = {
+    def pickSql(arr: Array[String]) =
+      s"""CASE doc_id % 4 WHEN 0 THEN '${arr(0)}' WHEN 1 THEN '${arr(1)}'
+         |       WHEN 2 THEN '${arr(2)}' ELSE '${arr(3)}' END""".stripMargin
+    def csSql(p: String) =
+      s"CASE WHEN $p = 1 THEN 0 ELSE length(array_to_string(toks[1:$p-1], ' ')) + 1 END"
+    def csSqlQ(p: String) =
+      s"CASE WHEN $p = 1 THEN 0 ELSE length(array_to_string(c.toks[1:$p-1], ' ')) + 1 END"
+    s"""WITH p AS (SELECT doc_id, source,
+       |    concat(regexp_replace(coalesce(text, ''), '[0-9]', 'x', 'g'), ' pay ',
+       |      CASE WHEN doc_id % 2 = 0 THEN ${pickSql(SpanCards)}
+       |           ELSE ${pickSql(SpanCardsBad)} END,
+       |      ' ref ', CAST(doc_id AS VARCHAR)) AS tx
+       |  FROM documents),
+       |tok AS (SELECT doc_id, source, tx, string_split(tx, ' ') AS toks FROM p),
+       |cand AS (SELECT doc_id, tx, toks FROM tok WHERE source <> 'src0'),
+       |piiraw AS (SELECT doc_id, toks, CAST(u.i AS INT) AS i
+       |           FROM cand, unnest(generate_series(1, len(toks))) AS u(i)
+       |           WHERE regexp_full_match(toks[u.i], '[0-9]{13,19}')
+       |             AND ${luhnSql("toks[u.i]")}),
+       |pii AS (SELECT doc_id, 'pii_card' AS tag, i AS p_start, i AS p_end,
+       |          CAST(${csSql("i")} AS INT) AS start,
+       |          CAST(${csSql("i")} + length(toks[i]) AS INT) AS "end",
+       |          CAST(1.0 AS DOUBLE) AS score
+       |        FROM piiraw),
+       |bench AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS g
+       |          FROM tok, unnest(CASE WHEN len(toks) >= 3
+       |                 THEN generate_series(1, len(toks) - 2) ELSE [] END) AS u(i)
+       |          WHERE source = 'src0'),
+       |candg AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |            array_to_string(toks[i:i+2], ' ') AS g
+       |          FROM cand, unnest(CASE WHEN len(toks) >= 3
+       |                 THEN generate_series(1, len(toks) - 2) ELSE [] END) AS u(i)),
+       |bad AS (SELECT DISTINCT doc_id, pos FROM candg JOIN bench USING (g)),
+       |cov AS (SELECT DISTINCT doc_id, pos + CAST(o AS INT) AS pp
+       |        FROM bad, unnest([0, 1, 2]) AS v(o)),
+       |isl AS (SELECT doc_id, pp, pp - CAST(row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY pp) AS INT) AS grp FROM cov),
+       |sp AS (SELECT doc_id, min(pp) AS p_start, max(pp) AS p_end,
+       |         count(*) AS nn FROM isl GROUP BY doc_id, grp),
+       |contam AS (SELECT s.doc_id, 'contaminated' AS tag,
+       |             s.p_start, s.p_end,
+       |             CAST(${csSqlQ("s.p_start")} AS INT) AS start,
+       |             CAST(${csSqlQ("s.p_end")} + length(c.toks[s.p_end]) AS INT) AS "end",
+       |             CAST(nn AS DOUBLE) AS score
+       |           FROM sp s JOIN cand c USING (doc_id)),
+       |spans AS (SELECT * FROM pii UNION ALL SELECT * FROM contam)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_span_attrs" ->
+      s"""$spanCtesSql
+         |SELECT doc_id, tag, p_start, p_end, start, "end", score
+         |FROM spans ORDER BY doc_id, tag, start""".stripMargin,
+
+    // policy filter → interval-merge (running max(end) islands) →
+    // ordered piece reassembly: kept text is the concat of inter-span
+    // gaps plus the tail after the last merged span — char-exact with
+    // the engine's right-to-left cut fold
+    "q_span_mix" ->
+      s"""$spanCtesSql,
+         |sel AS (SELECT doc_id, start, "end" FROM spans
+         |        WHERE tag = 'pii_card' OR score >= 6.0),
+         |m0 AS (SELECT doc_id, start, "end",
+         |        CASE WHEN start > coalesce(max("end") OVER (
+         |            PARTITION BY doc_id ORDER BY start, "end"
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |          THEN 1 ELSE 0 END AS ni
+         |       FROM sel),
+         |m1 AS (SELECT doc_id, start, "end",
+         |        sum(ni) OVER (PARTITION BY doc_id ORDER BY start, "end"
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |       FROM m0),
+         |mg AS (SELECT doc_id, min(start) AS s, max("end") AS e
+         |       FROM m1 GROUP BY doc_id, isl),
+         |pieces AS (SELECT doc_id, s, e,
+         |            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+         |           FROM mg),
+         |kept AS (SELECT pc.doc_id,
+         |          string_agg(substr(c.tx, pc.pe + 1, pc.s - pc.pe), '' ORDER BY pc.s)
+         |            AS head_part,
+         |          max(pc.e) AS last_e,
+         |          CAST(count(*) AS INT) AS n_spans,
+         |          CAST(sum(pc.e - pc.s) AS INT) AS n_chars_cut
+         |         FROM pieces pc JOIN cand c USING (doc_id) GROUP BY pc.doc_id)
+         |SELECT c.doc_id,
+         |  CASE WHEN k.doc_id IS NULL THEN c.tx
+         |       ELSE coalesce(k.head_part, '') || substr(c.tx, k.last_e + 1) END
+         |    AS clean_text,
+         |  coalesce(k.n_spans, 0) AS n_spans,
+         |  coalesce(k.n_chars_cut, 0) AS n_chars_cut
+         |FROM cand c LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_mlm_masking" ->
       graft.ext.MlmMask.oracleSql("documents", "doc_id", "text"),

@@ -233,7 +233,7 @@ object ExtHelpers {
     * sum, and position p → sequence p // L slot p % L — Spark's
     * two-level scan replayed as one window (the oracle can afford
     * it). */
-  private[queries] def tokenizePackOracle(k: Int, seqLen: Int): String =
+  private[queries] def tokenizePackCtes(k: Int, seqLen: Int): String =
     bpeRoundsCte(k) + s""",
       |syms AS (SELECT w, string_split(substr(s, 2, strlen(s) - 2),
       |                                chr(3) || chr(2)) AS sy FROM w$k),
@@ -259,11 +259,30 @@ object ExtHelpers {
       |gpos AS (SELECT o.tid, (f.off + o.ipos - 1) AS gp
       |         FROM ord o JOIN offs f USING (doc_id)),
       |seqs AS (SELECT CAST(gp // $seqLen AS BIGINT) AS seq_id,
-      |                gp % $seqLen AS sp, tid FROM gpos)
+      |                gp % $seqLen AS sp, tid FROM gpos)""".stripMargin
+
+  private[queries] def tokenizePackOracle(k: Int, seqLen: Int): String =
+    tokenizePackCtes(k, seqLen) + s"""
       |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,
       |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
       |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** [[tokenizePackOracle]] plus the attention-mask column: per slot,
+    * the EXCLUSIVE running count of EOS tokens within the sequence —
+    * a plain 1-PRECEDING window over the seqs relation. */
+  private[queries] def packAttentionOracle(k: Int, seqLen: Int): String =
+    tokenizePackCtes(k, seqLen) + s""",
+      |di AS (SELECT seq_id, sp, tid,
+      |         coalesce(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) OVER (
+      |           PARTITION BY seq_id ORDER BY sp
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dx
+      |       FROM seqs)
+      |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5,
+      |       md5(string_agg(CAST(dx AS VARCHAR), ' ' ORDER BY sp)) AS doc_idx_md5
+      |FROM di GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   /** Analytic CDC oracle: recompute every 8-byte window hash with the
     * SAME base-power coefficients as `CdcBoundaries.Pow`, mark

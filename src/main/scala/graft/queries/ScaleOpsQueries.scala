@@ -242,6 +242,22 @@ object ScaleOpsQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // ---- packed sequences + attention-mask doc indices ---------------
+    // the q_tokenize_pack pipeline, additionally emitting per-slot
+    // doc_idx (exclusive running EOS count within the sequence) so a
+    // training consumer can mask cross-document attention in packed
+    // sequences; the fold runs inside the per-sequence row — same
+    // two-level scan, no new global pass
+    "q_pack_attention" -> ((s, d) => {
+      val toks = graft.ext.Bpe.encodeIds(Tables.documents(s, d),
+        "doc_id", "text", 64)
+      graft.ext.Packing.packSequencesWithDocIdx(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"),
+          md5(col("doc_idx")).as("doc_idx_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -361,9 +377,123 @@ object ScaleOpsQueries {
         .select(col("doc_id"), col("stage"), col("pos"))
         .orderBy(col("stage"), col("pos"))
     }),
+
+    // ---- sentence segmentation (rule-pinned UAX #29-informed) -------
+    // The corpus carries no punctuation, so terminals AND every
+    // suppression case (abbreviation, initial, enumeration, closer)
+    // are PLANTED at deterministic token positions — each rule branch
+    // of graft.ext.Sentences is exercised and its non-split cases
+    // proven. One codegen'd boundary pass, map-only.
+    "q_sentence_split" -> ((s, d) =>
+      graft.ext.Chunking.sentences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), sentencePlantedCol.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("sent_idx"))),
+
+    // ---- sentence-boundary chunking ----------------------------------
+    // Greedy ≤24-token packing of consecutive sentences: chunks never
+    // cut mid-sentence (the property sliding/CDC windows can't give);
+    // the greedy fold runs inside the row — no shuffle.
+    "q_chunk_sentences" -> ((s, d) =>
+      graft.ext.Chunking.sentenceChunks(
+          Tables.documents(s, d)
+            .select(col("doc_id"), sentencePlantedCol.as("text")),
+          "doc_id", "text", maxTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
   )
 
+  /** Planted punctuation for the sentence queries: rewrite the token at
+    * 1-based position i (first matching branch wins — the oracle
+    * replays the same CASE order). Terminals land every ~4-7 tokens;
+    * the Dr./J./42. branches plant the three '.'-suppression rules. */
+  private def sentencePlantedCol: org.apache.spark.sql.Column =
+    array_join(transform(split(coalesce(col("text"), lit("")), " "),
+      (w, i0) => {
+        val i = i0 + 1
+        when(i % 17 === 2, "Dr.")
+          .when(i % 19 === 4, "J.")
+          .when(i % 23 === 6, "42.")
+          .when(i % 29 === 9, concat(w, lit(".\"")))
+          .when(i % 7 === 3, concat(w, lit(".")))
+          .when(i % 11 === 5, concat(w, lit("!")))
+          .when(i % 13 === 8, concat(w, lit("?")))
+          .otherwise(w)
+      }), " ")
+
+  /** DuckDB mirror of [[sentencePlantedCol]]. */
+  private def sentencePlantedSql: String =
+    """array_to_string(list_transform(string_split(coalesce(text, ''), ' '),
+      |  (w, i) -> CASE WHEN i % 17 = 2 THEN 'Dr.'
+      |                 WHEN i % 19 = 4 THEN 'J.'
+      |                 WHEN i % 23 = 6 THEN '42.'
+      |                 WHEN i % 29 = 9 THEN w || '."'
+      |                 WHEN i % 7 = 3 THEN w || '.'
+      |                 WHEN i % 11 = 5 THEN w || '!'
+      |                 WHEN i % 13 = 8 THEN w || '?'
+      |                 ELSE w END), ' ')""".stripMargin
+
+  /** Shared CTE chain: planted text → tokens → per-token end flag
+    * ([[graft.ext.Sentences.isEndSql]], the same literal rule table the
+    * engine compiles) → sentence ids → sentence relation. */
+  private def sentenceCtesSql: String =
+    s"""p AS (SELECT doc_id, $sentencePlantedSql AS tx FROM documents),
+       |t AS (SELECT doc_id, tx, string_split(tx, ' ') AS toks
+       |      FROM p WHERE tx <> ''),
+       |w AS (SELECT doc_id, CAST(u.i AS INT) AS pos, toks[u.i] AS tok
+       |      FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+       |f AS (SELECT doc_id, pos, tok,
+       |        ${graft.ext.Sentences.isEndSql("tok")} AS is_end
+       |      FROM w),
+       |g AS (SELECT doc_id, pos, tok,
+       |        CAST(coalesce(sum(CASE WHEN is_end THEN 1 ELSE 0 END) OVER (
+       |          PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+       |          AS sid
+       |      FROM f),
+       |sent AS (SELECT doc_id, sid, min(pos) AS p_first, max(pos) AS p_last,
+       |          string_agg(tok, ' ' ORDER BY pos) AS sentence,
+       |          CAST(count(*) AS INT) AS n_tok
+       |         FROM g GROUP BY doc_id, sid)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_sentence_split" ->
+      s"""WITH $sentenceCtesSql
+         |SELECT s.doc_id, s.sid AS sent_idx,
+         |  CAST(CASE WHEN s.p_first = 1 THEN 0
+         |       ELSE length(array_to_string(t.toks[1:s.p_first-1], ' ')) + 1
+         |       END AS INT) AS start,
+         |  CAST(CASE WHEN s.p_last = 1 THEN 0
+         |       ELSE length(array_to_string(t.toks[1:s.p_last-1], ' ')) + 1
+         |       END + length(t.toks[s.p_last]) AS INT) AS "end",
+         |  s.n_tok, s.sentence
+         |FROM sent s JOIN t USING (doc_id)
+         |ORDER BY doc_id, sent_idx""".stripMargin,
+
+    // greedy ≤24-token packing replayed sequentially per document (the
+    // one inherently-sequential rule in the suite — a recursive CTE
+    // walks sid 0,1,2,… carrying (chunk_idx, tokens-in-chunk))
+    "q_chunk_sentences" ->
+      s"""WITH RECURSIVE $sentenceCtesSql,
+         |walk AS (
+         |  SELECT doc_id, sid, sentence, n_tok, 0 AS chunk_idx, n_tok AS acc
+         |  FROM sent WHERE sid = 0
+         |  UNION ALL
+         |  SELECT s.doc_id, s.sid, s.sentence, s.n_tok,
+         |    CASE WHEN w2.acc + s.n_tok > 24 THEN w2.chunk_idx + 1
+         |         ELSE w2.chunk_idx END,
+         |    CASE WHEN w2.acc + s.n_tok > 24 THEN s.n_tok
+         |         ELSE w2.acc + s.n_tok END
+         |  FROM walk w2 JOIN sent s
+         |    ON s.doc_id = w2.doc_id AND s.sid = w2.sid + 1)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(count(*) AS INT) AS n_sentences,
+         |  CAST(sum(n_tok) AS INT) AS n_tok,
+         |  md5(string_agg(sentence, ' ' ORDER BY sid)) AS chunk_md5
+         |FROM walk GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
@@ -479,6 +609,7 @@ object ScaleOpsQueries {
     // 64 training rounds + tokenization + vocabulary ranks + packing
     // arithmetic, all replayed (generator shared with q_bpe_encode)
     "q_tokenize_pack" -> ExtHelpers.tokenizePackOracle(64, 512),
+    "q_pack_attention" -> ExtHelpers.packAttentionOracle(64, 512),
     // exact membership is SQL; the sketch's one-sided-error invariant
     // is the boolean the engine must never flip
     "q_bloom_screen" ->

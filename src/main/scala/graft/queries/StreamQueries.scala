@@ -110,7 +110,10 @@ object StreamQueries {
       // Deterministic per-sf scratch dir, wiped before each run — repeated
       // invocations reuse one directory instead of leaking a tempdir each.
       val out = freshScratchDir(d, "window").toString
-      StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"))
+      // state = |windows|×|types| ≈ 3600 rows: 8 state partitions, not
+      // the session's relational 32 (see withStateParts' measurement)
+      StreamPipeline.runAppendToDir(s, agg, out, Seq("event_type"),
+          stateParts = Some(8))
         // terminal decimal → double for engine-stable hashing (exact value)
         .withColumn("total_value", col("total_value").cast("double"))
         .select("window_start_us", "event_type", "n", "total_value")
@@ -126,7 +129,8 @@ object StreamQueries {
       val agg = StreamPipeline.windowedCounts(
         StreamPipeline.readEvents(s, d), watermark = Some("30 minutes"))
       val out = freshScratchDir(d, "windowonce").toString
-      StreamPipeline.runAppendToDirExactlyOnce(s, agg, out, Seq("event_type"))
+      StreamPipeline.runAppendToDirExactlyOnce(s, agg, out, Seq("event_type"),
+          stateParts = Some(8))
         .withColumn("total_value", col("total_value").cast("double"))
         .select("window_start_us", "event_type", "n", "total_value")
         .orderBy(col("window_start_us"), col("event_type"))
@@ -540,6 +544,39 @@ object StreamQueries {
         .limit(20)
     }),
 
+    // ingest-store COMPACTION under the correctness gate: three batch
+    // ingests fragment the count-min store; serve, compact
+    // (Compaction.swapIn's two-rename protocol), serve again. The two
+    // servings must be value-identical (the oracle replays the
+    // estimates — compaction is a pure relayout/fold) and the parquet
+    // file count must provably drop. The before-serving materializes
+    // to scratch BEFORE the swap: a lazy plan would re-list files the
+    // swap deleted.
+    "q_store_compact" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val store = freshScratchDir(d, "compactgate").toString + "/store"
+      (0 until 3).foreach { i =>
+        graft.ext.CountMin.ingestIntoStore(store,
+          docs.filter(col("doc_id") % 3 === i), "text")
+      }
+      val exact = graft.ext.CountMin.tokens(docs, "text")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      def serve() = graft.ext.CountMin.estimates(
+        exact, graft.ext.CountMin.storeSketch(s, store))
+      val beforeDir = freshScratchDir(d, "compactbefore").toString
+      serve().write.parquet(beforeDir)
+      val filesBefore = graft.ext.Compaction.parquetFileCount(s, store)
+      graft.ext.Compaction.compactCmsStore(s, store)
+      val filesAfter = graft.ext.Compaction.parquetFileCount(s, store)
+      s.read.parquet(beforeDir)
+        .select(col("tok"), col("n"), col("est").as("est_before"))
+        .join(serve().select(col("tok"), col("est").as("est_after")),
+          Seq("tok"))
+        .withColumn("files_dropped", lit(filesAfter < filesBefore))
+        .orderBy(col("est_after").desc, col("tok")).limit(20)
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -750,6 +787,15 @@ object StreamQueries {
     "q_stream_kmeans_ingest" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),
+    // the estimates replay pins both servings (compaction is a pure
+    // fold — before == after == the sketch of the whole corpus);
+    // files_dropped pins the physical file-count reduction
+    "q_store_compact" ->
+      (TextQualityQueries.cmsEstCtesSql("SELECT text FROM documents") + """
+        |SELECT tok, n, est AS est_before, est AS est_after,
+        |       true AS files_dropped
+        |FROM est ORDER BY est_after DESC, tok LIMIT 20""".stripMargin),
+
     "q_stream_cms_ingest" -> TextQualityQueries.cmsOracleSql(
       "SELECT text FROM documents UNION ALL SELECT text FROM documents"),
     // the batch screen's own oracle — streaming and batch must agree

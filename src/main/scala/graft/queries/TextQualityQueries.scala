@@ -496,7 +496,9 @@ object TextQualityQueries {
     * shared by the batch query and the streaming-ingest query (whose
     * merged store must equal the sketch of the unioned corpus: the
     * mergeability identity). */
-  def cmsOracleSql(docsFrom: String): String =
+  /** The count-min replay CTE chain (through `est`) — shared by the
+    * heavy-hitter oracles and the compaction-gate oracle. */
+  def cmsEstCtesSql(docsFrom: String): String =
     s"""WITH docs AS ($docsFrom),
        |toks AS (
        |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
@@ -514,9 +516,12 @@ object TextQualityQueries {
        |  LEFT JOIN sk s ON s.r = r2
        |   AND s.b = CAST('0x' || substr(md5(CAST(r2 AS VARCHAR) || ':' || e.tok), 1, 8)
        |             AS BIGINT) % ${graft.ext.CountMin.Width}
-       |  GROUP BY 1, 2)
-       |SELECT tok, n, est, est >= n AS overestimate_ok
-       |FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def cmsOracleSql(docsFrom: String): String =
+    cmsEstCtesSql(docsFrom) + """
+      |SELECT tok, n, est, est >= n AS overestimate_ok
+      |FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lang_id" ->

@@ -88,17 +88,43 @@ object StreamPipeline {
     * they'd emit when later data advances the watermark). The engine's
     * no-data micro-batch performs the final eviction after the last
     * data batch; [[drainAndStop]] waits for it. */
+  /** Plan-and-start `start` under `stateParts` shuffle partitions
+    * (restoring the session conf after), when given. Spark pins a
+    * stream's STATE partition count from `spark.sql.shuffle.partitions`
+    * at first start and keeps it for the checkpoint's lifetime — state
+    * width is a PER-STREAM property sized by state volume, not the
+    * session's relational shuffle width. A windowed aggregation with a
+    * few thousand state rows under the session default of 32 pays 32
+    * HDFS-backed store commits (file create + fsync + rename each) per
+    * micro-batch for ~100 rows of state apiece — measured 9–36 s of
+    * summed commit time per trigger vs ~1 s at 8 partitions, 4.3 s →
+    * 2.7 s wall on the events window query. A 100 TB stream with large
+    * keyed state passes a LARGER number for the same reason. */
+  private def withStateParts[A](spark: SparkSession,
+                                stateParts: Option[Int])(start: => A): A =
+    stateParts match {
+      case None => start
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n)
+        try start finally spark.conf.set(key, prev)
+    }
+
   def runAppendToDir(spark: SparkSession, agg: DataFrame, outDir: String,
-                     partitionCols: Seq[String]): DataFrame = {
+                     partitionCols: Seq[String],
+                     stateParts: Option[Int] = None): DataFrame = {
     val schema = agg.schema
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          batch.write.mode("append").partitionBy(partitionCols: _*).parquet(outDir)
-      }
-      .start()
+    val q = withStateParts(spark, stateParts) {
+      agg.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            batch.write.mode("append").partitionBy(partitionCols: _*).parquet(outDir)
+        }
+        .start()
+    }
     drainAndStop(q)
     // No window may have closed (watermark never passed a window end) —
     // then no batch wrote and the dir has no parquet to infer from.
@@ -130,13 +156,16 @@ object StreamPipeline {
     * synthetic `batch_id` partition column is dropped on read-back. */
   def runAppendToDirExactlyOnce(spark: SparkSession, agg: DataFrame,
                                 outDir: String,
-                                partitionCols: Seq[String]): DataFrame = {
+                                partitionCols: Seq[String],
+                                stateParts: Option[Int] = None): DataFrame = {
     val schema = agg.schema
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch(idempotentBatchWriter(outDir, partitionCols))
-      .start()
+    val q = withStateParts(spark, stateParts) {
+      agg.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch(idempotentBatchWriter(outDir, partitionCols))
+        .start()
+    }
     drainAndStop(q)
     val wrote = {
       val p = new org.apache.hadoop.fs.Path(outDir)
