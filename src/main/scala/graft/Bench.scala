@@ -74,7 +74,8 @@ object Bench {
       "q_kmeans_inertia",
       // round-14 additions (enter bench_baseline at its next refresh)
       "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
-      "q_store_compact", "q_pack_attention")
+      "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
+      "q_stream_sentences", "q_stream_span_ingest")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

@@ -104,13 +104,24 @@ object Attributes {
   // ------------------------------------------------------------------
 
   val TagPiiCard = "pii_card"
+  val TagPiiEmail = "pii_email"
   val TagContaminated = "contaminated"
+
+  /** The email token class — [[Sampling.scrubPii]]'s pattern, anchored
+    * to a whole whitespace token (shared literal with the oracle). */
+  val EmailTokenRe: String = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+  /** Span-store version — part of the persisted-relation contract: bump
+    * whenever the TAGGER SET or span schema changes, or an existing
+    * `_SUCCESS`-guarded store silently serves rows the current taggers
+    * would no longer produce (v1 → v2: the pii_email tagger joined). */
+  val SpanStoreVersion = "graft_spans_v2"
 
   /** Deterministic span-attributes location (corpus signature keyed,
     * like [[attrDirFor]] — a regenerated corpus keys to a new dir). */
   def spanDirFor(corpusDir: String,
                  root: String = sys.props("java.io.tmpdir")): String =
-    s"$root/${Ivf.indexPrefix("graft_spans_v1", corpusDir)}_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
+    s"$root/${Ivf.indexPrefix(SpanStoreVersion, corpusDir)}_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
 
   /** Character offset (0-based) where 1-based token `p` starts, under
     * the single-space join convention (`split(text, " ")` round-trips
@@ -127,13 +138,12 @@ object Attributes {
   private def spanSchema = Seq("doc_id", "tag", "p_start", "p_end",
     "start", "end", "score")
 
-  /** PII spans: one span per whitespace token that is a contiguous
-    * 13–19 digit run passing the Luhn check — the same validation
-    * [[graft.functions.LuhnRedact]] redacts by, reused verbatim (a
-    * token spans `[CARD]` here iff the scrubber would rewrite it), so
-    * the span tagger and the redactor cannot drift. Map-only: flagged
-    * positions found per-row, exploded sparsely. */
-  def piiCardSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Single-token span tagger: one span per whitespace token satisfying
+    * `pred`. Map-only — flagged positions found per-row, exploded
+    * sparsely; char offsets computed only for the matches. */
+  private def tokenSpans(docs: DataFrame, idCol: String, textCol: String,
+                         tag: String)
+                        (pred: Column => Column): DataFrame = {
     val toks = col("__toks")
     docs
       .select(col(idCol).as("doc_id"),
@@ -141,15 +151,28 @@ object Attributes {
       .select(col("doc_id"), toks,
         explode(filter(
           transform(toks, (t, i0) => struct((i0 + 1).as("p"), t.as("t"))),
-          s => s.getField("t").rlike("^[0-9]{13,19}$") &&
-            graft.functions.LuhnRedact.luhn_redact(s.getField("t")) === "[CARD]"
-        )).as("h"))
-      .select(col("doc_id"), lit(TagPiiCard).as("tag"),
+          s => pred(s.getField("t")))).as("h"))
+      .select(col("doc_id"), lit(tag).as("tag"),
         col("h.p").as("p_start"), col("h.p").as("p_end"),
         charStart(toks, col("h.p")).cast("int").as("start"),
         charEnd(toks, col("h.p")).cast("int").as("end"),
         lit(1.0).as("score"))
   }
+
+  /** PII card spans: one span per whitespace token that is a contiguous
+    * 13–19 digit run passing the Luhn check — the same validation
+    * [[graft.functions.LuhnRedact]] redacts by, reused verbatim (a
+    * token spans `[CARD]` here iff the scrubber would rewrite it), so
+    * the span tagger and the redactor cannot drift. */
+  def piiCardSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSpans(docs, idCol, textCol, TagPiiCard)(t =>
+      t.rlike("^[0-9]{13,19}$") &&
+        graft.functions.LuhnRedact.luhn_redact(t) === "[CARD]")
+
+  /** PII email spans: one span per whole-token [[EmailTokenRe]] match
+    * (the scrubber's email class, span form). */
+  def piiEmailSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSpans(docs, idCol, textCol, TagPiiEmail)(_.rlike(EmailTokenRe))
 
   /** Contamination spans: MAXIMAL runs of tokens covered by a benchmark
     * n-gram — the span form of [[Contamination]]'s excision rule (same
@@ -196,6 +219,7 @@ object Attributes {
   def spanTagFrame(candidates: DataFrame, benchmark: DataFrame,
                    idCol: String, textCol: String, n: Int = 3): DataFrame =
     piiCardSpans(candidates, idCol, textCol)
+      .unionByName(piiEmailSpans(candidates, idCol, textCol))
       .unionByName(contaminatedSpans(candidates, benchmark, idCol, textCol, n))
       .select(spanSchema.map(col): _*)
 
@@ -204,13 +228,26 @@ object Attributes {
                            dir: String, idCol: String = "doc_id",
                            textCol: String = "text", n: Int = 3): Unit =
     ArtifactDir.ensure(candidates.sparkSession, dir, "spans",
-      "^(graft_spans_v1_[0-9a-f]+_).*".r) {
+      ("^(" + SpanStoreVersion + "_[0-9a-f]+_).*").r) {
       spanTagFrame(candidates, benchmark, idCol, textCol, n)
         .repartitionByRange(candidates.sparkSession.sessionState.conf.numShufflePartitions,
           col("doc_id"))
         .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
         .write.mode("overwrite").parquet(s"$dir/spans")
     }
+
+  /** Streaming span-attributes maintenance (the
+    * [[ingestIntoAttributes]] pattern): APPEND one micro-batch of new
+    * documents' span rows — the taggers run over the BATCH against the
+    * static benchmark, never the corpus; every mix launched after the
+    * batch commits sees the union. Ingested doc ids must be new. */
+  def ingestIntoSpanAttributes(dir: String, batch: DataFrame,
+                               benchmark: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text", n: Int = 3): Unit =
+    spanTagFrame(batch, benchmark, idCol, textCol, n)
+      .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
+      .write.mode("append").parquet(s"$dir/spans")
 
   /** The span MIX: cut every selected span out of the text instead of
     * dropping the document. Overlapping/adjacent spans (a PII token

@@ -253,6 +253,59 @@ object Bpe {
     * once per DISTINCT word and fans back through the word join, the
     * [[encode]] scale shape. */
   def encodeIds(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val (words, wids) = encodedWordIds(df, idCol, textCol, k)
+    words.join(wids, "w")
+      .select(col("__id").as(idCol), col("wpos"), col("spos"), col("tid"))
+      .unionByName(df.select(col(idCol),
+        lit(Int.MaxValue).as("wpos"), lit(0).as("spos"), lit(0L).as("tid")))
+  }
+
+  /** The `k`-merge vocabulary: (sym, tid), tid = 1-based rank in
+    * code-point order (the [[encodeIds]] id assignment, exposed for
+    * decoding). ≤ |alphabet| + k rows of model metadata. */
+  def vocabIds(df: DataFrame, textCol: String, k: Int): DataFrame =
+    vocabOf(distinctWordSyms(df, textCol, k))
+
+  /** Invert [[encodeIds]]: token-id rows → (idCol, text). Decoding is
+    * two keyed aggregations — subwords concatenate within (doc, word),
+    * words join with ' ' within doc — after a broadcast join against
+    * the model-metadata vocabulary; EOS rows (tid 0) drop. By BPE's
+    * construction (merges only ever concatenate adjacent symbols of
+    * the SAME word) decode∘encode is the identity on single-space
+    * text — the round-trip the q_tokenize_roundtrip gate pins. */
+  def decodeIds(toks: DataFrame, vocab: DataFrame, idCol: String): DataFrame =
+    toks.filter(col("tid") =!= 0L)
+      .join(broadcast(vocab), "tid")
+      .groupBy(col(idCol), col("wpos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("spos"), col("sym")))),
+        s => s.getField("sym")), "").as("__w"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("wpos"), col("__w")))),
+        s => s.getField("__w")), " ").as("text"))
+
+  /** Shared by [[encodeIds]]/[[vocabIds]]: the positioned word relation
+    * and the per-distinct-word (w, spos, tid) subword rows. */
+  private def encodedWordIds(df: DataFrame, idCol: String, textCol: String,
+                             k: Int): (DataFrame, DataFrame) = {
+    val words = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("__id"), (col("__wp0") + 1).as("wpos"), col("w"))
+    val dw = distinctWordSyms(df, textCol, k)
+    val wids = dw
+      .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
+      .join(vocabOf(dw), "sym")
+      .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
+    (words, wids)
+  }
+
+  /** Distinct words with their merged symbol arrays — tokenization runs
+    * ONCE per distinct word (the [[encode]] scale shape). */
+  private def distinctWordSyms(df: DataFrame, textCol: String,
+                               k: Int): DataFrame = {
     val merges: Seq[(String, String)] =
       trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }
     val symsUdf = udf { (w: String) =>
@@ -260,28 +313,19 @@ object Bpe {
       merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
       syms
     }
-    val words = df
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
-      .filter(col("w") =!= "")
-      .select(col("__id"), (col("__wp0") + 1).as("wpos"), col("w"))
-    val dw = words.select(col("w")).distinct()
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "").select(col("w")).distinct()
       .withColumn("__sy", symsUdf(col("w")))
-    // symbol relation ≤ |alphabet| + k rows: the single-partition
-    // rank window is over model metadata, not corpus data
-    val vocab = dw.select(explode(col("__sy")).as("sym")).distinct()
+  }
+
+  /** Symbol ranks of a distinct-word relation. The single-partition
+    * rank window is over the ≤ |alphabet| + k symbol relation — model
+    * metadata, not corpus data. */
+  private def vocabOf(dw: DataFrame): DataFrame =
+    dw.select(explode(col("__sy")).as("sym")).distinct()
       .withColumn("tid",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("sym"))).cast("long"))
-    val wids = dw
-      .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
-      .join(vocab, "sym")
-      .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
-    words.join(wids, "w")
-      .select(col("__id").as(idCol), col("wpos"), col("spos"), col("tid"))
-      .unionByName(df.select(col(idCol),
-        lit(Int.MaxValue).as("wpos"), lit(0).as("spos"), lit(0L).as("tid")))
-  }
 
   def encode(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val merges: Seq[(String, String)] =

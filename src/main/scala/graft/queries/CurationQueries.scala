@@ -506,8 +506,8 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("tag"), col("start"))
     }),
 
-    // The span MIX: SCRUB instead of drop — cut every pii_card span
-    // plus contaminated spans covering ≥ 6 tokens (shorter runs
+    // The span MIX: SCRUB instead of drop — cut every pii span (card +
+    // email) plus contaminated spans covering ≥ 6 tokens (shorter runs
     // survive: a real policy choice exercised through the persisted
     // relation — re-tuning it touches only the small span store, the
     // taggers never re-run). Overlaps (the planted card inside a
@@ -520,8 +520,7 @@ object CurationQueries {
       graft.ext.Attributes.ensureSpanAttributes(
         cand, all.filter(col("source") === "src0"), dir, n = 3)
       val spans = s.read.parquet(s"$dir/spans")
-        .filter(col("tag") === graft.ext.Attributes.TagPiiCard ||
-          col("score") >= 6.0)
+        .filter(col("tag").like("pii_%") || col("score") >= 6.0)
       graft.ext.Attributes.exciseSpans(cand, spans)
         .orderBy(col("doc_id"))
     })
@@ -537,14 +536,18 @@ object CurationQueries {
   private val SpanCardsBad: Array[String] =
     SpanCards.map(v => v.init + ((v.last - '0' + 1) % 10).toString)
 
-  private def spanPlantedCol: org.apache.spark.sql.Column = {
+  private[queries] def spanPlantedCol: org.apache.spark.sql.Column = {
     def pick(arr: Array[String]) =
       when(col("doc_id") % 4 === 0, arr(0)).when(col("doc_id") % 4 === 1, arr(1))
         .when(col("doc_id") % 4 === 2, arr(2)).otherwise(arr(3))
     concat(regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "x"),
       lit(" pay "),
       when(col("doc_id") % 2 === 0, pick(SpanCards)).otherwise(pick(SpanCardsBad)),
-      lit(" ref "), col("doc_id").cast("string"))
+      lit(" ref "), col("doc_id").cast("string"),
+      // email on every third doc; a TLD-less near-miss otherwise (the
+      // email-token class must reject it)
+      lit(" mail user"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, "@example.com").otherwise("@example"))
   }
 
   /** q_keyword_tag's term list — shared verbatim with the oracle. All
@@ -602,7 +605,7 @@ object CurationQueries {
     * from scratch — the oracle has no persisted artifact. Char offsets
     * under the single-space join convention: token p starts at
     * len(join(toks[1:p-1],' '))+1 (0 for p=1). */
-  private def spanCtesSql: String = {
+  private[queries] def spanCtesSql(rel: String = "documents"): String = {
     def pickSql(arr: Array[String]) =
       s"""CASE doc_id % 4 WHEN 0 THEN '${arr(0)}' WHEN 1 THEN '${arr(1)}'
          |       WHEN 2 THEN '${arr(2)}' ELSE '${arr(3)}' END""".stripMargin
@@ -610,12 +613,18 @@ object CurationQueries {
       s"CASE WHEN $p = 1 THEN 0 ELSE length(array_to_string(toks[1:$p-1], ' ')) + 1 END"
     def csSqlQ(p: String) =
       s"CASE WHEN $p = 1 THEN 0 ELSE length(array_to_string(c.toks[1:$p-1], ' ')) + 1 END"
+    // the email-token class, DuckDB form of Attributes.EmailTokenRe
+    // (regexp_full_match carries the anchoring)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     s"""WITH p AS (SELECT doc_id, source,
        |    concat(regexp_replace(coalesce(text, ''), '[0-9]', 'x', 'g'), ' pay ',
        |      CASE WHEN doc_id % 2 = 0 THEN ${pickSql(SpanCards)}
        |           ELSE ${pickSql(SpanCardsBad)} END,
-       |      ' ref ', CAST(doc_id AS VARCHAR)) AS tx
-       |  FROM documents),
+       |      ' ref ', CAST(doc_id AS VARCHAR),
+       |      ' mail user', CAST(doc_id AS VARCHAR),
+       |      CASE WHEN doc_id % 3 = 0 THEN '@example.com' ELSE '@example' END)
+       |      AS tx
+       |  FROM $rel),
        |tok AS (SELECT doc_id, source, tx, string_split(tx, ' ') AS toks FROM p),
        |cand AS (SELECT doc_id, tx, toks FROM tok WHERE source <> 'src0'),
        |piiraw AS (SELECT doc_id, toks, CAST(u.i AS INT) AS i
@@ -627,6 +636,14 @@ object CurationQueries {
        |          CAST(${csSql("i")} + length(toks[i]) AS INT) AS "end",
        |          CAST(1.0 AS DOUBLE) AS score
        |        FROM piiraw),
+       |emraw AS (SELECT doc_id, toks, CAST(u.i AS INT) AS i
+       |          FROM cand, unnest(generate_series(1, len(toks))) AS u(i)
+       |          WHERE regexp_full_match(toks[u.i], '$emailRe')),
+       |piie AS (SELECT doc_id, 'pii_email' AS tag, i AS p_start, i AS p_end,
+       |          CAST(${csSql("i")} AS INT) AS start,
+       |          CAST(${csSql("i")} + length(toks[i]) AS INT) AS "end",
+       |          CAST(1.0 AS DOUBLE) AS score
+       |         FROM emraw),
        |bench AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS g
        |          FROM tok, unnest(CASE WHEN len(toks) >= 3
        |                 THEN generate_series(1, len(toks) - 2) ELSE [] END) AS u(i)
@@ -648,13 +665,14 @@ object CurationQueries {
        |             CAST(${csSqlQ("s.p_end")} + length(c.toks[s.p_end]) AS INT) AS "end",
        |             CAST(nn AS DOUBLE) AS score
        |           FROM sp s JOIN cand c USING (doc_id)),
-       |spans AS (SELECT * FROM pii UNION ALL SELECT * FROM contam)""".stripMargin
+       |spans AS (SELECT * FROM pii UNION ALL SELECT * FROM piie
+       |          UNION ALL SELECT * FROM contam)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
 
     "q_span_attrs" ->
-      s"""$spanCtesSql
+      s"""${spanCtesSql()}
          |SELECT doc_id, tag, p_start, p_end, start, "end", score
          |FROM spans ORDER BY doc_id, tag, start""".stripMargin,
 
@@ -663,9 +681,9 @@ object CurationQueries {
     // gaps plus the tail after the last merged span — char-exact with
     // the engine's right-to-left cut fold
     "q_span_mix" ->
-      s"""$spanCtesSql,
+      s"""${spanCtesSql()},
          |sel AS (SELECT doc_id, start, "end" FROM spans
-         |        WHERE tag = 'pii_card' OR score >= 6.0),
+         |        WHERE tag LIKE 'pii_%' OR score >= 6.0),
          |m0 AS (SELECT doc_id, start, "end",
          |        CASE WHEN start > coalesce(max("end") OVER (
          |            PARTITION BY doc_id ORDER BY start, "end"

@@ -258,6 +258,28 @@ object ScaleOpsQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // ---- tokenizer round trip (decode inverts encode) ----------------
+    // decodeIds re-assembles text from the token-id relation via the
+    // model-metadata vocabulary (broadcast join + two keyed
+    // aggregations); BPE merges never cross word boundaries, so
+    // decode∘encode must be the IDENTITY on single-space text — the
+    // oracle pins decoded == original per document, which only a
+    // correct encoder AND decoder can satisfy
+    "q_tokenize_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = graft.ext.Bpe.encodeIds(docs, "doc_id", "text", 64)
+      val vocab = graft.ext.Bpe.vocabIds(docs, "text", 64)
+      val decoded = graft.ext.Bpe.decodeIds(toks, vocab, "doc_id")
+        .withColumnRenamed("text", "__dec")
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("__orig"))
+        .join(decoded, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          md5(col("__orig")).as("orig_md5"),
+          md5(coalesce(col("__dec"), lit(""))).as("decoded_md5"),
+          (coalesce(col("__dec"), lit("")) === col("__orig")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -407,7 +429,7 @@ object ScaleOpsQueries {
     * 1-based position i (first matching branch wins — the oracle
     * replays the same CASE order). Terminals land every ~4-7 tokens;
     * the Dr./J./42. branches plant the three '.'-suppression rules. */
-  private def sentencePlantedCol: org.apache.spark.sql.Column =
+  private[queries] def sentencePlantedCol: org.apache.spark.sql.Column =
     array_join(transform(split(coalesce(col("text"), lit("")), " "),
       (w, i0) => {
         val i = i0 + 1
@@ -610,6 +632,14 @@ object ScaleOpsQueries {
     // arithmetic, all replayed (generator shared with q_bpe_encode)
     "q_tokenize_pack" -> ExtHelpers.tokenizePackOracle(64, 512),
     "q_pack_attention" -> ExtHelpers.packAttentionOracle(64, 512),
+    // the identity analytic form: decode must reproduce the original
+    // text byte-for-byte (both md5 columns equal the source text's)
+    "q_tokenize_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(coalesce(text, '')) AS orig_md5,
+        |  md5(coalesce(text, '')) AS decoded_md5,
+        |  true AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact membership is SQL; the sketch's one-sided-error invariant
     // is the boolean the engine must never flip
     "q_bloom_screen" ->

@@ -721,6 +721,59 @@ object StreamQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sentence segmentation running THROUGH the streaming engine: the
+    // codegen'd boundary pass is a stateless per-row projection, so
+    // streamed sentences must equal the batch split exactly under ANY
+    // micro-batch split — zero state, Append mode, the q_stream_mlm
+    // shape. Planted punctuation shared with q_sentence_split.
+    "q_stream_sentences" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), ScaleOpsQueries.sentencePlantedCol.as("text"))
+      val p = freshScratchDir(d, "sentstream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
+      writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val sents = graft.ext.Chunking.sentences(stream, "doc_id", "text")
+      StreamPipeline.runAppendToMemory(s, sents, s"sentstream_${d.hashCode.abs}")
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }),
+
+    // Streaming SPAN-attributes maintenance: base spans built from the
+    // corpus candidates, then two micro-batches of NEW documents
+    // (shifted ids, planted AFTER the shift so the oracle's planted
+    // union replays it) append their span rows via foreachBatch —
+    // tagging runs over each BATCH against the STATIC benchmark (src0
+    // of the union), never the corpus. The final read must equal the
+    // batch tag of the union, which only a correct incremental append
+    // can produce.
+    "q_stream_span_ingest" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val shifted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"), col("text"))
+      val all = base.unionByName(shifted)
+        .select(col("doc_id"), col("source"),
+          CurationQueries.spanPlantedCol.as("text"))
+      val bench = all.filter(col("source") === "src0")
+      val baseCand = all.filter(col("source") =!= "src0" &&
+        col("doc_id") < 1000000L)
+      val newCand = all.filter(col("source") =!= "src0" &&
+        col("doc_id") >= 1000000L)
+      val spanDir = freshScratchDir(d, "spaning").toString
+      graft.ext.Attributes.ensureSpanAttributes(baseCand, bench, spanDir, n = 3)
+      val srcDir = freshScratchDir(d, "spannew")
+      java.nio.file.Files.createDirectories(srcDir)
+      writeOnePart(srcDir, "a", newCand.filter(col("doc_id") % 2 === 0))
+      writeOnePart(srcDir, "b", newCand.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(newCand.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.spanIngest(s, stream, spanDir, bench, n = 3)
+      s.read.parquet(s"$spanDir/spans")
+        .orderBy(col("doc_id"), col("tag"), col("start"))
+    }),
+
     // Streaming WARC shard ingest — the crawl-side arrival story: two
     // parquet shard files delivered one per micro-batch, each batch's
     // documents packed into the planted WARC stream and walked by the
@@ -808,6 +861,19 @@ object StreamQueries {
     // the batch MLM oracle verbatim — masking is a stateless per-row
     // projection, so the streamed pairs are split-invariant
     "q_stream_mlm" -> CurationQueries.oracleSql("q_mlm_masking"),
+    // stateless 1->N Append: union across batches = the batch split
+    "q_stream_sentences" -> ScaleOpsQueries.oracleSql("q_sentence_split"),
+    // the span CTE chain over the doubled planted corpus — base build +
+    // two incremental appends must together equal the batch tag of the
+    // union (bench = src0 of the union on both sides)
+    "q_stream_span_ingest" ->
+      (CurationQueries.spanCtesSql(
+        """(SELECT doc_id, source, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 1000000 AS doc_id, source, text FROM documents) AS u
+          |""".stripMargin) + """
+        |SELECT doc_id, tag, p_start, p_end, start, "end", score
+        |FROM spans ORDER BY doc_id, tag, start""".stripMargin),
     // the batch CDC oracle verbatim — chunking is per-document, so the
     // stream must emit the identical chunk relation
     "q_stream_chunk_cdc" -> ExtQueries.oracleSql("q_chunk_cdc"),

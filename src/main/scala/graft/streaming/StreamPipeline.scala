@@ -459,6 +459,16 @@ object StreamPipeline {
     drainIngest(stream)(batch =>
       graft.ext.Attributes.ingestIntoAttributes(attrsDir, batch))
 
+  /** Streaming SPAN-attributes maintenance: each micro-batch's span
+    * rows (tagged against the static `benchmark`) append to the
+    * persisted relation — the [[attrsIngest]] pattern at span
+    * granularity. */
+  def spanIngest(spark: SparkSession, stream: DataFrame, spanDir: String,
+                 benchmark: DataFrame, n: Int = 3): Long =
+    drainIngest(stream)(batch =>
+      graft.ext.Attributes.ingestIntoSpanAttributes(spanDir, batch,
+        benchmark, n = n))
+
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction
     * wait needed — output is complete when the sources are committed.

@@ -17,6 +17,22 @@ class ExtOpsSpec extends AnyFunSuite {
     .getOrCreate()
   private val sf = "/root/testdata/sf0.001"
 
+  test("bpe decode inverts encode, including multi-code-point words") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "low lower lowest newer new"),
+      (2L, "der dér 日本語 new lowest"),
+      (3L, "a b a b a b")).toDF("doc_id", "text")
+    val toks = graft.ext.Bpe.encodeIds(corpus, "doc_id", "text", 8)
+    val vocab = graft.ext.Bpe.vocabIds(corpus, "text", 8)
+    val decoded = graft.ext.Bpe.decodeIds(toks, vocab, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded == Map(
+      1L -> "low lower lowest newer new",
+      2L -> "der dér 日本語 new lowest",
+      3L -> "a b a b a b"))
+  }
+
   test("minhash signature is deterministic with 64 lanes") {
     val a = Dedup.signature("the fast key order sort table", 3)
     val b = Dedup.signature("the fast key order sort table", 3)

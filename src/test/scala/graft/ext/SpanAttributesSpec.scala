@@ -37,6 +37,21 @@ class SpanAttributesSpec extends AnyFunSuite {
       (4L, 0, ValidCard.length)))
   }
 
+  test("piiEmailSpans: whole-token email matches span; TLD-less near-miss doesn't") {
+    val docs = Seq(
+      (1L, "contact bob@example.com today"),
+      (2L, "contact bob@example today"),      // no TLD → no span
+      (3L, "bob@example.com"),                // whole text, start 0
+      (4L, "see (bob@example.com) there")     // parens break the whole-token match
+    ).toDF("doc_id", "text")
+    val spans = Attributes.piiEmailSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4), r.getInt(5))).toSet
+    val t1 = "contact bob@example.com today"
+    assert(spans == Set(
+      (1L, Attributes.TagPiiEmail, t1.indexOf("bob@"), t1.indexOf("bob@") + "bob@example.com".length),
+      (3L, Attributes.TagPiiEmail, 0, "bob@example.com".length)))
+  }
+
   test("contaminatedSpans: overlapping gram coverage merges to one maximal island") {
     // bench shares the 4-token run "b c d e" with doc 1: grams (b c d)
     // and (c d e) both hit → covered tokens 2..5 must merge to ONE span
