@@ -83,6 +83,38 @@ class SpanAttributesSpec extends AnyFunSuite {
     assert(out(3L) == (("0123456789", 0, 0)))
   }
 
+  test("a span re-mix reads the persisted relation — no tagger re-runs") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    // own scratch dir: the production spanDirFor(d) store belongs to
+    // the q_span_* queries' PLANTED input — same corpus key, different
+    // tagged frame
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanmix")
+      .toString + "/" + Attributes.SpanStoreVersion + "_spec"
+    val cand = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    Attributes.ensureSpanAttributes(cand, bench, dir)
+    Attributes.ensureSpanAttributes(cand, bench, dir) // idempotent
+    // a DIFFERENT policy over the same store: plan must read the
+    // artifact and carry none of the tagger fingerprints — xxhash64
+    // (gram hashing) or luhn_redact (the card check). The cut fold's
+    // own lambdas are expected; re-tagging markers are not.
+    val mix = Attributes.exciseSpans(cand,
+      spark.read.parquet(s"$dir/spans").filter(col("score") >= 2.0))
+    val plan = mix.queryExecution.executedPlan.toString
+    assert(plan.contains(Attributes.SpanStoreVersion),
+      "span mix does not read the artifact")
+    assert(!plan.contains("xxhash64") && !plan.toLowerCase.contains("luhn"),
+      s"tagger re-run in a span mix plan:\n${plan.take(2000)}")
+    // and the store agrees with a fresh tagging of the same corpus
+    val fresh = Attributes.spanTagFrame(cand, bench, "doc_id", "text")
+      .orderBy("doc_id", "tag", "start").collect()
+    val stored = spark.read.parquet(s"$dir/spans")
+      .orderBy("doc_id", "tag", "start").collect()
+    assert(fresh.sameElements(stored))
+  }
+
   test("exciseSpans: adjacent spans merge; full-cover span empties the text") {
     val docs = Seq((1L, "abcdef"), (2L, "abc")).toDF("doc_id", "text")
     val spans = Seq((1L, 0, 3), (1L, 3, 6), (2L, 0, 3))
