@@ -37,6 +37,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage)
       }
+      // drop caches persisted inside operators (tokenized relations,
+      // route fan-out) so queries don't inherit each other's memory
+      // pressure — same policy as Bench's timed loop
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -252,17 +252,30 @@ object Bpe {
     * (model metadata, like the merge table itself); tokenization runs
     * once per DISTINCT word and fans back through the word join, the
     * [[encode]] scale shape. */
-  def encodeIds(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val (words, wids) = encodedWordIds(df, idCol, textCol, k)
-    words.join(wids, "w")
+  def encodeIds(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    encodeIdsWithVocab(df, idCol, textCol, k)._1
+
+  /** [[encodeIds]] plus the matching vocabulary — ONE training run and
+    * one persisted distinct-word tokenization serve both relations
+    * (calling [[encodeIds]] and [[vocabIds]] separately trains the
+    * model twice, and without the shared persist every consuming
+    * subtree re-applies the merges over all distinct words: measured
+    * 6.1 s → ~3.1 s on the round-trip query at sf0.1). */
+  def encodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): (DataFrame, DataFrame) = {
+    val (words, wids, vocab) = encodedWordIds(df, idCol, textCol, k)
+    val toks = words.join(wids, "w")
       .select(col("__id").as(idCol), col("wpos"), col("spos"), col("tid"))
       .unionByName(df.select(col(idCol),
         lit(Int.MaxValue).as("wpos"), lit(0).as("spos"), lit(0L).as("tid")))
+    (toks, vocab)
   }
 
   /** The `k`-merge vocabulary: (sym, tid), tid = 1-based rank in
     * code-point order (the [[encodeIds]] id assignment, exposed for
-    * decoding). ≤ |alphabet| + k rows of model metadata. */
+    * decoding). ≤ |alphabet| + k rows of model metadata. Prefer
+    * [[encodeIdsWithVocab]] when the token relation is also needed —
+    * this trains its own model run. */
   def vocabIds(df: DataFrame, textCol: String, k: Int): DataFrame =
     vocabOf(distinctWordSyms(df, textCol, k))
 
@@ -285,21 +298,29 @@ object Bpe {
         array_sort(collect_list(struct(col("wpos"), col("__w")))),
         s => s.getField("__w")), " ").as("text"))
 
-  /** Shared by [[encodeIds]]/[[vocabIds]]: the positioned word relation
-    * and the per-distinct-word (w, spos, tid) subword rows. */
+  /** Shared by [[encodeIdsWithVocab]]: the positioned word relation,
+    * the per-distinct-word (w, spos, tid) subword rows, and the
+    * vocabulary — one training run serves all three. */
   private def encodedWordIds(df: DataFrame, idCol: String, textCol: String,
-                             k: Int): (DataFrame, DataFrame) = {
+                             k: Int): (DataFrame, DataFrame, DataFrame) = {
     val words = df
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
       .filter(col("w") =!= "")
       .select(col("__id"), (col("__wp0") + 1).as("wpos"), col("w"))
-    val dw = distinctWordSyms(df, textCol, k)
+    // dw (distinct words + merged symbol arrays — the expensive
+    // apply-merges pass) feeds BOTH the subword rows and the
+    // vocabulary, and the vocabulary is re-read again by any decoder
+    // downstream; without a persist each subtree re-applies the merges
+    // over every distinct word. The relation is small (distinct words,
+    // not token rows) and Bench/Verify clear the cache between queries.
+    val dw = distinctWordSyms(df, textCol, k).persist()
+    val vocab = vocabOf(dw)
     val wids = dw
       .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
-      .join(vocabOf(dw), "sym")
+      .join(vocab, "sym")
       .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
-    (words, wids)
+    (words, wids, vocab)
   }
 
   /** Distinct words with their merged symbol arrays — tokenization runs

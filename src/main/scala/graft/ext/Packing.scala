@@ -84,16 +84,28 @@ object Packing {
       .select(col("seq_id"), col("seq_len"), col("n_docs"),
         array_join(transform(col("__slots"),
           s => s.getField("tid").cast("string")), " ").as("ids"),
-        // exclusive running EOS count: append the CURRENT count, then
-        // bump it when this slot is an EOS
-        array_join(aggregate(col("__slots"),
-          struct(lit(0L).as("c"), array().cast("array<string>").as("o")),
+        // exclusive running EOS count per slot, built as RUN-LENGTH
+        // segments from the sparse EOS-position array: slots are the
+        // consecutive positions 0..seq_len-1, so dx is [0]×(e₁+1) ++
+        // [1]×(e₂-e₁) ++ … ++ [k]×(L-1-e_k) — one fold over the ≤
+        // docs-per-sequence EOS list, O(L·k) total. (A fold appending
+        // per SLOT would copy its accumulator per element: O(L²) per
+        // sequence, measured as this query's dominant cost at sf0.1.)
+        aggregate(
+          transform(filter(col("__slots"), e => e.getField("tid") === 0L),
+            e => e.getField("__sp")),
+          struct(lit(0).as("i"), lit(-1L).as("prev"),
+            array().cast("array<string>").as("o")),
           (st, e) => struct(
-            when(e.getField("tid") === 0L, st.getField("c") + 1L)
-              .otherwise(st.getField("c")).as("c"),
+            (st.getField("i") + 1).as("i"),
+            e.as("prev"),
             concat(st.getField("o"),
-              array(st.getField("c").cast("string"))).as("o")),
-          st => st.getField("o")), " ").as("doc_idx"))
+              array_repeat(st.getField("i").cast("string"),
+                (e - st.getField("prev")).cast("int"))).as("o")),
+          st => array_join(concat(st.getField("o"),
+            array_repeat(st.getField("i").cast("string"),
+              (size(col("__slots")) - 1 - st.getField("prev")).cast("int"))),
+            " ")).as("doc_idx"))
 
   /** The shared packing core: global token position for every token
     * row, as (tid, seq_id, __sp). The only order-carrying computation
@@ -101,9 +113,16 @@ object Packing {
     * see the scaladoc on [[packSequences]]'s original definition
     * (local per-partition windows + one numPartitions-row window
     * broadcast back; no global sort of token rows). */
-  private def globalPositions(toks: DataFrame, idCol: String,
+  private def globalPositions(toksIn: DataFrame, idCol: String,
                               seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    // the token relation feeds TWO subtrees (the per-doc counts for the
+    // offset scan, and the per-token rank window) whose exchanges
+    // differ — without a persist the whole upstream tokenization runs
+    // twice (measured 12 s → ~7 s on q_pack_attention at sf0.1). At
+    // cluster scale this persist is the "materialize the tokenized
+    // relation once" step a production pipeline does to storage anyway.
+    val toks = toksIn.persist()
     val counts = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
     val parts = counts
       .repartitionByRange(col(idCol))

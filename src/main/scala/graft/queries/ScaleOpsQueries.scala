@@ -267,8 +267,8 @@ object ScaleOpsQueries {
     // correct encoder AND decoder can satisfy
     "q_tokenize_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = graft.ext.Bpe.encodeIds(docs, "doc_id", "text", 64)
-      val vocab = graft.ext.Bpe.vocabIds(docs, "text", 64)
+      val (toks, vocab) = graft.ext.Bpe.encodeIdsWithVocab(
+        docs, "doc_id", "text", 64)
       val decoded = graft.ext.Bpe.decodeIds(toks, vocab, "doc_id")
         .withColumnRenamed("text", "__dec")
       docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("__orig"))

@@ -26,7 +26,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_agg_pricing",       // decimal money aggregation
     "q_signal_corr",       // decimal(38,0) moment sums
     "q_bm25_topk",         // indexed retrieval + rank windows
-    "q_zipf_slope")        // least-squares over decimal coordinates
+    "q_zipf_slope",        // least-squares over decimal coordinates
+    // round-14 families: the two-level prefix scan's partition-local
+    // offsets MUST compose to the same global positions at any width
+    // (spark_partition_id is in the plan — the invariance is the
+    // point), and the span interval-merge windows + in-row greedy
+    // folds must not depend on partial-agg grouping
+    "q_pack_attention",    // two-level scan + per-sequence folds
+    "q_span_mix",          // sparse windows + merged-interval cut
+    "q_chunk_sentences")   // in-row greedy fold over sentence lengths
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
