@@ -153,13 +153,22 @@ object Bench {
     for (_ <- 1 to iters; name <- headline) timedSample(name)
 
     // Self-defense pass: a sample is CALM when its preceding sentinel
-    // ran within 2× of the fastest sentinel seen. A query with no calm
+    // ran within 2× of the sentinel FLOOR. A query with no calm
     // sample was only ever measured under load — re-run it (bounded)
     // until a calm window lands; whatever still has no calm sample is
     // reported per-query in queries_contended rather than poisoning
     // the record silently (the BENCH_r08 failure: every number ~2.4×
     // inflated with only a single run-level flag to show for it).
-    // The calm threshold is 2× the fastest sentinel seen SO FAR — and
+    // The FLOOR is the sentinels' 10th percentile, not their min: the
+    // min is a single lucky probe (this host idles at p10 ≈ p50 ≈
+    // 0.07-0.08 s with an occasional 0.04 s outlier — min-keyed calm
+    // classed HALF of an idle run's samples as loaded, leaving most
+    // queries a single "calm" sample and min-vs-baseline flags that
+    // were really one-sample noise). p10 needs ~10% of probes to agree
+    // before it moves, so one outlier can't halve the floor, while a
+    // genuinely calm stretch still lowers it.
+    //
+    // The floor is computed over the sentinels seen SO FAR — and
     // every retry adds a sentinel that can LOWER that floor, which
     // retroactively invalidates queries already accepted under the old
     // one. A single pass would then report such a query as contended
@@ -176,9 +185,10 @@ object Bench {
     // all-probes-failed ⇒ no floor exists: nothing is calm, retries
     // re-attempt the probe, and a still-empty pool ends contended with
     // sentinel fields at -1 — a visibly-broken record, not a fake-calm one
-    def sMinNow = if (sentinels.isEmpty) -1.0 else sentinels.min
+    def sFloorNow = if (sentinels.isEmpty) -1.0
+      else sentinels.sorted.apply(sentinels.length / 10)
     def hasCalm(name: String): Boolean =
-      sMinNow > 0 && samples(name).exists { case (_, sv) => sv <= 2.0 * sMinNow }
+      sFloorNow > 0 && samples(name).exists { case (_, sv) => sv <= 2.0 * sFloorNow }
     val retriesUsed = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     var progressed = true
     while (progressed) {
@@ -189,10 +199,11 @@ object Bench {
         }
     }
 
-    val sMin = sMinNow
+    val sFloor = sFloorNow
+    val sMin = if (sentinels.isEmpty) -1.0 else sentinels.min
     val sMax = if (sentinels.isEmpty) -1.0 else sentinels.max
     val sP50 = if (sentinels.isEmpty) -1.0 else sentinels.sorted.apply(sentinels.length / 2)
-    def calm(sv: Double) = sMin > 0 && sv <= 2.0 * sMin
+    def calm(sv: Double) = sFloor > 0 && sv <= 2.0 * sFloor
     val results = headline.map { name =>
       // median/min over the calm samples when any exist (contended
       // samples only widen the median upward); all samples otherwise
@@ -207,15 +218,15 @@ object Bench {
     }
     val flagged = headline.filterNot(hasCalm)
     // run-level flag: any query still contended after retries, or the
-    // host was busy for most of the run (sentinel MEDIAN vs its min —
-    // max/min would flag a clean run off one outlier probe). Threshold
-    // 2.0, not 3.0: the r13 run sat at p50/min = 2.1 under sustained
-    // moderate load, slipped under the old 3.0 wire, and shipped 16
-    // false regression flags; a genuinely idle host measures ~1.0-1.5
-    // (the judge's calm run: p50 0.078 / min 0.040 ≈ 2.0 only because
-    // of one fast outlier probe — p50-vs-p10 would be tighter still,
-    // but 2.0 already separates "idle" from "loaded throughout").
-    val contended = flagged.nonEmpty || (sMin > 0 && sP50 / sMin > 2.0)
+    // host was busy for most of the run (sentinel MEDIAN vs the p10
+    // FLOOR — p50/min trips a clean run off one outlier probe: the
+    // first p50/min=2.0 wire flagged a genuinely idle run whose min
+    // was a single 0.039 s probe against p50 0.079, sentinel max only
+    // 0.39 s). Threshold 2.0, not the original 3.0: the r13 run sat at
+    // p50/min = 2.1 under sustained moderate load and slipped under
+    // the 3.0 wire, shipping 16 false regression flags; an idle host
+    // measures p50/p10 ≈ 1.0-1.3.
+    val contended = flagged.nonEmpty || (sFloor > 0 && sP50 / sFloor > 2.0)
 
     // Drift guard: per-query baseline (committed bench_baseline.json —
     // the last judge-confirmed uncontended medians at sf0.1). A query
@@ -271,7 +282,7 @@ object Bench {
     def nameArr(xs: Seq[String], cap: Int): String =
       (xs.take(cap) ++ (if (xs.length > cap) Seq(s"+${xs.length - cap} more") else Nil))
         .map(jstr).mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"unit":"sec","value":${num(total)}}"""
+    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"unit":"sec","value":${num(total)}}"""
     val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

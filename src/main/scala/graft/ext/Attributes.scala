@@ -138,16 +138,24 @@ object Attributes {
   private def spanSchema = Seq("doc_id", "tag", "p_start", "p_end",
     "start", "end", "score")
 
-  /** Single-token span tagger: one span per whitespace token satisfying
-    * `pred`. Map-only — flagged positions found per-row, exploded
-    * sparsely; char offsets computed only for the matches. */
-  private def tokenSpans(docs: DataFrame, idCol: String, textCol: String,
-                         tag: String)
-                        (pred: Column => Column): DataFrame = {
+  /** The shared tokenized form every span tagger consumes: (doc_id,
+    * __toks). Factored out so [[spanTagFrameOn]] evaluates the text
+    * column — including any per-row transform the caller stacked on it
+    * — exactly ONCE per build or micro-batch instead of once per
+    * tagger pass (at corpus scale each extra pass is a full re-scan). */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+
+  /** Single-token span tagger over a [[tokenized]] frame: one span per
+    * whitespace token satisfying `pred`. Map-only — flagged positions
+    * found per-row, exploded sparsely; char offsets computed only for
+    * the matches. */
+  private def tokenSpansOn(toked: DataFrame, tag: String)
+                          (pred: Column => Column): DataFrame = {
     val toks = col("__toks")
-    docs
-      .select(col(idCol).as("doc_id"),
-        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+    toked
       .select(col("doc_id"), toks,
         explode(filter(
           transform(toks, (t, i0) => struct((i0 + 1).as("p"), t.as("t"))),
@@ -159,20 +167,22 @@ object Attributes {
         lit(1.0).as("score"))
   }
 
-  /** PII card spans: one span per whitespace token that is a contiguous
-    * 13–19 digit run passing the Luhn check — the same validation
-    * [[graft.functions.LuhnRedact]] redacts by, reused verbatim (a
-    * token spans `[CARD]` here iff the scrubber would rewrite it), so
-    * the span tagger and the redactor cannot drift. */
+  /** The card-token predicate: a contiguous 13–19 digit run passing the
+    * Luhn check — the same validation [[graft.functions.LuhnRedact]]
+    * redacts by, reused verbatim (a token spans `[CARD]` here iff the
+    * scrubber would rewrite it), so tagger and redactor cannot drift. */
+  private def cardPred(t: Column): Column =
+    t.rlike("^[0-9]{13,19}$") &&
+      graft.functions.LuhnRedact.luhn_redact(t) === "[CARD]"
+
+  /** PII card spans (see [[cardPred]]). */
   def piiCardSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenSpans(docs, idCol, textCol, TagPiiCard)(t =>
-      t.rlike("^[0-9]{13,19}$") &&
-        graft.functions.LuhnRedact.luhn_redact(t) === "[CARD]")
+    tokenSpansOn(tokenized(docs, idCol, textCol), TagPiiCard)(cardPred)
 
   /** PII email spans: one span per whole-token [[EmailTokenRe]] match
     * (the scrubber's email class, span form). */
   def piiEmailSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenSpans(docs, idCol, textCol, TagPiiEmail)(_.rlike(EmailTokenRe))
+    tokenSpansOn(tokenized(docs, idCol, textCol), TagPiiEmail)(_.rlike(EmailTokenRe))
 
   /** Contamination spans: MAXIMAL runs of tokens covered by a benchmark
     * n-gram — the span form of [[Contamination]]'s excision rule (same
@@ -185,12 +195,19 @@ object Attributes {
     * the span's covered-token count. */
   def contaminatedSpans(candidates: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, n: Int = 3,
-                        broadcastBench: Boolean = true): DataFrame = {
+                        broadcastBench: Boolean = true): DataFrame =
+    contaminatedSpansOn(tokenized(candidates, idCol, textCol),
+      Dedup.hashedShingleSet(benchmark, textCol, n), n, broadcastBench)
+
+  /** [[contaminatedSpans]] over a [[tokenized]] frame and a PRE-HASHED
+    * benchmark gram set — the form the streaming ingest path uses, so
+    * the static benchmark's shingle set is computed once per stream,
+    * not once per micro-batch. */
+  private def contaminatedSpansOn(toked: DataFrame, benchGrams: DataFrame,
+                                  n: Int, broadcastBench: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val benchGrams = Dedup.hashedShingleSet(benchmark, textCol, n)
     val toks = col("__toks")
-    val candGrams = candidates
-      .select(col(idCol).as("doc_id"), split(coalesce(col(textCol), lit("")), " ").as("__toks"))
+    val candGrams = toked
       .select(col("doc_id"), explode(transform(Dedup.gramStartIdx(toks, n),
         i => struct(i.as("pos"), xxhash64(Dedup.gramAt(toks, i, n)).as("g")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
@@ -206,8 +223,7 @@ object Attributes {
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("p")).as("p_start"), max(col("p")).as("p_end"))
     islands
-      .join(candidates.select(col(idCol).as("doc_id"),
-        split(coalesce(col(textCol), lit("")), " ").as("__toks")), Seq("doc_id"))
+      .join(toked, Seq("doc_id"))
       .select(col("doc_id"), lit(TagContaminated).as("tag"),
         col("p_start"), col("p_end"),
         charStart(toks, col("p_start")).cast("int").as("start"),
@@ -215,39 +231,68 @@ object Attributes {
         (col("p_end") - col("p_start") + 1).cast("double").as("score"))
   }
 
-  /** All span taggers in one relation. */
-  def spanTagFrame(candidates: DataFrame, benchmark: DataFrame,
-                   idCol: String, textCol: String, n: Int = 3): DataFrame =
-    piiCardSpans(candidates, idCol, textCol)
-      .unionByName(piiEmailSpans(candidates, idCol, textCol))
-      .unionByName(contaminatedSpans(candidates, benchmark, idCol, textCol, n))
+  /** All span taggers over one shared [[tokenized]] frame. */
+  private def spanTagFrameOn(toked: DataFrame, benchGrams: DataFrame,
+                             n: Int): DataFrame =
+    tokenSpansOn(toked, TagPiiCard)(cardPred)
+      .unionByName(tokenSpansOn(toked, TagPiiEmail)(_.rlike(EmailTokenRe)))
+      .unionByName(contaminatedSpansOn(toked, benchGrams, n))
       .select(spanSchema.map(col): _*)
 
-  /** Persist the span relation, `_SUCCESS`-guarded ([[ArtifactDir]]). */
+  /** All span taggers in one relation. Lazy form — evaluates the text
+    * column once per consuming subtree; the eager build/ingest paths
+    * below persist the tokenized frame around their write instead. */
+  def spanTagFrame(candidates: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 3): DataFrame =
+    spanTagFrameOn(tokenized(candidates, idCol, textCol),
+      Dedup.hashedShingleSet(benchmark, textCol, n), n)
+
+  /** Persist the span relation, `_SUCCESS`-guarded ([[ArtifactDir]]).
+    * The tokenized frame is persisted around the (eager) write so the
+    * input text column — a full corpus scan, plus whatever per-row
+    * transform the caller stacked on it — evaluates once, not once per
+    * tagger pass (measured 4.9 s → see SCALE.md on the sf0.1 planted
+    * corpus), and released before returning. */
   def ensureSpanAttributes(candidates: DataFrame, benchmark: DataFrame,
                            dir: String, idCol: String = "doc_id",
                            textCol: String = "text", n: Int = 3): Unit =
     ArtifactDir.ensure(candidates.sparkSession, dir, "spans",
       ("^(" + SpanStoreVersion + "_[0-9a-f]+_).*").r) {
-      spanTagFrame(candidates, benchmark, idCol, textCol, n)
-        .repartitionByRange(candidates.sparkSession.sessionState.conf.numShufflePartitions,
-          col("doc_id"))
-        .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
-        .write.mode("overwrite").parquet(s"$dir/spans")
+      val toked = tokenized(candidates, idCol, textCol).persist()
+      try
+        spanTagFrameOn(toked, Dedup.hashedShingleSet(benchmark, textCol, n), n)
+          .repartitionByRange(candidates.sparkSession.sessionState.conf.numShufflePartitions,
+            col("doc_id"))
+          .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
+          .write.mode("overwrite").parquet(s"$dir/spans")
+      finally { toked.unpersist(); () }
     }
 
   /** Streaming span-attributes maintenance (the
     * [[ingestIntoAttributes]] pattern): APPEND one micro-batch of new
     * documents' span rows — the taggers run over the BATCH against the
     * static benchmark, never the corpus; every mix launched after the
-    * batch commits sees the union. Ingested doc ids must be new. */
+    * batch commits sees the union. Ingested doc ids must be new.
+    * `benchGrams` takes the benchmark's PRE-HASHED gram set so a
+    * long-lived stream computes it once, not once per micro-batch
+    * ([[StreamPipeline.spanIngest]] passes a persisted one). */
   def ingestIntoSpanAttributes(dir: String, batch: DataFrame,
-                               benchmark: DataFrame,
+                               benchGrams: DataFrame,
                                idCol: String = "doc_id",
-                               textCol: String = "text", n: Int = 3): Unit =
-    spanTagFrame(batch, benchmark, idCol, textCol, n)
-      .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
-      .write.mode("append").parquet(s"$dir/spans")
+                               textCol: String = "text", n: Int = 3): Unit = {
+    val toked = tokenized(batch, idCol, textCol).persist()
+    try
+      spanTagFrameOn(toked, benchGrams, n)
+        .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
+        .write.mode("append").parquet(s"$dir/spans")
+    finally { toked.unpersist(); () }
+  }
+
+  /** The benchmark gram set [[ingestIntoSpanAttributes]] consumes —
+    * [[Dedup.hashedShingleSet]] under the span taggers' tokenization. */
+  def benchGramSet(benchmark: DataFrame, textCol: String = "text",
+                   n: Int = 3): DataFrame =
+    Dedup.hashedShingleSet(benchmark, textCol, n)
 
   /** The span MIX: cut every selected span out of the text instead of
     * dropping the document. Overlapping/adjacent spans (a PII token

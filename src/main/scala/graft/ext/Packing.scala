@@ -107,6 +107,38 @@ object Packing {
               (size(col("__slots")) - 1 - st.getField("prev")).cast("int"))),
             " ")).as("doc_idx"))
 
+  /** Length-bucketed batching: rank documents by (length DESC, id) and
+    * cut the ranking into consecutive batches of `batchSize` — inside a
+    * batch every document pads only to the BATCH max, the standard
+    * padding-efficiency move for non-packed (padded-batch) training and
+    * inference. Deterministic: the (len, id) sort key is total. Emits
+    * (id, len, batch_id); NULL lengths rank as 0 (shortest).
+    *
+    * Scale shape: the global rank is the [[packSequences]] two-level
+    * scan, not a global window — range-partition on the sort key,
+    * per-partition row_number, then one numPartitions-row offset window
+    * broadcast back. The relation ranked is (id, len) — never text. */
+  def lengthBuckets(df: DataFrame, idCol: String, lenCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val rows = df.select(col(idCol),
+      coalesce(col(lenCol).cast("long"), lit(0L)).as("len"))
+    val parts = rows.repartitionByRange(col("len").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = parts.withColumn("__lrank",
+      row_number().over(Window.partitionBy(col("__pid"))
+        .orderBy(col("len").desc, col(idCol))))
+    val ptot = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+      .withColumn("__poff",
+        coalesce(sum(col("__pn")).over(Window.orderBy(col("__pid")))
+          - col("__pn"), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    local.join(broadcast(ptot), "__pid")
+      .withColumn("__rk", col("__poff") + col("__lrank") - 1)
+      .select(col(idCol), col("len"),
+        expr(s"__rk div $batchSize").as("batch_id"))
+  }
+
   /** The shared packing core: global token position for every token
     * row, as (tid, seq_id, __sp). The only order-carrying computation
     * is the per-document-count prefix sum, run as a TWO-LEVEL scan —

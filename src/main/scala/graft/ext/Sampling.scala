@@ -280,4 +280,41 @@ object Sampling {
       .orderBy(col("es_key").desc, col(keyCol))
       .limit(k)
   }
+
+  /** Epoch-aware mixture MATERIALIZATION — the fractional-epoch
+    * upsampling of published LM data recipes (GPT-3's per-dataset
+    * "epochs elapsed when training", The Pile's per-set epoch counts):
+    * a source weighted e = 2.4 contributes every document twice, plus
+    * a third copy for a deterministic 40% of its documents. Emits one
+    * row per (document, repetition) with `rep` in [0, reps): floor(e)
+    * full copies always, plus one extra iff
+    * selector(doc_id ‖ ":epoch") < thresholdHex(frac(e)) — the same
+    * md5 machinery as every sampler here, on a suffixed key so the
+    * draw is independent of the plain samplers' draws on the same ids.
+    *
+    * Scale shape: MAP-ONLY fan-out — per-source (floor, threshold)
+    * pairs are plan-time literals, the extra-copy decision is one md5
+    * per row, and the repetition explode is in-row; no shuffle, no
+    * state, and re-tuning one source's epochs never perturbs another
+    * source's draws (or the kept set of reps below the new floor).
+    * Sources weighted 0 vanish (their rep sequence is empty). */
+  def epochMix(df: DataFrame, idCol: String, sourceCol: String,
+               epochs: Map[String, Double],
+               defaultEpochs: Double = 1.0): DataFrame = {
+    val all = epochs.values ++ Iterator(defaultEpochs)
+    require(all.forall(e => e >= 0.0 && e <= 1024.0 && !e.isNaN),
+      s"epochs out of [0, 1024]: $epochs / $defaultEpochs")
+    def perSource(f: Double => Column): Column =
+      epochs.foldRight(f(defaultEpochs)) { case ((src, e), acc) =>
+        when(col(sourceCol) === src, f(e)).otherwise(acc)
+      }
+    val nFull = perSource(e => lit(math.floor(e).toInt))
+    val thr = perSource(e => lit(thresholdHex(e - math.floor(e))))
+    val extra = (selector(concat(col(idCol).cast("string"), lit(":epoch")))
+      < thr).cast("int")
+    val reps = nFull + extra
+    df.withColumn("rep",
+        explode(when(reps > 0, sequence(lit(0L), reps.cast("long") - 1L))
+          .otherwise(array().cast("array<long>"))))
+  }
 }

@@ -258,6 +258,39 @@ object ScaleOpsQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // ---- epoch-aware mixture materialization -------------------------
+    // per-source fractional epochs (the published GPT-3/Pile recipe
+    // shape): floor(e) full copies of every document plus one extra for
+    // a deterministic frac(e) share, decided by the md5 selector on a
+    // ':epoch'-suffixed key. Map-only fan-out — per-source (floor,
+    // threshold) pairs are plan literals, no shuffle, sources weighted
+    // 0 vanish; the oracle replays floors, thresholds, and the rep
+    // explode verbatim
+    "q_epoch_mix" -> ((s, d) => {
+      graft.ext.Sampling.epochMix(Tables.documents(s, d), "doc_id",
+          "source", Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+          defaultEpochs = 1.0)
+        .select(col("doc_id"), col("source"), col("rep"))
+        .orderBy(col("doc_id"), col("rep"))
+    }),
+
+    // ---- length-bucketed batching -------------------------------------
+    // rank documents by (n_chars DESC, doc_id), cut into consecutive
+    // batches of 64, and account the padding each batch pays (docs pad
+    // to the BATCH max — the standard padded-batch efficiency move).
+    // The global rank runs as the two-level scan over (id, len) rows
+    // (Packing.lengthBuckets), never a global single-partition window
+    "q_length_buckets" -> ((s, d) => {
+      graft.ext.Packing.lengthBuckets(Tables.documents(s, d),
+          "doc_id", "n_chars", 64)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .select(col("batch_id"), col("n_docs"), col("max_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("padding"))
+        .orderBy(col("batch_id"))
+    }),
+
     // ---- tokenizer round trip (decode inverts encode) ----------------
     // decodeIds re-assembles text from the token-id relation via the
     // model-metadata vocabulary (broadcast join + two keyed
@@ -671,6 +704,35 @@ object ScaleOpsQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // floors and frac-thresholds as literals (thresholdHex(0.5)=
+    // '80000000', (0.25)='40000000', frac 0 → '00000000' which no md5
+    // digest is below); rep explode via unnest(range(n)) — BIGINT on
+    // both engines
+    "q_epoch_mix" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN source = 'src0' THEN 2
+        |          WHEN source IN ('src1', 'src2') THEN 0 ELSE 1 END)
+        |    + (CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':epoch') <
+        |         (CASE WHEN source = 'src0' THEN '80000000'
+        |               WHEN source = 'src1' THEN '40000000'
+        |               ELSE '00000000' END)
+        |       THEN 1 ELSE 0 END) AS reps
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(range(reps)) AS rep
+        |FROM p WHERE reps > 0
+        |ORDER BY doc_id, rep""".stripMargin,
+    // the (len DESC, id) rank is total, so the batch cut is engine-
+    // independent; DuckDB sum(BIGINT) widens to HUGEINT — cast back
+    "q_length_buckets" ->
+      """WITH r AS (
+        |  SELECT doc_id, COALESCE(n_chars, 0) AS len,
+        |    row_number() OVER (ORDER BY COALESCE(n_chars, 0) DESC, doc_id)
+        |      - 1 AS rk
+        |  FROM documents)
+        |SELECT rk // 64 AS batch_id, COUNT(*) AS n_docs, MAX(len) AS max_len,
+        |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS padding
+        |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
     // identical rate → threshold derivation: integer token totals,
     // IEEE double division, floor(x+0.5) (NOT round(): Spark half-up
     // vs DuckDB half-even), %08x hex — bit-identical thresholds

@@ -462,12 +462,17 @@ object StreamPipeline {
   /** Streaming SPAN-attributes maintenance: each micro-batch's span
     * rows (tagged against the static `benchmark`) append to the
     * persisted relation — the [[attrsIngest]] pattern at span
-    * granularity. */
+    * granularity. The benchmark's hashed gram set is computed and
+    * persisted ONCE for the stream's lifetime (it is static), not
+    * re-derived per micro-batch. */
   def spanIngest(spark: SparkSession, stream: DataFrame, spanDir: String,
-                 benchmark: DataFrame, n: Int = 3): Long =
-    drainIngest(stream)(batch =>
+                 benchmark: DataFrame, n: Int = 3): Long = {
+    val benchGrams = graft.ext.Attributes.benchGramSet(benchmark, n = n).persist()
+    try drainIngest(stream)(batch =>
       graft.ext.Attributes.ingestIntoSpanAttributes(spanDir, batch,
-        benchmark, n = n))
+        benchGrams, n = n))
+    finally { benchGrams.unpersist(); () }
+  }
 
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction

@@ -34,7 +34,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // folds must not depend on partial-agg grouping
     "q_pack_attention",    // two-level scan + per-sequence folds
     "q_span_mix",          // sparse windows + merged-interval cut
-    "q_chunk_sentences")   // in-row greedy fold over sentence lengths
+    "q_chunk_sentences",   // in-row greedy fold over sentence lengths
+    "q_length_buckets")    // two-level global rank over (len, id)
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")

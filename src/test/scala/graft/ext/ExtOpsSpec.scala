@@ -758,4 +758,46 @@ class ExtOpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window leaked into hardPairs:\n$plan")
   }
+
+  test("epochMix: floor copies always, frac copy by selector, zero vanishes") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.epochMix(docs, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0), defaultEpochs = 1.0)
+      .select(col("doc_id"), col("source"), col("rep"))
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // reps are always the contiguous prefix 0..n-1
+    byDoc.values.foreach(rs => assert(rs.sameElements(rs.indices.map(_.toLong))))
+    val nOf = byDoc.view.mapValues(_.length).toMap
+    for (i <- 0L until 40L) { // replay the selector gate per doc
+      val src = s"src${i % 4}"
+      val (nFull, thr) = src match {
+        case "src0" => (2, Sampling.thresholdHex(0.5))
+        case "src1" => (0, Sampling.thresholdHex(0.25))
+        case "src2" => (0, Sampling.thresholdHex(0.0))
+        case _      => (1, Sampling.thresholdHex(0.0))
+      }
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:epoch".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val n = nFull + (if (md5hex < thr) 1 else 0)
+      assert(nOf.getOrElse(i, 0) == n, s"doc $i ($src): got ${nOf.getOrElse(i, 0)}, want $n")
+    }
+    // src2 (0 epochs) must contribute nothing at all
+    assert(!out.exists(_._2 == "src2"))
+  }
+
+  test("lengthBuckets: two-level rank equals a global sort's batches") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, (i * 37 % 101))).toDF("doc_id", "n")
+      .repartition(7)
+    val got = Packing.lengthBuckets(docs, "doc_id", "n", 16)
+      .select(col("doc_id"), col("len"), col("batch_id"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val want = (0L until 200L).map(i => (i, i * 37 % 101))
+      .sortBy { case (id, n) => (-n, id) }
+      .zipWithIndex.map { case ((id, n), rk) => (id, n, rk.toLong / 16) }
+      .sortBy(_._1)
+    assert(got.sameElements(want))
+  }
 }
