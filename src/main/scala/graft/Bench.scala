@@ -75,7 +75,8 @@ object Bench {
       // round-14 additions (enter bench_baseline at its next refresh)
       "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
       "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
-      "q_stream_sentences", "q_stream_span_ingest")
+      "q_stream_sentences", "q_stream_span_ingest",
+      "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

@@ -182,12 +182,16 @@ object ExtHelpers {
   /** The k unrolled training rounds shared by [[bpeEncodeOracle]] and
     * [[tokenizePackOracle]]: `WITH w0 … w$k`, where w$k carries each
     * distinct word's final bracketed symbolization in `s`. */
-  private def bpeRoundsCte(k: Int): String = {
+  /** `rel` is the corpus relation the model trains on (a CTE name when
+    * `pre` supplies leading CTEs — the pipeline oracle trains on its
+    * filtered survivors, exactly like the engine side). */
+  private def bpeRoundsCte(k: Int, rel: String = "documents",
+                           pre: String = ""): String = {
     val sb = new StringBuilder
-    sb.append(
-      """WITH w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
-        |    regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g') AS s
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+    sb.append("WITH " + pre +
+      s"""w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
+        |    regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $rel) t
         |  WHERE w <> '' GROUP BY w)""".stripMargin)
     for (t <- 1 to k) {
       val p = t - 1
@@ -233,8 +237,10 @@ object ExtHelpers {
     * sum, and position p → sequence p // L slot p % L — Spark's
     * two-level scan replayed as one window (the oracle can afford
     * it). */
-  private[queries] def tokenizePackCtes(k: Int, seqLen: Int): String =
-    bpeRoundsCte(k) + s""",
+  private[queries] def tokenizePackCtes(k: Int, seqLen: Int,
+                                        rel: String = "documents",
+                                        pre: String = ""): String =
+    bpeRoundsCte(k, rel, pre) + s""",
       |syms AS (SELECT w, string_split(substr(s, 2, strlen(s) - 2),
       |                                chr(3) || chr(2)) AS sy FROM w$k),
       |vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
@@ -244,12 +250,12 @@ object ExtHelpers {
       |               FROM syms, unnest(generate_series(1, len(sy))) AS u(i)) q
       |         JOIN vocab USING (sym)),
       |wpd AS (SELECT doc_id, i AS wpos, t[i] AS w
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
       |             unnest(generate_series(1, len(t))) AS u(i)
       |        WHERE t[i] <> ''),
       |toks AS (SELECT doc_id, wpos, spos, tid FROM wpd JOIN wids USING (w)
       |         UNION ALL
-      |         SELECT doc_id, 2147483647, 0, CAST(0 AS BIGINT) FROM documents),
+      |         SELECT doc_id, 2147483647, 0, CAST(0 AS BIGINT) FROM $rel),
       |ord AS (SELECT doc_id, tid,
       |          row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS ipos,
       |          count(*) OVER (PARTITION BY doc_id) AS nd
@@ -267,6 +273,42 @@ object ExtHelpers {
       |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
       |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** End-to-end pretraining-pipeline oracle: Gopher structural gate →
+    * exact dedup (keep lowest id per sha-256) → DROP
+    * benchmark-contaminated docs (any shared 3-gram with the src0
+    * benchmark — the q_decontaminate gram construction verbatim) →
+    * BPE tokenize, model TRAINED ON THE SURVIVORS → fixed-length
+    * packing. Every stage is individually oracle-verified; this
+    * replays them composed, with the tokenizer rebuilt from the
+    * filtered corpus exactly like the engine side. */
+  private[queries] def pretrainPipelineOracle(k: Int, seqLen: Int): String = {
+    val keep = graft.ext.CurationFilters.structuralKeepSql("text")
+    val pre = s"""k1 AS (SELECT doc_id, text FROM documents
+      |  WHERE source <> 'src0' AND ($keep)),
+      |k2 AS (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM k1) WHERE rn = 1),
+      |bg AS (SELECT DISTINCT array_to_string(toks[i : i + 2], ' ') AS g
+      |       FROM (SELECT string_split(text, ' ') AS toks
+      |             FROM documents WHERE source = 'src0'),
+      |            unnest(CASE WHEN len(toks) >= 3 THEN generate_series(1, len(toks) - 2)
+      |                        ELSE [] END) AS u(i)),
+      |cont AS (SELECT DISTINCT doc_id
+      |         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM k2) c,
+      |              unnest(CASE WHEN len(toks) >= 3 THEN generate_series(1, len(toks) - 2)
+      |                          ELSE [] END) AS u(i)
+      |         JOIN bg ON array_to_string(toks[i : i + 2], ' ') = bg.g),
+      |kept AS MATERIALIZED (SELECT doc_id, text FROM k2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |""".stripMargin
+    tokenizePackCtes(k, seqLen, rel = "kept", pre = pre) + s"""
+      |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
+      |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+  }
 
   /** [[tokenizePackOracle]] plus the attention-mask column: per slot,
     * the EXCLUSIVE running count of EOS tokens within the sequence —

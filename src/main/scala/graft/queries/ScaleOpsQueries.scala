@@ -258,6 +258,40 @@ object ScaleOpsQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // ---- end-to-end pretraining pipeline ------------------------------
+    // the engine's training-data story in ONE plan: Gopher structural
+    // gate → exact dedup keep-first → drop benchmark-contaminated docs
+    // (any shared 3-gram with the src0 benchmark, hashes broadcast) →
+    // BPE tokenize with the model TRAINED ON THE SURVIVORS → pack into
+    // fixed 512-token sequences. Every stage is individually
+    // oracle-verified elsewhere; this pins the COMPOSITION — the oracle
+    // replays all five stages, rebuilding the tokenizer from the
+    // filtered corpus exactly like the engine. Scale shape: the gates
+    // are map-only, dedup is one sha-256 shuffle, the contamination
+    // screen moves 16-byte (id, gram-hash) rows against a broadcast
+    // benchmark set, and tokenize+pack is the two-level-scan path —
+    // document text crosses the wire once (the dedup shuffle)
+    "q_pretrain_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src0")
+      val kept1 = docs.filter(col("source") =!= "src0")
+        .filter(graft.ext.CurationFilters.structuralKeepCol(col("text")))
+        .select(col("doc_id"), col("text"))
+      val kept2 = graft.ext.Dedup.exactKeepFirst(kept1, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      val contaminated = graft.ext.Dedup
+        .hashedShingleRows(kept2, "doc_id", "text", 3)
+        .join(broadcast(graft.ext.Dedup.hashedShingleSet(bench, "text", 3)
+          .withColumnRenamed("g", "s")), Seq("s"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+      val kept3 = kept2.join(contaminated, Seq("doc_id"), "left_anti")
+      val toks = graft.ext.Bpe.encodeIds(kept3, "doc_id", "text", 32)
+      graft.ext.Packing.packSequences(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // ---- epoch-aware mixture materialization -------------------------
     // per-source fractional epochs (the published GPT-3/Pile recipe
     // shape): floor(e) full copies of every document plus one extra for
@@ -665,6 +699,9 @@ object ScaleOpsQueries {
     // arithmetic, all replayed (generator shared with q_bpe_encode)
     "q_tokenize_pack" -> ExtHelpers.tokenizePackOracle(64, 512),
     "q_pack_attention" -> ExtHelpers.packAttentionOracle(64, 512),
+    // five stages replayed composed; the tokenizer retrains on the
+    // oracle's own filtered survivors (see ExtHelpers scaladoc)
+    "q_pretrain_pipeline" -> ExtHelpers.pretrainPipelineOracle(32, 512),
     // the identity analytic form: decode must reproduce the original
     // text byte-for-byte (both md5 columns equal the source text's)
     "q_tokenize_roundtrip" ->
