@@ -35,7 +35,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_pack_attention",    // two-level scan + per-sequence folds
     "q_span_mix",          // sparse windows + merged-interval cut
     "q_chunk_sentences",   // in-row greedy fold over sentence lengths
-    "q_length_buckets")    // two-level global rank over (len, id)
+    "q_length_buckets",    // two-level global rank over (len, id)
+    "q_pretrain_pipeline") // five composed stages incl. the two-level scan
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
