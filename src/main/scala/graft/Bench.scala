@@ -76,7 +76,8 @@ object Bench {
       "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
       "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
       "q_stream_sentences", "q_stream_span_ingest",
-      "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline")
+      "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline",
+      "q_stream_epoch_mix")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

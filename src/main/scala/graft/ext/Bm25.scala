@@ -89,17 +89,50 @@ object Bm25 {
 
   /** Streaming index maintenance (the Ivf.ingestIntoIndex pattern for
     * lexical search): APPEND one micro-batch of new documents' tf rows
-    * to the token-partitioned store, then re-derive df/stats from the
-    * index. Per batch: one tokenize pass over the BATCH (never the
-    * corpus) plus an index-bounded aggregation — probes launched after
-    * the batch commits score the union corpus with the same pruned
-    * scan as the original build. Ingested doc ids must be new;
-    * redelivery dedup is the caller's contract (exactly-once file
-    * sources here). Single-writer, like [[ensureIndex]]. */
+    * to the token-partitioned store, and append the batch's df and
+    * stats DELTAS beside them — `df/` holds (tok, df) increments whose
+    * per-token SUM is the document frequency, `stats/` holds
+    * (n_docs, tot_dl) increments whose column sums are the corpus
+    * stats (the [[CountMin]] append-only store discipline: counters of
+    * independent batches sum). Per batch the cost is ONE tokenize pass
+    * over the BATCH plus two batch-bounded appends — never an index
+    * rescan (the original re-derive-from-tf form scanned the ENTIRE tf
+    * store every micro-batch, so ingest cost grew with everything ever
+    * ingested), and no read-modify-write (appends are parquet-atomic
+    * per file; no swap, no crash window). Serving folds the deltas
+    * ([[topK]]'s per-token sum); [[Compaction.compactBm25Index]]
+    * periodically collapses them back to one generation. The fold is
+    * exact, not approximate — batch ids are new (the caller's
+    * contract), so delta sums equal re-derivation, which the driver
+    * oracle pins: a stale or double-counted df shifts every BM25
+    * score. Redelivery dedup is the caller's contract (exactly-once
+    * file sources here). Single-writer, like [[ensureIndex]]. */
   def ingestIntoIndex(spark: SparkSession, dir: String, batch: DataFrame,
                       idCol: String, textCol: String): Unit = {
-    writeTf(batch, idCol, textCol, dir, mode = "append")
-    deriveFromTf(spark, dir)
+    // one tokenize pass serves the tf append AND both delta appends
+    val toks = TextStats.tokenRows(batch, idCol, textCol)
+      .withColumnRenamed(idCol, "doc_id")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tfdl = tf.join(dl, Seq("doc_id"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl")).persist()
+    try {
+      tfdl.repartition(col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id"))
+        .write.mode("append").parquet(s"$dir/tf")
+      // one delta file per batch, not one per shuffle partition: the
+      // batch vocabulary is small, and serving's fold pays per FILE
+      tfdl.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .coalesce(1).sortWithinPartitions(col("tok"))
+        .write.mode("append").parquet(s"$dir/df")
+      // distinct (doc_id, dl) == one row per batch doc with ≥1 token —
+      // the same n_docs semantics the initial derivation has; the
+      // tot_dl coalesce covers an all-empty batch (sum of nothing)
+      tfdl.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
+        .write.mode("append").parquet(s"$dir/stats")
+    } finally { tfdl.unpersist(); () }
   }
 
   /** Top-k BM25 per query from the persisted index. `queryTerms` is
@@ -108,8 +141,13 @@ object Bm25 {
   def topK(spark: SparkSession, dir: String, queryTerms: DataFrame,
            k: Int): DataFrame = {
     val tf = spark.read.parquet(s"$dir/tf")
+    // df/stats are DELTA stores after streaming ingest (see
+    // [[ingestIntoIndex]]): fold to current values — a |vocab|-bounded
+    // aggregation (identity on a freshly-built or compacted index)
     val dfr = spark.read.parquet(s"$dir/df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
     val qdf = queryTerms.join(dfr, Seq("tok"))
     val cand = tf.join(broadcast(qdf), Seq("tok"))
       .filter(col("doc_id") =!= col("qid"))

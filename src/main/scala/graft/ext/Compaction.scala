@@ -74,7 +74,7 @@ object Compaction {
     * `build` callback must fully materialize it there — a parquet
     * write does), then swap via two atomic renames and delete the old
     * data last. */
-  private def swapIn(spark: SparkSession, dir: String)(build: String => Unit): Unit = {
+  private[ext] def swapIn(spark: SparkSession, dir: String)(build: String => Unit): Unit = {
     val (fs, dirPath) = fsFor(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact_tmp")
     val old = new org.apache.hadoop.fs.Path(dir + ".compact_old")
@@ -127,10 +127,11 @@ object Compaction {
 
   /** Rewrite the BM25 `tf/` posting store in the initial-build layout
     * (token-clustered, sorted within partitions — [[Bm25]] scaladoc's
-    * pruning contract), sized to [[TargetFileBytes]]. `df/` and
-    * `stats/` are overwritten whole on every ingest (they never
-    * accumulate files) and derive from tf content, which this rewrite
-    * preserves row-for-row — no re-derivation needed. */
+    * pruning contract), sized to [[TargetFileBytes]], and FOLD the
+    * `df/` and `stats/` delta stores back to one generation (streaming
+    * ingest appends batch-bounded increments there — [[Bm25
+    * .ingestIntoIndex]]; the fold is the same per-token / per-column
+    * sum serving applies, materialized so reads stop paying it). */
   def compactBm25Index(spark: SparkSession, dir: String): Unit = {
     val tf = s"$dir/tf"
     val n = targetParts(spark, tf)
@@ -139,6 +140,19 @@ object Compaction {
         .repartition(n, col("tok"))
         .sortWithinPartitions(col("tok"), col("doc_id"))
         .write.parquet(tmp)
+    }
+    val df = s"$dir/df"
+    swapIn(spark, df) { tmp =>
+      spark.read.parquet(df)
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .repartition(col("tok")).sortWithinPartitions(col("tok"))
+        .write.parquet(tmp)
+    }
+    val st = s"$dir/stats"
+    swapIn(spark, st) { tmp =>
+      spark.read.parquet(st)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+        .coalesce(1).write.parquet(tmp)
     }
   }
 

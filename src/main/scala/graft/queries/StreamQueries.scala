@@ -648,6 +648,31 @@ object StreamQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // epoch-aware mixture materialization THROUGH the streaming engine:
+    // the per-source (floor, threshold) literals and the md5 extra-copy
+    // gate are per-row, the repetition fan-out an in-row explode — zero
+    // state, Append mode, so the streamed rep rows must equal the batch
+    // transform exactly under any micro-batch split. This is the
+    // arrival-time shape of recipe upsampling: documents land, their
+    // repetitions emit immediately, and re-tuning a source's epochs is
+    // a restart with new literals, never a state migration.
+    "q_stream_epoch_mix" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val p = freshScratchDir(d, "epochstream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
+      writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      val mixed = graft.ext.Sampling.epochMix(stream, "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+          defaultEpochs = 1.0)
+        .select(col("doc_id"), col("source"), col("rep"))
+      StreamPipeline.runAppendToMemory(s, mixed, s"epochstream_${d.hashCode.abs}")
+        .orderBy(col("doc_id"), col("rep"))
+    }),
+
     // MLM pair construction running THROUGH the streaming engine:
     // every masking decision is a deterministic per-row projection, so
     // the streamed pairs must equal the batch transform exactly under
@@ -858,6 +883,9 @@ object StreamQueries {
     // the batch gate's own oracle — stateless projection, so stream
     // and batch agree exactly under any micro-batch split
     "q_stream_gopher" -> CurationQueries.oracleSql("q_gopher_filter"),
+    // the batch epoch-mix oracle verbatim — the gate and rep explode
+    // are stateless per-row, so the streamed rows are split-invariant
+    "q_stream_epoch_mix" -> ScaleOpsQueries.oracleSql("q_epoch_mix"),
     // the batch MLM oracle verbatim — masking is a stateless per-row
     // projection, so the streamed pairs are split-invariant
     "q_stream_mlm" -> CurationQueries.oracleSql("q_mlm_masking"),

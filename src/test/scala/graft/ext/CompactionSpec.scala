@@ -69,11 +69,26 @@ class CompactionSpec extends AnyFunSuite {
       .toSeq.toDF("qid", "tok")
     val before = sortedRows(Bm25.topK(spark, dir, qterms, 5))
     val filesBefore = Compaction.parquetFileCount(spark, s"$dir/tf")
+    // streaming ingest appends df/stats DELTAS: before compaction the
+    // df store carries multiple generations per token and stats one
+    // row per batch + build
+    val dfRowsBefore = spark.read.parquet(s"$dir/df").count()
+    val dfFolded = spark.read.parquet(s"$dir/df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(spark.read.parquet(s"$dir/stats").count() == 3L)
     Compaction.compactBm25Index(spark, dir)
     val after = sortedRows(Bm25.topK(spark, dir, qterms, 5))
     val filesAfter = Compaction.parquetFileCount(spark, s"$dir/tf")
     assert(before == after)
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    // the fold materialized: one generation per token, value-identical
+    // to the delta sum; stats back to a single row
+    val dfAfter = spark.read.parquet(s"$dir/df")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(spark.read.parquet(s"$dir/df").count() < dfRowsBefore)
+    assert(dfAfter == dfFolded)
+    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
   }
 
   test("attributes store: compaction preserves mixes, reduces files") {

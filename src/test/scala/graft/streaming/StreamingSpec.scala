@@ -365,14 +365,19 @@ class StreamingSpec extends AnyFunSuite {
     val nBatches = StreamPipeline.bm25Ingest(spark, stream, idxDir,
       "doc_id", "text")
     assert(nBatches >= 2, s"expected >= 2 micro-batches, saw $nBatches")
-    // the re-derived stats see every streamed doc: n_docs and total
-    // length both exactly double (copies are verbatim)
-    val statsAfter = spark.read.parquet(s"$idxDir/stats").collect()(0)
+    // stats/df are DELTA stores after streaming ingest (one increment
+    // row/file per batch); the SERVING fold — column sums, per-token
+    // sums — sees every streamed doc: n_docs and total length both
+    // exactly double (copies are verbatim)
+    val statsAfter = spark.read.parquet(s"$idxDir/stats")
+      .agg(sum(col("n_docs")), sum(col("tot_dl"))).collect()(0)
     assert(statsAfter.getLong(0) == statsBefore.getLong(0) * 2)
     assert(statsAfter.getLong(1) == statsBefore.getLong(1) * 2)
-    // df doubled for every token (same text, disjoint new ids)
-    val badDf = spark.read.parquet(s"$idxDir/df").filter(col("df") % 2 =!= 0)
-    assert(badDf.count() == 0, "every token's df must double")
+    // folded df doubled for every token (same text, disjoint new ids)
+    val badDf = spark.read.parquet(s"$idxDir/df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .filter(col("df") % 2 =!= 0)
+    assert(badDf.count() == 0, "every token's folded df must double")
     // and a probe's top-1 scores the union corpus: for each query doc
     // its +1M copy carries the identical token profile, so the copy's
     // score equals the best any identical-profile doc can reach
