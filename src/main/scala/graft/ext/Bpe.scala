@@ -263,12 +263,53 @@ object Bpe {
     * 6.1 s → ~3.1 s on the round-trip query at sf0.1). */
   def encodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
                          k: Int): (DataFrame, DataFrame) = {
-    val (words, wids, vocab) = encodedWordIds(df, idCol, textCol, k)
-    val toks = words.join(wids, "w")
+    val (wids, vocab) = wordIdRelationWithVocab(df, textCol, k)
+    (encodeIdsAgainst(df, idCol, textCol, wids), vocab)
+  }
+
+  /** The FROZEN model's word → subword-id relation (w, spos, tid):
+    * train once, then tokenize any stream of text against it with
+    * [[encodeIdsAgainst]] — the train-once / encode-forever split a
+    * production pipeline runs (the tokenizer is fit before the corpus
+    * streams through it). ≤ |distinct words| rows; persist it for
+    * reuse across micro-batches. */
+  def wordIdRelation(df: DataFrame, textCol: String, k: Int): DataFrame =
+    wordIdRelationWithVocab(df, textCol, k)._1
+
+  private def wordIdRelationWithVocab(df: DataFrame, textCol: String,
+                                      k: Int): (DataFrame, DataFrame) = {
+    // dw (distinct words + merged symbol arrays — the expensive
+    // apply-merges pass) feeds BOTH the subword rows and the
+    // vocabulary, and the vocabulary is re-read again by any decoder
+    // downstream; without a persist each subtree re-applies the merges
+    // over every distinct word. The relation is small (distinct words,
+    // not token rows) and Bench/Verify clear the cache between queries.
+    val dw = distinctWordSyms(df, textCol, k).persist()
+    val vocab = vocabOf(dw)
+    val wids = dw
+      .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
+      .join(vocab, "sym")
+      .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
+    (wids, vocab)
+  }
+
+  /** Tokenize `df` against a precomputed [[wordIdRelation]] — the
+    * frozen-model form of [[encodeIds]]: no training, one word join.
+    * CLOSED vocabulary: words absent from the relation contribute no
+    * token rows (the deterministic analogue of an OOV drop; a stream
+    * drawn from the training corpus has none). EOS boundary rows
+    * (tid 0) are appended per document, as in [[encodeIds]]. */
+  def encodeIdsAgainst(df: DataFrame, idCol: String, textCol: String,
+                       wids: DataFrame): DataFrame = {
+    val words = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("__id"), (col("__wp0") + 1).as("wpos"), col("w"))
+    words.join(wids, "w")
       .select(col("__id").as(idCol), col("wpos"), col("spos"), col("tid"))
       .unionByName(df.select(col(idCol),
         lit(Int.MaxValue).as("wpos"), lit(0).as("spos"), lit(0L).as("tid")))
-    (toks, vocab)
   }
 
   /** The `k`-merge vocabulary: (sym, tid), tid = 1-based rank in
@@ -297,31 +338,6 @@ object Bpe {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("wpos"), col("__w")))),
         s => s.getField("__w")), " ").as("text"))
-
-  /** Shared by [[encodeIdsWithVocab]]: the positioned word relation,
-    * the per-distinct-word (w, spos, tid) subword rows, and the
-    * vocabulary — one training run serves all three. */
-  private def encodedWordIds(df: DataFrame, idCol: String, textCol: String,
-                             k: Int): (DataFrame, DataFrame, DataFrame) = {
-    val words = df
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__wp0", "w")))
-      .filter(col("w") =!= "")
-      .select(col("__id"), (col("__wp0") + 1).as("wpos"), col("w"))
-    // dw (distinct words + merged symbol arrays — the expensive
-    // apply-merges pass) feeds BOTH the subword rows and the
-    // vocabulary, and the vocabulary is re-read again by any decoder
-    // downstream; without a persist each subtree re-applies the merges
-    // over every distinct word. The relation is small (distinct words,
-    // not token rows) and Bench/Verify clear the cache between queries.
-    val dw = distinctWordSyms(df, textCol, k).persist()
-    val vocab = vocabOf(dw)
-    val wids = dw
-      .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
-      .join(vocab, "sym")
-      .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
-    (words, wids, vocab)
-  }
 
   /** Distinct words with their merged symbol arrays — tokenization runs
     * ONCE per distinct word (the [[encode]] scale shape). */

@@ -274,6 +274,46 @@ object ExtHelpers {
       |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
       |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** Streaming tokenize+pack oracle: the model trains on the full
+    * corpus (the frozen-tokenizer split), documents stream in two
+    * micro-batches (file a = even ids → bat 0, file b = odd ids →
+    * bat 1), and packing is SCOPED per batch — every window below
+    * partitions by `bat`, so each batch's sequences are exactly the
+    * batch-local [[tokenizePackCtes]] arithmetic. */
+  private[queries] def streamPackOracle(k: Int, seqLen: Int): String =
+    bpeRoundsCte(k) + s""",
+      |syms AS (SELECT w, string_split(substr(s, 2, strlen(s) - 2),
+      |                                chr(3) || chr(2)) AS sy FROM w$k),
+      |vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+      |          FROM (SELECT DISTINCT unnest(sy) AS sym FROM syms) v),
+      |wids AS (SELECT q.w, q.i AS spos, vocab.tid
+      |         FROM (SELECT w, i, sy[i] AS sym
+      |               FROM syms, unnest(generate_series(1, len(sy))) AS u(i)) q
+      |         JOIN vocab USING (sym)),
+      |wpd AS (SELECT doc_id, doc_id % 2 AS bat, i AS wpos, t[i] AS w
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> ''),
+      |toks AS (SELECT doc_id, bat, wpos, spos, tid FROM wpd JOIN wids USING (w)
+      |         UNION ALL
+      |         SELECT doc_id, doc_id % 2, 2147483647, 0, CAST(0 AS BIGINT)
+      |         FROM documents),
+      |ord AS (SELECT doc_id, bat, tid,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS ipos,
+      |          count(*) OVER (PARTITION BY doc_id) AS nd
+      |        FROM toks),
+      |offs AS (SELECT doc_id, sum(nd) OVER (PARTITION BY bat ORDER BY doc_id) - nd AS off
+      |         FROM (SELECT DISTINCT doc_id, bat, nd FROM ord) c),
+      |gpos AS (SELECT o.bat, o.tid, (f.off + o.ipos - 1) AS gp
+      |         FROM ord o JOIN offs f USING (doc_id)),
+      |seqs AS (SELECT bat, CAST(gp // $seqLen AS BIGINT) AS seq_id,
+      |                gp % $seqLen AS sp, tid FROM gpos)
+      |SELECT CAST(bat AS BIGINT) AS bat, seq_id,
+      |       CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
+      |FROM seqs GROUP BY bat, seq_id ORDER BY bat, seq_id""".stripMargin
+
   /** End-to-end pretraining-pipeline oracle: Gopher structural gate →
     * exact dedup (keep lowest id per sha-256) → DROP
     * benchmark-contaminated docs (any shared 3-gram with the src0

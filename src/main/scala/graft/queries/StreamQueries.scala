@@ -648,6 +648,35 @@ object StreamQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming tokenize+pack ingest — the last operator between a
+    // stream and a training job: the BPE model trains ONCE on the
+    // corpus before the stream starts (Bpe.wordIdRelation, the
+    // production train-once/encode-forever split), then each
+    // micro-batch tokenizes against the frozen relation and packs into
+    // fixed 512-token sequences scoped to the batch (per-shard packing:
+    // each batch's tail closes short rather than waiting for future
+    // data). The oracle replays training plus BOTH batch-local packings
+    // via bat-partitioned windows — a wrong batch boundary, a leaked
+    // cross-batch position, or any retraining drift breaks the hash.
+    "q_stream_pack" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val wids = graft.ext.Bpe.wordIdRelation(docs, "text", 32).persist()
+      val p = freshScratchDir(d, "packstream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
+      writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
+      val outDir = freshScratchDir(d, "packseqs").toString
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      StreamPipeline.packIngest(s, stream, outDir, wids,
+        "doc_id", "text", seqLen = 512)
+      s.read.parquet(outDir)
+        .select(col("bat"), col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("bat"), col("seq_id"))
+    }),
+
     // epoch-aware mixture materialization THROUGH the streaming engine:
     // the per-source (floor, threshold) literals and the md5 extra-copy
     // gate are per-row, the repetition fan-out an in-row explode — zero
@@ -883,6 +912,9 @@ object StreamQueries {
     // the batch gate's own oracle — stateless projection, so stream
     // and batch agree exactly under any micro-batch split
     "q_stream_gopher" -> CurationQueries.oracleSql("q_gopher_filter"),
+    // frozen-tokenizer training + both batch-local packings replayed
+    // via bat-partitioned windows (bat 0 = even ids = file a)
+    "q_stream_pack" -> ExtHelpers.streamPackOracle(32, 512),
     // the batch epoch-mix oracle verbatim — the gate and rep explode
     // are stateless per-row, so the streamed rows are split-invariant
     "q_stream_epoch_mix" -> ScaleOpsQueries.oracleSql("q_epoch_mix"),

@@ -391,15 +391,22 @@ object StreamPipeline {
     * non-empty batch count (the cross-batch contracts in StreamingSpec
     * and the ingest queries pin ≥ 2). All five store-maintenance
     * ingests below are this loop plus one per-batch line. */
-  private def drainIngest(stream: DataFrame)(body: DataFrame => Unit): Long = {
+  private def drainIngest(stream: DataFrame)(body: DataFrame => Unit): Long =
+    drainIngestWithId(stream)((batch, _) => body(batch))
+
+  /** [[drainIngest]] exposing the engine's micro-batch id to the body —
+    * for stores whose rows are SCOPED to their ingest batch (the
+    * packed-sequence store: sequence ids restart per batch). */
+  private def drainIngestWithId(stream: DataFrame)
+                               (body: (DataFrame, Long) => Unit): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           batches.incrementAndGet()
-          body(batch)
+          body(batch, id)
         }
       }
       .start()
@@ -473,6 +480,29 @@ object StreamPipeline {
         benchGrams, n = n))
     finally { benchGrams.unpersist(); () }
   }
+
+  /** Streaming tokenize+pack ingest — the last operator between a
+    * stream and a training job: each micro-batch's documents are
+    * tokenized against the FROZEN model relation `wids`
+    * ([[graft.ext.Bpe.wordIdRelation]], trained before the stream
+    * starts — the production train-once/encode-forever split) and
+    * packed into fixed-length sequences SCOPED TO THE BATCH (`bat` =
+    * micro-batch id; sequence ids restart per batch — each batch's
+    * tail sequence closes short rather than waiting for future data,
+    * the per-shard packing a real pipeline does). Appended rows:
+    * (bat, seq_id, seq_len, n_docs, ids). Per batch: one word join +
+    * the two-level scan over the BATCH, never the corpus. */
+  def packIngest(spark: SparkSession, stream: DataFrame, outDir: String,
+                 wids: DataFrame, idCol: String, textCol: String,
+                 seqLen: Int): Long =
+    drainIngestWithId(stream) { (batch, id) =>
+      val toks = graft.ext.Bpe.encodeIdsAgainst(batch, idCol, textCol, wids)
+      graft.ext.Packing.packSequences(toks, idCol, seqLen)
+        .withColumn("bat", lit(id))
+        .select(col("bat"), col("seq_id"), col("seq_len"),
+          col("n_docs"), col("ids"))
+        .write.mode("append").parquet(outDir)
+    }
 
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction

@@ -787,6 +787,28 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "src2"))
   }
 
+  test("frozen-model encodeIdsAgainst is in lockstep with encodeIds") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low newer"),
+      (3L, ""), (4L, "wider lower")).toDF("doc_id", "text")
+    val frozen = Bpe.encodeIdsAgainst(docs, "doc_id", "text",
+        Bpe.wordIdRelation(docs, "text", 8))
+      .as[(Long, Int, Int, Long)].collect().sorted
+    val trained = Bpe.encodeIds(docs, "doc_id", "text", 8)
+      .as[(Long, Int, Int, Long)].collect().sorted
+    assert(frozen.sameElements(trained))
+    // closed vocabulary: a word with unseen symbols contributes no
+    // token rows, but its document still carries the EOS boundary
+    val oov = Seq((9L, "zzz low")).toDF("doc_id", "text")
+    val got = Bpe.encodeIdsAgainst(oov, "doc_id", "text",
+        Bpe.wordIdRelation(docs, "text", 8))
+      .as[(Long, Int, Int, Long)].collect()
+    assert(got.exists(_._4 == 0L)) // EOS row present
+    // 'zzz' has no 'z' in the training alphabet → only 'low' + EOS
+    val lowToks = got.filterNot(_._4 == 0L)
+    assert(lowToks.nonEmpty && lowToks.forall(_._2 == 2)) // wpos of 'low'
+  }
+
   test("lengthBuckets: two-level rank equals a global sort's batches") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, (i * 37 % 101))).toDF("doc_id", "n")
