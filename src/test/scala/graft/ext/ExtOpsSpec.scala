@@ -809,6 +809,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(lowToks.nonEmpty && lowToks.forall(_._2 == 2)) // wpos of 'low'
   }
 
+  test("epochMix and lengthBuckets degrade sanely on empty/edge input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Sampling.epochMix(empty, "doc_id", "source",
+      Map("src0" -> 2.0)).count() == 0)
+    assert(Packing.lengthBuckets(empty.withColumnRenamed("source", "n"),
+      "doc_id", "n", 4).count() == 0)
+    // batchSize larger than the corpus: everything lands in batch 0
+    val tiny = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "n")
+    val b = Packing.lengthBuckets(tiny, "doc_id", "n", 100)
+      .select(col("batch_id")).distinct().collect()
+    assert(b.map(_.getLong(0)).toSeq == Seq(0L))
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(tiny, "doc_id", "n", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(tiny.withColumn("source", lit("s")),
+        "doc_id", "source", Map("s" -> -1.0))
+    }
+  }
+
   test("lengthBuckets: two-level rank equals a global sort's batches") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, (i * 37 % 101))).toDF("doc_id", "n")
