@@ -72,7 +72,7 @@ object Bench {
       "q_anchor_text", "q_source_overlap", "q_mlm_masking",
       "q_fim_transform", "q_stream_mlm", "q_trigram_backoff",
       "q_kmeans_inertia",
-      // round-14 additions (enter bench_baseline at its next refresh)
+      // round-14 additions (baselined from the r14 judge idle run)
       "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
       "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
       "q_stream_sentences", "q_stream_span_ingest",
@@ -92,10 +92,10 @@ object Bench {
     // q_contamination at 82 s this way while an idle-host re-time
     // measured 2.3-2.8 s).
     //
-    // A fixed constant-work sentinel is timed before every query slot,
-    // pairing every sample with a host-load reading taken right before
-    // it. A sample whose sentinel ran ≤2× the fastest sentinel is
-    // "calm"; queries with NO calm sample get bounded re-runs, and the
+    // A fixed constant-work sentinel is timed before AND after every
+    // query slot, bracketing every sample with host-load readings. A
+    // sample is "calm" only when BOTH brackets ran ≤2× the sentinel
+    // floor; queries with NO calm sample get bounded re-runs, and the
     // ones still without a calm sample after retries are listed in
     // queries_contended — the record defends itself instead of being
     // silently wrong (BENCH_r08 shipped ~2.4× uniform inflation).
@@ -133,24 +133,57 @@ object Bench {
     // median was 7.2 s with the cold run in-sample vs 1.8 s warm).
     for (name <- headline) try run(name) catch { case _: Throwable => }
 
-    // per-query samples as (seconds, sentinelSecondsBefore) pairs — the
-    // sentinel reading taken immediately before a sample is the
-    // host-load context that decides whether the sample is trustworthy
+    // per-query samples as (seconds, sentinelBefore, sentinelAfter)
+    // triples — every sample is BRACKETED by sentinel probes. The
+    // leading probe catches load already present when the sample
+    // starts; the trailing probe catches a burst that began MID-sample
+    // (the BENCH_r14 failure: q_warc_members re-ran five times inside
+    // one load burst, each re-run's leading probe taken before the
+    // burst's next spike, so all five loaded samples classed calm and
+    // the record accused an innocent query at 21× baseline).
     val samples = scala.collection.mutable.Map(
-      headline.map(_ -> Vector.empty[(Double, Double)]): _*)
+      headline.map(_ -> Vector.empty[(Double, Double, Double)]): _*)
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def timedSample(name: String): Unit = {
+    def probe(): Double = {
       val sv = sentinel()
-      // a failed probe contributes no floor reading, and its sample is
-      // conservatively NOT calm (paired with +∞, unmatchable)
-      if (sv >= 0) sentinels += sv
+      // a failed probe contributes no floor reading, and a sample it
+      // brackets is conservatively NOT calm (paired with +∞)
+      if (sv >= 0) { sentinels += sv; sv } else Double.MaxValue
+    }
+    // The FIRST probe right after a multi-second query measures the
+    // query's own JVM aftermath (GC debt, shuffle-file page-cache
+    // churn), not host load — observed ~0.3 s uniformly after every
+    // heavy query on an otherwise idle host, which would flag exactly
+    // the heavy queries as contended. The trailing bracket therefore
+    // probes up to three times and keeps the BEST reading, stopping
+    // early once one is calm: self-inflicted debris clears after the
+    // first probe, while a genuine burst inflates all three. Only the
+    // best reading enters the floor pool (the debris readings would
+    // drag sentinel_p50 up and could trip the run-level wire falsely).
+    def trailingProbe(): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < 3 && !(sentinels.nonEmpty && {
+        val f = sentinels.sorted.apply(sentinels.length / 10)
+        best <= 2.0 * f
+      })) {
+        val sv = sentinel()
+        if (sv >= 0 && sv < best) best = sv
+        i += 1
+      }
+      if (best < Double.MaxValue) { sentinels += best; best }
+      else Double.MaxValue
+    }
+    def timedSample(name: String): Unit = {
+      val lead = probe()
       // drop caches persisted inside operators (route fan-out, shingle
       // index) so queries don't inherit each other's memory pressure
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => }
-      samples.update(name, samples(name) :+
-        (((System.nanoTime() - t0) / 1e9, if (sv >= 0) sv else Double.MaxValue)))
+      val t = (System.nanoTime() - t0) / 1e9
+      val trail = trailingProbe()
+      samples.update(name, samples(name) :+ ((t, lead, trail)))
     }
     for (_ <- 1 to iters; name <- headline) timedSample(name)
 
@@ -189,8 +222,14 @@ object Bench {
     // sentinel fields at -1 — a visibly-broken record, not a fake-calm one
     def sFloorNow = if (sentinels.isEmpty) -1.0
       else sentinels.sorted.apply(sentinels.length / 10)
+    // a sample is calm only when BOTH brackets are quiet: a loaded
+    // trailing probe means the burst overlapped the sample's window
+    def calmPair(lead: Double, trail: Double): Boolean = {
+      val f = sFloorNow
+      f > 0 && lead <= 2.0 * f && trail <= 2.0 * f
+    }
     def hasCalm(name: String): Boolean =
-      sFloorNow > 0 && samples(name).exists { case (_, sv) => sv <= 2.0 * sFloorNow }
+      samples(name).exists { case (_, l, tr) => calmPair(l, tr) }
     val retriesUsed = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     var progressed = true
     while (progressed) {
@@ -216,26 +255,38 @@ object Bench {
     } catch { case _: Exception => Map.empty }
 
     // Verify-before-accusing: a query ABOUT to be flagged regressed
-    // gets the same bounded re-runs a contended one does. Min-of-3 has
-    // a heavy tail and same-run samples share JVM/GC pressure from
-    // their suite neighbors: consecutive idle full runs flagged a
-    // DIFFERENT random pair each time while standalone re-times of the
-    // flagged queries sat at 1.0-1.2× baseline. A genuine regression
-    // stays above threshold through every extra sample; a noise flag
-    // drops under it on the first quiet one. Shares the retry budget
-    // with the contention pass.
-    def calmNow(sv: Double) = sFloorNow > 0 && sv <= 2.0 * sFloorNow
+    // gets bounded re-runs at END-OF-RUN, so the re-times land outside
+    // whatever burst created the suspicion. Min-of-3 has a heavy tail
+    // and same-run samples share JVM/GC pressure from their suite
+    // neighbors: consecutive idle full runs flagged a DIFFERENT random
+    // pair each time while standalone re-times of the flagged queries
+    // sat at 1.0-1.2× baseline. A genuine regression stays above
+    // threshold through every extra sample; a noise flag drops under
+    // it on the first quiet one. Bracketing already DISCARDS re-run
+    // samples a burst overlapped (they're not calm), and between
+    // re-runs of a still-flagged query we additionally WAIT OUT the
+    // burst — a bounded sleep whenever the latest sample's brackets
+    // were hot — instead of burning the retry budget inside it
+    // (BENCH_r14: five q_warc_members re-runs inside one burst, 4.56-
+    // 29.7 s recorded vs 1.2 s idle truth). Separate budget from the
+    // contention pass so a loaded mid-run can't starve the exoneration
+    // re-runs.
     def wouldFlag(name: String): Boolean = {
-      val calmTimes = samples(name).collect { case (t, sv) if calmNow(sv) => t }
+      val calmTimes = samples(name).collect { case (t, l, tr) if calmPair(l, tr) => t }
       calmTimes.nonEmpty && baseline.get(name).exists(b =>
         calmTimes.min > 1.3 * b && calmTimes.min - b > 0.3)
     }
+    val regRetries = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     progressed = true
     while (progressed) {
       progressed = false
       for (name <- headline)
-        if (wouldFlag(name) && retriesUsed(name) < maxRetries) {
-          timedSample(name); retriesUsed(name) += 1; progressed = true
+        if (wouldFlag(name) && regRetries(name) < maxRetries) {
+          val wasHot = samples(name).lastOption.exists {
+            case (_, l, tr) => !calmPair(l, tr)
+          }
+          if (wasHot) Thread.sleep(5000)
+          timedSample(name); regRetries(name) += 1; progressed = true
         }
     }
 
@@ -243,12 +294,14 @@ object Bench {
     val sMin = if (sentinels.isEmpty) -1.0 else sentinels.min
     val sMax = if (sentinels.isEmpty) -1.0 else sentinels.max
     val sP50 = if (sentinels.isEmpty) -1.0 else sentinels.sorted.apply(sentinels.length / 2)
-    def calm(sv: Double) = sFloor > 0 && sv <= 2.0 * sFloor
     val results = headline.map { name =>
-      // median/min over the calm samples when any exist (contended
-      // samples only widen the median upward); all samples otherwise
+      // median/min over the calm (both-brackets-quiet) samples when
+      // any exist — burst-overlapped samples are DISCARDED, they only
+      // widen the median upward; all samples otherwise
       val all = samples(name)
-      val usable = { val c = all.filter(p => calm(p._2)); if (c.nonEmpty) c else all }
+      val usable = {
+        val c = all.filter(p => calmPair(p._2, p._3)); if (c.nonEmpty) c else all
+      }
       val times = usable.map(_._1).sorted
       val n = times.length
       val median =
@@ -318,8 +371,21 @@ object Bench {
     def nameArr(xs: Seq[String], cap: Int): String =
       (xs.take(cap) ++ (if (xs.length > cap) Seq(s"+${xs.length - cap} more") else Nil))
         .map(jstr).mkString("[", ",", "]")
+    // Per-flag audit: every sample of every flagged query as
+    // [seconds, leadSentinel, trailSentinel] so a reader can verify
+    // per sample whether the host was calm — the r14 record's flags
+    // were unauditable without a judge re-run.
+    def auditFor(names: Seq[String]): String =
+      names.map { n =>
+        jstr(n) + ":" + samples(n).map { case (t, l, tr) =>
+          val trS = if (tr == Double.MaxValue) "-1" else num(tr)
+          val lS = if (l == Double.MaxValue) "-1" else num(l)
+          s"[${num(t)},$lS,$trS]"
+        }.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val flagAudit = auditFor((flagged ++ regressed).distinct)
     val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"unit":"sec","value":${num(total)}}"""
-    val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"max_samples":${samples.values.map(_.length).max}}"""
+    val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"flag_audit":$flagAudit,"max_samples":${samples.values.map(_.length).max}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (summary + "\n" + detail + "\n").getBytes("UTF-8"))

@@ -87,29 +87,55 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Committed staged-batch dirs under `dir/batches`, sorted for
+    * deterministic path lists. Streaming ingest stages each batch
+    * under `batches/<id>/{tf,df,stats}` and commits it by creating a
+    * `_COMMITTED` marker — a single atomic file create — so serving
+    * sees a batch entirely or not at all (see [[ingestIntoIndex]]).
+    * Driver-side listing, bounded by batches since the last
+    * compaction (the auto-compaction policy bounds that). */
+  def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(bp => fs.exists(new org.apache.hadoop.fs.Path(bp, "_COMMITTED")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** The `sub` store's read paths: base generation + every COMMITTED
+    * staged batch. */
+  def storePaths(spark: SparkSession, dir: String, sub: String): Seq[String] =
+    s"$dir/$sub" +: committedBatchDirs(spark, dir).map(b => s"$b/$sub")
+
   /** Streaming index maintenance (the Ivf.ingestIntoIndex pattern for
-    * lexical search): APPEND one micro-batch of new documents' tf rows
-    * to the token-partitioned store, and append the batch's df and
-    * stats DELTAS beside them — `df/` holds (tok, df) increments whose
-    * per-token SUM is the document frequency, `stats/` holds
-    * (n_docs, tot_dl) increments whose column sums are the corpus
-    * stats (the [[CountMin]] append-only store discipline: counters of
-    * independent batches sum). Per batch the cost is ONE tokenize pass
-    * over the BATCH plus two batch-bounded appends — never an index
-    * rescan (the original re-derive-from-tf form scanned the ENTIRE tf
-    * store every micro-batch, so ingest cost grew with everything ever
-    * ingested), and no read-modify-write (appends are parquet-atomic
-    * per file; no swap, no crash window). Serving folds the deltas
-    * ([[topK]]'s per-token sum); [[Compaction.compactBm25Index]]
-    * periodically collapses them back to one generation. The fold is
-    * exact, not approximate — batch ids are new (the caller's
-    * contract), so delta sums equal re-derivation, which the driver
-    * oracle pins: a stale or double-counted df shifts every BM25
-    * score. Redelivery dedup is the caller's contract (exactly-once
-    * file sources here). Single-writer, like [[ensureIndex]]. */
+    * lexical search): STAGE one micro-batch of new documents' tf rows
+    * plus the batch's df and stats DELTAS under a fresh
+    * `batches/<id>/` dir, then COMMIT the whole batch atomically with
+    * a `_COMMITTED` marker (one file create) — `df/` deltas hold
+    * (tok, df) increments whose per-token SUM is the document
+    * frequency, `stats/` holds (n_docs, tot_dl) increments whose
+    * column sums are the corpus stats (the [[CountMin]] append-only
+    * store discipline: counters of independent batches sum). Per batch
+    * the cost is ONE tokenize pass over the BATCH plus batch-bounded
+    * writes — never an index rescan. A crash ANYWHERE before the
+    * marker leaves an uncommitted dir that serving ignores and
+    * compaction garbage-collects: the three stores can never disagree
+    * about which batches they contain (the earlier three-append form
+    * had a window where tf carried a batch whose df/stats increments
+    * were lost, silently skewing every score). Serving folds the
+    * committed deltas ([[topK]]'s per-token sum);
+    * [[Compaction.compactBm25Index]] collapses base + batches back to
+    * one generation in a single atomic dir swap. The fold is exact,
+    * not approximate — batch ids are new (the caller's contract), so
+    * delta sums equal re-derivation, which the driver oracle pins.
+    * Redelivery dedup is the caller's contract (exactly-once file
+    * sources here). Single-writer, like [[ensureIndex]]. */
   def ingestIntoIndex(spark: SparkSession, dir: String, batch: DataFrame,
                       idCol: String, textCol: String): Unit = {
-    // one tokenize pass serves the tf append AND both delta appends
+    val batchDir = s"$dir/batches/b_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // one tokenize pass serves the tf write AND both delta writes
     val toks = TextStats.tokenRows(batch, idCol, textCol)
       .withColumnRenamed(idCol, "doc_id")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -119,34 +145,53 @@ object Bm25 {
     try {
       tfdl.repartition(col("tok"))
         .sortWithinPartitions(col("tok"), col("doc_id"))
-        .write.mode("append").parquet(s"$dir/tf")
+        .write.parquet(s"$batchDir/tf")
       // one delta file per batch, not one per shuffle partition: the
       // batch vocabulary is small, and serving's fold pays per FILE
       tfdl.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .coalesce(1).sortWithinPartitions(col("tok"))
-        .write.mode("append").parquet(s"$dir/df")
+        .write.parquet(s"$batchDir/df")
       // distinct (doc_id, dl) == one row per batch doc with ≥1 token —
       // the same n_docs semantics the initial derivation has; the
       // tot_dl coalesce covers an all-empty batch (sum of nothing)
       tfdl.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
-        .write.mode("append").parquet(s"$dir/stats")
+        .write.parquet(s"$batchDir/stats")
+      // the commit point: everything above is invisible until this
+      // single atomic create succeeds
+      val mp = new org.apache.hadoop.fs.Path(s"$batchDir/_COMMITTED")
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(mp, false).close()
     } finally { tfdl.unpersist(); () }
   }
+
+  /** Opt-in auto-compaction policy for the ingest path: when the
+    * committed staged-batch count reaches `maxBatches`, fold base +
+    * batches back to one generation. Returns whether a compaction
+    * fired, so ingest wrappers and specs can observe the trigger.
+    * The threshold bounds BOTH serving's per-read fold work and the
+    * driver-side batch listing — at one batch per streaming trigger
+    * an unbounded store degrades into a small-file scan problem. */
+  def maybeCompact(spark: SparkSession, dir: String, maxBatches: Int): Boolean =
+    if (maxBatches > 0 &&
+        committedBatchDirs(spark, dir).length >= maxBatches) {
+      Compaction.compactBm25Index(spark, dir); true
+    } else false
 
   /** Top-k BM25 per query from the persisted index. `queryTerms` is
     * the small (qid, tok) relation — broadcast after its df join; the
     * tf scan is pruned to files whose token range intersects it. */
   def topK(spark: SparkSession, dir: String, queryTerms: DataFrame,
            k: Int): DataFrame = {
-    val tf = spark.read.parquet(s"$dir/tf")
-    // df/stats are DELTA stores after streaming ingest (see
-    // [[ingestIntoIndex]]): fold to current values — a |vocab|-bounded
-    // aggregation (identity on a freshly-built or compacted index)
-    val dfr = spark.read.parquet(s"$dir/df")
+    val tf = spark.read.parquet(storePaths(spark, dir, "tf"): _*)
+    // df/stats carry one DELTA generation per committed staged batch
+    // (see [[ingestIntoIndex]]): fold to current values — a
+    // |vocab|-bounded aggregation (identity on a freshly-built or
+    // compacted index)
+    val dfr = spark.read.parquet(storePaths(spark, dir, "df"): _*)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(storePaths(spark, dir, "stats"): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
     val qdf = queryTerms.join(dfr, Seq("tok"))
     val cand = tf.join(broadcast(qdf), Seq("tok"))

@@ -260,7 +260,15 @@ object Bpe {
     * (calling [[encodeIds]] and [[vocabIds]] separately trains the
     * model twice, and without the shared persist every consuming
     * subtree re-applies the merges over all distinct words: measured
-    * 6.1 s → ~3.1 s on the round-trip query at sf0.1). */
+    * 6.1 s → ~3.1 s on the round-trip query at sf0.1).
+    *
+    * CACHE CONTRACT: both returned relations stay LAZY over the
+    * persisted distinct-word relation, so it cannot be unpersisted
+    * here. Callers encoding many corpora in one session should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do); a
+    * long-lived service should persist [[wordIdRelation]] to storage
+    * once and encode with [[encodeIdsAgainst]]. Same contract as
+    * [[Packing.packSequences]]. */
   def encodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
                          k: Int): (DataFrame, DataFrame) = {
     val (wids, vocab) = wordIdRelationWithVocab(df, textCol, k)

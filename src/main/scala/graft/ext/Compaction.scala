@@ -70,6 +70,16 @@ object Compaction {
     math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
   }
 
+  /** [[targetParts]] summed over a multi-path store (base generation +
+    * staged batches). */
+  private def targetPartsFor(spark: SparkSession, paths: Seq[String]): Int = {
+    val bytes = paths.map { d =>
+      val (fs, p) = fsFor(spark, d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+  }
+
   /** Stage the replacement of `dir` under `<dir>.compact_tmp` (the
     * `build` callback must fully materialize it there — a parquet
     * write does), then swap via two atomic renames and delete the old
@@ -125,34 +135,36 @@ object Compaction {
         .write.parquet(tmp)
     }
 
-  /** Rewrite the BM25 `tf/` posting store in the initial-build layout
-    * (token-clustered, sorted within partitions — [[Bm25]] scaladoc's
-    * pruning contract), sized to [[TargetFileBytes]], and FOLD the
-    * `df/` and `stats/` delta stores back to one generation (streaming
-    * ingest appends batch-bounded increments there — [[Bm25
-    * .ingestIntoIndex]]; the fold is the same per-token / per-column
-    * sum serving applies, materialized so reads stop paying it). */
+  /** Fold the BM25 index's base generation + every COMMITTED staged
+    * batch ([[Bm25.ingestIntoIndex]]'s layout) back into ONE base
+    * generation in the initial-build layout: `tf/` token-clustered and
+    * sorted within partitions ([[Bm25]] scaladoc's pruning contract),
+    * sized to [[TargetFileBytes]]; `df/`/`stats/` folded to single
+    * generations (the same per-token / per-column sum serving applies,
+    * materialized so reads stop paying it). The WHOLE index dir swaps
+    * in one [[swapIn]] — tf/df/stats and the batch-dir removal commit
+    * together atomically, so no crash point can leave postings counted
+    * twice (folded into base AND still staged) or a store folded ahead
+    * of its siblings. Uncommitted batch debris from crashed ingests
+    * vanishes with the swap. */
   def compactBm25Index(spark: SparkSession, dir: String): Unit = {
-    val tf = s"$dir/tf"
-    val n = targetParts(spark, tf)
-    swapIn(spark, tf) { tmp =>
-      spark.read.parquet(tf)
+    // snapshot read paths BEFORE the swap renames them away
+    val tfPaths = Bm25.storePaths(spark, dir, "tf")
+    val dfPaths = Bm25.storePaths(spark, dir, "df")
+    val stPaths = Bm25.storePaths(spark, dir, "stats")
+    val n = targetPartsFor(spark, tfPaths)
+    swapIn(spark, dir) { tmp =>
+      spark.read.parquet(tfPaths: _*)
         .repartition(n, col("tok"))
         .sortWithinPartitions(col("tok"), col("doc_id"))
-        .write.parquet(tmp)
-    }
-    val df = s"$dir/df"
-    swapIn(spark, df) { tmp =>
-      spark.read.parquet(df)
+        .write.parquet(s"$tmp/tf")
+      spark.read.parquet(dfPaths: _*)
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
         .repartition(col("tok")).sortWithinPartitions(col("tok"))
-        .write.parquet(tmp)
-    }
-    val st = s"$dir/stats"
-    swapIn(spark, st) { tmp =>
-      spark.read.parquet(st)
+        .write.parquet(s"$tmp/df")
+      spark.read.parquet(stPaths: _*)
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
-        .coalesce(1).write.parquet(tmp)
+        .coalesce(1).write.parquet(s"$tmp/stats")
     }
   }
 

@@ -52,7 +52,18 @@ object Packing {
     * pass ever sees the per-document relation whole, and document
     * CONTENT (the token rows) only moves through the per-document
     * rank window and the final per-sequence aggregation — both keyed
-    * shuffles, no global sort of tokens. */
+    * shuffles, no global sort of tokens.
+    *
+    * CACHE CONTRACT: the shared core persists the token relation (it
+    * feeds two differently-exchanged subtrees; without the persist the
+    * upstream tokenization runs twice — measured 12 s → 7 s at sf0.1)
+    * and the returned plan stays LAZY over that cached relation, so
+    * the entry cannot be unpersisted here. Callers running many
+    * packings in one session should `spark.catalog.clearCache()`
+    * between them (Bench/Verify do); a long-lived service should
+    * instead materialize the token relation to storage once and pack
+    * from the materialized copy. Same contract as
+    * [[Bpe.encodeIdsWithVocab]]. */
   def packSequences(toks: DataFrame, idCol: String, seqLen: Int): DataFrame =
     globalPositions(toks, idCol, seqLen)
       .groupBy(col("seq_id"))

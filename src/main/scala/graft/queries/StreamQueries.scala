@@ -46,7 +46,20 @@ object StreamQueries {
       .getOrElse(Array.empty[java.io.File])
       .find(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file written under $build"))
-    java.nio.file.Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
+    val target = srcDir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, target)
+    // FileStreamSource orders files by modification time at MILLISECOND
+    // granularity: two files written back-to-back can land in the same
+    // millisecond, making which becomes micro-batch 0 nondeterministic
+    // (q_stream_pack's oracle pins batch 0 = the first-written file).
+    // Stamp each file one minute after the previous one in this dir so
+    // write order IS processing order, always. Recent timestamps keep
+    // the source's maxFileAge window comfortably satisfied.
+    val seq = Option(srcDir.toFile.listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.endsWith(".parquet"))
+    target.toFile.setLastModified(
+      System.currentTimeMillis() - 3600L * 1000 + seq * 60L * 1000)
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
       f.delete(); ()

@@ -424,15 +424,23 @@ object StreamPipeline {
   /** Streaming BM25 index maintenance — [[ivfIngest]]'s pattern
     * applied to the lexical index ([[graft.ext.Bm25.ingestIntoIndex]]):
     * each micro-batch of new documents is tokenized (batch-bounded
-    * work), its tf rows appended to the token-partitioned store, and
-    * df/stats re-derived from the INDEX (posting-bounded, the corpus
-    * is never rescanned). State is the on-disk index, not a state
-    * store; probes after a committed batch score the union corpus. */
+    * work) and staged+committed atomically as one batch generation.
+    * State is the on-disk index, not a state store; probes after a
+    * committed batch score the union corpus. `autoCompactEvery` > 0
+    * opts into the [[graft.ext.Bm25.maybeCompact]] policy: whenever
+    * the committed staged-batch count reaches the threshold, base +
+    * batches fold back to one generation between triggers — serving
+    * cost stays bounded however long the stream runs. */
   def bm25Ingest(spark: SparkSession, stream: DataFrame, indexDir: String,
-                 idCol: String, textCol: String): Long =
-    drainIngest(stream)(batch =>
+                 idCol: String, textCol: String,
+                 autoCompactEvery: Int = 0): Long =
+    drainIngest(stream) { batch =>
       graft.ext.Bm25.ingestIntoIndex(batch.sparkSession, indexDir, batch,
-        idCol, textCol))
+        idCol, textCol)
+      graft.ext.Bm25.maybeCompact(batch.sparkSession, indexDir,
+        autoCompactEvery)
+      ()
+    }
 
   /** Streaming topic-shard routing — [[ivfIngest]]'s pattern applied
     * to the k-means model: each micro-batch of new embeddings is

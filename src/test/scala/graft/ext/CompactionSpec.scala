@@ -68,27 +68,97 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
       .toSeq.toDF("qid", "tok")
     val before = sortedRows(Bm25.topK(spark, dir, qterms, 5))
-    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/tf")
-    // streaming ingest appends df/stats DELTAS: before compaction the
-    // df store carries multiple generations per token and stats one
-    // row per batch + build
-    val dfRowsBefore = spark.read.parquet(s"$dir/df").count()
-    val dfFolded = spark.read.parquet(s"$dir/df")
+    val filesBefore = Compaction.parquetFileCount(spark, dir)
+    // streaming ingest stages one COMMITTED batch dir per micro-batch;
+    // the base df/stats stay single-generation and the serving fold
+    // spans base + batches
+    assert(Bm25.committedBatchDirs(spark, dir).length == 2)
+    val dfFolded = spark.read.parquet(Bm25.storePaths(spark, dir, "df"): _*)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(spark.read.parquet(s"$dir/stats").count() == 3L)
+    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
     Compaction.compactBm25Index(spark, dir)
     val after = sortedRows(Bm25.topK(spark, dir, qterms, 5))
-    val filesAfter = Compaction.parquetFileCount(spark, s"$dir/tf")
+    val filesAfter = Compaction.parquetFileCount(spark, dir)
     assert(before == after)
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
-    // the fold materialized: one generation per token, value-identical
-    // to the delta sum; stats back to a single row
+    // the fold materialized into a single base generation: batches
+    // gone, df value-identical to the pre-compaction serving fold,
+    // stats back to a single row
+    assert(Bm25.committedBatchDirs(spark, dir).isEmpty)
     val dfAfter = spark.read.parquet(s"$dir/df")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(spark.read.parquet(s"$dir/df").count() < dfRowsBefore)
     assert(dfAfter == dfFolded)
     assert(spark.read.parquet(s"$dir/stats").count() == 1L)
+  }
+
+  test("bm25 ingest commits batches atomically; uncommitted staging is invisible") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = tmpDir("bm25atomic") + "/idx"
+    Bm25.ensureIndex(docs, "doc_id", "text", dir)
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Bm25.ingestIntoIndex(spark, dir, copies, "doc_id", "text")
+    import spark.implicits._
+    val qterms = spark.read.parquet(s"$dir/tf")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.toDF("qid", "tok")
+    val committed = sortedRows(Bm25.topK(spark, dir, qterms, 5))
+    // simulate a crash mid-ingest: a staged batch dir with data but NO
+    // _COMMITTED marker must not change any serving result — the
+    // crash-window the old three-append layout had (tf visible, its
+    // df/stats increments lost, every score silently skewed)
+    val batches = Bm25.committedBatchDirs(spark, dir)
+    assert(batches.length == 1)
+    val debris = s"$dir/batches/b_crashdebris"
+    // committedBatchDirs returns fs-qualified paths (file:/...)
+    val headLocal = batches.head.stripPrefix("file:")
+    for (sub <- Seq("tf", "df", "stats")) {
+      val src = new java.io.File(s"$headLocal/$sub")
+      val dst = new java.io.File(s"$debris/$sub")
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          dst.toPath.resolve(f.getName))
+      }
+    }
+    assert(Bm25.committedBatchDirs(spark, dir).length == 1,
+      "unmarked staging dir must stay invisible")
+    assert(sortedRows(Bm25.topK(spark, dir, qterms, 5)) == committed)
+    // compaction garbage-collects the debris with the atomic dir swap
+    Compaction.compactBm25Index(spark, dir)
+    assert(!new java.io.File(debris).exists())
+    assert(sortedRows(Bm25.topK(spark, dir, qterms, 5)) == committed)
+  }
+
+  test("bm25 auto-compaction fires exactly at the batch threshold, serving unchanged") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = tmpDir("bm25auto") + "/idx"
+    Bm25.ensureIndex(docs, "doc_id", "text", dir)
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    import spark.implicits._
+    val qterms = spark.read.parquet(s"$dir/tf")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.toDF("qid", "tok")
+    var fired = 0
+    (0 until 3).foreach { i =>
+      Bm25.ingestIntoIndex(spark, dir, copies.filter(col("doc_id") % 3 === i),
+        "doc_id", "text")
+      if (Bm25.maybeCompact(spark, dir, maxBatches = 3)) fired += 1
+    }
+    assert(fired == 1, s"expected exactly one compaction, saw $fired")
+    assert(Bm25.committedBatchDirs(spark, dir).isEmpty)
+    // serving equals a replayed no-compaction ingest of the same docs
+    val expectDir = tmpDir("bm25auto_ref") + "/idx"
+    Bm25.ensureIndex(docs, "doc_id", "text", expectDir)
+    Bm25.ingestIntoIndex(spark, expectDir, copies, "doc_id", "text")
+    assert(sortedRows(Bm25.topK(spark, dir, qterms, 5)) ==
+      sortedRows(Bm25.topK(spark, expectDir, qterms, 5)))
   }
 
   test("attributes store: compaction preserves mixes, reduces files") {

@@ -365,23 +365,27 @@ class StreamingSpec extends AnyFunSuite {
     val nBatches = StreamPipeline.bm25Ingest(spark, stream, idxDir,
       "doc_id", "text")
     assert(nBatches >= 2, s"expected >= 2 micro-batches, saw $nBatches")
-    // stats/df are DELTA stores after streaming ingest (one increment
-    // row/file per batch); the SERVING fold — column sums, per-token
-    // sums — sees every streamed doc: n_docs and total length both
-    // exactly double (copies are verbatim)
-    val statsAfter = spark.read.parquet(s"$idxDir/stats")
+    // each batch stages under batches/<id>/ and commits atomically;
+    // the SERVING fold over base + committed batches — column sums,
+    // per-token sums — sees every streamed doc: n_docs and total
+    // length both exactly double (copies are verbatim)
+    assert(graft.ext.Bm25.committedBatchDirs(spark, idxDir).nonEmpty)
+    val statsAfter = spark.read
+      .parquet(graft.ext.Bm25.storePaths(spark, idxDir, "stats"): _*)
       .agg(sum(col("n_docs")), sum(col("tot_dl"))).collect()(0)
     assert(statsAfter.getLong(0) == statsBefore.getLong(0) * 2)
     assert(statsAfter.getLong(1) == statsBefore.getLong(1) * 2)
     // folded df doubled for every token (same text, disjoint new ids)
-    val badDf = spark.read.parquet(s"$idxDir/df")
+    val badDf = spark.read
+      .parquet(graft.ext.Bm25.storePaths(spark, idxDir, "df"): _*)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
       .filter(col("df") % 2 =!= 0)
     assert(badDf.count() == 0, "every token's folded df must double")
     // and a probe's top-1 scores the union corpus: for each query doc
     // its +1M copy carries the identical token profile, so the copy's
     // score equals the best any identical-profile doc can reach
-    val tf = spark.read.parquet(s"$idxDir/tf")
+    val tf = spark.read
+      .parquet(graft.ext.Bm25.storePaths(spark, idxDir, "tf"): _*)
     assert(tf.filter(col("doc_id") >= 1000000L).count() ==
       tf.filter(col("doc_id") < 1000000L).count())
   }
