@@ -105,17 +105,29 @@ object Attributes {
 
   val TagPiiCard = "pii_card"
   val TagPiiEmail = "pii_email"
+  val TagPiiPhone = "pii_phone"
+  val TagPiiIp = "pii_ip"
   val TagContaminated = "contaminated"
 
   /** The email token class — [[Sampling.scrubPii]]'s pattern, anchored
     * to a whole whitespace token (shared literal with the oracle). */
   val EmailTokenRe: String = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
 
+  /** The phone token class — [[Sampling.PhonePattern]]'s NANP-style
+    * run, token-anchored like [[EmailTokenRe]]. */
+  val PhoneTokenRe: String = "^[0-9]{3}-[0-9]{4}$"
+
+  /** The IPv4 token class — [[Sampling.Ipv4Pattern]]'s dotted quad,
+    * token-anchored. */
+  val IpTokenRe: String =
+    "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
+
   /** Span-store version — part of the persisted-relation contract: bump
     * whenever the TAGGER SET or span schema changes, or an existing
     * `_SUCCESS`-guarded store silently serves rows the current taggers
-    * would no longer produce (v1 → v2: the pii_email tagger joined). */
-  val SpanStoreVersion = "graft_spans_v2"
+    * would no longer produce (v1 → v2: the pii_email tagger joined;
+    * v2 → v3: pii_phone + pii_ip). */
+  val SpanStoreVersion = "graft_spans_v3"
 
   /** Deterministic span-attributes location (corpus signature keyed,
     * like [[attrDirFor]] — a regenerated corpus keys to a new dir). */
@@ -184,6 +196,16 @@ object Attributes {
   def piiEmailSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenSpansOn(tokenized(docs, idCol, textCol), TagPiiEmail)(_.rlike(EmailTokenRe))
 
+  /** PII phone spans: one span per whole-token [[PhoneTokenRe]] match
+    * (the scrubber's phone class, span form). */
+  def piiPhoneSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSpansOn(tokenized(docs, idCol, textCol), TagPiiPhone)(_.rlike(PhoneTokenRe))
+
+  /** PII IPv4 spans: one span per whole-token [[IpTokenRe]] match
+    * (the scrubber's dotted-quad class, span form). */
+  def piiIpSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSpansOn(tokenized(docs, idCol, textCol), TagPiiIp)(_.rlike(IpTokenRe))
+
   /** Contamination spans: MAXIMAL runs of tokens covered by a benchmark
     * n-gram — the span form of [[Contamination]]'s excision rule (same
     * [[Dedup]] gram windows/hashes, so spans and cuts can't drift; a
@@ -231,11 +253,15 @@ object Attributes {
         (col("p_end") - col("p_start") + 1).cast("double").as("score"))
   }
 
-  /** All span taggers over one shared [[tokenized]] frame. */
+  /** All span taggers over one shared [[tokenized]] frame — adding a
+    * token-class family here costs NO extra tokenize pass (each rides
+    * the same `__toks` column as a map-only filter). */
   private def spanTagFrameOn(toked: DataFrame, benchGrams: DataFrame,
                              n: Int): DataFrame =
     tokenSpansOn(toked, TagPiiCard)(cardPred)
       .unionByName(tokenSpansOn(toked, TagPiiEmail)(_.rlike(EmailTokenRe)))
+      .unionByName(tokenSpansOn(toked, TagPiiPhone)(_.rlike(PhoneTokenRe)))
+      .unionByName(tokenSpansOn(toked, TagPiiIp)(_.rlike(IpTokenRe)))
       .unionByName(contaminatedSpansOn(toked, benchGrams, n))
       .select(spanSchema.map(col): _*)
 

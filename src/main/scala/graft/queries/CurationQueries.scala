@@ -506,8 +506,8 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("tag"), col("start"))
     }),
 
-    // The span MIX: SCRUB instead of drop — cut every pii span (card +
-    // email) plus contaminated spans covering ≥ 6 tokens (shorter runs
+    // The span MIX: SCRUB instead of drop — cut every pii span (card,
+    // email, phone, IP) plus contaminated spans covering ≥ 6 tokens (shorter runs
     // survive: a real policy choice exercised through the persisted
     // relation — re-tuning it touches only the small span store, the
     // taggers never re-run). Overlaps (the planted card inside a
@@ -547,7 +547,13 @@ object CurationQueries {
       // email on every third doc; a TLD-less near-miss otherwise (the
       // email-token class must reject it)
       lit(" mail user"), col("doc_id").cast("string"),
-      when(col("doc_id") % 3 === 0, "@example.com").otherwise("@example"))
+      when(col("doc_id") % 3 === 0, "@example.com").otherwise("@example"),
+      // phone on every fifth doc; a digit-short near-miss otherwise
+      lit(" tel "),
+      when(col("doc_id") % 5 === 0, "555-0142").otherwise("555-014x"),
+      // dotted quad on every seventh doc; truncated near-miss otherwise
+      lit(" host "),
+      when(col("doc_id") % 7 === 0, "10.1.2.34").otherwise("10.1.2.x"))
   }
 
   /** q_keyword_tag's term list — shared verbatim with the oracle. All
@@ -592,14 +598,20 @@ object CurationQueries {
   /** DuckDB Luhn check for the digit-run token expression `t` —
     * mirrors [[graft.functions.LuhnRedact.luhnValid]]: from the
     * rightmost digit (k=1 of the reversed string, NOT doubled), double
-    * every second, subtract 9 over 9, total ≡ 0 (mod 10). */
+    * every second, subtract 9 over 9, total ≡ 0 (mod 10).
+    * TRY_CAST, not CAST: DuckDB does NOT short-circuit a row filter's
+    * AND, so this expression also evaluates on tokens the digit-run
+    * regexp already rejected — a dotted quad ('10.1.2.34', planted for
+    * the pii_ip tagger) aborts the whole query under a plain CAST.
+    * For all-digit tokens TRY_CAST is value-identical; elsewhere the
+    * NULL result is discarded by the regexp conjunct. */
   private def luhnSql(t: String): String =
     s"""list_sum(list_transform(generate_series(1, length($t)), k ->
        |  CASE WHEN k % 2 = 0 THEN
-       |    CASE WHEN 2 * CAST(substr(reverse($t), k, 1) AS INT) > 9
-       |         THEN 2 * CAST(substr(reverse($t), k, 1) AS INT) - 9
-       |         ELSE 2 * CAST(substr(reverse($t), k, 1) AS INT) END
-       |  ELSE CAST(substr(reverse($t), k, 1) AS INT) END)) % 10 = 0""".stripMargin
+       |    CASE WHEN 2 * TRY_CAST(substr(reverse($t), k, 1) AS INT) > 9
+       |         THEN 2 * TRY_CAST(substr(reverse($t), k, 1) AS INT) - 9
+       |         ELSE 2 * TRY_CAST(substr(reverse($t), k, 1) AS INT) END
+       |  ELSE TRY_CAST(substr(reverse($t), k, 1) AS INT) END)) % 10 = 0""".stripMargin
 
   /** Shared CTE chain deriving the span relation (pii + contaminated)
     * from scratch — the oracle has no persisted artifact. Char offsets
@@ -622,7 +634,11 @@ object CurationQueries {
        |           ELSE ${pickSql(SpanCardsBad)} END,
        |      ' ref ', CAST(doc_id AS VARCHAR),
        |      ' mail user', CAST(doc_id AS VARCHAR),
-       |      CASE WHEN doc_id % 3 = 0 THEN '@example.com' ELSE '@example' END)
+       |      CASE WHEN doc_id % 3 = 0 THEN '@example.com' ELSE '@example' END,
+       |      ' tel ',
+       |      CASE WHEN doc_id % 5 = 0 THEN '555-0142' ELSE '555-014x' END,
+       |      ' host ',
+       |      CASE WHEN doc_id % 7 = 0 THEN '10.1.2.34' ELSE '10.1.2.x' END)
        |      AS tx
        |  FROM $rel),
        |tok AS (SELECT doc_id, source, tx, string_split(tx, ' ') AS toks FROM p),
@@ -644,6 +660,23 @@ object CurationQueries {
        |          CAST(${csSql("i")} + length(toks[i]) AS INT) AS "end",
        |          CAST(1.0 AS DOUBLE) AS score
        |         FROM emraw),
+       |phraw AS (SELECT doc_id, toks, CAST(u.i AS INT) AS i
+       |          FROM cand, unnest(generate_series(1, len(toks))) AS u(i)
+       |          WHERE regexp_full_match(toks[u.i], '[0-9]{3}-[0-9]{4}')),
+       |piip AS (SELECT doc_id, 'pii_phone' AS tag, i AS p_start, i AS p_end,
+       |          CAST(${csSql("i")} AS INT) AS start,
+       |          CAST(${csSql("i")} + length(toks[i]) AS INT) AS "end",
+       |          CAST(1.0 AS DOUBLE) AS score
+       |         FROM phraw),
+       |ipraw AS (SELECT doc_id, toks, CAST(u.i AS INT) AS i
+       |          FROM cand, unnest(generate_series(1, len(toks))) AS u(i)
+       |          WHERE regexp_full_match(toks[u.i],
+       |            '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')),
+       |piii AS (SELECT doc_id, 'pii_ip' AS tag, i AS p_start, i AS p_end,
+       |          CAST(${csSql("i")} AS INT) AS start,
+       |          CAST(${csSql("i")} + length(toks[i]) AS INT) AS "end",
+       |          CAST(1.0 AS DOUBLE) AS score
+       |         FROM ipraw),
        |bench AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS g
        |          FROM tok, unnest(CASE WHEN len(toks) >= 3
        |                 THEN generate_series(1, len(toks) - 2) ELSE [] END) AS u(i)
@@ -666,6 +699,7 @@ object CurationQueries {
        |             CAST(nn AS DOUBLE) AS score
        |           FROM sp s JOIN cand c USING (doc_id)),
        |spans AS (SELECT * FROM pii UNION ALL SELECT * FROM piie
+       |          UNION ALL SELECT * FROM piip UNION ALL SELECT * FROM piii
        |          UNION ALL SELECT * FROM contam)""".stripMargin
   }
 

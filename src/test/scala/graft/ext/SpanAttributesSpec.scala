@@ -52,6 +52,22 @@ class SpanAttributesSpec extends AnyFunSuite {
       (3L, Attributes.TagPiiEmail, 0, "bob@example.com".length)))
   }
 
+  test("piiPhoneSpans + piiIpSpans: whole-token matches span; near-misses don't") {
+    val docs = Seq(
+      (1L, "call 555-0142 or mail"),
+      (2L, "call 555-014 or mail"),         // digit short → no span
+      (3L, "host 10.1.2.34 up"),
+      (4L, "host 10.1.2 up"),               // three octets → no span
+      (5L, "5550142 and 10111234")          // no separators → neither class
+    ).toDF("doc_id", "text")
+    val ph = Attributes.piiPhoneSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4), r.getInt(5))).toSet
+    assert(ph == Set((1L, Attributes.TagPiiPhone, 5, 5 + "555-0142".length)))
+    val ip = Attributes.piiIpSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4), r.getInt(5))).toSet
+    assert(ip == Set((3L, Attributes.TagPiiIp, 5, 5 + "10.1.2.34".length)))
+  }
+
   test("contaminatedSpans: overlapping gram coverage merges to one maximal island") {
     // bench shares the 4-token run "b c d e" with doc 1: grams (b c d)
     // and (c d e) both hit → covered tokens 2..5 must merge to ONE span
