@@ -77,7 +77,9 @@ object Bench {
       "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
       "q_stream_sentences", "q_stream_span_ingest",
       "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline",
-      "q_stream_epoch_mix", "q_stream_pack")
+      "q_stream_epoch_mix", "q_stream_pack",
+      // round-15 additions (enter bench_baseline at its next refresh)
+      "q_stream_pack_carry")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

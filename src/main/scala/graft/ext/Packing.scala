@@ -166,6 +166,15 @@ object Packing {
     // cluster scale this persist is the "materialize the tokenized
     // relation once" step a production pipeline does to storage anyway.
     val toks = toksIn.persist()
+    tokenPositions(toks, idCol)
+      .select(col("tid"), expr(s"__gp div $seqLen").as("seq_id"),
+        (col("__gp") % seqLen).as("__sp"))
+  }
+
+  /** The raw (tid, __gp) token-position relation of [[globalPositions]]
+    * without the sequence split — the carry path consumes it with an
+    * offset. Caller manages persistence of `toks`. */
+  private def tokenPositions(toks: DataFrame, idCol: String): DataFrame = {
     val counts = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
     val parts = counts
       .repartitionByRange(col(idCol))
@@ -188,7 +197,73 @@ object Packing {
     ranked.join(offs, idCol)
       .select(col("tid"),
         (col("__off") + col("__ipos") - 1).as("__gp"))
-      .select(col("tid"), expr(s"__gp div $seqLen").as("seq_id"),
-        (col("__gp") % seqLen).as("__sp"))
   }
+
+  /** Pack one BATCH of per-document token rows CONTINUING from the
+    * previous batch's carried partial tail — the cross-batch form of
+    * [[packSequences]] for streaming ingest: instead of closing each
+    * batch's last sequence short (the default per-shard mode,
+    * [[graft.streaming.StreamPipeline.packIngest]]), the unfinished
+    * tail sequence's rows carry into the next batch, so the packed
+    * stream equals the batch packing of the concatenated corpus.
+    *
+    * `carried` is the previous tail as (gp, tid) rows (ALL slots of
+    * the partial sequence, global positions — ≤ seqLen-1 rows);
+    * `offset` is the total token count ingested so far, i.e. the first
+    * global position of this batch's tokens. Returns
+    * (complete, newCarry, newMeta):
+    *  - `complete`: every FULL sequence this batch closes, in the
+    *    [[packSequences]] schema (seq_id, seq_len, n_docs, ids) with
+    *    GLOBAL seq ids;
+    *  - `newCarry`: the new partial tail's (gp, tid) rows (empty when
+    *    the stream position lands exactly on a sequence boundary);
+    *  - `newMeta`: 1-row (t) = the new total token count.
+    *
+    * The carried+batch positions form one contiguous range starting at
+    * a sequence boundary, so every sequence except possibly the LAST
+    * is exactly seqLen long — complete vs carry splits on that count,
+    * no driver-side size probe. Scale shape: the batch pays the same
+    * two-level scan as [[packSequences]]; the carry relation is ≤
+    * seqLen rows and broadcasts. Caller manages persistence of `toks`
+    * (see the cache contract on [[packSequences]]). */
+  def packWithCarry(toks: DataFrame, idCol: String, seqLen: Int,
+                    offset: Long, carried: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val pos = tokenPositions(toks, idCol)
+      .select(col("tid"), (col("__gp") + offset).as("gp"))
+    val all = carried.select(col("gp"), col("tid")).unionByName(pos)
+    val seqs = all.select(col("tid"), col("gp"),
+      expr(s"gp div $seqLen").as("seq_id"), (col("gp") % seqLen).as("__sp"))
+    val partialIds = seqs.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") < seqLen)
+      .select(col("seq_id"))
+    val complete = seqs
+      .join(broadcast(partialIds), Seq("seq_id"), "left_anti")
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("seq_len"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__sp"), col("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("ids"))
+    val newCarry = seqs
+      .join(broadcast(partialIds), Seq("seq_id"), "left_semi")
+      .select(col("gp"), col("tid"))
+    val newMeta = all.agg(
+      coalesce(max(col("gp")) + 1, lit(offset)).as("t"))
+    (complete, newCarry, newMeta)
+  }
+
+  /** Materialize a carried partial tail as its (short) final sequence —
+    * the flush step after a carry-mode stream ends, completing the
+    * equality with the batch packing of the concatenated corpus. */
+  def carryTailSequence(carried: DataFrame, seqLen: Int): DataFrame =
+    carried.select(col("tid"), col("gp"),
+        expr(s"gp div $seqLen").as("seq_id"), (col("gp") % seqLen).as("__sp"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("seq_len"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__sp"), col("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("ids"))
 }

@@ -690,6 +690,35 @@ object StreamQueries {
         .orderBy(col("bat"), col("seq_id"))
     }),
 
+    // CROSS-BATCH TAIL CARRY: same frozen-tokenizer stream, but the
+    // unfinished tail sequence carries between micro-batches instead of
+    // closing short, so the store must equal the BATCH packing of the
+    // whole corpus — the q_tokenize_roundtrip pack oracle VERBATIM,
+    // which only holds if the boundary sequence is neither dropped,
+    // duplicated, nor split. Files split by an id threshold (not
+    // parity) so arrival order IS global id order and the equality is
+    // hash-checkable.
+    "q_stream_pack_carry" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val wids = graft.ext.Bpe.wordIdRelation(docs, "text", 32).persist()
+      val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .cast("long")).collect()(0).getLong(0)
+      val p = freshScratchDir(d, "packcarrystream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") <= mid))
+      writeOnePart(p, "b", docs.filter(col("doc_id") > mid))
+      val outDir = freshScratchDir(d, "packcarryseqs").toString
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      StreamPipeline.packIngestCarry(s, stream, outDir, wids,
+        "doc_id", "text", seqLen = 512)
+      StreamPipeline.packCarryServe(s, outDir, seqLen = 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // epoch-aware mixture materialization THROUGH the streaming engine:
     // the per-source (floor, threshold) literals and the md5 extra-copy
     // gate are per-row, the repetition fan-out an in-row explode — zero
@@ -928,6 +957,9 @@ object StreamQueries {
     // frozen-tokenizer training + both batch-local packings replayed
     // via bat-partitioned windows (bat 0 = even ids = file a)
     "q_stream_pack" -> ExtHelpers.streamPackOracle(32, 512),
+    // carry mode must equal the batch packing of the whole corpus —
+    // the q_tokenize_roundtrip pack arithmetic, no bat column
+    "q_stream_pack_carry" -> ExtHelpers.tokenizePackOracle(32, 512),
     // the batch epoch-mix oracle verbatim — the gate and rep explode
     // are stateless per-row, so the streamed rows are split-invariant
     "q_stream_epoch_mix" -> ScaleOpsQueries.oracleSql("q_epoch_mix"),

@@ -512,6 +512,85 @@ object StreamPipeline {
         .write.mode("append").parquet(outDir)
     }
 
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed carry-mode generation dirs under `outDir`, in batch
+    * order (zero-padded batch-id names sort lexicographically). */
+  private def committedGens(spark: SparkSession, outDir: String): Seq[String] = {
+    val (fs, p) = hadoopFs(spark, outDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("gen_"))
+      .filter(gp => fs.exists(new org.apache.hadoop.fs.Path(gp, "_COMMITTED")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** [[packIngest]] with CROSS-BATCH TAIL CARRY: instead of closing
+    * each micro-batch's last sequence short (per-shard packing — small
+    * batches fragment: one short sequence per batch boundary), the
+    * unfinished tail's token rows carry into the next batch, so the
+    * packed store equals the BATCH packing of the concatenated stream
+    * ([[graft.ext.Packing.packWithCarry]]). Sequence ids are GLOBAL.
+    *
+    * State is a tiny on-disk generation per batch (the staged-commit
+    * discipline of [[graft.ext.Bm25.ingestIntoIndex]]):
+    * `outDir/gen_<batch>/` holds the batch's completed sequences
+    * (`seqs/`), the new partial tail (`carry/`, ≤ seqLen-1 rows), the
+    * running token total (`meta/`, 1 row) and a `_COMMITTED` marker
+    * created LAST — output rows and carry state commit together
+    * atomically, so a crash mid-batch can neither drop nor duplicate a
+    * boundary sequence; the batch re-runs from the previous committed
+    * generation. Serve with [[packCarryServe]]. Default remains
+    * [[packIngest]] (per-shard): at scale each shard packs
+    * independently in parallel, while carry mode serializes on the
+    * tail — the right trade when batches are SMALL relative to seqLen
+    * (SCALE.md quantifies the boundary fragmentation). */
+  def packIngestCarry(spark: SparkSession, stream: DataFrame, outDir: String,
+                      wids: DataFrame, idCol: String, textCol: String,
+                      seqLen: Int): Long =
+    drainIngestWithId(stream) { (batch, id) =>
+      val sp = batch.sparkSession
+      val gens = committedGens(sp, outDir)
+      val (offset, carried) = gens.lastOption match {
+        case Some(g) =>
+          (sp.read.parquet(s"$g/meta").collect()(0).getLong(0),
+            sp.read.parquet(s"$g/carry"))
+        case None =>
+          import sp.implicits._
+          (0L, Seq.empty[(Long, Long)].toDF("gp", "tid"))
+      }
+      val genDir = s"$outDir/gen_${"%012d".format(id)}"
+      val (fs, gp) = hadoopFs(sp, genDir)
+      if (fs.exists(gp)) fs.delete(gp, true) // uncommitted debris from a crash
+      val toks = graft.ext.Bpe
+        .encodeIdsAgainst(batch, idCol, textCol, wids).persist()
+      try {
+        val (complete, newCarry, newMeta) = graft.ext.Packing
+          .packWithCarry(toks, idCol, seqLen, offset, carried)
+        complete.write.parquet(s"$genDir/seqs")
+        newCarry.write.parquet(s"$genDir/carry")
+        newMeta.write.parquet(s"$genDir/meta")
+        val mp = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED")
+        fs.create(mp, false).close()
+      } finally { toks.unpersist(); () }
+    }
+
+  /** Read a [[packIngestCarry]] store: all committed complete
+    * sequences plus the final partial tail materialized as its short
+    * last sequence — together exactly the batch packing of the
+    * concatenated stream. */
+  def packCarryServe(spark: SparkSession, outDir: String,
+                     seqLen: Int): DataFrame = {
+    val gens = committedGens(spark, outDir)
+    require(gens.nonEmpty, s"no committed pack generations under $outDir")
+    val seqs = spark.read.parquet(gens.map(g => s"$g/seqs"): _*)
+    val tail = spark.read.parquet(s"${gens.last}/carry")
+    seqs.unionByName(graft.ext.Packing.carryTailSequence(tail, seqLen))
+  }
+
   /** Drains a streaming transform that emits on DATA batches (dedup,
     * map-like ops) through a memory sink in Append mode. No eviction
     * wait needed — output is complete when the sources are committed.

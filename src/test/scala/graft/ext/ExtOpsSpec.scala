@@ -830,6 +830,45 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packWithCarry: batched packing equals whole-corpus packing; boundary edges hold") {
+    import spark.implicits._
+    // token rows in the packSequences input shape: (doc_id, wpos, spos,
+    // tid); doc d has d+1 tokens ending in an EOS (tid 0)
+    def docToks(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.flatMap(d => (0L to d).map(k =>
+        (d, k.toInt, 0, if (k == d) 0L else d * 100 + k)))
+        .toDF("doc_id", "wpos", "spos", "tid")
+    val seqLen = 7
+    val allDocs = 0L until 12L
+    val want = Packing.packSequences(docToks(allDocs), "doc_id", seqLen)
+      .collect().map(_.toString).sorted.toSeq
+    // replay in 4 uneven batches through the carry path
+    var offset = 0L
+    var carry = Seq.empty[(Long, Long)].toDF("gp", "tid")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (chunk <- Seq(allDocs.take(1), allDocs.slice(1, 5),
+        allDocs.slice(5, 5), allDocs.drop(5))) { // includes an EMPTY batch
+      val (complete, newCarry, newMeta) =
+        Packing.packWithCarry(docToks(chunk), "doc_id", seqLen, offset, carry)
+      out ++= complete.collect().map(_.toString)
+      carry = newCarry.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("gp", "tid")
+      offset = newMeta.collect()(0).getLong(0)
+    }
+    out ++= Packing.carryTailSequence(carry, seqLen).collect().map(_.toString)
+    assert(out.sorted.toSeq == want)
+    // total token count: sum of doc lengths (d+1 tokens each)
+    assert(offset == allDocs.map(_ + 1).sum)
+    // exact-boundary edge: a batch landing exactly on a sequence end
+    // leaves an EMPTY carry and a full final sequence
+    val (c2, k2, m2) = Packing.packWithCarry(
+      docToks(Seq(6L)), "doc_id", seqLen, 0L,
+      Seq.empty[(Long, Long)].toDF("gp", "tid")) // 7 tokens == seqLen
+    assert(k2.count() == 0 && m2.collect()(0).getLong(0) == 7L)
+    val full = c2.collect()
+    assert(full.length == 1 && full(0).getAs[Long]("seq_len") == 7L)
+  }
+
   test("lengthBuckets: two-level rank equals a global sort's batches") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, (i * 37 % 101))).toDF("doc_id", "n")
