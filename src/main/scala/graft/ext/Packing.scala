@@ -228,13 +228,29 @@ object Packing {
     * (see the cache contract on [[packSequences]]). */
   def packWithCarry(toks: DataFrame, idCol: String, seqLen: Int,
                     offset: Long, carried: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
+    carryOutputs(carrySeqs(toks, idCol, seqLen, offset, carried), seqLen,
+      offset)
+
+  /** The positioned (tid, gp, seq_id, __sp) relation of carried +
+    * batch tokens. */
+  private def carrySeqs(toks: DataFrame, idCol: String, seqLen: Int,
+                        offset: Long, carried: DataFrame): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val pos = tokenPositions(toks, idCol)
       .select(col("tid"), (col("__gp") + offset).as("gp"))
-    val all = carried.select(col("gp"), col("tid")).unionByName(pos)
-    val seqs = all.select(col("tid"), col("gp"),
-      expr(s"gp div $seqLen").as("seq_id"), (col("gp") % seqLen).as("__sp"))
+    carried.select(col("gp"), col("tid")).unionByName(pos)
+      .select(col("tid"), col("gp"),
+        expr(s"gp div $seqLen").as("seq_id"), (col("gp") % seqLen).as("__sp"))
+  }
+
+  /** (complete, newCarry, newMeta) plans over a [[carrySeqs]]
+    * relation; `offset` is the meta fallback for an empty relation (a
+    * batch of only empty/OOV docs still carries EOS rows, so this
+    * fires only on a genuinely empty input — the total must then stay
+    * where it was, never reset). */
+  private def carryOutputs(seqs: DataFrame, seqLen: Int, offset: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val partialIds = seqs.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") < seqLen)
       .select(col("seq_id"))
@@ -249,9 +265,39 @@ object Packing {
     val newCarry = seqs
       .join(broadcast(partialIds), Seq("seq_id"), "left_semi")
       .select(col("gp"), col("tid"))
-    val newMeta = all.agg(
+    val newMeta = seqs.agg(
       coalesce(max(col("gp")) + 1, lit(offset)).as("t"))
     (complete, newCarry, newMeta)
+  }
+
+  /** Eager per-batch form of [[packWithCarry]] for the streaming
+    * ingest path: the three outputs ([[packWithCarry]]'s complete /
+    * carry / meta) are all actions over the same position relation, so
+    * materializing them lazily re-runs the two-level scan once per
+    * write. Here the relation persists around the three writes and
+    * releases before returning — no cache leak across micro-batches.
+    * Writes `seqs/`, `carry/`, `meta/` under `genDir` (the caller owns
+    * the commit marker). */
+  def packCarryBatch(toks: DataFrame, idCol: String, seqLen: Int,
+                     offset: Long, carried: DataFrame,
+                     genDir: String): (Long, Seq[(Long, Long)]) = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val seqs = carrySeqs(toks, idCol, seqLen, offset, carried).persist()
+    try {
+      val (complete, newCarry, newMeta) = carryOutputs(seqs, seqLen, offset)
+      complete.write.parquet(s"$genDir/seqs")
+      // the new tail is ≤ seqLen-1 rows and the total is one value —
+      // collect them (cached seqs, no recompute), persist them for
+      // recovery from LOCAL relations (no plan re-run), and hand them
+      // back so the next micro-batch starts from driver state instead
+      // of a listing + two parquet reads
+      val tail = newCarry.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val t = newMeta.collect()(0).getLong(0)
+      tail.toDF("gp", "tid").coalesce(1).write.parquet(s"$genDir/carry")
+      Seq(t).toDF("t").coalesce(1).write.parquet(s"$genDir/meta")
+      (t, tail)
+    } finally { seqs.unpersist(); () }
   }
 
   /** Materialize a carried partial tail as its (short) final sequence —

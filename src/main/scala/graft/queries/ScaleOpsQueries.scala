@@ -347,6 +347,48 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- unigram-LM tokenizer (the SentencePiece family, hard-EM) ---
+    // the second tokenizer family beside BPE: seed vocabulary (singles
+    // + top-K substrings), two hard-EM rounds (distributed Viterbi
+    // E-step against the broadcast score table, |vocab|-bounded
+    // M-step), then the frozen model encodes through the SAME
+    // (w, spos, tid) relation the BPE/packing machinery consumes. The
+    // oracle replays seed, BOTH EM rounds and the final encode with
+    // the unrolled integer-score lattice — a drifted tie-break, score
+    // rounding, or EM count shifts every document's id stream.
+    "q_unigram_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text")
+      graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+        .groupBy(col("doc_id"))
+        .agg((count(lit(1)) - 1).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("spos"), col("tid")))),
+            t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // decode∘encode must be the identity on single-space text — same
+    // gate as q_tokenize_roundtrip, but the ORACLE here reconstructs
+    // the text THROUGH the token ids and the vocabulary (tid → piece →
+    // word → text), so a wrong id assignment or a lossy segmentation
+    // fails the hash even where the boolean would still be true
+    "q_unigram_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, vocab) = graft.ext.Unigram.wordPieceRelation(docs, "text")
+      val toks = graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+      val decoded = graft.ext.Bpe.decodeIds(toks, vocab, "doc_id")
+        .withColumnRenamed("text", "__dec")
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("__orig"))
+        .join(decoded, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          md5(col("__orig")).as("orig_md5"),
+          md5(coalesce(col("__dec"), lit(""))).as("decoded_md5"),
+          (coalesce(col("__dec"), lit("")) === col("__orig")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -702,6 +744,11 @@ object ScaleOpsQueries {
     // five stages replayed composed; the tokenizer retrains on the
     // oracle's own filtered survivors (see ExtHelpers scaladoc)
     "q_pretrain_pipeline" -> ExtHelpers.pretrainPipelineOracle(32, 512),
+    // full unigram training + encode replay (seed → 2 hard-EM rounds →
+    // frozen-model Viterbi), shared constants with ext.Unigram
+    "q_unigram_tokenize" -> graft.ext.Unigram.tokenizeOracleSql(),
+    // decode reconstructed THROUGH tid → piece lookups
+    "q_unigram_roundtrip" -> graft.ext.Unigram.roundtripOracleSql(),
     // the identity analytic form: decode must reproduce the original
     // text byte-for-byte (both md5 columns equal the source text's)
     "q_tokenize_roundtrip" ->

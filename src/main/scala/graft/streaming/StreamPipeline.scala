@@ -550,33 +550,39 @@ object StreamPipeline {
     * (SCALE.md quantifies the boundary fragmentation). */
   def packIngestCarry(spark: SparkSession, stream: DataFrame, outDir: String,
                       wids: DataFrame, idCol: String, textCol: String,
-                      seqLen: Int): Long =
+                      seqLen: Int): Long = {
+    // carry state rides the driver between micro-batches (≤ seqLen-1
+    // (gp, tid) rows + the running total — model-metadata sized); the
+    // committed generation dirs are the RECOVERY source, read only on
+    // the first batch of a (re)started stream
+    var mem: Option[(Long, Seq[(Long, Long)])] = None
     drainIngestWithId(stream) { (batch, id) =>
       val sp = batch.sparkSession
-      val gens = committedGens(sp, outDir)
-      val (offset, carried) = gens.lastOption match {
-        case Some(g) =>
-          (sp.read.parquet(s"$g/meta").collect()(0).getLong(0),
-            sp.read.parquet(s"$g/carry"))
-        case None =>
-          import sp.implicits._
-          (0L, Seq.empty[(Long, Long)].toDF("gp", "tid"))
+      import sp.implicits._
+      val (offset, carriedSeq) = mem.getOrElse {
+        committedGens(sp, outDir).lastOption match {
+          case Some(g) =>
+            (sp.read.parquet(s"$g/meta").collect()(0).getLong(0),
+              sp.read.parquet(s"$g/carry").collect()
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+          case None => (0L, Seq.empty[(Long, Long)])
+        }
       }
+      val carried = carriedSeq.toDF("gp", "tid")
       val genDir = s"$outDir/gen_${"%012d".format(id)}"
       val (fs, gp) = hadoopFs(sp, genDir)
       if (fs.exists(gp)) fs.delete(gp, true) // uncommitted debris from a crash
       val toks = graft.ext.Bpe
         .encodeIdsAgainst(batch, idCol, textCol, wids).persist()
       try {
-        val (complete, newCarry, newMeta) = graft.ext.Packing
-          .packWithCarry(toks, idCol, seqLen, offset, carried)
-        complete.write.parquet(s"$genDir/seqs")
-        newCarry.write.parquet(s"$genDir/carry")
-        newMeta.write.parquet(s"$genDir/meta")
+        val next = graft.ext.Packing.packCarryBatch(toks, idCol, seqLen,
+          offset, carried, genDir)
         val mp = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED")
         fs.create(mp, false).close()
+        mem = Some(next)
       } finally { toks.unpersist(); () }
     }
+  }
 
   /** Read a [[packIngestCarry]] store: all committed complete
     * sequences plus the final partial tail materialized as its short
