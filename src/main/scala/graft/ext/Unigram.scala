@@ -341,6 +341,35 @@ object Unigram {
       |      ORDER BY wpos, spos)) AS ids_md5
       |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_unigram_pack: the unigram model's token-id stream
+    * packed into fixed-length sequences — the established pack
+    * arithmetic (per-doc-count prefix sum → position p lands in
+    * sequence p div L slot p mod L) over unigram wids, proving the
+    * packing machinery is tokenizer-family agnostic. */
+  def packOracleSql(seqLen: Int, rel: String = "documents"): String =
+    modelCtes(rel) + s""",
+      |wpd AS (SELECT doc_id, i AS wpos, t[i] AS w
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> ''),
+      |toks AS (SELECT doc_id, wpos, spos, tid FROM wpd JOIN wids USING (w)
+      |         UNION ALL
+      |         SELECT doc_id, 2147483647, 0, CAST(0 AS BIGINT) FROM $rel),
+      |ord AS (SELECT doc_id, tid,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS ipos,
+      |          count(*) OVER (PARTITION BY doc_id) AS nd
+      |        FROM toks),
+      |offs AS (SELECT doc_id, sum(nd) OVER (ORDER BY doc_id) - nd AS off
+      |         FROM (SELECT DISTINCT doc_id, nd FROM ord) c),
+      |gpos AS (SELECT o.tid, (f.off + o.ipos - 1) AS gp
+      |         FROM ord o JOIN offs f USING (doc_id)),
+      |pseqs AS (SELECT CAST(gp // $seqLen AS BIGINT) AS seq_id,
+      |                 gp % $seqLen AS sp, tid FROM gpos)
+      |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
+      |FROM pseqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   /** Oracle for q_unigram_roundtrip: decode the token-id stream back
     * THROUGH the vocabulary (piece lookup by tid — a wrong id or a
     * dropped piece breaks the hash) and compare with the original. */

@@ -369,6 +369,19 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the unigram token stream through the UNCHANGED GPT-packer — the
+    // (w, spos, tid) relation shape makes packing tokenizer-family
+    // agnostic, and the oracle replays training + the pack arithmetic
+    "q_unigram_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text")
+      val toks = graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+      graft.ext.Packing.packSequences(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // decode∘encode must be the identity on single-space text — same
     // gate as q_tokenize_roundtrip, but the ORACLE here reconstructs
     // the text THROUGH the token ids and the vocabulary (tid → piece →
@@ -749,6 +762,8 @@ object ScaleOpsQueries {
     "q_unigram_tokenize" -> graft.ext.Unigram.tokenizeOracleSql(),
     // decode reconstructed THROUGH tid → piece lookups
     "q_unigram_roundtrip" -> graft.ext.Unigram.roundtripOracleSql(),
+    // unigram ids through the shared pack arithmetic
+    "q_unigram_pack" -> graft.ext.Unigram.packOracleSql(512),
     // the identity analytic form: decode must reproduce the original
     // text byte-for-byte (both md5 columns equal the source text's)
     "q_tokenize_roundtrip" ->
