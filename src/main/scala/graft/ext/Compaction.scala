@@ -135,6 +135,18 @@ object Compaction {
         .write.parquet(tmp)
     }
 
+  /** Opt-in auto-compaction policy for the count-min ingest path (the
+    * [[graft.ext.Bm25.maybeCompact]] analogue — here the trigger is
+    * the store's data FILE count, the small-file number serving's fold
+    * pays per read): when it reaches `maxFiles`, fold to one sketch.
+    * Returns whether a compaction fired, so ingest wrappers and specs
+    * can observe the trigger. */
+  def maybeCompactCms(spark: SparkSession, dir: String,
+                      maxFiles: Int): Boolean =
+    if (maxFiles > 0 && parquetFileCount(spark, dir) >= maxFiles) {
+      compactCmsStore(spark, dir); true
+    } else false
+
   /** Fold the BM25 index's base generation + every COMMITTED staged
     * batch ([[Bm25.ingestIntoIndex]]'s layout) back into ONE base
     * generation in the initial-build layout: `tf/` token-clustered and

@@ -370,6 +370,38 @@ object Unigram {
       |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
       |FROM pseqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** Oracle for q_stream_unigram_pack: the frozen unigram model
+    * encoding a two-micro-batch stream (file a = even ids → bat 0,
+    * file b = odd ids → bat 1) with BATCH-SCOPED per-shard packing —
+    * every window partitions by `bat`, the
+    * [[graft.queries.ExtHelpers]] streamPackOracle arithmetic over
+    * unigram wids. */
+  def streamPackOracleSql(seqLen: Int, rel: String = "documents"): String =
+    modelCtes(rel) + s""",
+      |wpd AS (SELECT doc_id, doc_id % 2 AS bat, i AS wpos, t[i] AS w
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> ''),
+      |toks AS (SELECT doc_id, bat, wpos, spos, tid FROM wpd JOIN wids USING (w)
+      |         UNION ALL
+      |         SELECT doc_id, doc_id % 2, 2147483647, 0, CAST(0 AS BIGINT)
+      |         FROM $rel),
+      |ord AS (SELECT doc_id, bat, tid,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS ipos,
+      |          count(*) OVER (PARTITION BY doc_id) AS nd
+      |        FROM toks),
+      |offs AS (SELECT doc_id, sum(nd) OVER (PARTITION BY bat ORDER BY doc_id) - nd AS off
+      |         FROM (SELECT DISTINCT doc_id, bat, nd FROM ord) c),
+      |gpos AS (SELECT o.bat, o.tid, (f.off + o.ipos - 1) AS gp
+      |         FROM ord o JOIN offs f USING (doc_id)),
+      |pseqs AS (SELECT bat, CAST(gp // $seqLen AS BIGINT) AS seq_id,
+      |                 gp % $seqLen AS sp, tid FROM gpos)
+      |SELECT CAST(bat AS BIGINT) AS bat, seq_id,
+      |       CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
+      |FROM pseqs GROUP BY bat, seq_id ORDER BY bat, seq_id""".stripMargin
+
   /** Oracle for q_unigram_roundtrip: decode the token-id stream back
     * THROUGH the vocabulary (piece lookup by tid — a wrong id or a
     * dropped piece breaks the hash) and compare with the original. */

@@ -690,6 +690,32 @@ object StreamQueries {
         .orderBy(col("bat"), col("seq_id"))
     }),
 
+    // the STREAMING ingest on the unigram family: the frozen unigram
+    // model (trained before the stream — wordPieceRelation) drives the
+    // UNCHANGED packIngest, per-shard batch-scoped packing; the oracle
+    // replays unigram training + the bat-partitioned pack arithmetic.
+    // One (w, spos, tid) relation shape = one streaming machine for
+    // both tokenizer families.
+    "q_stream_unigram_pack" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (uwids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text")
+      val wids = uwids.persist()
+      val p = freshScratchDir(d, "unipackstream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
+      writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
+      val outDir = freshScratchDir(d, "unipackseqs").toString
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      StreamPipeline.packIngest(s, stream, outDir, wids,
+        "doc_id", "text", seqLen = 512)
+      s.read.parquet(outDir)
+        .select(col("bat"), col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("bat"), col("seq_id"))
+    }),
+
     // CROSS-BATCH TAIL CARRY: same frozen-tokenizer stream, but the
     // unfinished tail sequence carries between micro-batches instead of
     // closing short, so the store must equal the BATCH packing of the
@@ -960,6 +986,8 @@ object StreamQueries {
     // carry mode must equal the batch packing of the whole corpus —
     // the q_tokenize_roundtrip pack arithmetic, no bat column
     "q_stream_pack_carry" -> ExtHelpers.tokenizePackOracle(32, 512),
+    // unigram training + the bat-partitioned pack arithmetic
+    "q_stream_unigram_pack" -> graft.ext.Unigram.streamPackOracleSql(512),
     // the batch epoch-mix oracle verbatim — the gate and rep explode
     // are stateless per-row, so the streamed rows are split-invariant
     "q_stream_epoch_mix" -> ScaleOpsQueries.oracleSql("q_epoch_mix"),

@@ -462,9 +462,13 @@ object StreamPipeline {
     * rare ingest with NO read side at all; serving folds the log with
     * one bounded groupBy ([[graft.ext.CountMin.storeSketch]]). */
   def cmsIngest(spark: SparkSession, stream: DataFrame, storeDir: String,
-                textCol: String): Long =
-    drainIngest(stream)(batch =>
-      graft.ext.CountMin.ingestIntoStore(storeDir, batch, textCol))
+                textCol: String, autoCompactMaxFiles: Int = 0): Long =
+    drainIngest(stream) { batch =>
+      graft.ext.CountMin.ingestIntoStore(storeDir, batch, textCol)
+      graft.ext.Compaction.maybeCompactCms(batch.sparkSession, storeDir,
+        autoCompactMaxFiles)
+      ()
+    }
 
   /** Streaming Dolma-attributes maintenance: per micro-batch, tag the
     * batch and append its attribute rows to the persisted relation

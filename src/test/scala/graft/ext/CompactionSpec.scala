@@ -133,6 +133,29 @@ class CompactionSpec extends AnyFunSuite {
     assert(sortedRows(Bm25.topK(spark, dir, qterms, 5)) == committed)
   }
 
+  test("cms auto-compaction fires at the file threshold, estimates unchanged") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val store = tmpDir("cmsauto") + "/store"
+    var fired = 0
+    (0 until 3).foreach { i =>
+      CountMin.ingestIntoStore(store, docs.filter(col("doc_id") % 3 === i), "text")
+      if (Compaction.maybeCompactCms(spark, store, maxFiles = 3)) fired += 1
+    }
+    assert(fired >= 1, "threshold must trigger at least one compaction")
+    val cands = Seq("the", "and", "data", "zzz_absent").toDF("tok")
+    val got = sortedRows(
+      CountMin.estimates(cands, CountMin.storeSketch(spark, store)))
+    // reference: same three ingests, never compacted
+    val ref = tmpDir("cmsauto_ref") + "/store"
+    (0 until 3).foreach { i =>
+      CountMin.ingestIntoStore(ref, docs.filter(col("doc_id") % 3 === i), "text")
+    }
+    assert(got == sortedRows(
+      CountMin.estimates(cands, CountMin.storeSketch(spark, ref))))
+  }
+
   test("bm25 auto-compaction fires exactly at the batch threshold, serving unchanged") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
