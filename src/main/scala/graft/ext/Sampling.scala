@@ -317,4 +317,41 @@ object Sampling {
         explode(when(reps > 0, sequence(lit(0L), reps.cast("long") - 1L))
           .otherwise(array().cast("array<long>"))))
   }
+
+  /** Temperature-flattened source mixing at α = 1/2 — the standard
+    * multilingual/multi-source rebalancing knob (mBERT/XLM-R's
+    * exponentiated sampling, p_s ∝ n_s^α): DOWNSAMPLE-ONLY keep-rates
+    * r_s = sqrt(n_min / n_s), so the smallest source keeps everything
+    * and a source 100× larger keeps 10% — flattening the size skew
+    * without upsampling (that is [[epochMix]]'s job; compose them for
+    * a full recipe). Keep decision is the usual deterministic
+    * [[selector]] < [[thresholdHex]] compare.
+    *
+    * α is FIXED at 1/2 because it makes the rates cross-engine
+    * BIT-EXACT with no rounding contract at all: n_min/n_s and sqrt
+    * are both IEEE correctly-rounded single operations, so Scala and
+    * DuckDB compute the identical double, and thresholdHex's
+    * floor(r·2^32 + 0.5) grid lands identically (a general-α pow()
+    * is not correctly-rounded and could flip a knife-edge document).
+    *
+    * Scale shape: one |sources|-bounded count aggregation to the
+    * driver (model metadata), then a MAP-ONLY filter with the
+    * per-source thresholds as plan literals — no join, no shuffle on
+    * the data path, the [[stratifiedSample]] economics with
+    * data-derived rates. */
+  def temperatureMix(df: DataFrame, keyCol: String,
+                     sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(counts.nonEmpty, "temperatureMix: no sources (empty input)")
+    val nMin = counts.map(_._2).min
+    // "00000000" default keeps nothing — unreachable (every present
+    // source is in counts), but a NULL source row must not crash
+    val thr = counts.foldRight(lit("00000000"): Column) {
+      case ((s, n), acc) =>
+        when(col(sourceCol) === s,
+          lit(thresholdHex(math.sqrt(nMin.toDouble / n)))).otherwise(acc)
+    }
+    df.filter(selector(col(keyCol)) < thr)
+  }
 }

@@ -308,6 +308,20 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"), col("rep"))
     }),
 
+    // ---- temperature-flattened source mixing (α = 1/2) ----------------
+    // the mBERT/XLM-R exponentiated-sampling knob, downsample-only:
+    // keep-rate sqrt(n_min/n_s) per source, so the smallest source
+    // keeps all and larger ones flatten. α fixed at 1/2 because
+    // division and sqrt are IEEE correctly-rounded — the data-derived
+    // rates are BIT-EXACT across engines with no rounding contract;
+    // the oracle recomputes counts, rates, and the threshold grid
+    "q_temperature_mix" -> ((s, d) => {
+      graft.ext.Sampling.temperatureMix(Tables.documents(s, d),
+          "doc_id", "source")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- length-bucketed batching -------------------------------------
     // rank documents by (n_chars DESC, doc_id), cut into consecutive
     // batches of 64, and account the padding each batch pays (docs pad
@@ -807,6 +821,27 @@ object ScaleOpsQueries {
     // '80000000', (0.25)='40000000', frac 0 → '00000000' which no md5
     // digest is below); rep explode via unnest(range(n)) — BIGINT on
     // both engines
+    // rates recomputed from counts in SQL: n_min/n and sqrt are IEEE
+    // correctly-rounded on both engines, so the doubles are
+    // bit-identical and the floor(r·2^32 + 0.5) hex grid matches
+    // thresholdHex exactly; rate 1.0 (the smallest source) maps to
+    // 'g' = keep-all, above every hex digest
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |t AS (SELECT c.source,
+        |        CASE WHEN sqrt(CAST(m.nmin AS DOUBLE) / c.n) >= 1.0 THEN 'g'
+        |             ELSE printf('%08x', CAST(least(
+        |               floor(sqrt(CAST(m.nmin AS DOUBLE) / c.n)
+        |                 * 4294967296.0 + 0.5), 4294967295.0) AS BIGINT))
+        |        END AS thr
+        |      FROM c, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN t USING (source)
+        |WHERE md5(CAST(d.doc_id AS VARCHAR)) < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_epoch_mix" ->
       """WITH p AS (
         |  SELECT doc_id, source,
