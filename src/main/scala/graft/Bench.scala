@@ -78,9 +78,10 @@ object Bench {
       "q_stream_sentences", "q_stream_span_ingest",
       "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline",
       "q_stream_epoch_mix", "q_stream_pack",
-      // round-15 additions (enter bench_baseline at its next refresh)
+      // round-15 additions (seeded from a clean bracketed-recorder run)
       "q_stream_pack_carry", "q_unigram_tokenize", "q_unigram_roundtrip",
-      "q_unigram_pack", "q_stream_unigram_pack", "q_temperature_mix")
+      "q_unigram_pack", "q_stream_unigram_pack", "q_temperature_mix",
+      "q_stream_temperature_mix")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

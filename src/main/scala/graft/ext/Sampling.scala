@@ -340,17 +340,34 @@ object Sampling {
     * the data path, the [[stratifiedSample]] economics with
     * data-derived rates. */
   def temperatureMix(df: DataFrame, keyCol: String,
-                     sourceCol: String): DataFrame = {
+                     sourceCol: String): DataFrame =
+    applyKeepThresholds(df, keyCol, sourceCol,
+      temperatureThresholds(df, sourceCol))
+
+  /** The frozen per-source keep thresholds of [[temperatureMix]] —
+    * |sources|-bounded model metadata (source → [[thresholdHex]]
+    * string), computed once so a STREAM can be filtered against them
+    * forever (the train-once / apply-forever split every frozen-model
+    * operator here uses). */
+  def temperatureThresholds(df: DataFrame,
+                            sourceCol: String): Seq[(String, String)] = {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(counts.nonEmpty, "temperatureMix: no sources (empty input)")
     val nMin = counts.map(_._2).min
-    // "00000000" default keeps nothing — unreachable (every present
-    // source is in counts), but a NULL source row must not crash
-    val thr = counts.foldRight(lit("00000000"): Column) {
-      case ((s, n), acc) =>
-        when(col(sourceCol) === s,
-          lit(thresholdHex(math.sqrt(nMin.toDouble / n)))).otherwise(acc)
+    counts.map { case (s, n) =>
+      s -> thresholdHex(math.sqrt(nMin.toDouble / n))
+    }
+  }
+
+  /** Map-only keep filter under frozen per-source thresholds — works
+    * unchanged on batch frames and streams (no shuffle, no state).
+    * Sources absent from the table keep nothing ("00000000" — below
+    * every digest), the conservative reading of "not in the recipe". */
+  def applyKeepThresholds(df: DataFrame, keyCol: String, sourceCol: String,
+                          thresholds: Seq[(String, String)]): DataFrame = {
+    val thr = thresholds.foldRight(lit("00000000"): Column) {
+      case ((s, t), acc) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
     }
     df.filter(selector(col(keyCol)) < thr)
   }

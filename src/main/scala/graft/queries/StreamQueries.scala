@@ -690,6 +690,32 @@ object StreamQueries {
         .orderBy(col("bat"), col("seq_id"))
     }),
 
+    // temperature mixing on a LIVE stream: thresholds freeze on the
+    // BASE corpus (the train-once split — a real recipe fixes its
+    // mixture before the data flows), then a doubled stream (base +
+    // 1M-shifted copies, same sources) filters MAP-ONLY per batch —
+    // no shuffle, no state, any micro-batch split keeps identical
+    // rows. The oracle recomputes the base-corpus thresholds and
+    // applies them to the union relation.
+    "q_stream_temperature_mix" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val thr = graft.ext.Sampling.temperatureThresholds(docs, "source")
+      val union = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("source")))
+      val srcDir = freshScratchDir(d, "tempmixstream")
+      java.nio.file.Files.createDirectories(srcDir)
+      writeOnePart(srcDir, "a", union.filter(col("doc_id") % 2 === 0))
+      writeOnePart(srcDir, "b", union.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(union.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val kept = graft.ext.Sampling.applyKeepThresholds(
+        stream, "doc_id", "source", thr)
+      StreamPipeline.runAppendToMemory(s, kept,
+          s"tempmix_${d.hashCode.abs}")
+        .orderBy(col("doc_id"))
+    }),
+
     // the STREAMING ingest on the unigram family: the frozen unigram
     // model (trained before the stream — wordPieceRelation) drives the
     // UNCHANGED packIngest, per-shard batch-scoped packing; the oracle
@@ -988,6 +1014,26 @@ object StreamQueries {
     "q_stream_pack_carry" -> ExtHelpers.tokenizePackOracle(32, 512),
     // unigram training + the bat-partitioned pack arithmetic
     "q_stream_unigram_pack" -> graft.ext.Unigram.streamPackOracleSql(512),
+    // base-corpus thresholds applied to the doubled union — the
+    // q_temperature_mix grid arithmetic with counts from BASE docs only
+    "q_stream_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |t AS (SELECT c.source,
+        |        CASE WHEN sqrt(CAST(m.nmin AS DOUBLE) / c.n) >= 1.0 THEN 'g'
+        |             ELSE printf('%08x', CAST(least(
+        |               floor(sqrt(CAST(m.nmin AS DOUBLE) / c.n)
+        |                 * 4294967296.0 + 0.5), 4294967295.0) AS BIGINT))
+        |        END AS thr
+        |      FROM c, m),
+        |u AS (SELECT doc_id, source FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000 AS doc_id, source FROM documents)
+        |SELECT u.doc_id, u.source
+        |FROM u JOIN t USING (source)
+        |WHERE md5(CAST(u.doc_id AS VARCHAR)) < t.thr
+        |ORDER BY u.doc_id""".stripMargin,
     // the batch epoch-mix oracle verbatim — the gate and rep explode
     // are stateless per-row, so the streamed rows are split-invariant
     "q_stream_epoch_mix" -> ScaleOpsQueries.oracleSql("q_epoch_mix"),

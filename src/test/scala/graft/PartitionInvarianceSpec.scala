@@ -36,7 +36,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_span_mix",          // sparse windows + merged-interval cut
     "q_chunk_sentences",   // in-row greedy fold over sentence lengths
     "q_length_buckets",    // two-level global rank over (len, id)
-    "q_pretrain_pipeline") // five composed stages incl. the two-level scan
+    "q_pretrain_pipeline", // five composed stages incl. the two-level scan
+    // round-15 families: hard-EM's E-step aggregates Viterbi piece
+    // counts across partitions (integer micro-log scores must make the
+    // argmax partition-free), and the data-derived sqrt keep-rates
+    // must not depend on the count aggregation's grouping
+    "q_unigram_tokenize",  // distributed Viterbi-EM + frozen encode
+    "q_temperature_mix")   // data-derived bit-exact keep thresholds
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
