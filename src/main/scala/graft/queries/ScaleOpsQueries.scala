@@ -315,9 +315,16 @@ object ScaleOpsQueries {
     // division and sqrt are IEEE correctly-rounded — the data-derived
     // rates are BIT-EXACT across engines with no rounding contract;
     // the oracle recomputes counts, rates, and the threshold grid
+    // the generator's sources are uniform (rate 1.0 everywhere), which
+    // would leave the threshold grid untested — derive a skewed class
+    // instead (1/2/7 split by id), so the rates are the non-trivial
+    // doubles sqrt(1/2) and sqrt(1/7) and a wrong grid flips rows
     "q_temperature_mix" -> ((s, d) => {
-      graft.ext.Sampling.temperatureMix(Tables.documents(s, d),
-          "doc_id", "source")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, "rare")
+          .when(col("doc_id") % 10 <= 2, "mid")
+          .otherwise("bulk").as("source"))
+      graft.ext.Sampling.temperatureMix(docs, "doc_id", "source")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -827,8 +834,13 @@ object ScaleOpsQueries {
     // thresholdHex exactly; rate 1.0 (the smallest source) maps to
     // 'g' = keep-all, above every hex digest
     "q_temperature_mix" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        |           FROM documents GROUP BY source),
+      """WITH sk AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'rare'
+        |         WHEN doc_id % 10 <= 2 THEN 'mid'
+        |         ELSE 'bulk' END AS source
+        |  FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |      FROM sk GROUP BY source),
         |m AS (SELECT min(n) AS nmin FROM c),
         |t AS (SELECT c.source,
         |        CASE WHEN sqrt(CAST(m.nmin AS DOUBLE) / c.n) >= 1.0 THEN 'g'
@@ -838,7 +850,7 @@ object ScaleOpsQueries {
         |        END AS thr
         |      FROM c, m)
         |SELECT d.doc_id, d.source
-        |FROM documents d JOIN t USING (source)
+        |FROM sk d JOIN t USING (source)
         |WHERE md5(CAST(d.doc_id AS VARCHAR)) < t.thr
         |ORDER BY d.doc_id""".stripMargin,
 

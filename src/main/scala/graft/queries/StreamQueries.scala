@@ -698,8 +698,14 @@ object StreamQueries {
     // rows. The oracle recomputes the base-corpus thresholds and
     // applies them to the union relation.
     "q_stream_temperature_mix" -> ((s, d) => {
+      // same derived skewed class as q_temperature_mix — the
+      // generator's real sources are uniform and would leave every
+      // threshold at the trivial keep-all 'g'
       val docs = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), col("source"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, "rare")
+            .when(col("doc_id") % 10 <= 2, "mid")
+            .otherwise("bulk").as("source"))
       val thr = graft.ext.Sampling.temperatureThresholds(docs, "source")
       val union = docs.unionByName(docs.select(
         (col("doc_id") + 1000000L).as("doc_id"), col("source")))
@@ -1017,8 +1023,13 @@ object StreamQueries {
     // base-corpus thresholds applied to the doubled union — the
     // q_temperature_mix grid arithmetic with counts from BASE docs only
     "q_stream_temperature_mix" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        |           FROM documents GROUP BY source),
+      """WITH sk AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'rare'
+        |         WHEN doc_id % 10 <= 2 THEN 'mid'
+        |         ELSE 'bulk' END AS source
+        |  FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |      FROM sk GROUP BY source),
         |m AS (SELECT min(n) AS nmin FROM c),
         |t AS (SELECT c.source,
         |        CASE WHEN sqrt(CAST(m.nmin AS DOUBLE) / c.n) >= 1.0 THEN 'g'
@@ -1027,9 +1038,9 @@ object StreamQueries {
         |                 * 4294967296.0 + 0.5), 4294967295.0) AS BIGINT))
         |        END AS thr
         |      FROM c, m),
-        |u AS (SELECT doc_id, source FROM documents
+        |u AS (SELECT doc_id, source FROM sk
         |      UNION ALL
-        |      SELECT doc_id + 1000000 AS doc_id, source FROM documents)
+        |      SELECT doc_id + 1000000 AS doc_id, source FROM sk)
         |SELECT u.doc_id, u.source
         |FROM u JOIN t USING (source)
         |WHERE md5(CAST(u.doc_id AS VARCHAR)) < t.thr
