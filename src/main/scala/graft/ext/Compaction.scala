@@ -64,14 +64,11 @@ object Compaction {
   }
 
   /** ceil(total store bytes / [[TargetFileBytes]]), ≥ 1. */
-  private def targetParts(spark: SparkSession, dir: String): Int = {
-    val (fs, p) = fsFor(spark, dir)
-    val bytes = fs.getContentSummary(p).getLength
-    math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
-  }
+  private def targetParts(spark: SparkSession, dir: String): Int =
+    targetPartsFor(spark, Seq(dir))
 
   /** [[targetParts]] summed over a multi-path store (base generation +
-    * staged batches). */
+    * staged batches) — the single sizing-policy definition. */
   private def targetPartsFor(spark: SparkSession, paths: Seq[String]): Int = {
     val bytes = paths.map { d =>
       val (fs, p) = fsFor(spark, d)

@@ -59,15 +59,13 @@ object Sampling {
     df.filter(selector(col(keyCol)) < lit(thresholdHex(rate)))
 
   /** Stratified sample: per-stratum keep-rates with a default for
-    * strata not listed. One map-only filter — no shuffle. */
+    * strata not listed. One map-only filter — no shuffle. Delegates to
+    * [[applyKeepThresholds]] (one when-chain construction to maintain). */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
-                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val threshold = rates.foldRight(lit(thresholdHex(defaultRate)): Column) {
-      case ((stratum, rate), acc) =>
-        when(col(strataCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
-    }
-    df.filter(selector(col(keyCol)) < threshold)
-  }
+                       rates: Map[String, Double], defaultRate: Double): DataFrame =
+    applyKeepThresholds(df, keyCol, strataCol,
+      rates.toSeq.map { case (s, r) => s -> thresholdHex(r) },
+      default = thresholdHex(defaultRate))
 
   /** The `k` rows with the smallest hash per stratum — a deterministic
     * uniform-without-replacement sample of exactly k (or the whole
@@ -137,7 +135,9 @@ object Sampling {
     * up-sample-the-tail setting), and each source gets the keep-rate
     * that realizes its share of a token budget of Σn ∕ `budgetDen`.
     * Small sources keep more of themselves (rate ∝ 1∕√nᵢ), the head is
-    * down-sampled — apply the rates with [[stratifiedSample]].
+    * down-sampled — apply the rates with [[stratifiedSample]]. NOT to
+    * be confused with [[temperatureDownsample]], which counts
+    * DOCUMENTS and applies the keep filter itself.
     *
     * α is FIXED at 0.5: `sqrt` is correctly-rounded IEEE-754 on every
     * engine, `pow` is not — a general-α plan could not be cross-engine
@@ -318,14 +318,18 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
   }
 
-  /** Temperature-flattened source mixing at α = 1/2 — the standard
-    * multilingual/multi-source rebalancing knob (mBERT/XLM-R's
-    * exponentiated sampling, p_s ∝ n_s^α): DOWNSAMPLE-ONLY keep-rates
-    * r_s = sqrt(n_min / n_s), so the smallest source keeps everything
-    * and a source 100× larger keeps 10% — flattening the size skew
-    * without upsampling (that is [[epochMix]]'s job; compose them for
-    * a full recipe). Keep decision is the usual deterministic
-    * [[selector]] < [[thresholdHex]] compare.
+  /** Temperature-flattened source DOWNSAMPLING at α = 1/2 — the
+    * standard multilingual/multi-source rebalancing knob (mBERT/
+    * XLM-R's exponentiated sampling, p_s ∝ n_s^α) applied as a keep
+    * FILTER by document count: keep-rates r_s = sqrt(n_min / n_s), so
+    * the smallest source keeps everything and a source 100× larger
+    * keeps 10% — flattening the size skew without upsampling (that is
+    * [[epochMix]]'s job; compose them for a full recipe). NOT to be
+    * confused with [[temperatureMixture]], which emits a per-source
+    * (weight, rate) PLAN by token mass and leaves the filtering to the
+    * caller — this one counts documents and applies the cut. Keep
+    * decision is the usual deterministic [[selector]] <
+    * [[thresholdHex]] compare.
     *
     * α is FIXED at 1/2 because it makes the rates cross-engine
     * BIT-EXACT with no rounding contract at all: n_min/n_s and sqrt
@@ -339,34 +343,45 @@ object Sampling {
     * per-source thresholds as plan literals — no join, no shuffle on
     * the data path, the [[stratifiedSample]] economics with
     * data-derived rates. */
-  def temperatureMix(df: DataFrame, keyCol: String,
-                     sourceCol: String): DataFrame =
+  def temperatureDownsample(df: DataFrame, keyCol: String,
+                            sourceCol: String): DataFrame =
     applyKeepThresholds(df, keyCol, sourceCol,
       temperatureThresholds(df, sourceCol))
 
-  /** The frozen per-source keep thresholds of [[temperatureMix]] —
-    * |sources|-bounded model metadata (source → [[thresholdHex]]
+  /** The frozen per-source keep thresholds of [[temperatureDownsample]]
+    * — |sources|-bounded model metadata (source → [[thresholdHex]]
     * string), computed once so a STREAM can be filtered against them
     * forever (the train-once / apply-forever split every frozen-model
-    * operator here uses). */
+    * operator here uses). NULL sources fail loudly: a null group would
+    * enter n_min yet its rows can never match the when-chain filter —
+    * every OTHER source's rate would silently shrink while the null
+    * rows all drop. Clean the source column first. */
   def temperatureThresholds(df: DataFrame,
                             sourceCol: String): Seq[(String, String)] = {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    require(counts.nonEmpty, "temperatureMix: no sources (empty input)")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1))).toSeq
+    require(counts.nonEmpty, "temperatureDownsample: no sources (empty input)")
+    require(!counts.exists(_._1 == null),
+      "temperatureDownsample: NULL source values present — they would " +
+        "skew every other source's keep-rate and then be dropped " +
+        "entirely; coalesce or filter the source column first")
     val nMin = counts.map(_._2).min
     counts.map { case (s, n) =>
       s -> thresholdHex(math.sqrt(nMin.toDouble / n))
     }
   }
 
-  /** Map-only keep filter under frozen per-source thresholds — works
+  /** Map-only keep filter under frozen per-stratum thresholds — works
     * unchanged on batch frames and streams (no shuffle, no state).
-    * Sources absent from the table keep nothing ("00000000" — below
-    * every digest), the conservative reading of "not in the recipe". */
+    * Strata absent from the table keep `default` ("00000000" = below
+    * every digest = keep nothing, the conservative reading of "not in
+    * the recipe"). Shared by [[stratifiedSample]] and the temperature
+    * family — the single when-chain construction. */
   def applyKeepThresholds(df: DataFrame, keyCol: String, sourceCol: String,
-                          thresholds: Seq[(String, String)]): DataFrame = {
-    val thr = thresholds.foldRight(lit("00000000"): Column) {
+                          thresholds: Seq[(String, String)],
+                          default: String = "00000000"): DataFrame = {
+    val thr = thresholds.foldRight(lit(default): Column) {
       case ((s, t), acc) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
     }
     df.filter(selector(col(keyCol)) < thr)

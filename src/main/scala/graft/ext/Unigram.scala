@@ -125,29 +125,33 @@ object Unigram {
     * that makes every training word reachable forever) and drops
     * multis the E-step stopped using. */
   def trainModel(df: DataFrame, textCol: String): Seq[(String, Long)] = {
-    val spark = df.sparkSession
     val words = Bpe.wordCounts(df, textCol).persist()
-    try {
-      val subs = words
-        .select(col("wc"), explode(substringsCol(col("w"))).as("p"))
-        .groupBy(col("p")).agg(sum(col("wc")).as("c"))
-        .persist()
-      val (singles, multis) = try {
-        val s = subs.filter(length(col("p")) === 1)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        val m = subs.filter(length(col("p")) > 1)
-          .orderBy(col("c").desc, col("p")).limit(SeedMultis)
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        (s, m)
-      } finally { subs.unpersist(); () }
-      val alphabet = singles.map(_._1).toSet
-      var counts: Seq[(String, Long)] = singles ++ multis
-      for (_ <- 0 until EmRounds) {
-        val eCounts = eStep(words, counts)
-        counts = mStep(eCounts, alphabet)
-      }
-      counts
-    } finally { words.unpersist(); () }
+    try trainModelOn(words) finally { words.unpersist(); () }
+  }
+
+  /** [[trainModel]] over an already-persisted (w, wc) relation — the
+    * form [[wordPieceRelation]] uses so the corpus is tokenized ONCE
+    * for training AND the frozen-model word relation. */
+  private def trainModelOn(words: DataFrame): Seq[(String, Long)] = {
+    val subs = words
+      .select(col("wc"), explode(substringsCol(col("w"))).as("p"))
+      .groupBy(col("p")).agg(sum(col("wc")).as("c"))
+      .persist()
+    val (singles, multis) = try {
+      val s = subs.filter(length(col("p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val m = subs.filter(length(col("p")) > 1)
+        .orderBy(col("c").desc, col("p")).limit(SeedMultis)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      (s, m)
+    } finally { subs.unpersist(); () }
+    val alphabet = singles.map(_._1).toSet
+    var counts: Seq[(String, Long)] = singles ++ multis
+    for (_ <- 0 until EmRounds) {
+      val eCounts = eStep(words, counts)
+      counts = mStep(eCounts, alphabet)
+    }
+    counts
   }
 
   /** One distributed E-step: Viterbi-segment every distinct word under
@@ -185,14 +189,18 @@ object Unigram {
     * [[Bpe.encodeIdsAgainst]] / [[Bpe.decodeIds]] — the packing and
     * streaming machinery is tokenizer-family agnostic.
     *
-    * CACHE CONTRACT: none here — the model is already driver-held;
-    * the returned frames are cheap plans over the distinct-word
-    * relation and the driver-local vocab. */
+    * CACHE CONTRACT (same as [[Bpe.encodeIdsWithVocab]] /
+    * [[Packing.packSequences]]): the corpus is tokenized ONCE into a
+    * persisted distinct-word relation that serves both the EM training
+    * scans and the returned `wids` plan, which stays LAZY over it —
+    * callers training many models in one session should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do). */
   def wordPieceRelation(df: DataFrame, textCol: String)
       : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val model = trainModel(df, textCol)
+    val words = Bpe.wordCounts(df, textCol).persist()
+    val model = trainModelOn(words)
     val total = model.map(_._2).sum
     val score: Map[String, Long] =
       model.map { case (p, c) => p -> scoreOf(c, total) }.toMap
@@ -203,8 +211,10 @@ object Unigram {
       .select(col("sym"), col("tid"))
     val segUdf = udf((w: String) =>
       viterbi(w, score).map(p => tidOf.getOrElse(p, -1L)))
-    val wids = df.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
+    // wordCounts already aggregates to DISTINCT words — the frozen
+    // encode reuses the persisted relation instead of re-scanning the
+    // corpus for a second explode+distinct pass
+    val wids = words
       .select(col("w"), posexplode(segUdf(col("w"))).as(Seq("__sp0", "tid")))
       .filter(col("tid") > 0L)
       .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))

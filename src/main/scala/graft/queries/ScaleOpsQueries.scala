@@ -324,7 +324,7 @@ object ScaleOpsQueries {
         when(col("doc_id") % 10 === 0, "rare")
           .when(col("doc_id") % 10 <= 2, "mid")
           .otherwise("bulk").as("source"))
-      graft.ext.Sampling.temperatureMix(docs, "doc_id", "source")
+      graft.ext.Sampling.temperatureDownsample(docs, "doc_id", "source")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),

@@ -558,33 +558,49 @@ object StreamPipeline {
     // carry state rides the driver between micro-batches (≤ seqLen-1
     // (gp, tid) rows + the running total — model-metadata sized); the
     // committed generation dirs are the RECOVERY source, read only on
-    // the first batch of a (re)started stream
+    // the first batch of a (re)started stream. Recovery is keyed to
+    // the BATCH ID: a redelivered batch whose generation is already
+    // committed SKIPS (idempotent — covers both a restart without a
+    // source checkpoint, which redelivers from batch 0, and a crash
+    // between our marker and the source's offset commit), and prior
+    // state comes from the newest committed generation STRICTLY BEFORE
+    // this batch — never from this batch's own or a later generation,
+    // which would double-pack the tokens. Requires the source's
+    // file→batch mapping to be restart-deterministic (the harness
+    // stamps strictly increasing mtimes; a production source keyed by
+    // offsets satisfies it via its checkpoint).
     var mem: Option[(Long, Seq[(Long, Long)])] = None
     drainIngestWithId(stream) { (batch, id) =>
       val sp = batch.sparkSession
       import sp.implicits._
-      val (offset, carriedSeq) = mem.getOrElse {
-        committedGens(sp, outDir).lastOption match {
-          case Some(g) =>
-            (sp.read.parquet(s"$g/meta").collect()(0).getLong(0),
-              sp.read.parquet(s"$g/carry").collect()
-                .map(r => (r.getLong(0), r.getLong(1))).toSeq)
-          case None => (0L, Seq.empty[(Long, Long)])
-        }
-      }
-      val carried = carriedSeq.toDF("gp", "tid")
-      val genDir = s"$outDir/gen_${"%012d".format(id)}"
+      def genState(g: String): (Long, Seq[(Long, Long)]) =
+        (sp.read.parquet(s"$g/meta").collect()(0).getLong(0),
+          sp.read.parquet(s"$g/carry").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val genName = "gen_" + "%012d".format(id)
+      val genDir = s"$outDir/$genName"
       val (fs, gp) = hadoopFs(sp, genDir)
-      if (fs.exists(gp)) fs.delete(gp, true) // uncommitted debris from a crash
-      val toks = graft.ext.Bpe
-        .encodeIdsAgainst(batch, idCol, textCol, wids).persist()
-      try {
-        val next = graft.ext.Packing.packCarryBatch(toks, idCol, seqLen,
-          offset, carried, genDir)
-        val mp = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED")
-        fs.create(mp, false).close()
-        mem = Some(next)
-      } finally { toks.unpersist(); () }
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED"))) {
+        mem = Some(genState(genDir)) // redelivered, already applied
+      } else {
+        val (offset, carriedSeq) = mem.getOrElse {
+          committedGens(sp, outDir)
+            .filter(_.split('/').last < genName)
+            .lastOption.map(genState)
+            .getOrElse((0L, Seq.empty[(Long, Long)]))
+        }
+        val carried = carriedSeq.toDF("gp", "tid")
+        if (fs.exists(gp)) fs.delete(gp, true) // uncommitted crash debris
+        val toks = graft.ext.Bpe
+          .encodeIdsAgainst(batch, idCol, textCol, wids).persist()
+        try {
+          val next = graft.ext.Packing.packCarryBatch(toks, idCol, seqLen,
+            offset, carried, genDir)
+          val mp = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED")
+          fs.create(mp, false).close()
+          mem = Some(next)
+        } finally { toks.unpersist(); () }
+      }
     }
   }
 

@@ -268,12 +268,12 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("weightedTopK"))
   }
 
-  test("temperatureMix keeps the smallest source whole and flattens larger ones") {
+  test("temperatureDownsample keeps the smallest source whole and flattens larger ones") {
     import spark.implicits._
     // small: 50 docs; big: 5000 docs → keep-rate sqrt(1/100) = 0.1
     val docs = ((0L until 50L).map(i => (i, "small")) ++
       (1000L until 6000L).map(i => (i, "big"))).toDF("doc_id", "source")
-    val kept = Sampling.temperatureMix(docs, "doc_id", "source")
+    val kept = Sampling.temperatureDownsample(docs, "doc_id", "source")
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(kept("small") == 50L, "rate-1.0 source must keep every row")
@@ -281,13 +281,13 @@ class SamplingSpec extends AnyFunSuite {
     // generous binomial slack — the point is flattened, not exact
     assert(kept("big") > 350 && kept("big") < 650, s"big kept ${kept("big")}")
     // deterministic: same rows kept on a different partitioning
-    val again = Sampling.temperatureMix(docs.repartition(7), "doc_id", "source")
+    val again = Sampling.temperatureDownsample(docs.repartition(7), "doc_id", "source")
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
-    val first = Sampling.temperatureMix(docs, "doc_id", "source")
+    val first = Sampling.temperatureDownsample(docs, "doc_id", "source")
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(again == first)
     intercept[IllegalArgumentException] {
-      Sampling.temperatureMix(
+      Sampling.temperatureDownsample(
         Seq.empty[(Long, String)].toDF("doc_id", "source"),
         "doc_id", "source")
     }

@@ -345,6 +345,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bounded-group"))
   }
 
+  test("carry-mode pack ingest is idempotent under full-stream redelivery") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val wids = graft.ext.Bpe.wordIdRelation(docs, "text", 16).persist()
+    val srcDir = tmpDir()
+    // two files with strictly increasing mtimes → deterministic
+    // file→batch mapping on every (re)start
+    for ((name, par) <- Seq(("a", 0), ("b", 1))) {
+      val build = new java.io.File(srcDir, s"build_$name")
+      docs.filter(col("doc_id") % 2 === par).coalesce(1)
+        .write.parquet(build.getAbsolutePath)
+      val part = build.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + par * 60000L)
+      build.listFiles().foreach(_.delete()); build.delete()
+    }
+    val outDir = new java.io.File(tmpDir(), "carryout").getAbsolutePath
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir.getAbsolutePath)
+      StreamPipeline.packIngestCarry(spark, stream, outDir, wids,
+        "doc_id", "text", seqLen = 64)
+    }
+    runStream()
+    def serveRows() = StreamPipeline.packCarryServe(spark, outDir, 64)
+      .collect().map(_.toString).sorted.toSeq
+    val first = serveRows()
+    assert(first.nonEmpty)
+    // a restart WITHOUT a source checkpoint redelivers every file from
+    // batch 0 — each batch's generation is already committed, so the
+    // re-run must change NOTHING (the r15 review found the recovery
+    // path reading the redelivered batch's own generation as prior
+    // state and double-packing the corpus)
+    runStream()
+    assert(serveRows() == first, "redelivered batches must be no-ops")
+    wids.unpersist()
+  }
+
   test("BM25 ingest appends across micro-batches; stats track the union") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
