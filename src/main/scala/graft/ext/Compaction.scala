@@ -192,6 +192,44 @@ object Compaction {
     }
   }
 
+  /** Rewrite the SPAN-attributes relation doc_id-range-clustered — the
+    * [[compactAttrs]] relayout for the span store's `spans/` relation
+    * (per-batch appends overlap id ranges across batches, defeating
+    * row-group pruning on the mix's id join-back). */
+  def compactSpans(spark: SparkSession, dir: String): Unit = {
+    val spans = s"$dir/spans"
+    val n = targetParts(spark, spans)
+    swapIn(spark, spans) { tmp =>
+      spark.read.parquet(spans)
+        .repartitionByRange(n, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
+        .write.parquet(tmp)
+    }
+  }
+
+  /** [[maybeCompactCms]]'s file-count trigger for the Dolma-attributes
+    * store (one appended file batch per micro-batch). */
+  def maybeCompactAttrs(spark: SparkSession, dir: String,
+                        maxFiles: Int): Boolean =
+    if (maxFiles > 0 && parquetFileCount(spark, s"$dir/attrs") >= maxFiles) {
+      compactAttrs(spark, dir); true
+    } else false
+
+  /** [[maybeCompactCms]]'s file-count trigger for the span store. */
+  def maybeCompactSpans(spark: SparkSession, dir: String,
+                        maxFiles: Int): Boolean =
+    if (maxFiles > 0 && parquetFileCount(spark, s"$dir/spans") >= maxFiles) {
+      compactSpans(spark, dir); true
+    } else false
+
+  /** [[maybeCompactCms]]'s file-count trigger for the IVF corpus store
+    * (per-batch appends leave one small file per cell per batch). */
+  def maybeCompactIvf(spark: SparkSession, dir: String,
+                      maxFiles: Int): Boolean =
+    if (maxFiles > 0 && parquetFileCount(spark, s"$dir/corpus") >= maxFiles) {
+      compactIvfCorpus(spark, dir); true
+    } else false
+
   /** Rewrite the IVF `corpus/` store in the initial-build layout: one
     * shuffle clusters rows by cell, `partitionBy` restores the
     * file-per-cell locality the DPP-pruned probes scan

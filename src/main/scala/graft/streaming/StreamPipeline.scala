@@ -416,10 +416,15 @@ object StreamPipeline {
 
   /** @return number of non-empty micro-batches ingested. */
   def ivfIngest(spark: SparkSession, stream: DataFrame, indexDir: String,
-                idCol: String, vecCol: String): Long =
-    drainIngest(stream)(batch =>
+                idCol: String, vecCol: String,
+                autoCompactMaxFiles: Int = 0): Long =
+    drainIngest(stream) { batch =>
       graft.ext.Ivf.ingestIntoIndex(batch.sparkSession, indexDir, batch,
-        idCol, vecCol))
+        idCol, vecCol)
+      graft.ext.Compaction.maybeCompactIvf(batch.sparkSession, indexDir,
+        autoCompactMaxFiles)
+      ()
+    }
 
   /** Streaming BM25 index maintenance — [[ivfIngest]]'s pattern
     * applied to the lexical index ([[graft.ext.Bm25.ingestIntoIndex]]):
@@ -474,9 +479,13 @@ object StreamPipeline {
     * batch and append its attribute rows to the persisted relation
     * ([[graft.ext.Attributes.ingestIntoAttributes]]). */
   def attrsIngest(spark: SparkSession, stream: DataFrame,
-                  attrsDir: String): Long =
-    drainIngest(stream)(batch =>
-      graft.ext.Attributes.ingestIntoAttributes(attrsDir, batch))
+                  attrsDir: String, autoCompactMaxFiles: Int = 0): Long =
+    drainIngest(stream) { batch =>
+      graft.ext.Attributes.ingestIntoAttributes(attrsDir, batch)
+      graft.ext.Compaction.maybeCompactAttrs(batch.sparkSession, attrsDir,
+        autoCompactMaxFiles)
+      ()
+    }
 
   /** Streaming SPAN-attributes maintenance: each micro-batch's span
     * rows (tagged against the static `benchmark`) append to the
@@ -485,11 +494,16 @@ object StreamPipeline {
     * persisted ONCE for the stream's lifetime (it is static), not
     * re-derived per micro-batch. */
   def spanIngest(spark: SparkSession, stream: DataFrame, spanDir: String,
-                 benchmark: DataFrame, n: Int = 3): Long = {
+                 benchmark: DataFrame, n: Int = 3,
+                 autoCompactMaxFiles: Int = 0): Long = {
     val benchGrams = graft.ext.Attributes.benchGramSet(benchmark, n = n).persist()
-    try drainIngest(stream)(batch =>
+    try drainIngest(stream) { batch =>
       graft.ext.Attributes.ingestIntoSpanAttributes(spanDir, batch,
-        benchGrams, n = n))
+        benchGrams, n = n)
+      graft.ext.Compaction.maybeCompactSpans(batch.sparkSession, spanDir,
+        autoCompactMaxFiles)
+      ()
+    }
     finally { benchGrams.unpersist(); () }
   }
 

@@ -205,6 +205,37 @@ class CompactionSpec extends AnyFunSuite {
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
     // row count preserved (relayout, not a fold)
     assert(spark.read.parquet(s"$dir/attrs").count() == union.count())
+    // the opt-in file-count trigger fires once the threshold is met
+    // and is a no-op below it / when disabled
+    assert(!Compaction.maybeCompactAttrs(spark, dir, maxFiles = 0))
+    assert(!Compaction.maybeCompactAttrs(spark, dir, maxFiles = 1000000))
+    assert(Compaction.maybeCompactAttrs(spark, dir, maxFiles = 1))
+    assert(mix() == after)
+  }
+
+  test("span store: compaction preserves spans and mixes, reduces files") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "x"),
+          lit(" pay 4111111111111111 mail user"),
+          col("doc_id").cast("string"), lit("@example.com")).as("text"))
+    val bench = docs.filter(col("source") === "src0")
+    val cand = docs.filter(col("source") =!= "src0")
+    val dir = tmpDir("spans") + "/spanstore"
+    Attributes.ensureSpanAttributes(cand, bench, dir, n = 3)
+    val copies = cand.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("source"), col("text"))
+    val grams = Attributes.benchGramSet(bench)
+    Attributes.ingestIntoSpanAttributes(dir, copies, grams)
+    def spans() = sortedRows(spark.read.parquet(s"$dir/spans"))
+    val before = spans()
+    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/spans")
+    Compaction.compactSpans(spark, dir)
+    assert(spans() == before)
+    assert(Compaction.parquetFileCount(spark, s"$dir/spans") < filesBefore)
+    assert(!Compaction.maybeCompactSpans(spark, dir, maxFiles = 1000000))
+    assert(Compaction.maybeCompactSpans(spark, dir, maxFiles = 1))
+    assert(spans() == before)
   }
 
   test("ivf corpus: compaction preserves probes, folds cell files") {
