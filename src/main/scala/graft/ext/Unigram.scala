@@ -412,6 +412,21 @@ object Unigram {
       |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
       |FROM pseqs GROUP BY bat, seq_id ORDER BY bat, seq_id""".stripMargin
 
+  /** Per-source unigram token counts (no ids needed — the count per
+    * word occurrence is its final segmentation's piece count), as a
+    * SELF-CONTAINED statement for nesting inside a derived table:
+    * the fertility oracle joins it beside the BPE family's count,
+    * whose CTE names would clash in one WITH chain. */
+  def tokenCountBySourceSql(rel: String = "documents"): String =
+    modelCtes(rel) + s""",
+      |wpd AS (SELECT d.source, t[i] AS w
+      |        FROM (SELECT source, string_split(text, ' ') AS t FROM $rel) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> '')
+      |SELECT source,
+      |  CAST(sum(len(string_split(trim(path), ' '))) AS BIGINT) AS t
+      |FROM wpd JOIN finseg USING (w) GROUP BY source""".stripMargin
+
   /** Oracle for q_unigram_roundtrip: decode the token-id stream back
     * THROUGH the vocabulary (piece lookup by tid — a wrong id or a
     * dropped piece breaks the hash) and compare with the original. */

@@ -267,6 +267,23 @@ object ExtHelpers {
       |seqs AS (SELECT CAST(gp // $seqLen AS BIGINT) AS seq_id,
       |                gp % $seqLen AS sp, tid FROM gpos)""".stripMargin
 
+  /** Per-source BPE token counts (count per word occurrence = its
+    * merged symbol count — ids are irrelevant to counting), as a
+    * self-contained statement for nesting inside a derived table
+    * (the fertility oracle — see
+    * [[graft.ext.Unigram.tokenCountBySourceSql]]). */
+  private[queries] def bpeTokenCountBySourceSql(
+      k: Int, rel: String = "documents"): String =
+    bpeRoundsCte(k, rel) + s""",
+      |syms AS (SELECT w, string_split(substr(s, 2, strlen(s) - 2),
+      |                                chr(3) || chr(2)) AS sy FROM w$k),
+      |wpd AS (SELECT d.source, t[i] AS w
+      |        FROM (SELECT source, string_split(text, ' ') AS t FROM $rel) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> '')
+      |SELECT source, CAST(sum(len(sy)) AS BIGINT) AS t
+      |FROM wpd JOIN syms USING (w) GROUP BY source""".stripMargin
+
   private[queries] def tokenizePackOracle(k: Int, seqLen: Int): String =
     tokenizePackCtes(k, seqLen) + s"""
       |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,

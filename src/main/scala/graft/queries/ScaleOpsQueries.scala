@@ -390,6 +390,44 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer EVALUATION — the fertility/compression table a pipeline
+    // builds before committing to a tokenizer: per source, word count
+    // and token count under BOTH families (BPE k=32 and the unigram
+    // model), fertility = tokens/word through the floor contract. The
+    // oracle replays both trainings in independent nested-CTE derived
+    // tables (names would clash in one WITH chain)
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      def tokCounts(toks: DataFrame, out: String) =
+        toks.filter(col("tid") =!= 0L)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as(out))
+      val bpeToks = tokCounts(
+        graft.ext.Bpe.encodeIds(docs, "doc_id", "text", 32), "bpe_toks")
+      val (uwids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text")
+      val uniToks = tokCounts(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", uwids),
+        "uni_toks")
+      val words = docs.select(col("doc_id"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).cast("long").as("n_words"))
+      def fert(t: org.apache.spark.sql.Column,
+               w: org.apache.spark.sql.Column) =
+        when(w > 0, floor(t.cast("double") / w.cast("double") * 1e4 + 0.5) / 1e4)
+      src.join(words, "doc_id")
+        .join(bpeToks, Seq("doc_id"), "left")
+        .join(uniToks, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          coalesce(sum(col("bpe_toks")), lit(0L)).as("bpe_tokens"),
+          coalesce(sum(col("uni_toks")), lit(0L)).as("uni_tokens"))
+        .select(col("source"), col("n_words"), col("bpe_tokens"),
+          col("uni_tokens"),
+          fert(col("bpe_tokens"), col("n_words")).as("bpe_fertility"),
+          fert(col("uni_tokens"), col("n_words")).as("uni_fertility"))
+        .orderBy(col("source"))
+    }),
+
     // the unigram token stream through the UNCHANGED GPT-packer — the
     // (w, spos, tid) relation shape makes packing tokenizer-family
     // agnostic, and the oracle replays training + the pack arithmetic
@@ -785,6 +823,30 @@ object ScaleOpsQueries {
     "q_unigram_roundtrip" -> graft.ext.Unigram.roundtripOracleSql(),
     // unigram ids through the shared pack arithmetic
     "q_unigram_pack" -> graft.ext.Unigram.packOracleSql(512),
+    // both tokenizer trainings replayed in independent nested derived
+    // tables (their CTE names clash in one WITH chain); fertility via
+    // the floor contract, NULL where a source has no words
+    "q_tokenizer_fertility" ->
+      s"""WITH w AS (SELECT source, CAST(sum(nw) AS BIGINT) AS n_words
+         |  FROM (SELECT source,
+         |          len(list_filter(string_split(coalesce(text, ''), ' '),
+         |              x -> x <> '')) AS nw
+         |        FROM documents) q GROUP BY source)
+         |SELECT w.source, w.n_words,
+         |  coalesce(b.t, 0) AS bpe_tokens,
+         |  coalesce(u.t, 0) AS uni_tokens,
+         |  CASE WHEN w.n_words > 0 THEN
+         |    floor(CAST(coalesce(b.t, 0) AS DOUBLE)
+         |      / CAST(w.n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 END
+         |    AS bpe_fertility,
+         |  CASE WHEN w.n_words > 0 THEN
+         |    floor(CAST(coalesce(u.t, 0) AS DOUBLE)
+         |      / CAST(w.n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 END
+         |    AS uni_fertility
+         |FROM w
+         |LEFT JOIN (${ExtHelpers.bpeTokenCountBySourceSql(32)}) b USING (source)
+         |LEFT JOIN (${graft.ext.Unigram.tokenCountBySourceSql()}) u USING (source)
+         |ORDER BY w.source""".stripMargin,
     // the identity analytic form: decode must reproduce the original
     // text byte-for-byte (both md5 columns equal the source text's)
     "q_tokenize_roundtrip" ->
