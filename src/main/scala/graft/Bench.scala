@@ -81,7 +81,8 @@ object Bench {
       // round-15 additions (seeded from a clean bracketed-recorder run)
       "q_stream_pack_carry", "q_unigram_tokenize", "q_unigram_roundtrip",
       "q_unigram_pack", "q_stream_unigram_pack", "q_temperature_mix",
-      "q_stream_temperature_mix", "q_tokenizer_fertility")
+      "q_stream_temperature_mix", "q_tokenizer_fertility",
+      "q_unigram_vocab_cap")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

@@ -124,15 +124,17 @@ object Unigram {
     * every alphabet single with count floor 1 (the coverage guarantee
     * that makes every training word reachable forever) and drops
     * multis the E-step stopped using. */
-  def trainModel(df: DataFrame, textCol: String): Seq[(String, Long)] = {
+  def trainModel(df: DataFrame, textCol: String,
+                 vocabSize: Int = 0): Seq[(String, Long)] = {
     val words = Bpe.wordCounts(df, textCol).persist()
-    try trainModelOn(words) finally { words.unpersist(); () }
+    try trainModelOn(words, vocabSize) finally { words.unpersist(); () }
   }
 
   /** [[trainModel]] over an already-persisted (w, wc) relation — the
     * form [[wordPieceRelation]] uses so the corpus is tokenized ONCE
     * for training AND the frozen-model word relation. */
-  private def trainModelOn(words: DataFrame): Seq[(String, Long)] = {
+  private def trainModelOn(words: DataFrame,
+                           vocabSize: Int): Seq[(String, Long)] = {
     val subs = words
       .select(col("wc"), explode(substringsCol(col("w"))).as("p"))
       .groupBy(col("p")).agg(sum(col("wc")).as("c"))
@@ -151,7 +153,26 @@ object Unigram {
       val eCounts = eStep(words, counts)
       counts = mStep(eCounts, alphabet)
     }
-    counts
+    pruneToSize(counts, alphabet, vocabSize)
+  }
+
+  /** The SentencePiece `vocab_size` knob: cap the model at `vocabSize`
+    * pieces — every alphabet single survives (the coverage floor; a
+    * cap below |alphabet| keeps the whole alphabet and nothing else),
+    * multis keep the top slots by (count DESC, piece ASC in UTF-8
+    * order — the seed's deterministic total order). 0 = no cap.
+    * Pruning is a driver-side cut of the model table; the FINAL encode
+    * then Viterbi-segments against the pruned scores, so words whose
+    * best pieces were cut re-route through surviving ones. */
+  private def pruneToSize(counts: Seq[(String, Long)], alphabet: Set[String],
+                          vocabSize: Int): Seq[(String, Long)] = {
+    if (vocabSize <= 0) return counts
+    val (singles, multis) = counts.partition(c => alphabet.contains(c._1))
+    val slots = math.max(0, vocabSize - singles.length)
+    val kept = multis
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && Bpe.utf8Lt(a._1, b._1)))
+      .take(slots)
+    (singles ++ kept).sortWith((a, b) => Bpe.utf8Lt(a._1, b._1))
   }
 
   /** One distributed E-step: Viterbi-segment every distinct word under
@@ -195,12 +216,13 @@ object Unigram {
     * scans and the returned `wids` plan, which stays LAZY over it —
     * callers training many models in one session should
     * `spark.catalog.clearCache()` between them (Bench/Verify do). */
-  def wordPieceRelation(df: DataFrame, textCol: String)
+  def wordPieceRelation(df: DataFrame, textCol: String,
+                        vocabSize: Int = 0)
       : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val words = Bpe.wordCounts(df, textCol).persist()
-    val model = trainModelOn(words)
+    val model = trainModelOn(words, vocabSize)
     val total = model.map(_._2).sum
     val score: Map[String, Long] =
       model.map { case (p, c) => p -> scoreOf(c, total) }.toMap
@@ -295,12 +317,28 @@ object Unigram {
   /** The shared CTE chain through the final frozen-model word
     * segmentation + vocabulary ids: ends with `wids` (w, spos, tid)
     * and `vocab` (p, tid). */
-  private def modelCtes(rel: String): String = {
+  private def modelCtes(rel: String, vocabSize: Int = 0): String = {
     val rounds = (0 until EmRounds).map { r =>
       dpSql(s"r$r", s"sc$r") + ",\n" +
         recountSql(s"cnt${r + 1}", s"r${r}seg") + ",\n" +
         scoreSql(s"sc${r + 1}", s"cnt${r + 1}")
     }.mkString(",\n")
+    // the vocab_size cap ([[pruneToSize]]): singles always survive,
+    // multis keep the top (vocabSize - |alphabet|) slots by the seed's
+    // (count DESC, piece ASC) total order; the FINAL encode and the id
+    // assignment both run against the pruned table
+    val cntF =
+      if (vocabSize <= 0)
+        s"cntF AS MATERIALIZED (SELECT p, c FROM cnt$EmRounds)"
+      else
+        s"""cntF AS MATERIALIZED (
+           |  SELECT p, c FROM cnt$EmRounds WHERE length(p) = 1
+           |  UNION ALL
+           |  SELECT p, c FROM (
+           |    SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rn
+           |    FROM cnt$EmRounds WHERE length(p) > 1) m
+           |  WHERE rn <= greatest(0,
+           |    $vocabSize - (SELECT count(*) FROM alpha)))""".stripMargin
     s"""WITH uw AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM $rel) q
@@ -321,10 +359,12 @@ object Unigram {
        |    ORDER BY c DESC, p LIMIT $SeedMultis) m),
        |${scoreSql("sc0", "cnt0")},
        |$rounds,
-       |${dpSql("fin", s"sc$EmRounds")},
+       |$cntF,
+       |${scoreSql("scF", "cntF")},
+       |${dpSql("fin", "scF")},
        |vocab AS MATERIALIZED (
        |  SELECT p, CAST(row_number() OVER (ORDER BY p) AS BIGINT) AS tid
-       |  FROM cnt$EmRounds),
+       |  FROM cntF),
        |wids AS MATERIALIZED (
        |  SELECT q.w, CAST(q.i AS INT) AS spos, vocab.tid
        |  FROM (SELECT w, i, pcs[i] AS p FROM (
@@ -336,8 +376,9 @@ object Unigram {
 
   /** Oracle for q_unigram_tokenize: per-document token-id stream
     * (EOS-terminated) under the trained model. */
-  def tokenizeOracleSql(rel: String = "documents"): String =
-    modelCtes(rel) + s""",
+  def tokenizeOracleSql(rel: String = "documents",
+                        vocabSize: Int = 0): String =
+    modelCtes(rel, vocabSize) + s""",
       |wpd AS (SELECT doc_id, i AS wpos, t[i] AS w
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
       |             unnest(generate_series(1, len(t))) AS u(i)

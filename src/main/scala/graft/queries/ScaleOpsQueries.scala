@@ -428,6 +428,26 @@ object ScaleOpsQueries {
         .orderBy(col("source"))
     }),
 
+    // the SentencePiece vocab_size knob: the same training capped at 48
+    // pieces — singles always survive (coverage), multis keep the top
+    // slots by (count DESC, piece ASC), and the FINAL encode re-routes
+    // words whose best pieces were cut through surviving ones. The
+    // oracle replays the cut inside the same unrolled chain; a wrong
+    // cut order or a pruned-score drift shifts every id stream
+    "q_unigram_vocab_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text",
+        vocabSize = 48)
+      graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+        .groupBy(col("doc_id"))
+        .agg((count(lit(1)) - 1).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("spos"), col("tid")))),
+            t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the unigram token stream through the UNCHANGED GPT-packer — the
     // (w, spos, tid) relation shape makes packing tokenizer-family
     // agnostic, and the oracle replays training + the pack arithmetic
@@ -819,6 +839,9 @@ object ScaleOpsQueries {
     // full unigram training + encode replay (seed → 2 hard-EM rounds →
     // frozen-model Viterbi), shared constants with ext.Unigram
     "q_unigram_tokenize" -> graft.ext.Unigram.tokenizeOracleSql(),
+    // same chain with the 48-piece cap CTE before the final encode
+    "q_unigram_vocab_cap" ->
+      graft.ext.Unigram.tokenizeOracleSql(vocabSize = 48),
     // decode reconstructed THROUGH tid → piece lookups
     "q_unigram_roundtrip" -> graft.ext.Unigram.roundtripOracleSql(),
     // unigram ids through the shared pack arithmetic

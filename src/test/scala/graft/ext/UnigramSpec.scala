@@ -70,6 +70,30 @@ class UnigramSpec extends AnyFunSuite {
       "frequent word should segment into fewer pieces than its chars")
   }
 
+  test("vocab_size cap keeps every single, cuts multis, still round-trips") {
+    val docs = Seq(
+      (1L, "the data the table scan scan"),
+      (2L, "data scan merges the table data")
+    ).toDF("doc_id", "text")
+    val alphabet = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .selectExpr("explode(split(w, '')) AS ch").distinct().count()
+    val cap = alphabet.toInt + 2 // room for exactly two multi pieces
+    val model = Unigram.trainModel(docs, "text", vocabSize = cap)
+    assert(model.length <= cap)
+    assert(model.count(_._1.length == 1) == alphabet,
+      "every alphabet single must survive the cap")
+    // a cap below the alphabet keeps the whole alphabet, nothing else
+    val tiny = Unigram.trainModel(docs, "text", vocabSize = 1)
+    assert(tiny.forall(_._1.length == 1) && tiny.length == alphabet)
+    // and the capped model still encodes + decodes every word
+    val (wids, vocab) = Unigram.wordPieceRelation(docs, "text", vocabSize = cap)
+    val dec = Bpe.decodeIds(
+        Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids), vocab, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(dec(1L) == "the data the table scan scan")
+    assert(dec(2L) == "data scan merges the table data")
+  }
+
   test("model constants stay in the oracle-replayable range") {
     // the oracle unrolls MaxDpWordLen DP positions with MaxPieceLen
     // fan-in — a constant bump must be deliberate (SQL size scales
