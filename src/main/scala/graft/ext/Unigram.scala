@@ -219,10 +219,25 @@ object Unigram {
   def wordPieceRelation(df: DataFrame, textCol: String,
                         vocabSize: Int = 0)
       : (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    // wordCounts already aggregates to DISTINCT words — the frozen
+    // encode reuses the persisted relation instead of re-scanning the
+    // corpus for a second explode+distinct pass
     val words = Bpe.wordCounts(df, textCol).persist()
-    val model = trainModelOn(words, vocabSize)
+    freeze(trainModelOn(words, vocabSize), words)
+  }
+
+  /** Freeze a trained model against a distinct-word relation: the
+    * (w, spos, tid) encode relation + (sym, tid) vocabulary. CLOSED
+    * vocabulary at WORD granularity: a word whose best segmentation
+    * uses any piece outside the model (possible only for words the
+    * model never saw — e.g. [[wordPieceRelationFrom]] over new text
+    * with novel characters) contributes NO token rows, the
+    * [[Bpe.encodeIdsAgainst]] OOV-drop semantics; a partial encoding
+    * would silently corrupt the stream. */
+  private def freeze(model: Seq[(String, Long)],
+                     words: DataFrame): (DataFrame, DataFrame) = {
+    val spark = words.sparkSession
+    import spark.implicits._
     val total = model.map(_._2).sum
     val score: Map[String, Long] =
       model.map { case (p, c) => p -> scoreOf(c, total) }.toMap
@@ -231,16 +246,53 @@ object Unigram {
       .map { case (p, i) => p -> (i + 1L) }.toMap
     val vocab = tidOf.toSeq.sortBy(_._2).toDF("sym", "tid")
       .select(col("sym"), col("tid"))
-    val segUdf = udf((w: String) =>
-      viterbi(w, score).map(p => tidOf.getOrElse(p, -1L)))
-    // wordCounts already aggregates to DISTINCT words — the frozen
-    // encode reuses the persisted relation instead of re-scanning the
-    // corpus for a second explode+distinct pass
+    val segUdf = udf { (w: String) =>
+      val ids = viterbi(w, score).map(p => tidOf.getOrElse(p, -1L))
+      if (ids.contains(-1L)) Array.empty[Long] else ids
+    }
     val wids = words
       .select(col("w"), posexplode(segUdf(col("w"))).as(Seq("__sp0", "tid")))
-      .filter(col("tid") > 0L)
       .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
     (wids, vocab)
+  }
+
+  /** Model-store version — bump when training constants or the model
+    * schema change (a `_SUCCESS`-guarded store must never silently
+    * serve a model the current trainer would not produce). */
+  val ModelStoreVersion = "graft_unigram_v1"
+
+  /** Deterministic model location: corpus path + content signature +
+    * the vocab cap (a different cap IS a different model). */
+  def modelDirFor(corpusDir: String, vocabSize: Int = 0,
+                  root: String = sys.props("java.io.tmpdir")): String =
+    s"$root/${Ivf.indexPrefix(ModelStoreVersion, corpusDir)}" +
+      s"_c${vocabSize}_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
+
+  /** Train once and persist the (piece, cnt) model table —
+    * `_SUCCESS`-guarded no-op when it already exists (the
+    * [[Bm25.ensureIndex]] ArtifactDir discipline, single-writer). The
+    * artifact IS the tokenizer a pipeline ships: |vocab| rows, loaded
+    * by [[wordPieceRelationFrom]] in any later session/run. */
+  def ensureModel(docs: DataFrame, textCol: String, dir: String,
+                  vocabSize: Int = 0): Unit =
+    ArtifactDir.ensure(docs.sparkSession, dir, "model",
+      ("^(" + ModelStoreVersion + "_[0-9a-f]+_).*").r) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      trainModel(docs, textCol, vocabSize).toDF("piece", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    }
+
+  /** Load a persisted model and freeze it against `df`'s distinct
+    * words — encode-forever across sessions and restarts. Words using
+    * pieces outside the persisted model drop whole (see [[freeze]]). */
+  def wordPieceRelationFrom(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, df: DataFrame, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val model = spark.read.parquet(s"$dir/model")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortWith((a, b) => Bpe.utf8Lt(a._1, b._1))
+    freeze(model, Bpe.wordCounts(df, textCol).persist())
   }
 
   // ------------------------------------------------------------------

@@ -428,6 +428,27 @@ object ScaleOpsQueries {
         .orderBy(col("source"))
     }),
 
+    // the PERSISTED tokenizer artifact: train-once to a corpus-
+    // signature-keyed model store (the Bm25/IVF ArtifactDir
+    // discipline), then encode from the LOADED model — the output must
+    // hash-equal q_unigram_tokenize's in-memory training, which only a
+    // lossless persist/load round trip can produce
+    "q_unigram_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.ext.Unigram.modelDirFor(d)
+      graft.ext.Unigram.ensureModel(docs, "text", dir)
+      val (wids, _) = graft.ext.Unigram.wordPieceRelationFrom(
+        s, dir, docs, "text")
+      graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+        .groupBy(col("doc_id"))
+        .agg((count(lit(1)) - 1).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("spos"), col("tid")))),
+            t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the SentencePiece vocab_size knob: the same training capped at 48
     // pieces — singles always survive (coverage), multis keep the top
     // slots by (count DESC, piece ASC), and the FINAL encode re-routes
@@ -842,6 +863,9 @@ object ScaleOpsQueries {
     // same chain with the 48-piece cap CTE before the final encode
     "q_unigram_vocab_cap" ->
       graft.ext.Unigram.tokenizeOracleSql(vocabSize = 48),
+    // persist/load must be lossless: the stored-model encode replays
+    // the same training oracle as q_unigram_tokenize
+    "q_unigram_store" -> graft.ext.Unigram.tokenizeOracleSql(),
     // decode reconstructed THROUGH tid → piece lookups
     "q_unigram_roundtrip" -> graft.ext.Unigram.roundtripOracleSql(),
     // unigram ids through the shared pack arithmetic

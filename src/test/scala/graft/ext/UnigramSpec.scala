@@ -94,6 +94,33 @@ class UnigramSpec extends AnyFunSuite {
     assert(dec(2L) == "data scan merges the table data")
   }
 
+  test("ensureModel is idempotent; the loaded model encodes identically") {
+    val docs = Seq(
+      (1L, "the data the table scan"),
+      (2L, "data scan merges the table")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("unimodel").toString
+    val dir = s"$root/${Unigram.ModelStoreVersion}_spec"
+    Unigram.ensureModel(docs, "text", dir)
+    val m1 = spark.read.parquet(s"$dir/model")
+      .collect().map(_.toString).sorted.toSeq
+    Unigram.ensureModel(docs, "text", dir) // must no-op (_SUCCESS guard)
+    assert(spark.read.parquet(s"$dir/model")
+      .collect().map(_.toString).sorted.toSeq == m1)
+    // loaded-model encode == in-memory-trained encode, row for row
+    val (wTrain, _) = Unigram.wordPieceRelation(docs, "text")
+    val (wLoad, _) = Unigram.wordPieceRelationFrom(spark, dir, docs, "text")
+    assert(wLoad.collect().map(_.toString).sorted.toSeq ==
+      wTrain.collect().map(_.toString).sorted.toSeq)
+    // closed vocabulary: a word with a character the model never saw
+    // contributes NO rows (whole-word drop, never a partial encoding)
+    val novel = Seq((9L, "the zzzqx")).toDF("doc_id", "text")
+    val (wNovel, _) = Unigram.wordPieceRelationFrom(spark, dir, novel, "text")
+    val ws = wNovel.select(col("w")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ws == Set("the"), s"novel-char word must drop whole: $ws")
+  }
+
   test("model constants stay in the oracle-replayable range") {
     // the oracle unrolls MaxDpWordLen DP positions with MaxPieceLen
     // fan-in — a constant bump must be deliberate (SQL size scales
