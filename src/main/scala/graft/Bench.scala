@@ -82,7 +82,8 @@ object Bench {
       "q_stream_pack_carry", "q_unigram_tokenize", "q_unigram_roundtrip",
       "q_unigram_pack", "q_stream_unigram_pack", "q_temperature_mix",
       "q_stream_temperature_mix", "q_tokenizer_fertility",
-      "q_unigram_vocab_cap", "q_unigram_store")
+      "q_unigram_vocab_cap", "q_unigram_store",
+      "q_pretrain_pipeline_unigram")
       .filter(SparkEntry.queries.contains)
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this

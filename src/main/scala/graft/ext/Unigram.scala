@@ -369,7 +369,8 @@ object Unigram {
   /** The shared CTE chain through the final frozen-model word
     * segmentation + vocabulary ids: ends with `wids` (w, spos, tid)
     * and `vocab` (p, tid). */
-  private def modelCtes(rel: String, vocabSize: Int = 0): String = {
+  private def modelCtes(rel: String, vocabSize: Int = 0,
+                        pre: String = ""): String = {
     val rounds = (0 until EmRounds).map { r =>
       dpSql(s"r$r", s"sc$r") + ",\n" +
         recountSql(s"cnt${r + 1}", s"r${r}seg") + ",\n" +
@@ -391,7 +392,7 @@ object Unigram {
            |    FROM cnt$EmRounds WHERE length(p) > 1) m
            |  WHERE rn <= greatest(0,
            |    $vocabSize - (SELECT count(*) FROM alpha)))""".stripMargin
-    s"""WITH uw AS MATERIALIZED (
+    s"""WITH ${pre}uw AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM $rel) q
        |  WHERE w <> '' GROUP BY w),
@@ -449,8 +450,9 @@ object Unigram {
     * arithmetic (per-doc-count prefix sum → position p lands in
     * sequence p div L slot p mod L) over unigram wids, proving the
     * packing machinery is tokenizer-family agnostic. */
-  def packOracleSql(seqLen: Int, rel: String = "documents"): String =
-    modelCtes(rel) + s""",
+  def packOracleSql(seqLen: Int, rel: String = "documents",
+                    pre: String = ""): String =
+    modelCtes(rel, pre = pre) + s""",
       |wpd AS (SELECT doc_id, i AS wpos, t[i] AS w
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
       |             unnest(generate_series(1, len(t))) AS u(i)

@@ -339,9 +339,13 @@ object ExtHelpers {
     * packing. Every stage is individually oracle-verified; this
     * replays them composed, with the tokenizer rebuilt from the
     * filtered corpus exactly like the engine side. */
-  private[queries] def pretrainPipelineOracle(k: Int, seqLen: Int): String = {
+  /** The curation-funnel pre-stage CTE chain of the pretraining
+    * pipeline oracles (Gopher gate → exact dedup → decontaminate),
+    * ending in `kept` — shared by the BPE and unigram pipeline
+    * variants so the funnel stages cannot drift between them. */
+  private[queries] def pretrainKeptCtes: String = {
     val keep = graft.ext.CurationFilters.structuralKeepSql("text")
-    val pre = s"""k1 AS (SELECT doc_id, text FROM documents
+    s"""k1 AS (SELECT doc_id, text FROM documents
       |  WHERE source <> 'src0' AND ($keep)),
       |k2 AS (SELECT doc_id, text FROM (
       |    SELECT doc_id, text,
@@ -360,7 +364,10 @@ object ExtHelpers {
       |kept AS MATERIALIZED (SELECT doc_id, text FROM k2
       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
       |""".stripMargin
-    tokenizePackCtes(k, seqLen, rel = "kept", pre = pre) + s"""
+  }
+
+  private[queries] def pretrainPipelineOracle(k: Int, seqLen: Int): String = {
+    tokenizePackCtes(k, seqLen, rel = "kept", pre = pretrainKeptCtes) + s"""
       |SELECT seq_id, CAST(count(*) AS BIGINT) AS seq_len,
       |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5

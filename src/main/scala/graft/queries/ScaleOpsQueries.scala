@@ -271,6 +271,33 @@ object ScaleOpsQueries {
     // screen moves 16-byte (id, gram-hash) rows against a broadcast
     // benchmark set, and tokenize+pack is the two-level-scan path —
     // document text crosses the wire once (the dedup shuffle)
+    // the SAME composed funnel on the UNIGRAM family — gate → exact
+    // dedup → decontaminate → unigram trained on the survivors → pack.
+    // Funnel stages and the oracle's kept-CTE chain are shared
+    // verbatim with q_pretrain_pipeline, so the two variants can only
+    // differ in the tokenizer — the porting story in one query pair
+    "q_pretrain_pipeline_unigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src0")
+      val kept1 = docs.filter(col("source") =!= "src0")
+        .filter(graft.ext.CurationFilters.structuralKeepCol(col("text")))
+        .select(col("doc_id"), col("text"))
+      val kept2 = graft.ext.Dedup.exactKeepFirst(kept1, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      val contaminated = graft.ext.Dedup
+        .hashedShingleRows(kept2, "doc_id", "text", 3)
+        .join(broadcast(graft.ext.Dedup.hashedShingleSet(bench, "text", 3)
+          .withColumnRenamed("g", "s")), Seq("s"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+      val kept3 = kept2.join(contaminated, Seq("doc_id"), "left_anti")
+      val (uwids, _) = graft.ext.Unigram.wordPieceRelation(kept3, "text")
+      val toks = graft.ext.Bpe.encodeIdsAgainst(kept3, "doc_id", "text", uwids)
+      graft.ext.Packing.packSequences(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     "q_pretrain_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("source") === "src0")
@@ -857,6 +884,9 @@ object ScaleOpsQueries {
     // five stages replayed composed; the tokenizer retrains on the
     // oracle's own filtered survivors (see ExtHelpers scaladoc)
     "q_pretrain_pipeline" -> ExtHelpers.pretrainPipelineOracle(32, 512),
+    // the same kept-CTE funnel chain, unigram trained on the survivors
+    "q_pretrain_pipeline_unigram" -> graft.ext.Unigram.packOracleSql(
+      512, rel = "kept", pre = ExtHelpers.pretrainKeptCtes),
     // full unigram training + encode replay (seed → 2 hard-EM rounds →
     // frozen-model Viterbi), shared constants with ext.Unigram
     "q_unigram_tokenize" -> graft.ext.Unigram.tokenizeOracleSql(),
