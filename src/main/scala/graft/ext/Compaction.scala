@@ -132,17 +132,31 @@ object Compaction {
         .write.parquet(tmp)
     }
 
+  /** Shared growth trigger for the file-count auto-compaction hooks:
+    * fire when the store carries at least `maxFiles` MORE data files
+    * than a freshly compacted layout would (`floor`). Comparing
+    * against the ABSOLUTE count instead would never clear once the
+    * compacted steady state itself reaches maxFiles — a 256-cell IVF
+    * corpus under maxFiles=100 would rewrite the whole store on EVERY
+    * micro-batch. Growth-above-floor is idempotent: immediately after
+    * a compaction the count sits at ≈ floor and the trigger stays
+    * quiet until real appends accumulate again. */
+  private def growthTrigger(files: Long, floor: Long, maxFiles: Int)
+                           (compact: => Unit): Boolean =
+    if (maxFiles > 0 && files >= floor + maxFiles) { compact; true }
+    else false
+
   /** Opt-in auto-compaction policy for the count-min ingest path (the
-    * [[graft.ext.Bm25.maybeCompact]] analogue — here the trigger is
-    * the store's data FILE count, the small-file number serving's fold
-    * pays per read): when it reaches `maxFiles`, fold to one sketch.
-    * Returns whether a compaction fired, so ingest wrappers and specs
-    * can observe the trigger. */
+    * [[graft.ext.Bm25.maybeCompact]] analogue): fold to one sketch
+    * once the store carries `maxFiles` files above its compacted floor
+    * (1 — the fold always lands in a single file). Returns whether a
+    * compaction fired, so ingest wrappers and specs can observe the
+    * trigger. */
   def maybeCompactCms(spark: SparkSession, dir: String,
                       maxFiles: Int): Boolean =
-    if (maxFiles > 0 && parquetFileCount(spark, dir) >= maxFiles) {
-      compactCmsStore(spark, dir); true
-    } else false
+    growthTrigger(parquetFileCount(spark, dir), 1L, maxFiles) {
+      compactCmsStore(spark, dir)
+    }
 
   /** Fold the BM25 index's base generation + every COMMITTED staged
     * batch ([[Bm25.ingestIntoIndex]]'s layout) back into ONE base
@@ -207,28 +221,43 @@ object Compaction {
     }
   }
 
-  /** [[maybeCompactCms]]'s file-count trigger for the Dolma-attributes
-    * store (one appended file batch per micro-batch). */
+  /** [[maybeCompactCms]]'s growth trigger for the Dolma-attributes
+    * store — floor = the size-based compacted file count
+    * ([[targetParts]], what [[compactAttrs]] would write). */
   def maybeCompactAttrs(spark: SparkSession, dir: String,
                         maxFiles: Int): Boolean =
-    if (maxFiles > 0 && parquetFileCount(spark, s"$dir/attrs") >= maxFiles) {
-      compactAttrs(spark, dir); true
-    } else false
+    growthTrigger(parquetFileCount(spark, s"$dir/attrs"),
+      targetParts(spark, s"$dir/attrs").toLong, maxFiles) {
+      compactAttrs(spark, dir)
+    }
 
-  /** [[maybeCompactCms]]'s file-count trigger for the span store. */
+  /** [[maybeCompactCms]]'s growth trigger for the span store. */
   def maybeCompactSpans(spark: SparkSession, dir: String,
                         maxFiles: Int): Boolean =
-    if (maxFiles > 0 && parquetFileCount(spark, s"$dir/spans") >= maxFiles) {
-      compactSpans(spark, dir); true
-    } else false
+    growthTrigger(parquetFileCount(spark, s"$dir/spans"),
+      targetParts(spark, s"$dir/spans").toLong, maxFiles) {
+      compactSpans(spark, dir)
+    }
 
-  /** [[maybeCompactCms]]'s file-count trigger for the IVF corpus store
-    * (per-batch appends leave one small file per cell per batch). */
+  /** [[maybeCompactCms]]'s growth trigger for the IVF corpus store —
+    * floor = one file per live cell partition (what
+    * [[compactIvfCorpus]]'s cell-clustered rewrite lands at, the
+    * size-based floor as a lower bound), because per-batch appends
+    * leave one small file per cell per batch. */
   def maybeCompactIvf(spark: SparkSession, dir: String,
-                      maxFiles: Int): Boolean =
-    if (maxFiles > 0 && parquetFileCount(spark, s"$dir/corpus") >= maxFiles) {
-      compactIvfCorpus(spark, dir); true
-    } else false
+                      maxFiles: Int): Boolean = {
+    val corpus = s"$dir/corpus"
+    val (fs, p) = fsFor(spark, corpus)
+    val cellDirs =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p)
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .toLong
+    val floor = math.max(cellDirs, targetParts(spark, corpus).toLong)
+    growthTrigger(parquetFileCount(spark, corpus), floor, maxFiles) {
+      compactIvfCorpus(spark, dir)
+    }
+  }
 
   /** Rewrite the IVF `corpus/` store in the initial-build layout: one
     * shuffle clusters rows by cell, `partitionBy` restores the

@@ -261,12 +261,17 @@ object Unigram {
     * serve a model the current trainer would not produce). */
   val ModelStoreVersion = "graft_unigram_v1"
 
-  /** Deterministic model location: corpus path + content signature +
-    * the vocab cap (a different cap IS a different model). */
+  /** Deterministic model location: vocab cap + corpus path + content
+    * signature. The cap sits INSIDE the GC'd family prefix (before the
+    * path hash), so models differing only in cap are DIFFERENT
+    * families that coexist — the stale-sibling GC clears only old
+    * SIGNATURES of the same (version, cap, corpus) family, never a
+    * live sibling cap (the Ivf precedent: graft_ivf_v1 vs
+    * graft_ivfq8_v1 coexist the same way). */
   def modelDirFor(corpusDir: String, vocabSize: Int = 0,
                   root: String = sys.props("java.io.tmpdir")): String =
-    s"$root/${Ivf.indexPrefix(ModelStoreVersion, corpusDir)}" +
-      s"_c${vocabSize}_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
+    s"$root/${Ivf.indexPrefix(s"${ModelStoreVersion}c$vocabSize", corpusDir)}" +
+      s"_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
 
   /** Train once and persist the (piece, cnt) model table —
     * `_SUCCESS`-guarded no-op when it already exists (the
@@ -276,7 +281,7 @@ object Unigram {
   def ensureModel(docs: DataFrame, textCol: String, dir: String,
                   vocabSize: Int = 0): Unit =
     ArtifactDir.ensure(docs.sparkSession, dir, "model",
-      ("^(" + ModelStoreVersion + "_[0-9a-f]+_).*").r) {
+      ("^(" + ModelStoreVersion + "c[0-9]+_[0-9a-f]+_).*").r) {
       val spark = docs.sparkSession
       import spark.implicits._
       trainModel(docs, textCol, vocabSize).toDF("piece", "cnt")

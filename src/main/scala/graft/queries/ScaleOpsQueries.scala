@@ -407,14 +407,8 @@ object ScaleOpsQueries {
     "q_unigram_tokenize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (wids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text")
-      graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
-        .groupBy(col("doc_id"))
-        .agg((count(lit(1)) - 1).as("n_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(
-              struct(col("wpos"), col("spos"), col("tid")))),
-            t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
-        .orderBy(col("doc_id"))
+      tokenIdSummary(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
     }),
 
     // tokenizer EVALUATION — the fertility/compression table a pipeline
@@ -466,14 +460,8 @@ object ScaleOpsQueries {
       graft.ext.Unigram.ensureModel(docs, "text", dir)
       val (wids, _) = graft.ext.Unigram.wordPieceRelationFrom(
         s, dir, docs, "text")
-      graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
-        .groupBy(col("doc_id"))
-        .agg((count(lit(1)) - 1).as("n_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(
-              struct(col("wpos"), col("spos"), col("tid")))),
-            t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
-        .orderBy(col("doc_id"))
+      tokenIdSummary(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
     }),
 
     // the SentencePiece vocab_size knob: the same training capped at 48
@@ -486,14 +474,8 @@ object ScaleOpsQueries {
       val docs = Tables.documents(s, d)
       val (wids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text",
         vocabSize = 48)
-      graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
-        .groupBy(col("doc_id"))
-        .agg((count(lit(1)) - 1).as("n_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(
-              struct(col("wpos"), col("spos"), col("tid")))),
-            t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
-        .orderBy(col("doc_id"))
+      tokenIdSummary(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
     }),
 
     // the unigram token stream through the UNCHANGED GPT-packer — the
@@ -726,6 +708,20 @@ object ScaleOpsQueries {
        |          string_agg(tok, ' ' ORDER BY pos) AS sentence,
        |          CAST(count(*) AS INT) AS n_tok
        |         FROM g GROUP BY doc_id, sid)""".stripMargin
+
+  /** Per-document token-stream summary shared by the unigram encode
+    * queries (tokenize / vocab-cap / stored-model): (doc_id, n_tokens,
+    * ids_md5) with tokens in (wpos, spos) order and the EOS row
+    * excluded from the count but included in the hashed stream — ONE
+    * definition, so the three variants cannot drift. */
+  private def tokenIdSummary(toks: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id"))
+      .agg((count(lit(1)) - 1).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            struct(col("wpos"), col("spos"), col("tid")))),
+          t => t.getField("tid").cast("string")), " ")).as("ids_md5"))
+      .orderBy(col("doc_id"))
 
   def oracleSql: Map[String, String] = Map(
 

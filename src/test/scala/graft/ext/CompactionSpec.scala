@@ -141,9 +141,11 @@ class CompactionSpec extends AnyFunSuite {
     var fired = 0
     (0 until 3).foreach { i =>
       CountMin.ingestIntoStore(store, docs.filter(col("doc_id") % 3 === i), "text")
-      if (Compaction.maybeCompactCms(spark, store, maxFiles = 3)) fired += 1
+      if (Compaction.maybeCompactCms(spark, store, maxFiles = 1)) fired += 1
     }
-    assert(fired >= 1, "threshold must trigger at least one compaction")
+    assert(fired >= 1, "growth past the 1-file floor must trigger")
+    assert(!Compaction.maybeCompactCms(spark, store, maxFiles = 1),
+      "must not re-fire at the compacted steady state")
     val cands = Seq("the", "and", "data", "zzz_absent").toDF("tok")
     val got = sortedRows(
       CountMin.estimates(cands, CountMin.storeSketch(spark, store)))
@@ -205,12 +207,17 @@ class CompactionSpec extends AnyFunSuite {
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
     // row count preserved (relayout, not a fold)
     assert(spark.read.parquet(s"$dir/attrs").count() == union.count())
-    // the opt-in file-count trigger fires once the threshold is met
-    // and is a no-op below it / when disabled
+    // the growth trigger is QUIET at the compacted steady state (an
+    // absolute-count trigger would rewrite the store every batch once
+    // the floor itself reached the threshold), fires after fresh
+    // appends, and is a no-op when disabled
     assert(!Compaction.maybeCompactAttrs(spark, dir, maxFiles = 0))
-    assert(!Compaction.maybeCompactAttrs(spark, dir, maxFiles = 1000000))
+    assert(!Compaction.maybeCompactAttrs(spark, dir, maxFiles = 1))
+    Attributes.ingestIntoAttributes(dir,
+      docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
     assert(Compaction.maybeCompactAttrs(spark, dir, maxFiles = 1))
-    assert(mix() == after)
+    assert(!Compaction.maybeCompactAttrs(spark, dir, maxFiles = 1),
+      "must not re-fire immediately after compacting")
   }
 
   test("span store: compaction preserves spans and mixes, reduces files") {
@@ -230,12 +237,15 @@ class CompactionSpec extends AnyFunSuite {
     def spans() = sortedRows(spark.read.parquet(s"$dir/spans"))
     val before = spans()
     val filesBefore = Compaction.parquetFileCount(spark, s"$dir/spans")
-    Compaction.compactSpans(spark, dir)
-    assert(spans() == before)
-    assert(Compaction.parquetFileCount(spark, s"$dir/spans") < filesBefore)
+    // the growth trigger IS the compaction here: fresh appends sit
+    // above the compacted floor, so maxFiles=1 fires — then stays
+    // quiet at steady state
     assert(!Compaction.maybeCompactSpans(spark, dir, maxFiles = 1000000))
     assert(Compaction.maybeCompactSpans(spark, dir, maxFiles = 1))
     assert(spans() == before)
+    assert(Compaction.parquetFileCount(spark, s"$dir/spans") < filesBefore)
+    assert(!Compaction.maybeCompactSpans(spark, dir, maxFiles = 1),
+      "must not re-fire immediately after compacting")
   }
 
   test("ivf corpus: compaction preserves probes, folds cell files") {
@@ -259,6 +269,17 @@ class CompactionSpec extends AnyFunSuite {
     val filesAfter = Compaction.parquetFileCount(spark, s"$dir/corpus")
     assert(before == after)
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    // the growth trigger stays quiet at the compacted steady state —
+    // the per-cell floor means an absolute-count trigger would rewrite
+    // the whole corpus on every micro-batch once cells >= maxFiles
+    assert(!Compaction.maybeCompactIvf(spark, dir, maxFiles = 1),
+      "must not fire right after compacting")
+    Ivf.ingestIntoIndex(spark, dir,
+      emb.select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val afterIngest = probe()
+    assert(Compaction.maybeCompactIvf(spark, dir, maxFiles = 1))
+    assert(probe() == afterIngest)
   }
 
   test("compaction between streaming micro-batches: serving equals union sketch") {
