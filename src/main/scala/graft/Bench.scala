@@ -83,8 +83,17 @@ object Bench {
       "q_unigram_pack", "q_stream_unigram_pack", "q_temperature_mix",
       "q_stream_temperature_mix", "q_tokenizer_fertility",
       "q_unigram_vocab_cap", "q_unigram_store",
-      "q_pretrain_pipeline_unigram")
+      "q_pretrain_pipeline_unigram",
+      // round-16 additions
+      "q_wordpiece_tokenize", "q_wordpiece_roundtrip", "q_wordpiece_pack")
       .filter(SparkEntry.queries.contains)
+      // scale-ladder hook: run a SUBSET of the headline set (the slope
+      // table times the same queries at two scale factors; everything
+      // else about the bracketed recorder stays identical)
+      .filter(sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .map(only => (q: String) => only.contains(q))
+        .getOrElse((_: String) => true))
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
     // host's throughput varies severalfold (SCALE.md), so a single run
@@ -186,7 +195,10 @@ object Bench {
       // index) so queries don't inherit each other's memory pressure
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => }
+      // per-query CacheScope: the timed window includes the scope-exit
+      // release, matching how a library caller pays for the caches
+      try graft.ext.CacheScope.withScope { run(name) }
+      catch { case _: Throwable => }
       val t = (System.nanoTime() - t0) / 1e9
       val trail = trailingProbe()
       samples.update(name, samples(name) :+ ((t, lead, trail)))

@@ -31,8 +31,13 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // each query runs in its own CacheScope (the library's loan
+      // pattern releases the shared-core caches at scope exit); the
+      // clearCache below is the backstop for query-local persists
+      try graft.ext.CacheScope.withScope {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage)

@@ -264,11 +264,13 @@ object Bpe {
     *
     * CACHE CONTRACT: both returned relations stay LAZY over the
     * persisted distinct-word relation, so it cannot be unpersisted
-    * here. Callers encoding many corpora in one session should
-    * `spark.catalog.clearCache()` between them (Bench/Verify do); a
-    * long-lived service should persist [[wordIdRelation]] to storage
-    * once and encode with [[encodeIdsAgainst]]. Same contract as
-    * [[Packing.packSequences]]. */
+    * here. Wrap the call and its materialization in
+    * [[CacheScope.withScope]] to release it on exit (the loan
+    * pattern); outside a scope the cache lives for the session —
+    * `spark.catalog.clearCache()` between corpora (Bench/Verify do
+    * both). A long-lived service should persist [[wordIdRelation]] to
+    * storage once and encode with [[encodeIdsAgainst]]. Same contract
+    * as [[Packing.packSequences]]. */
   def encodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
                          k: Int): (DataFrame, DataFrame) = {
     val (wids, vocab) = wordIdRelationWithVocab(df, textCol, k)
@@ -292,13 +294,35 @@ object Bpe {
     // downstream; without a persist each subtree re-applies the merges
     // over every distinct word. The relation is small (distinct words,
     // not token rows) and Bench/Verify clear the cache between queries.
-    val dw = distinctWordSyms(df, textCol, k).persist()
+    val dw = CacheScope.register(distinctWordSyms(df, textCol, k).persist())
     val vocab = vocabOf(dw)
     val wids = dw
       .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
       .join(vocab, "sym")
       .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
     (wids, vocab)
+  }
+
+  /** Freeze an IMPORTED BPE artifact — the (left, right) merge list in
+    * rank order plus the exported (sym, tid) vocabulary — against
+    * `df`'s distinct words: the re-import path of the
+    * [[TokenizerExport]] round trip. Words producing a symbol outside
+    * the imported vocabulary drop whole (the closed-vocabulary OOV
+    * rule of [[encodeIdsAgainst]]). Same CACHE CONTRACT as
+    * [[encodeIdsWithVocab]]. */
+  def wordIdRelationFrom(df: DataFrame, textCol: String,
+                         merges: Seq[(String, String)],
+                         vocab: Seq[(String, Long)]): DataFrame = {
+    val tidOf = vocab.toMap
+    val segUdf = udf { (w: String) =>
+      var syms: Array[String] = codePoints(w)
+      merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
+      val ids = syms.map(s => tidOf.getOrElse(s, -1L))
+      if (ids.contains(-1L)) Array.empty[Long] else ids
+    }
+    CacheScope.register(wordCounts(df, textCol).persist())
+      .select(col("w"), posexplode(segUdf(col("w"))).as(Seq("__sp0", "tid")))
+      .select(col("w"), (col("__sp0") + 1).as("spos"), col("tid"))
   }
 
   /** Tokenize `df` against a precomputed [[wordIdRelation]] — the

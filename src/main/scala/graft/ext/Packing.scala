@@ -58,12 +58,13 @@ object Packing {
     * feeds two differently-exchanged subtrees; without the persist the
     * upstream tokenization runs twice — measured 12 s → 7 s at sf0.1)
     * and the returned plan stays LAZY over that cached relation, so
-    * the entry cannot be unpersisted here. Callers running many
-    * packings in one session should `spark.catalog.clearCache()`
-    * between them (Bench/Verify do); a long-lived service should
-    * instead materialize the token relation to storage once and pack
-    * from the materialized copy. Same contract as
-    * [[Bpe.encodeIdsWithVocab]]. */
+    * the entry cannot be unpersisted here. Wrap the call and its
+    * materialization in [[CacheScope.withScope]] to release it on exit
+    * (the loan pattern); outside a scope the cache lives for the
+    * session — `spark.catalog.clearCache()` between packings
+    * (Bench/Verify do both). A long-lived service should instead
+    * materialize the token relation to storage once and pack from the
+    * materialized copy. Same contract as [[Bpe.encodeIdsWithVocab]]. */
   def packSequences(toks: DataFrame, idCol: String, seqLen: Int): DataFrame =
     globalPositions(toks, idCol, seqLen)
       .groupBy(col("seq_id"))
@@ -165,7 +166,7 @@ object Packing {
     // twice (measured 12 s → ~7 s on q_pack_attention at sf0.1). At
     // cluster scale this persist is the "materialize the tokenized
     // relation once" step a production pipeline does to storage anyway.
-    val toks = toksIn.persist()
+    val toks = CacheScope.register(toksIn.persist())
     tokenPositions(toks, idCol)
       .select(col("tid"), expr(s"__gp div $seqLen").as("seq_id"),
         (col("__gp") % seqLen).as("__sp"))

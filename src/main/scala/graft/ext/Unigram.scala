@@ -59,8 +59,10 @@ object Unigram {
   private def lnMicros(c: Long): Long = Math.round(Math.log(c.toDouble) * 1e6)
 
   /** Integer Viterbi score of piece p under counts (c_p, total T):
-    * micro-log of p's probability. */
-  private def scoreOf(c: Long, total: Long): Long = lnMicros(c) - lnMicros(total)
+    * micro-log of p's probability. Exposed to [[TokenizerExport]] —
+    * pieces.tsv carries the exact fixed-point score beside the count. */
+  private[ext] def scoreOf(c: Long, total: Long): Long =
+    lnMicros(c) - lnMicros(total)
 
   /** Viterbi segmentation of one word under a micro-log score table.
     * Forward DP over code-point positions; at each position the best
@@ -214,15 +216,17 @@ object Unigram {
     * [[Packing.packSequences]]): the corpus is tokenized ONCE into a
     * persisted distinct-word relation that serves both the EM training
     * scans and the returned `wids` plan, which stays LAZY over it —
-    * callers training many models in one session should
-    * `spark.catalog.clearCache()` between them (Bench/Verify do). */
+    * wrap the call and its materialization in
+    * [[CacheScope.withScope]] to release it on exit, or
+    * `spark.catalog.clearCache()` between models outside a scope
+    * (Bench/Verify do both). */
   def wordPieceRelation(df: DataFrame, textCol: String,
                         vocabSize: Int = 0)
       : (DataFrame, DataFrame) = {
     // wordCounts already aggregates to DISTINCT words — the frozen
     // encode reuses the persisted relation instead of re-scanning the
     // corpus for a second explode+distinct pass
-    val words = Bpe.wordCounts(df, textCol).persist()
+    val words = CacheScope.register(Bpe.wordCounts(df, textCol).persist())
     freeze(trainModelOn(words, vocabSize), words)
   }
 
@@ -288,16 +292,30 @@ object Unigram {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     }
 
+  /** Freeze an already-trained (piece, count) model against `df`'s
+    * distinct words — the re-import path of the [[TokenizerExport]]
+    * round trip (same CACHE CONTRACT as [[wordPieceRelation]]). */
+  def freezeModel(model: Seq[(String, Long)], df: DataFrame,
+                  textCol: String): (DataFrame, DataFrame) =
+    freeze(model.sortWith((a, b) => Bpe.utf8Lt(a._1, b._1)),
+      CacheScope.register(Bpe.wordCounts(df, textCol).persist()))
+
   /** Load a persisted model and freeze it against `df`'s distinct
     * words — encode-forever across sessions and restarts. Words using
-    * pieces outside the persisted model drop whole (see [[freeze]]). */
+    * pieces outside the persisted model drop whole (see [[freeze]]).
+    *
+    * CACHE CONTRACT (same as [[wordPieceRelation]]): the distinct-word
+    * relation is persisted and the returned `wids` plan stays lazy
+    * over it — a service encoding many corpora should wrap each
+    * encode+materialization in [[CacheScope.withScope]] (or
+    * `clearCache()` between corpora). */
   def wordPieceRelationFrom(spark: org.apache.spark.sql.SparkSession,
                             dir: String, df: DataFrame, textCol: String)
       : (DataFrame, DataFrame) = {
     val model = spark.read.parquet(s"$dir/model")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       .sortWith((a, b) => Bpe.utf8Lt(a._1, b._1))
-    freeze(model, Bpe.wordCounts(df, textCol).persist())
+    freeze(model, CacheScope.register(Bpe.wordCounts(df, textCol).persist()))
   }
 
   // ------------------------------------------------------------------

@@ -58,8 +58,13 @@ object StreamQueries {
     val seq = Option(srcDir.toFile.listFiles)
       .getOrElse(Array.empty[java.io.File])
       .count(_.getName.endsWith(".parquet"))
-    target.toFile.setLastModified(
-      System.currentTimeMillis() - 3600L * 1000 + seq * 60L * 1000)
+    // setLastModified returns false (rather than throwing) on
+    // filesystems that refuse mtime updates — there the stamping fix
+    // would silently no-op and batch-0 pinning would go flaky again, so
+    // a degraded filesystem must fail LOUDLY here instead
+    require(target.toFile.setLastModified(
+        System.currentTimeMillis() - 3600L * 1000 + seq * 60L * 1000),
+      s"cannot stamp mtime on $target — filesystem refuses setLastModified")
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
       f.delete(); ()

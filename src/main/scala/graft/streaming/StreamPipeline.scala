@@ -537,13 +537,20 @@ object StreamPipeline {
 
   /** Committed carry-mode generation dirs under `outDir`, in batch
     * order (zero-padded batch-id names sort lexicographically). */
+  /** Numeric batch id of a `gen_<id>` generation dir name — ordering
+    * and the strictly-before recovery filter compare PARSED ids, never
+    * name strings: a batch id past the zero-pad width would produce a
+    * longer name that sorts lexicographically BEFORE shorter ones and
+    * silently corrupt recovery. */
+  private def genIdOf(name: String): Long = name.stripPrefix("gen_").toLong
+
   private def committedGens(spark: SparkSession, outDir: String): Seq[String] = {
     val (fs, p) = hadoopFs(spark, outDir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("gen_"))
       .filter(gp => fs.exists(new org.apache.hadoop.fs.Path(gp, "_COMMITTED")))
-      .map(_.toString).sorted.toSeq
+      .sortBy(gp => genIdOf(gp.getName)).map(_.toString).toSeq
   }
 
   /** [[packIngest]] with CROSS-BATCH TAIL CARRY: instead of closing
@@ -599,7 +606,7 @@ object StreamPipeline {
       } else {
         val (offset, carriedSeq) = mem.getOrElse {
           committedGens(sp, outDir)
-            .filter(_.split('/').last < genName)
+            .filter(g => genIdOf(g.split('/').last) < id)
             .lastOption.map(genState)
             .getOrElse((0L, Seq.empty[(Long, Long)]))
         }
