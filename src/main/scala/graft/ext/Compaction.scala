@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * the old data is deleted last. Each rename is atomic on a
   * POSIX/HDFS filesystem; a crash between them leaves the complete
   * old store under `.compact_old` and the complete new store under
-  * `dir` or `.compact_tmp`, never a half-written mix. Readers in a
-  * multi-writer deployment additionally need the age-gated GC the
-  * ArtifactDir scaladoc prescribes; within this engine's single-writer
-  * serving tier the swap is safe to run between any two batches.
+  * `dir` or `.compact_tmp`, never a half-written mix. Within this
+  * engine's single-writer serving tier the swap is safe to run
+  * between any two batches; deployments with CONCURRENT writers or
+  * long-running readers should use [[GenerationStore]] instead — the
+  * manifest/age-gated-GC protocol this scaladoc used to prescribe,
+  * now implemented: compaction there is just another published
+  * generation and superseded data outlives in-flight readers.
   *
   * Output sizing: `ceil(storeBytes / TargetFileBytes)` files (≥ 1), so
   * a compacted 100 TB store still writes maxPartitionBytes-sized files

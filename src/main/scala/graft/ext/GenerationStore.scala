@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** MULTI-writer / multi-reader generation protocol for the artifact
+  * stores — the piece the [[Compaction]] swap protocol scaladoc used
+  * to prescribe without implementing: an in-place two-rename swap is
+  * safe only single-writer, and a reader holding the old directory
+  * while a swap deletes it is undefined behavior. This object replaces
+  * both gaps with the standard manifest design (the public
+  * Iceberg/Delta-style commit discipline, reduced to its core):
+  *
+  *  - DATA is immutable: every publish fully materializes a fresh
+  *    generation directory `<root>/generations/<gen>` and never
+  *    mutates or renames a published one.
+  *  - COMMIT is one atomic create: a manifest entry
+  *    `<root>/manifest/m_<seq10>` whose CONTENT is the generation
+  *    name, written to a temp name and renamed to its final — a rename
+  *    to a NEW name is atomic on POSIX/HDFS/object-store-with-rename,
+  *    and never overwrites, so two writers racing on the same `seq`
+  *    cannot clobber each other: the loser's rename fails and it
+  *    retries at the next seq. The manifest sequence is therefore a
+  *    total order of commits; CURRENT = the highest seq.
+  *  - READERS resolve once per query ([[currentGenDir]]) and read that
+  *    immutable directory for the query's whole lifetime — a publish
+  *    or compaction landing mid-read is invisible to them.
+  *  - GC is AGE-GATED ([[gc]]): a non-current generation is deleted
+  *    only once its superseding commit is older than `minAgeMs`, so
+  *    any reader that resolved before the supersede has at least that
+  *    long to finish. Uncommitted generation debris (a crashed
+  *    publish) ages out the same way via the directory's own mtime.
+  *
+  * Compaction under this protocol is just another publish (read the
+  * current generation, write the folded layout as a new one) — the
+  * old generation keeps serving in-flight readers until the age gate
+  * passes, closing the mid-read window the in-place [[Compaction]]
+  * swap accepts in exchange for zero extra storage. Single-writer
+  * tiers can keep the in-place swap; deployments with concurrent
+  * writers or long-running readers should use this store.
+  */
+object GenerationStore {
+
+  /** Width of the zero-padded manifest sequence — ordering still
+    * parses NUMERICALLY everywhere (the gen_ lesson from the carry
+    * store); the pad is cosmetic for `ls`. */
+  private val SeqWidth = 10
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(root: String) = s"$root/manifest"
+  private def generationsDir(root: String) = s"$root/generations"
+
+  private def seqOf(name: String): Long = name.stripPrefix("m_").toLong
+
+  /** (seq, genName) pairs of all committed manifest entries, ascending
+    * by seq. */
+  private def entries(spark: SparkSession,
+                      root: String): Seq[(Long, String)] = {
+    val (fs, p) = fsFor(spark, manifestDir(root))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("m_"))
+      .map { mp =>
+        val in = fs.open(mp)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        (seqOf(mp.getName), content)
+      }.sortBy(_._1).toSeq
+  }
+
+  /** The current generation's data directory, or None before the first
+    * commit. Resolve ONCE per query and hold the returned path — it is
+    * immutable for at least the GC age gate after being superseded. */
+  def currentGenDir(spark: SparkSession, root: String): Option[String] =
+    entries(spark, root).lastOption
+      .map { case (_, gen) => s"${generationsDir(root)}/$gen" }
+
+  /** Publish a new generation: `build` materializes the data under the
+    * provided fresh directory (a parquet write does); the commit is
+    * the atomic manifest rename. Returns the committed generation's
+    * data dir. Safe under concurrent publishers — seq collisions
+    * retry; generation names carry a random nonce so two builders
+    * never share a directory. */
+  def publish(spark: SparkSession, root: String)
+             (build: String => Unit): String = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val gen = s"gen_${System.currentTimeMillis()}_$nonce"
+    val genDir = s"${generationsDir(root)}/$gen"
+    // build creates the dir itself (a parquet write refuses an
+    // existing path); its fresh timestamped+nonced name cannot collide
+    build(genDir)
+    commit(spark, root, gen)
+    genDir
+  }
+
+  /** Commit an already-materialized generation name (exposed for
+    * multi-directory builds that stage their own layout). */
+  def commit(spark: SparkSession, root: String, gen: String): Unit = {
+    val (fs, _) = fsFor(spark, root)
+    val mdir = new org.apache.hadoop.fs.Path(manifestDir(root))
+    fs.mkdirs(mdir)
+    val tmp = new org.apache.hadoop.fs.Path(mdir,
+      s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 1000,
+          s"generation commit: 1000 consecutive seq collisions under $root")
+        val next = entries(spark, root).lastOption.map(_._1 + 1).getOrElse(0L)
+        val dst = new org.apache.hadoop.fs.Path(mdir,
+          "m_" + s"%0${SeqWidth}d".format(next))
+        // rename-to-new-name either wins atomically or fails because a
+        // concurrent writer took the seq — re-list and retry above it
+        done = !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+    } finally { if (fs.exists(tmp)) fs.delete(tmp, false); () }
+  }
+
+  /** Delete generations superseded for longer than `minAgeMs` (their
+    * superseding commit's mtime is the age anchor), plus uncommitted
+    * generation debris older than the gate (dir mtime anchor), plus
+    * manifest entries older than the newest surviving generation's
+    * commit. The CURRENT generation and anything younger than the gate
+    * always survive — that is the reader contract. Returns the deleted
+    * generation dirs. `nowMs` is injectable for specs. */
+  def gc(spark: SparkSession, root: String, minAgeMs: Long,
+         nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val (fs, _) = fsFor(spark, root)
+    val es = entries(spark, root)
+    if (es.isEmpty) return Seq.empty
+    val mdir = new org.apache.hadoop.fs.Path(manifestDir(root))
+    // commit mtimes by seq — entry k is superseded by entry k+1
+    val mtimes: Map[Long, Long] = es.map { case (seq, _) =>
+      seq -> fs.getFileStatus(new org.apache.hadoop.fs.Path(mdir,
+        "m_" + s"%0${SeqWidth}d".format(seq))).getModificationTime
+    }.toMap
+    val currentSeq = es.last._1
+    val committed: Map[String, Long] = es.map(_.swap).toMap // gen -> seq (latest wins)
+    val deletable = scala.collection.mutable.ArrayBuffer.empty[String]
+    val gdir = new org.apache.hadoop.fs.Path(generationsDir(root))
+    if (fs.exists(gdir)) fs.listStatus(gdir).foreach { st =>
+      val gen = st.getPath.getName
+      committed.get(gen) match {
+        case Some(seq) if seq == currentSeq => () // current: never
+        case Some(seq) =>
+          // superseded by the NEXT committed entry; age from its mtime
+          val superSeq = es.map(_._1).find(_ > seq).get
+          if (nowMs - mtimes(superSeq) >= minAgeMs)
+            deletable += st.getPath.toString
+        case None =>
+          // uncommitted debris: age from the dir itself
+          if (nowMs - st.getModificationTime >= minAgeMs)
+            deletable += st.getPath.toString
+      }
+    }
+    deletable.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // manifest entries strictly below the oldest SURVIVING committed
+    // generation are dead pointers — drop them (keep the current one
+    // always; keep any entry whose generation still exists for
+    // readers that resolved it)
+    val survivors = {
+      val live = if (fs.exists(gdir))
+        fs.listStatus(gdir).map(_.getPath.getName).toSet else Set.empty[String]
+      es.filter { case (seq, gen) => seq == currentSeq || live.contains(gen) }
+        .map(_._1).toSet
+    }
+    es.map(_._1).filterNot(survivors.contains).foreach { seq =>
+      fs.delete(new org.apache.hadoop.fs.Path(mdir,
+        "m_" + s"%0${SeqWidth}d".format(seq)), false)
+    }
+    deletable.toSeq
+  }
+}

@@ -386,4 +386,63 @@ object Sampling {
     }
     df.filter(selector(col(keyCol)) < thr)
   }
+
+  /** One row of the re-freeze audit: a source's frozen vs current
+    * keep-rate (hex thresholds plus the decoded |rate drift|). A
+    * source NEW since the freeze has `frozenHex = null` (under the
+    * frozen recipe it kept NOTHING — the [[applyKeepThresholds]]
+    * default — so its drift is its whole current rate); a source that
+    * VANISHED has `currentHex = null` and drift 0 (its stale threshold
+    * matches no rows). */
+  final case class ThresholdDrift(source: String, frozenHex: String,
+                                  currentHex: String, drift: Double)
+
+  private def rateOf(hex: String): Double =
+    if (hex == null) 0.0
+    else if (hex == "g") 1.0 // thresholdHex's keep-ALL sentinel
+    else java.lang.Long.parseLong(hex, 16) / 4294967296.0
+
+  /** Drift audit for a frozen [[temperatureThresholds]] table against
+    * the CURRENT source distribution of `df`: one row per source seen
+    * in either table, both thresholds side by side. Costs one
+    * |sources|-bounded aggregation — run it on a sampled window, not
+    * every micro-batch. */
+  def temperatureDrift(df: DataFrame, sourceCol: String,
+                       frozen: Seq[(String, String)]): Seq[ThresholdDrift] = {
+    val current = temperatureThresholds(df, sourceCol).toMap
+    val old = frozen.toMap
+    (old.keySet ++ current.keySet).toSeq.sorted.map { s =>
+      val f = old.get(s).orNull
+      val c = current.get(s).orNull
+      ThresholdDrift(s, f, c,
+        if (c == null) 0.0 else math.abs(rateOf(c) - rateOf(f)))
+    }
+  }
+
+  /** RE-FREEZE POLICY for the frozen temperature recipe (the gap the
+    * frozen-forever contract leaves open: a drifting source
+    * distribution silently keeps stale rates). Compares the frozen
+    * thresholds against the current distribution and re-freezes iff
+    * some source's keep-rate drifted more than `maxDrift` (absolute
+    * rate difference in [0,1]) — returning the thresholds to USE, the
+    * re-freeze flag, and the full audit (both tables, per source). A
+    * re-freeze is A NEW RECIPE VERSION: documents already emitted
+    * under the old thresholds are not revisited, so the caller must
+    * record the audit (and typically the batch/offset boundary) next
+    * to the new recipe — which is why both tables come back rather
+    * than the decision alone. */
+  def refreshTemperatureThresholds(df: DataFrame, sourceCol: String,
+                                   frozen: Seq[(String, String)],
+                                   maxDrift: Double)
+      : (Seq[(String, String)], Boolean, Seq[ThresholdDrift]) = {
+    require(maxDrift >= 0.0 && maxDrift <= 1.0 && !maxDrift.isNaN,
+      s"maxDrift must be a rate in [0,1]: $maxDrift")
+    val audit = temperatureDrift(df, sourceCol, frozen)
+    val refresh = audit.exists(_.drift > maxDrift)
+    val use =
+      if (refresh) audit.filter(_.currentHex != null)
+        .map(d => d.source -> d.currentHex)
+      else frozen
+    (use, refresh, audit)
+  }
 }

@@ -511,6 +511,50 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- WordPiece tokenizer (greedy longest-match, the BERT family)
+    // the third tokenizer family: frequency-selected vocabulary
+    // (singles in both roles + top-K multis under a total order), then
+    // the greedy longest-match-first walk with continuation pieces.
+    // The oracle replays the vocabulary cut and the UNROLLED greedy
+    // chain — a drifted cut order, a wrong role at a position, or a
+    // shorter-than-longest match shifts every document's id stream
+    "q_wordpiece_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, _) = graft.ext.WordPiece.wordPieceRelation(docs, "text")
+      tokenIdSummary(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
+    }),
+
+    // decode∘encode identity through the ids and the RAW-SURFACE
+    // vocabulary — the (surface, cont) model makes decode a plain
+    // concatenation (no ##-stripping), which the oracle replays
+    "q_wordpiece_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, vocab) = graft.ext.WordPiece.wordPieceRelation(docs, "text")
+      val toks = graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+      val decoded = graft.ext.Bpe.decodeIds(toks, vocab, "doc_id")
+        .withColumnRenamed("text", "__dec")
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("__orig"))
+        .join(decoded, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          md5(col("__orig")).as("orig_md5"),
+          md5(coalesce(col("__dec"), lit(""))).as("decoded_md5"),
+          (coalesce(col("__dec"), lit("")) === col("__orig")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the WordPiece id stream through the UNCHANGED GPT-packer —
+    // third proof that packing is tokenizer-family agnostic
+    "q_wordpiece_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, _) = graft.ext.WordPiece.wordPieceRelation(docs, "text")
+      val toks = graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+      graft.ext.Packing.packSequences(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -894,6 +938,10 @@ object ScaleOpsQueries {
     "q_unigram_store" -> graft.ext.Unigram.tokenizeOracleSql(),
     // decode reconstructed THROUGH tid → piece lookups
     "q_unigram_roundtrip" -> graft.ext.Unigram.roundtripOracleSql(),
+
+    "q_wordpiece_tokenize" -> graft.ext.WordPiece.tokenizeOracleSql(),
+    "q_wordpiece_roundtrip" -> graft.ext.WordPiece.roundtripOracleSql(),
+    "q_wordpiece_pack" -> graft.ext.WordPiece.packOracleSql(512),
     // unigram ids through the shared pack arithmetic
     "q_unigram_pack" -> graft.ext.Unigram.packOracleSql(512),
     // both tokenizer trainings replayed in independent nested derived

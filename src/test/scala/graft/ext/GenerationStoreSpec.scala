@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The multi-writer/reader generation protocol: readers that resolved
+  * the old generation finish correctly across a mid-read compaction
+  * publish; the old generation survives exactly until the GC age gate;
+  * uncommitted debris ages out; commits are totally ordered.
+  */
+class GenerationStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/store"
+
+  test("a reader holding the old generation finishes correctly across a swap") {
+    val root = tmpRoot("genstore_midread")
+    // generation 1: the fragmented pre-compaction layout (8 files)
+    GenerationStore.publish(spark, root) { dir =>
+      (1L to 100L).toDF("v").repartition(8).write.parquet(dir)
+    }
+    val p1 = GenerationStore.currentGenDir(spark, root).get
+    // reader resolves ONCE, starts its (lazy) read of the old gen
+    val reader = spark.read.parquet(p1).agg(sum(col("v")))
+    // compaction lands mid-read: fold to 1 file, publish as a NEW gen
+    val p2 = GenerationStore.publish(spark, root) { dir =>
+      spark.read.parquet(p1).coalesce(1).write.parquet(dir)
+    }
+    assert(GenerationStore.currentGenDir(spark, root).contains(p2))
+    // GC with a large age gate: the superseded generation SURVIVES
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600)
+    assert(deleted.isEmpty)
+    // the in-flight reader completes against the old, intact dir
+    assert(reader.collect()(0).getLong(0) == 5050L)
+    // new readers resolve the compacted generation and agree
+    val p2read = spark.read.parquet(
+      GenerationStore.currentGenDir(spark, root).get)
+    assert(p2read.agg(sum(col("v"))).collect()(0).getLong(0) == 5050L)
+    assert(Compaction.parquetFileCount(spark, p2) == 1L)
+  }
+
+  test("the age gate: superseded generations delete only once old enough") {
+    val root = tmpRoot("genstore_age")
+    val p1 = GenerationStore.publish(spark, root) { dir =>
+      Seq(1L).toDF("v").coalesce(1).write.parquet(dir)
+    }
+    Thread.sleep(5) // distinct supersede mtime
+    val p2 = GenerationStore.publish(spark, root) { dir =>
+      Seq(2L).toDF("v").coalesce(1).write.parquet(dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // not old enough: survives
+    assert(GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1)))
+    // past the gate (now injected far in the future): gen1 goes,
+    // current stays
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(deleted.length == 1 && deleted.head.endsWith(
+      p1.substring(p1.lastIndexOf('/'))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p2)))
+    assert(GenerationStore.currentGenDir(spark, root).contains(p2))
+    // the dead manifest entry is gone too; resolution still works
+    assert(spark.read.parquet(p2).collect()(0).getLong(0) == 2L)
+  }
+
+  test("uncommitted generation debris ages out; young debris survives") {
+    val root = tmpRoot("genstore_debris")
+    GenerationStore.publish(spark, root) { dir =>
+      Seq(1L).toDF("v").coalesce(1).write.parquet(dir)
+    }
+    // a crashed publish: data written, never committed
+    val debris = s"$root/generations/gen_0000000000000_dead"
+    Seq(9L).toDF("v").coalesce(1).write.parquet(debris)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // invisible to readers
+    assert(!GenerationStore.currentGenDir(spark, root).get.contains("dead"))
+    // young: survives the gate
+    assert(GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(debris)))
+    // old: collected
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(deleted.exists(_.contains("dead")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(debris)))
+  }
+
+  test("commits are totally ordered; a seq collision retries, never clobbers") {
+    val root = tmpRoot("genstore_order")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two "writers" that both materialized their generation, then
+    // commit back-to-back — the second must land ABOVE the first
+    val gens = s"$root/generations"
+    Seq(1L).toDF("v").coalesce(1).write.parquet(s"$gens/gen_a")
+    Seq(2L).toDF("v").coalesce(1).write.parquet(s"$gens/gen_b")
+    GenerationStore.commit(spark, root, "gen_a")
+    GenerationStore.commit(spark, root, "gen_b")
+    assert(GenerationStore.currentGenDir(spark, root).get.endsWith("gen_b"))
+    // simulate the loser's retry: pre-create the next manifest seq as
+    // a CONCURRENT winner would, then commit — the commit must skip
+    // the taken seq and land above it, leaving the winner intact
+    val mdir = s"$root/manifest"
+    val winner = new org.apache.hadoop.fs.Path(mdir, "m_0000000002")
+    val out = fs.create(winner, false)
+    out.write("gen_a".getBytes("UTF-8")); out.close()
+    GenerationStore.commit(spark, root, "gen_b")
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(mdir))
+      .map(_.getPath.getName).filter(_.startsWith("m_")).sorted
+    assert(entries.length == 4)
+    assert(GenerationStore.currentGenDir(spark, root).get.endsWith("gen_b"))
+    // the pre-taken seq's content was not clobbered
+    val in = fs.open(winner)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content == "gen_a")
+  }
+}
