@@ -175,23 +175,47 @@ object Compaction {
     * vanishes with the swap. */
   def compactBm25Index(spark: SparkSession, dir: String): Unit = {
     // snapshot read paths BEFORE the swap renames them away
-    val tfPaths = Bm25.storePaths(spark, dir, "tf")
-    val dfPaths = Bm25.storePaths(spark, dir, "df")
-    val stPaths = Bm25.storePaths(spark, dir, "stats")
+    swapIn(spark, dir)(foldBm25(spark, dir, _))
+  }
+
+  /** Fold `srcDir`'s base generation + committed staged batches into
+    * the single-generation layout [[Bm25.ensureIndex]] produces, at
+    * `outDir` — the one fold definition shared by the in-place
+    * [[compactBm25Index]] swap and the [[compactBm25ToGeneration]]
+    * publish. Reads are materialized eagerly (the parquet writes), so
+    * callers may rename/retire `srcDir` afterwards. */
+  private def foldBm25(spark: SparkSession, srcDir: String,
+                       outDir: String): Unit = {
+    val tfPaths = Bm25.storePaths(spark, srcDir, "tf")
+    val dfPaths = Bm25.storePaths(spark, srcDir, "df")
+    val stPaths = Bm25.storePaths(spark, srcDir, "stats")
     val n = targetPartsFor(spark, tfPaths)
-    swapIn(spark, dir) { tmp =>
-      spark.read.parquet(tfPaths: _*)
-        .repartition(n, col("tok"))
-        .sortWithinPartitions(col("tok"), col("doc_id"))
-        .write.parquet(s"$tmp/tf")
-      spark.read.parquet(dfPaths: _*)
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-        .repartition(col("tok")).sortWithinPartitions(col("tok"))
-        .write.parquet(s"$tmp/df")
-      spark.read.parquet(stPaths: _*)
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
-        .coalesce(1).write.parquet(s"$tmp/stats")
-    }
+    spark.read.parquet(tfPaths: _*)
+      .repartition(n, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .write.parquet(s"$outDir/tf")
+    spark.read.parquet(dfPaths: _*)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .repartition(col("tok")).sortWithinPartitions(col("tok"))
+      .write.parquet(s"$outDir/df")
+    spark.read.parquet(stPaths: _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+      .coalesce(1).write.parquet(s"$outDir/stats")
+  }
+
+  /** BM25 compaction under the [[GenerationStore]] protocol — for
+    * deployments with concurrent writers or long-running readers,
+    * where the in-place [[compactBm25Index]] swap is unsafe: fold the
+    * CURRENT generation (base + its committed staged batches) into a
+    * fresh generation directory and commit it via the atomic manifest
+    * rename. The superseded generation keeps serving every reader that
+    * resolved it until [[GenerationStore.gc]]'s age gate passes —
+    * nothing is renamed or deleted here. Returns the new generation's
+    * data dir. */
+  def compactBm25ToGeneration(spark: SparkSession, root: String): String = {
+    val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
+      sys.error(s"compactBm25ToGeneration: no committed generation under $root"))
+    GenerationStore.publish(spark, root)(foldBm25(spark, cur, _))
   }
 
   /** Rewrite the Dolma attributes relation doc_id-RANGE-clustered (the

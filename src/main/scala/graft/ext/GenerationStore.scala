@@ -30,8 +30,18 @@ import org.apache.spark.sql.SparkSession
   *    long to finish. Uncommitted generation debris (a crashed
   *    publish) ages out the same way via the directory's own mtime.
   *
+  * Immutability has one sanctioned relaxation: APPEND-ONLY extensions
+  * of a committed generation that carry their own atomic commit
+  * markers — the [[Bm25.ingestIntoIndex]] staged `batches/<id>/` dirs
+  * with per-batch `_COMMITTED` files. A reader that resolved the
+  * generation folds only the batches committed at its own listing
+  * time; a batch landing mid-read is simply not folded (it is a
+  * LATER state, exactly as a later generation would be), never a
+  * torn one. Rewrites and deletes stay forbidden.
+  *
   * Compaction under this protocol is just another publish (read the
-  * current generation, write the folded layout as a new one) — the
+  * current generation, write the folded layout as a new one —
+  * [[Compaction.compactBm25ToGeneration]]) — the
   * old generation keeps serving in-flight readers until the age gate
   * passes, closing the mid-read window the in-place [[Compaction]]
   * swap accepts in exchange for zero extra storage. Single-writer

@@ -204,9 +204,9 @@ object WordPiece {
     s"$root/${Ivf.indexPrefix(ModelStoreVersion, corpusDir)}" +
       s"_${Ivf.md5hex(Ivf.contentSig(corpusDir), 8)}"
 
-  /** Train once and persist the (surface, cont, c) model table —
+  /** Train once and persist the (surface, cont) model table —
     * `_SUCCESS`-guarded no-op when present (single-writer ArtifactDir
-    * discipline). The counts ride along for the exporter. */
+    * discipline). */
   def ensureModel(docs: DataFrame, textCol: String, dir: String): Unit =
     ArtifactDir.ensure(docs.sparkSession, dir, "model",
       // capture version + corpus-path hash: stale-signature GC clears
@@ -363,6 +363,52 @@ object WordPiece {
       |  coalesce(d.dtext, '') = coalesce(r.text, '') AS roundtrip_ok
       |FROM $rel r LEFT JOIN dec d USING (doc_id)
       |ORDER BY r.doc_id""".stripMargin
+
+  /** Oracle for q_stream_wordpiece_pack: the per-shard (bat = doc_id
+    * parity = source file) batch-scoped packing of the WordPiece id
+    * stream — the [[Unigram.streamPackOracleSql]] arithmetic on this
+    * family's frozen model. */
+  def streamPackOracleSql(seqLen: Int, rel: String = "documents"): String =
+    modelCtes(rel) + s""",
+      |wpd AS (SELECT doc_id, doc_id % 2 AS bat, i AS wpos, t[i] AS w
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> ''),
+      |toks AS (SELECT doc_id, bat, wpos, spos, tid FROM wpd JOIN wids USING (w)
+      |         UNION ALL
+      |         SELECT doc_id, doc_id % 2, 2147483647, 0, CAST(0 AS BIGINT)
+      |         FROM $rel),
+      |ord AS (SELECT doc_id, bat, tid,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) AS ipos,
+      |          count(*) OVER (PARTITION BY doc_id) AS nd
+      |        FROM toks),
+      |offs AS (SELECT doc_id, sum(nd) OVER (PARTITION BY bat ORDER BY doc_id) - nd AS off
+      |         FROM (SELECT DISTINCT doc_id, bat, nd FROM ord) c),
+      |gpos AS (SELECT o.bat, o.tid, (f.off + o.ipos - 1) AS gp
+      |         FROM ord o JOIN offs f USING (doc_id)),
+      |pseqs AS (SELECT bat, CAST(gp // $seqLen AS BIGINT) AS seq_id,
+      |                 gp % $seqLen AS sp, tid FROM gpos)
+      |SELECT CAST(bat AS BIGINT) AS bat, seq_id,
+      |       CAST(count(*) AS BIGINT) AS seq_len,
+      |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY sp)) AS ids_md5
+      |FROM pseqs GROUP BY bat, seq_id ORDER BY bat, seq_id""".stripMargin
+
+  /** Per-source WordPiece token counts as a SELF-CONTAINED statement
+    * for nesting inside a derived table (the
+    * [[Unigram.tokenCountBySourceSql]] shape): per word occurrence the
+    * count is the frozen greedy segmentation's piece count — no ids
+    * needed; dropped words (novel code points) contribute zero, the
+    * engine's whole-word-drop semantics. */
+  def tokenCountBySourceSql(rel: String = "documents"): String =
+    modelCtes(rel) + s""",
+      |wpn AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM wids GROUP BY w),
+      |wpd AS (SELECT d.source, t[i] AS w
+      |        FROM (SELECT source, string_split(text, ' ') AS t FROM $rel) d,
+      |             unnest(generate_series(1, len(t))) AS u(i)
+      |        WHERE t[i] <> '')
+      |SELECT source, CAST(sum(np) AS BIGINT) AS t
+      |FROM wpd JOIN wpn USING (w) GROUP BY source""".stripMargin
 
   /** Oracle for q_wordpiece_pack: the WordPiece id stream through the
     * unchanged GPT-packer arithmetic (the [[Unigram.packOracleSql]]

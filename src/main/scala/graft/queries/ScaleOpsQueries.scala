@@ -413,10 +413,10 @@ object ScaleOpsQueries {
 
     // tokenizer EVALUATION — the fertility/compression table a pipeline
     // builds before committing to a tokenizer: per source, word count
-    // and token count under BOTH families (BPE k=32 and the unigram
-    // model), fertility = tokens/word through the floor contract. The
-    // oracle replays both trainings in independent nested-CTE derived
-    // tables (names would clash in one WITH chain)
+    // and token count under all THREE families (BPE k=32, the unigram
+    // model, and WordPiece), fertility = tokens/word through the floor
+    // contract. The oracle replays the three trainings in independent
+    // nested-CTE derived tables (names would clash in one WITH chain)
     "q_tokenizer_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val src = docs.select(col("doc_id"), col("source"))
@@ -429,6 +429,10 @@ object ScaleOpsQueries {
       val uniToks = tokCounts(
         graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", uwids),
         "uni_toks")
+      val (wwids, _) = graft.ext.WordPiece.wordPieceRelation(docs, "text")
+      val wpToks = tokCounts(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wwids),
+        "wp_toks")
       val words = docs.select(col("doc_id"),
         size(filter(split(coalesce(col("text"), lit("")), " "),
           t => t =!= "")).cast("long").as("n_words"))
@@ -438,14 +442,17 @@ object ScaleOpsQueries {
       src.join(words, "doc_id")
         .join(bpeToks, Seq("doc_id"), "left")
         .join(uniToks, Seq("doc_id"), "left")
+        .join(wpToks, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(sum(col("n_words")).as("n_words"),
           coalesce(sum(col("bpe_toks")), lit(0L)).as("bpe_tokens"),
-          coalesce(sum(col("uni_toks")), lit(0L)).as("uni_tokens"))
+          coalesce(sum(col("uni_toks")), lit(0L)).as("uni_tokens"),
+          coalesce(sum(col("wp_toks")), lit(0L)).as("wp_tokens"))
         .select(col("source"), col("n_words"), col("bpe_tokens"),
-          col("uni_tokens"),
+          col("uni_tokens"), col("wp_tokens"),
           fert(col("bpe_tokens"), col("n_words")).as("bpe_fertility"),
-          fert(col("uni_tokens"), col("n_words")).as("uni_fertility"))
+          fert(col("uni_tokens"), col("n_words")).as("uni_fertility"),
+          fert(col("wp_tokens"), col("n_words")).as("wp_fertility"))
         .orderBy(col("source"))
     }),
 
@@ -553,6 +560,21 @@ object ScaleOpsQueries {
         .select(col("seq_id"), col("seq_len"), col("n_docs"),
           md5(col("ids")).as("ids_md5"))
         .orderBy(col("seq_id"))
+    }),
+
+    // the PERSISTED WordPiece artifact — train-once to the corpus-
+    // signature-keyed model store, encode from the LOADED model; must
+    // hash-equal q_wordpiece_tokenize's in-memory training, which only
+    // a lossless persist/load round trip can produce (the
+    // q_unigram_store gate on the third family)
+    "q_wordpiece_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.ext.WordPiece.modelDirFor(d)
+      graft.ext.WordPiece.ensureModel(docs, "text", dir)
+      val (wids, _) = graft.ext.WordPiece.wordPieceRelationFrom(
+        s, dir, docs, "text")
+      tokenIdSummary(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
     }),
 
     // ---- bloom membership screen (cross-corpus overlap) -------------
@@ -942,11 +964,15 @@ object ScaleOpsQueries {
     "q_wordpiece_tokenize" -> graft.ext.WordPiece.tokenizeOracleSql(),
     "q_wordpiece_roundtrip" -> graft.ext.WordPiece.roundtripOracleSql(),
     "q_wordpiece_pack" -> graft.ext.WordPiece.packOracleSql(512),
+    // persist/load must be lossless: the stored-model encode replays
+    // the same training oracle as q_wordpiece_tokenize
+    "q_wordpiece_store" -> graft.ext.WordPiece.tokenizeOracleSql(),
     // unigram ids through the shared pack arithmetic
     "q_unigram_pack" -> graft.ext.Unigram.packOracleSql(512),
-    // both tokenizer trainings replayed in independent nested derived
-    // tables (their CTE names clash in one WITH chain); fertility via
-    // the floor contract, NULL where a source has no words
+    // the three tokenizer trainings replayed in independent nested
+    // derived tables (their CTE names clash in one WITH chain);
+    // fertility via the floor contract, NULL where a source has no
+    // words
     "q_tokenizer_fertility" ->
       s"""WITH w AS (SELECT source, CAST(sum(nw) AS BIGINT) AS n_words
          |  FROM (SELECT source,
@@ -956,6 +982,7 @@ object ScaleOpsQueries {
          |SELECT w.source, w.n_words,
          |  coalesce(b.t, 0) AS bpe_tokens,
          |  coalesce(u.t, 0) AS uni_tokens,
+         |  coalesce(p.t, 0) AS wp_tokens,
          |  CASE WHEN w.n_words > 0 THEN
          |    floor(CAST(coalesce(b.t, 0) AS DOUBLE)
          |      / CAST(w.n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 END
@@ -963,10 +990,15 @@ object ScaleOpsQueries {
          |  CASE WHEN w.n_words > 0 THEN
          |    floor(CAST(coalesce(u.t, 0) AS DOUBLE)
          |      / CAST(w.n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 END
-         |    AS uni_fertility
+         |    AS uni_fertility,
+         |  CASE WHEN w.n_words > 0 THEN
+         |    floor(CAST(coalesce(p.t, 0) AS DOUBLE)
+         |      / CAST(w.n_words AS DOUBLE) * 1e4 + 0.5) / 1e4 END
+         |    AS wp_fertility
          |FROM w
          |LEFT JOIN (${ExtHelpers.bpeTokenCountBySourceSql(32)}) b USING (source)
          |LEFT JOIN (${graft.ext.Unigram.tokenCountBySourceSql()}) u USING (source)
+         |LEFT JOIN (${graft.ext.WordPiece.tokenCountBySourceSql()}) p USING (source)
          |ORDER BY w.source""".stripMargin,
     // the identity analytic form: decode must reproduce the original
     // text byte-for-byte (both md5 columns equal the source text's)

@@ -595,6 +595,45 @@ object StreamQueries {
         .orderBy(col("est_after").desc, col("tok")).limit(20)
     }),
 
+    // the GENERATION-STORE serving path on a real store (the
+    // multi-writer/long-reader protocol carrying a production
+    // workload, not just its own spec): build the even half of the
+    // corpus as generation 0 (atomic manifest commit), stage-ingest
+    // the odd half into that generation (append-only staged batches
+    // with their own _COMMITTED markers — readers fold only committed
+    // batches, so the extension is safe mid-read), resolve the
+    // generation like a long-running reader would, publish a FOLDED
+    // generation (compaction under the manifest protocol — nothing
+    // renamed or deleted), run the age-gated GC, and serve top-k from
+    // the new current generation. The scores must hash-equal a
+    // from-scratch batch build over the WHOLE corpus (q_bm25_topk's
+    // oracle verbatim), and the superseded generation must still exist
+    // for the reader that resolved it — both asserted here.
+    "q_genstore_bm25" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val root = freshScratchDir(d, "genbm25").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.Bm25.ensureIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", genDir)
+      }
+      graft.ext.Bm25.ingestIntoIndex(s, g0,
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val held = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      graft.ext.Compaction.compactBm25ToGeneration(s, root)
+      graft.ext.GenerationStore.gc(s, root, minAgeMs = 3600L * 1000)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(held)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != held, "compaction must publish a NEW generation")
+      val qterms = s.read.parquet(
+          graft.ext.Bm25.storePaths(s, cur, "tf"): _*)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      graft.ext.Bm25.topK(s, cur, qterms, 10)
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -743,6 +782,32 @@ object StreamQueries {
       writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
       writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
       val outDir = freshScratchDir(d, "unipackseqs").toString
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p.toString)
+      StreamPipeline.packIngest(s, stream, outDir, wids,
+        "doc_id", "text", seqLen = 512)
+      s.read.parquet(outDir)
+        .select(col("bat"), col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("bat"), col("seq_id"))
+    }),
+
+    // the STREAMING ingest on the WordPiece family — the frozen greedy
+    // model through the UNCHANGED packIngest: with q_stream_pack (BPE)
+    // and q_stream_unigram_pack this pins that ONE streaming machine
+    // serves all three tokenizer families via the shared (w, spos,
+    // tid) relation shape. The oracle replays the WordPiece vocabulary
+    // cut + greedy walk + the bat-partitioned pack arithmetic.
+    "q_stream_wordpiece_pack" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (wwids, _) = graft.ext.WordPiece.wordPieceRelation(docs, "text")
+      val wids = wwids.persist()
+      val p = freshScratchDir(d, "wppackstream")
+      java.nio.file.Files.createDirectories(p)
+      writeOnePart(p, "a", docs.filter(col("doc_id") % 2 === 0))
+      writeOnePart(p, "b", docs.filter(col("doc_id") % 2 =!= 0))
+      val outDir = freshScratchDir(d, "wppackseqs").toString
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(p.toString)
       StreamPipeline.packIngest(s, stream, outDir, wids,
@@ -996,6 +1061,10 @@ object StreamQueries {
     "q_stream_bm25_ingest" -> RetrievalQueries.bm25OracleSql(
       """SELECT doc_id, text FROM documents
         |    UNION ALL SELECT doc_id + 1000000, text FROM documents""".stripMargin),
+    // generation-store serving must score exactly as a from-scratch
+    // batch build over the whole corpus — q_bm25_topk's oracle verbatim
+    "q_genstore_bm25" -> RetrievalQueries.bm25OracleSql(
+      "SELECT doc_id, text FROM documents"),
     "q_stream_kmeans_ingest" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),
@@ -1025,6 +1094,8 @@ object StreamQueries {
     "q_stream_pack_carry" -> ExtHelpers.tokenizePackOracle(32, 512),
     // unigram training + the bat-partitioned pack arithmetic
     "q_stream_unigram_pack" -> graft.ext.Unigram.streamPackOracleSql(512),
+    // WordPiece vocabulary cut + greedy walk + the same pack arithmetic
+    "q_stream_wordpiece_pack" -> graft.ext.WordPiece.streamPackOracleSql(512),
     // base-corpus thresholds applied to the doubled union — the
     // q_temperature_mix grid arithmetic with counts from BASE docs only
     "q_stream_temperature_mix" ->

@@ -95,6 +95,62 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(debris)))
   }
 
+  test("BM25 serves through the protocol: ingest, compact-as-publish, GC") {
+    val root = tmpRoot("genstore_bm25")
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha alpha delta"),
+      (2L, "beta beta beta"), (3L, "gamma delta epsilon"),
+      (4L, "alpha epsilon"), (5L, "delta delta gamma"),
+      (6L, "epsilon beta alpha"), (7L, "gamma gamma alpha beta")
+    ).toDF("doc_id", "text")
+    // generation 0: index over the even half, committed atomically
+    val g0 = GenerationStore.publish(spark, root) { dir =>
+      Bm25.ensureIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+    }
+    // append-only staged ingest INTO the committed generation (the
+    // sanctioned relaxation: per-batch _COMMITTED markers)
+    Bm25.ingestIntoIndex(spark, g0,
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    assert(Bm25.committedBatchDirs(spark, g0).length == 1)
+    // a long-running reader resolves the pre-compaction generation
+    val held = GenerationStore.currentGenDir(spark, root).get
+    val heldQ = spark.read.parquet(Bm25.storePaths(spark, held, "tf"): _*)
+      .filter(col("doc_id") < 2)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+    val heldScores = Bm25.topK(spark, held, heldQ, 3) // lazy: mid-read
+    // compaction = publish a folded generation; nothing renamed/deleted
+    val cur = Compaction.compactBm25ToGeneration(spark, root)
+    assert(cur != held)
+    assert(GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600).isEmpty)
+    // the in-flight reader finishes against the intact old generation
+    val heldRows = heldScores.collect()
+    assert(heldRows.nonEmpty)
+    // the compacted generation has no staged batches left to fold
+    assert(Bm25.committedBatchDirs(spark, cur).isEmpty)
+    // and must score EXACTLY as a from-scratch build over all docs
+    val freshDir = tmpRoot("genstore_bm25_fresh")
+    Bm25.ensureIndex(docs, "doc_id", "text", freshDir)
+    def serve(dir: String) = {
+      val q = spark.read.parquet(Bm25.storePaths(spark, dir, "tf"): _*)
+        .filter(col("doc_id") < 2)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      Bm25.topK(spark, dir, q, 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    }
+    assert(serve(cur) == serve(freshDir))
+    assert(heldRows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq == serve(freshDir))
+    // past the age gate the superseded generation is collected; the
+    // current one survives
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(deleted.exists(d => held.endsWith(
+      d.substring(d.lastIndexOf('/')))))
+    assert(GenerationStore.currentGenDir(spark, root).contains(cur))
+  }
+
   test("commits are totally ordered; a seq collision retries, never clobbers") {
     val root = tmpRoot("genstore_order")
     val fs = new org.apache.hadoop.fs.Path(root)
