@@ -105,8 +105,11 @@ object WordPiece {
     * floor) plus the top-[[SeedMultis]] multi-code-point pieces by
     * (occurrence-weighted count DESC, surface UTF-8 ASC, initial
     * before continuation) — a total order, so the cut is exact on both
-    * engines. */
-  private def selectVocab(words: DataFrame): Seq[Piece] = {
+    * engines. `vocabSize > 0` caps the TOTAL vocabulary (the BERT
+    * vocab_size knob): singles always survive (coverage — a cap below
+    * the single count keeps zero multis, never cuts a single), multis
+    * keep the top `vocabSize − |singles|` slots of the same order. */
+  private def selectVocab(words: DataFrame, vocabSize: Int = 0): Seq[Piece] = {
     val occ = words
       .select(col("wc"), explode(pieceOccurrences(col("w"))).as("pc"))
       .select(col("pc.surface").as("surface"), col("pc.cont").as("cont"),
@@ -120,9 +123,13 @@ object WordPiece {
       // substring relation
       val singles = occ.filter(length(col("surface")) === 1)
         .collect().map(r => Piece(r.getString(0), r.getBoolean(1))).toSeq
+      val nMultis =
+        if (vocabSize > 0)
+          math.max(0, math.min(SeedMultis, vocabSize - singles.size))
+        else SeedMultis
       val multis = occ.filter(length(col("surface")) > 1)
         .orderBy(col("c").desc, col("surface"), col("cont"))
-        .limit(SeedMultis)
+        .limit(nMultis)
         .collect().map(r => Piece(r.getString(0), r.getBoolean(1))).toSeq
       singles ++ multis
     } finally { occ.unpersist(); () }
@@ -159,15 +166,17 @@ object WordPiece {
     * `##` — decode concatenates surfaces verbatim, see the class
     * scaladoc). Feed to [[Bpe.encodeIdsAgainst]] / [[Bpe.decodeIds]];
     * packing and streaming are tokenizer-family agnostic.
+    * `vocabSize > 0` caps the total vocabulary (see [[selectVocab]]).
     *
     * CACHE CONTRACT (same as [[Unigram.wordPieceRelation]]): the
     * distinct-word relation persists and the returned `wids` stays
     * lazy over it — wrap call + materialization in
     * [[CacheScope.withScope]], or `clearCache()` between corpora. */
-  def wordPieceRelation(df: DataFrame, textCol: String)
+  def wordPieceRelation(df: DataFrame, textCol: String,
+                        vocabSize: Int = 0)
       : (DataFrame, DataFrame) = {
     val words = CacheScope.register(Bpe.wordCounts(df, textCol).persist())
-    freeze(selectVocab(words), words)
+    freeze(selectVocab(words, vocabSize), words)
   }
 
   /** Freeze a trained model against a distinct-word relation. Words
@@ -238,8 +247,23 @@ object WordPiece {
   // ------------------------------------------------------------------
 
   /** Vocabulary CTEs over words CTE `uw` (w, wc): `wpv` (surface,
-    * cont) and `wpvocab` (surface, cont, tid), the Scala tid order. */
-  private def vocabCtes: String =
+    * cont) and `wpvocab` (surface, cont, tid), the Scala tid order.
+    * `vocabSize > 0` replays the total-size cap: the multi cut keeps
+    * `least(SeedMultis, vocabSize − |singles|)` slots (≥ 0). */
+  private def vocabCtes(vocabSize: Int = 0): String = {
+    val multiCut =
+      if (vocabSize > 0)
+        s"""SELECT surface, cont FROM (
+           |    SELECT surface, cont, row_number() OVER (
+           |        ORDER BY c DESC, surface ASC, cont ASC) AS rn
+           |    FROM wpocc WHERE length(surface) > 1) m
+           |  WHERE rn <= greatest(0, least($SeedMultis,
+           |    $vocabSize - (SELECT count(*) FROM wpocc
+           |                  WHERE length(surface) = 1)))""".stripMargin
+      else
+        s"""SELECT surface, cont FROM (
+           |    SELECT surface, cont FROM wpocc WHERE length(surface) > 1
+           |    ORDER BY c DESC, surface ASC, cont ASC LIMIT $SeedMultis) m""".stripMargin
     s"""wpocc AS MATERIALIZED (
        |  SELECT surface, cont, sum(wc) AS c FROM (
        |    SELECT substr(w, i, l) AS surface, i > 1 AS cont, wc
@@ -250,13 +274,12 @@ object WordPiece {
        |wpv AS MATERIALIZED (
        |  SELECT surface, cont FROM wpocc WHERE length(surface) = 1
        |  UNION ALL
-       |  SELECT surface, cont FROM (
-       |    SELECT surface, cont FROM wpocc WHERE length(surface) > 1
-       |    ORDER BY c DESC, surface ASC, cont ASC LIMIT $SeedMultis) m),
+       |  $multiCut),
        |wpvocab AS MATERIALIZED (
        |  SELECT surface, cont, CAST(row_number() OVER (
        |      ORDER BY surface ASC, cont ASC) AS BIGINT) AS tid
        |  FROM wpv)""".stripMargin
+  }
 
   /** The unrolled greedy walk over `uw`, ending in CTE `wids`
     * (w, spos, tid). Step k holds words whose walk has consumed k
@@ -315,18 +338,20 @@ object WordPiece {
 
   /** Shared chain: distinct words of `rel`, vocabulary, greedy encode
     * → `wids` (w, spos, tid) + `wpvocab`. */
-  private def modelCtes(rel: String): String =
+  private def modelCtes(rel: String, vocabSize: Int = 0): String =
     s"""WITH uw AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM $rel) q
        |  WHERE w <> '' GROUP BY w),
-       |$vocabCtes,
+       |${vocabCtes(vocabSize)},
        |$greedyCtes""".stripMargin
 
-  /** Oracle for q_wordpiece_tokenize: per-document EOS-terminated
-    * token-id summary under the frozen model. */
-  def tokenizeOracleSql(rel: String = "documents"): String =
-    modelCtes(rel) + s""",
+  /** Oracle for q_wordpiece_tokenize (and, with `vocabSize > 0`,
+    * q_wordpiece_vocab_cap): per-document EOS-terminated token-id
+    * summary under the frozen model. */
+  def tokenizeOracleSql(rel: String = "documents",
+                        vocabSize: Int = 0): String =
+    modelCtes(rel, vocabSize) + s""",
       |wpd AS (SELECT doc_id, i AS wpos, t[i] AS w
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $rel) d,
       |             unnest(generate_series(1, len(t))) AS u(i)

@@ -562,6 +562,21 @@ object ScaleOpsQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // the BERT vocab_size knob on the WordPiece family: the same
+    // training capped at 100 total pieces — singles always survive
+    // (coverage), multis keep the top vocabSize−|singles| slots of the
+    // same total order, and the greedy walk re-routes words whose best
+    // pieces were cut through the survivors. The oracle replays the
+    // cut in-chain; a wrong singles count or cut order shifts every
+    // document's id stream
+    "q_wordpiece_vocab_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (wids, _) = graft.ext.WordPiece.wordPieceRelation(docs, "text",
+        vocabSize = 100)
+      tokenIdSummary(
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
+    }),
+
     // the PERSISTED WordPiece artifact — train-once to the corpus-
     // signature-keyed model store, encode from the LOADED model; must
     // hash-equal q_wordpiece_tokenize's in-memory training, which only
@@ -967,6 +982,9 @@ object ScaleOpsQueries {
     // persist/load must be lossless: the stored-model encode replays
     // the same training oracle as q_wordpiece_tokenize
     "q_wordpiece_store" -> graft.ext.WordPiece.tokenizeOracleSql(),
+    // the same chain with the 100-piece total cap in the multi cut
+    "q_wordpiece_vocab_cap" ->
+      graft.ext.WordPiece.tokenizeOracleSql(vocabSize = 100),
     // unigram ids through the shared pack arithmetic
     "q_unigram_pack" -> graft.ext.Unigram.packOracleSql(512),
     // the three tokenizer trainings replayed in independent nested

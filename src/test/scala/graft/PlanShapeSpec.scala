@@ -54,6 +54,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // unigram/bigram corpus totals (PMI) broadcast onto bounded
     // candidate streams
     "q_bm25_topk", "q_pmi_colloc",
+    // the same 1-row N/avgdl stats broadcast, served through the
+    // generation-store protocol
+    "q_genstore_bm25",
     // scalar join: the 1-row token-budget broadcast onto the
     // constant-cardinality (≤10 001 rows) quality-band relation
     "q_token_budget",

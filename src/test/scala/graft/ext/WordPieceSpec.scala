@@ -84,6 +84,34 @@ class WordPieceSpec extends AnyFunSuite {
       Seq(P("a", false), P("a", true), P("ab", false), P("b", true)))
   }
 
+  test("vocab_size cap: singles always survive; multis trim to the cap") {
+    val docs = Seq(
+      (1L, "abab abab cdcd"),
+      (2L, "abab cdcd cd ab"),
+    ).toDF("doc_id", "text")
+    CacheScope.withScope {
+      // uncapped: singles (a,b,c,d in their roles) + multi pieces
+      val (_, vFull) = WordPiece.wordPieceRelation(docs, "text")
+      val full = vFull.count()
+      assert(full > 7)
+      // a cap below the singles count keeps ALL singles, zero multis
+      val (widsMin, vMin) = WordPiece.wordPieceRelation(docs, "text",
+        vocabSize = 2)
+      // a/init, a/cont, b/cont, c/init, c/cont, d/cont
+      val nSingles = vMin.count()
+      assert(nSingles == 6L && nSingles < full)
+      // coverage holds: every word still encodes (per-cp worst case)
+      val toks = Bpe.encodeIdsAgainst(docs, "doc_id", "text", widsMin)
+      val n1 = toks.filter(col("doc_id") === 1L && col("tid") =!= 0L).count()
+      assert(n1 == 12L) // 3 words x 4 code points, no multis to merge
+      // an intermediate cap keeps singles + exactly cap-singles multis
+      val cap = nSingles.toInt + 1
+      val (_, vMid) = WordPiece.wordPieceRelation(docs, "text",
+        vocabSize = cap)
+      assert(vMid.count() == cap.toLong)
+    }
+  }
+
   test("model store: ensureModel + wordPieceRelationFrom encode equals in-memory") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
