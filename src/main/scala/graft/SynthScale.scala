@@ -80,11 +80,23 @@ object SynthScale {
       .parquet(s"$outDir/embeddings.parquet")
 
     // events: fresh event/user ids, +r µs — key cardinality scales
-    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    // ts has appeared as TIMESTAMP(NANOS) (read as long under
+    // nanosAsLong) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+    // across testdata generations — shift either form by r µs,
+    // preserving the source column type
+    val ev0 = spark.read.parquet(s"$srcDir/events.parquet")
+    val tsShift =
+      if (ev0.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        col("ts") + col("__r") * 1000L // nanos long: r µs = 1000·r ns
+      else
+        timestamp_micros(unix_micros(col("ts").cast("timestamp"))
+          + col("__r")).cast(ev0.schema("ts").dataType)
+    val ev = ev0
       .crossJoin(broadcast(reps))
       .select(
         (col("event_id") * factor + col("__r")).as("event_id"),
-        (col("ts") + col("__r")).as("ts"), // nanosAsLong: ts is a long
+        tsShift.as("ts"),
         (col("user_id") * factor + col("__r")).as("user_id"),
         col("event_type"), col("value"), col("props"))
     ev.repartition(32).write.mode("overwrite")
