@@ -291,6 +291,28 @@ object Compaction {
     * file-per-cell locality the DPP-pruned probes scan
     * ([[Ivf.buildIndex]]'s rationale) — per-batch appends leave one
     * small file per cell per batch; the rewrite folds each cell to one. */
+  /** IVF compaction under the [[GenerationStore]] protocol (the
+    * [[compactBm25ToGeneration]] shape for the ANN serving tier): the
+    * frozen centroid model rides along verbatim — centroids drift only
+    * at a full rebuild, which is just another publish — and the
+    * cell-partitioned corpus (base build + every appended ingest
+    * batch) folds into [[Compaction.TargetFileBytes]]-sized files in a
+    * fresh generation committed via the atomic manifest rename.
+    * Returns the new generation's data dir; the superseded one keeps
+    * serving its in-flight readers until the GC age gate. */
+  def compactIvfToGeneration(spark: SparkSession, root: String): String = {
+    val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
+      sys.error(s"compactIvfToGeneration: no committed generation under $root"))
+    GenerationStore.publish(spark, root) { genDir =>
+      spark.read.parquet(s"$cur/centroids")
+        .coalesce(1).write.parquet(s"$genDir/centroids")
+      val n = targetParts(spark, s"$cur/corpus")
+      spark.read.parquet(s"$cur/corpus")
+        .repartition(n, col("cell"))
+        .write.partitionBy("cell").parquet(s"$genDir/corpus")
+    }
+  }
+
   def compactIvfCorpus(spark: SparkSession, dir: String): Unit = {
     val corpus = s"$dir/corpus"
     val n = targetParts(spark, corpus)

@@ -634,6 +634,42 @@ object StreamQueries {
       graft.ext.Bm25.topK(s, cur, qterms, 10)
     }),
 
+    // the generation-store protocol on the SECOND serving tier (ANN):
+    // full IVF build published as generation 0, a +1M-id copy of every
+    // vector appended into the committed generation (the documented
+    // IVF maintenance contract — cell assignment from the frozen
+    // centroids, job-atomic appends, retry double-append harmless to
+    // top-k), compaction-as-publish folding centroids + corpus into a
+    // fresh generation, age-gated GC, then the pruned top-k probe from
+    // the new current generation. Same structural oracle as
+    // q_stream_ann_ingest: every query's top-1 must be its ingested
+    // copy (same cell by construction, cosine 1.0).
+    "q_genstore_ann" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val root = freshScratchDir(d, "genann").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.Ivf.buildIndex(emb, "vec_id", "embedding", genDir,
+          k = 16, iters = 2)
+      }
+      graft.ext.Ivf.ingestIntoIndex(s, g0,
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding")
+      val held = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      val cur = graft.ext.Compaction.compactIvfToGeneration(s, root)
+      graft.ext.GenerationStore.gc(s, root, minAgeMs = 3600L * 1000)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(held)),
+        "superseded generation must survive the GC age gate for its readers")
+      require(cur != held, "compaction must publish a NEW generation")
+      val queries = emb.filter(col("vec_id") % 37 === 0)
+      graft.ext.Ivf.topKIndexed(s, cur, queries,
+          "vec_id", "embedding", k = 1, nProbe = 2)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("nid").as("hit"))
+        .orderBy(col("qid"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -1065,6 +1101,11 @@ object StreamQueries {
     // batch build over the whole corpus — q_bm25_topk's oracle verbatim
     "q_genstore_bm25" -> RetrievalQueries.bm25OracleSql(
       "SELECT doc_id, text FROM documents"),
+    // generation-store ANN serving: the q_stream_ann_ingest structural
+    // contract — top-1 of every query is its ingested identical copy
+    "q_genstore_ann" ->
+      """SELECT vec_id AS qid, vec_id + 1000000 AS hit
+        |FROM embeddings WHERE vec_id % 37 = 0 ORDER BY qid""".stripMargin,
     "q_stream_kmeans_ingest" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),
