@@ -504,6 +504,49 @@ object StreamQueries {
       graft.ext.Bm25.topK(s, idxDir, qterms, 10)
     }),
 
+    // the STREAMING maintainer under the generation-store protocol —
+    // q_stream_bm25_ingest's workload where long-running readers sit
+    // beside the maintainer: the base index publishes as generation 0,
+    // each micro-batch RE-RESOLVES the current generation and
+    // stage-commits into it, and at autoCompactEvery=2 the second
+    // batch's own foreachBatch publishes the folded generation + runs
+    // the age-gated GC (the superseded generation must survive for its
+    // readers — asserted). Serving from the post-stream current
+    // generation must score EXACTLY as a from-scratch batch build over
+    // the union corpus: the same oracle as q_stream_bm25_ingest, so a
+    // batch appended to a stale generation, a missed fold, or a lost
+    // delta cannot hash-match.
+    "q_stream_genstore_bm25" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val root = freshScratchDir(d, "genbm25stream").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.Bm25.ensureIndex(docs, "doc_id", "text", genDir)
+      }
+      val srcDir = freshScratchDir(d, "genbm25new")
+      java.nio.file.Files.createDirectories(srcDir)
+      val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      writeOnePart(srcDir, "a", copies.filter(col("doc_id") % 2 === 0))
+      writeOnePart(srcDir, "b", copies.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.bm25IngestGen(s, stream, root, "doc_id", "text",
+        autoCompactEvery = 2)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(g0)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != g0, "auto-compaction must have published a NEW generation")
+      require(graft.ext.Bm25.committedBatchDirs(s, cur).isEmpty,
+        "the folded generation must carry no staged batches")
+      val qterms = s.read.parquet(
+          graft.ext.Bm25.storePaths(s, cur, "tf"): _*)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("tok")).distinct()
+      graft.ext.Bm25.topK(s, cur, qterms, 10)
+    }),
+
     // streaming topic-shard routing: centroids train once on the base
     // corpus (k·d longs of driver metadata), then a LIVE stream of new
     // embeddings is assigned map-only per micro-batch — no join, no
@@ -1106,6 +1149,12 @@ object StreamQueries {
     "q_genstore_ann" ->
       """SELECT vec_id AS qid, vec_id + 1000000 AS hit
         |FROM embeddings WHERE vec_id % 37 = 0 ORDER BY qid""".stripMargin,
+    // the streaming maintainer under the generation protocol must
+    // serve exactly as a from-scratch build over the union corpus —
+    // q_stream_bm25_ingest's oracle verbatim
+    "q_stream_genstore_bm25" -> RetrievalQueries.bm25OracleSql(
+      """SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents""".stripMargin),
     "q_stream_kmeans_ingest" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),

@@ -447,6 +447,41 @@ object StreamPipeline {
       ()
     }
 
+  /** [[bm25Ingest]] under the [[graft.ext.GenerationStore]] protocol —
+    * the deployment shape with LONG-RUNNING readers beside the
+    * maintainer, where the in-place compaction swap is unsafe. Every
+    * micro-batch RE-RESOLVES the current generation (a compaction may
+    * have published a new one since the last batch) and stage-commits
+    * into it; when the generation's committed-batch count reaches
+    * `autoCompactEvery`, the same foreachBatch publishes a folded
+    * generation (compaction-as-publish — nothing renamed or deleted,
+    * in-flight readers finish on the superseded dir) and runs the
+    * age-gated GC. Resolve + append + compact run SEQUENTIALLY inside
+    * one foreachBatch, so an appended batch can never land in a
+    * generation a concurrent fold has already superseded — the
+    * single-MAINTAINER contract; concurrent readers need no
+    * coordination at all. The root must hold one committed generation
+    * (the initial build, published by the caller) before the stream
+    * starts. */
+  def bm25IngestGen(spark: SparkSession, stream: DataFrame, root: String,
+                    idCol: String, textCol: String,
+                    autoCompactEvery: Int = 0,
+                    gcAgeMs: Long = 3600L * 1000): Long =
+    drainIngest(stream) { batch =>
+      val sp = batch.sparkSession
+      val cur = graft.ext.GenerationStore.currentGenDir(sp, root)
+        .getOrElse(sys.error(
+          s"bm25IngestGen: no committed generation under $root"))
+      graft.ext.Bm25.ingestIntoIndex(sp, cur, batch, idCol, textCol)
+      if (autoCompactEvery > 0 &&
+          graft.ext.Bm25.committedBatchDirs(sp, cur).length
+            >= autoCompactEvery) {
+        graft.ext.Compaction.compactBm25ToGeneration(sp, root)
+        graft.ext.GenerationStore.gc(sp, root, gcAgeMs)
+        ()
+      }
+    }
+
   /** Streaming topic-shard routing — [[ivfIngest]]'s pattern applied
     * to the k-means model: each micro-batch of new embeddings is
     * assigned to its nearest trained centroid MAP-ONLY (the centroids
