@@ -33,7 +33,7 @@ object Bench {
     // Headline set: one representative per operator family (full
     // inventory runs under Verify; the all-pairs oracle-check forms
     // are excluded here in favor of their sub-quadratic scale paths).
-    val headline = Seq(
+    val headlineAll = Seq(
       "q_agg_pricing", "q_join_revenue_by_nation", "q_window_topk_orders",
       "q_filter_topn", "q_rollup_lineitem", "q_events_json_props",
       "q_doc_pipeline", "q_route_good", "q_split_tokens",
@@ -89,13 +89,24 @@ object Bench {
       "q_wordpiece_store", "q_stream_wordpiece_pack", "q_genstore_bm25",
       "q_wordpiece_vocab_cap", "q_genstore_ann", "q_stream_genstore_bm25")
       .filter(SparkEntry.queries.contains)
-      // scale-ladder hook: run a SUBSET of the headline set (the slope
-      // table times the same queries at two scale factors; everything
-      // else about the bracketed recorder stays identical)
-      .filter(sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-        .map(only => (q: String) => only.contains(q))
-        .getOrElse((_: String) => true))
+    // scale-ladder hook: run a SUBSET of the headline set (the slope
+    // table times the same queries at two scale factors; everything
+    // else about the bracketed recorder stays identical). Unknown or
+    // zero-match selections fail LOUDLY — the Verify discipline: a
+    // typo must not masquerade as a clean (empty) bench record.
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(raw) =>
+        val only = raw.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = only.diff(headlineAll.toSet)
+        require(unknown.isEmpty,
+          "SPARK_GRAFT_BENCH_ONLY names not in the headline set: " +
+            unknown.toSeq.sorted.mkString(", "))
+        val sel = headlineAll.filter(only.contains)
+        require(sel.nonEmpty,
+          "SPARK_GRAFT_BENCH_ONLY selected zero queries")
+        sel
+      case None => headlineAll
+    }
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
     // host's throughput varies severalfold (SCALE.md), so a single run

@@ -173,10 +173,10 @@ object Compaction {
     * twice (folded into base AND still staged) or a store folded ahead
     * of its siblings. Uncommitted batch debris from crashed ingests
     * vanishes with the swap. */
-  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
-    // snapshot read paths BEFORE the swap renames them away
+  def compactBm25Index(spark: SparkSession, dir: String): Unit =
+    // foldBm25 materializes its reads eagerly inside the build body,
+    // which runs BEFORE swapIn's renames touch the source dir
     swapIn(spark, dir)(foldBm25(spark, dir, _))
-  }
 
   /** Fold `srcDir`'s base generation + committed staged batches into
     * the single-generation layout [[Bm25.ensureIndex]] produces, at
@@ -286,11 +286,6 @@ object Compaction {
     }
   }
 
-  /** Rewrite the IVF `corpus/` store in the initial-build layout: one
-    * shuffle clusters rows by cell, `partitionBy` restores the
-    * file-per-cell locality the DPP-pruned probes scan
-    * ([[Ivf.buildIndex]]'s rationale) — per-batch appends leave one
-    * small file per cell per batch; the rewrite folds each cell to one. */
   /** IVF compaction under the [[GenerationStore]] protocol (the
     * [[compactBm25ToGeneration]] shape for the ANN serving tier): the
     * frozen centroid model rides along verbatim — centroids drift only
@@ -313,6 +308,11 @@ object Compaction {
     }
   }
 
+  /** Rewrite the IVF `corpus/` store in the initial-build layout: one
+    * shuffle clusters rows by cell, `partitionBy` restores the
+    * file-per-cell locality the DPP-pruned probes scan
+    * ([[Ivf.buildIndex]]'s rationale) — per-batch appends leave one
+    * small file per cell per batch; the rewrite folds each cell to one. */
   def compactIvfCorpus(spark: SparkSession, dir: String): Unit = {
     val corpus = s"$dir/corpus"
     val n = targetParts(spark, corpus)

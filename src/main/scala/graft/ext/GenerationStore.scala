@@ -13,14 +13,20 @@ import org.apache.spark.sql.SparkSession
   *  - DATA is immutable: every publish fully materializes a fresh
   *    generation directory `<root>/generations/<gen>` and never
   *    mutates or renames a published one.
-  *  - COMMIT is one atomic create: a manifest entry
+  *  - COMMIT is one atomic EXCLUSIVE CREATE: a manifest entry
   *    `<root>/manifest/m_<seq10>` whose CONTENT is the generation
-  *    name, written to a temp name and renamed to its final — a rename
-  *    to a NEW name is atomic on POSIX/HDFS/object-store-with-rename,
-  *    and never overwrites, so two writers racing on the same `seq`
-  *    cannot clobber each other: the loser's rename fails and it
-  *    retries at the next seq. The manifest sequence is therefore a
-  *    total order of commits; CURRENT = the highest seq.
+  *    name, created with overwrite=false — O_CREAT|O_EXCL on POSIX,
+  *    the same exclusive-create primitive on HDFS — so two writers
+  *    racing on one `seq` cannot clobber each other: the loser's
+  *    create fails and it retries at the next seq. (Rename-to-new-name
+  *    is NOT a safe claim here: Hadoop's RawLocalFileSystem delegates
+  *    to rename(2), which silently replaces an existing destination on
+  *    Linux.) A zero-length entry is an in-flight or crashed commit:
+  *    readers skip it when resolving, but sequence allocation counts
+  *    it, so a crashed claim can never stall later commits. The
+  *    manifest sequence is therefore a total order of commits;
+  *    CURRENT = the highest RESOLVABLE seq (non-empty content naming
+  *    an existing generation).
   *  - READERS resolve once per query ([[currentGenDir]]) and read that
   *    immutable directory for the query's whole lifetime — a publish
   *    or compaction landing mid-read is invisible to them.
@@ -28,7 +34,13 @@ import org.apache.spark.sql.SparkSession
   *    only once its superseding commit is older than `minAgeMs`, so
   *    any reader that resolved before the supersede has at least that
   *    long to finish. Uncommitted generation debris (a crashed
-  *    publish) ages out the same way via the directory's own mtime.
+  *    publish) ages out the same way, anchored on the NEWEST mtime in
+  *    the directory tree — a live build touching files keeps renewing
+  *    its lease, so a slow publish is not collected mid-build as long
+  *    as no single write stalls past the gate; [[commit]] additionally
+  *    verifies the generation still exists, so even that worst case
+  *    fails the publish loudly instead of committing a dangling
+  *    pointer.
   *
   * Immutability has one sanctioned relaxation: APPEND-ONLY extensions
   * of a committed generation that carry their own atomic commit
@@ -65,10 +77,11 @@ object GenerationStore {
 
   private def seqOf(name: String): Long = name.stripPrefix("m_").toLong
 
-  /** (seq, genName) pairs of all committed manifest entries, ascending
-    * by seq. */
-  private def entries(spark: SparkSession,
-                      root: String): Seq[(Long, String)] = {
+  /** (seq, content) of EVERY manifest file, ascending by seq — content
+    * `""` marks an in-flight or crashed commit (see [[commit]]): it
+    * claims its sequence number but is never resolvable. */
+  private def rawEntries(spark: SparkSession,
+                         root: String): Seq[(Long, String)] = {
     val (fs, p) = fsFor(spark, manifestDir(root))
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath)
@@ -82,12 +95,25 @@ object GenerationStore {
       }.sortBy(_._1).toSeq
   }
 
+  /** (seq, genName) pairs of the COMMITTED manifest entries (non-empty
+    * content), ascending by seq. */
+  private def entries(spark: SparkSession,
+                      root: String): Seq[(Long, String)] =
+    rawEntries(spark, root).filter(_._2.nonEmpty)
+
   /** The current generation's data directory, or None before the first
     * commit. Resolve ONCE per query and hold the returned path — it is
-    * immutable for at least the GC age gate after being superseded. */
-  def currentGenDir(spark: SparkSession, root: String): Option[String] =
-    entries(spark, root).lastOption
+    * immutable for at least the GC age gate after being superseded.
+    * Resolution additionally requires the named generation to EXIST,
+    * so a torn manifest write (theoretical on local FS) or a dangling
+    * pointer can only fall back to the previous generation, never to a
+    * broken path. */
+  def currentGenDir(spark: SparkSession, root: String): Option[String] = {
+    val (fs, _) = fsFor(spark, root)
+    entries(spark, root).reverseIterator
       .map { case (_, gen) => s"${generationsDir(root)}/$gen" }
+      .find(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+  }
 
   /** Publish a new generation: `build` materializes the data under the
     * provided fresh directory (a parquet write does); the commit is
@@ -111,28 +137,40 @@ object GenerationStore {
     * multi-directory builds that stage their own layout). */
   def commit(spark: SparkSession, root: String, gen: String): Unit = {
     val (fs, _) = fsFor(spark, root)
+    // a publish whose generation was GC'd mid-build (or that never
+    // materialized) must fail HERE — committing would publish a
+    // dangling pointer every reader trips over
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${generationsDir(root)}/$gen")),
+      s"generation commit: data dir missing for '$gen' under $root")
     val mdir = new org.apache.hadoop.fs.Path(manifestDir(root))
     fs.mkdirs(mdir)
-    val tmp = new org.apache.hadoop.fs.Path(mdir,
-      s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        attempts += 1
-        require(attempts <= 1000,
-          s"generation commit: 1000 consecutive seq collisions under $root")
-        val next = entries(spark, root).lastOption.map(_._1 + 1).getOrElse(0L)
-        val dst = new org.apache.hadoop.fs.Path(mdir,
-          "m_" + s"%0${SeqWidth}d".format(next))
-        // rename-to-new-name either wins atomically or fails because a
-        // concurrent writer took the seq — re-list and retry above it
-        done = !fs.exists(dst) && fs.rename(tmp, dst)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 1000,
+        s"generation commit: 1000 consecutive seq collisions under $root")
+      // allocate above EVERY manifest file, including zero-length
+      // in-flight/crashed claims — else a crashed claim at the top
+      // seq would collide forever
+      val next = rawEntries(spark, root).lastOption.map(_._1 + 1).getOrElse(0L)
+      val dst = new org.apache.hadoop.fs.Path(mdir,
+        "m_" + s"%0${SeqWidth}d".format(next))
+      // claim the sequence by EXCLUSIVE create (overwrite=false) —
+      // atomic O_CREAT|O_EXCL on the local FS and the same primitive
+      // on HDFS; a loser gets an exception and retries above. The
+      // class scaladoc explains why rename-to-new-name is NOT safe
+      // here (RawLocalFileSystem delegates to clobbering rename(2)).
+      val out = try fs.create(dst, false) catch {
+        case _: java.io.IOException => null // seq taken concurrently
       }
-    } finally { if (fs.exists(tmp)) fs.delete(tmp, false); () }
+      if (out != null) {
+        try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        done = true
+      }
+    }
   }
 
   /** Delete generations superseded for longer than `minAgeMs` (their
@@ -167,8 +205,18 @@ object GenerationStore {
           if (nowMs - mtimes(superSeq) >= minAgeMs)
             deletable += st.getPath.toString
         case None =>
-          // uncommitted debris: age from the dir itself
-          if (nowMs - st.getModificationTime >= minAgeMs)
+          // uncommitted debris: age from the NEWEST mtime anywhere in
+          // the tree — a crashed publish stops writing and ages out,
+          // while a live slow build keeps renewing its lease with
+          // every file it writes (the dir's own mtime only refreshes
+          // on direct-child creation, which a long parquet write
+          // inside one subdir never does)
+          var newest = st.getModificationTime
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            newest = math.max(newest, it.next().getModificationTime)
+          }
+          if (nowMs - newest >= minAgeMs)
             deletable += st.getPath.toString
       }
     }
@@ -187,6 +235,16 @@ object GenerationStore {
     es.map(_._1).filterNot(survivors.contains).foreach { seq =>
       fs.delete(new org.apache.hadoop.fs.Path(mdir,
         "m_" + s"%0${SeqWidth}d".format(seq)), false)
+    }
+    // zero-length manifest claims (a commit that crashed between the
+    // exclusive create and the content write) are debris too once past
+    // the gate — their seq is then free for reuse, which is harmless:
+    // the claim never resolved for any reader
+    rawEntries(spark, root).filter(_._2.isEmpty).foreach { case (seq, _) =>
+      val mp = new org.apache.hadoop.fs.Path(mdir,
+        "m_" + s"%0${SeqWidth}d".format(seq))
+      if (nowMs - fs.getFileStatus(mp).getModificationTime >= minAgeMs)
+        fs.delete(mp, false)
     }
     deletable.toSeq
   }

@@ -57,9 +57,17 @@ object TokenizerExport {
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray,
+      val lines = new String(bytes.toByteArray,
         java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n", -1).toSeq.dropRight(1) // trailing newline
+        .split("\n", -1).toSeq
+        // CRLF files from external tools: the \r is not piece content
+        .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+      // drop the final element ONLY when it is the empty string after a
+      // trailing newline — published vocab/merges files commonly end
+      // WITHOUT one, and unconditionally dropping would silently lose
+      // the last piece/merge (a subtly different tokenizer, no error)
+      if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1)
+      else lines
     } finally in.close()
   }
 

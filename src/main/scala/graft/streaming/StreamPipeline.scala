@@ -570,8 +570,6 @@ object StreamPipeline {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Committed carry-mode generation dirs under `outDir`, in batch
-    * order (zero-padded batch-id names sort lexicographically). */
   /** Numeric batch id of a `gen_<id>` generation dir name — ordering
     * and the strictly-before recovery filter compare PARSED ids, never
     * name strings: a batch id past the zero-pad width would produce a

@@ -151,6 +151,43 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(GenerationStore.currentGenDir(spark, root).contains(cur))
   }
 
+  test("a zero-length manifest claim: skipped for resolution, counted for allocation, GC'd past the gate") {
+    val root = tmpRoot("genstore_claim")
+    val p1 = GenerationStore.publish(spark, root) { dir =>
+      Seq(1L).toDF("v").coalesce(1).write.parquet(dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a commit that crashed between the exclusive create and the
+    // content write: a zero-length claim at the next seq
+    val claim = new org.apache.hadoop.fs.Path(s"$root/manifest", "m_0000000001")
+    fs.create(claim, false).close()
+    // readers skip it — resolution falls back to the committed gen
+    assert(GenerationStore.currentGenDir(spark, root).contains(p1))
+    // allocation counts it — the next commit lands ABOVE the claim
+    val p2 = GenerationStore.publish(spark, root) { dir =>
+      Seq(2L).toDF("v").coalesce(1).write.parquet(dir)
+    }
+    assert(GenerationStore.currentGenDir(spark, root).contains(p2))
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/manifest"))
+      .map(_.getPath.getName).sorted
+    assert(names.toSeq == Seq("m_0000000000", "m_0000000001", "m_0000000002"))
+    // young claim survives the gate; an aged one is collected
+    GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600)
+    assert(fs.exists(claim))
+    GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(!fs.exists(claim))
+    assert(GenerationStore.currentGenDir(spark, root).contains(p2))
+  }
+
+  test("commit refuses a generation whose data dir is missing") {
+    val root = tmpRoot("genstore_dangling")
+    intercept[IllegalArgumentException] {
+      GenerationStore.commit(spark, root, "gen_never_built")
+    }
+  }
+
   test("commits are totally ordered; a seq collision retries, never clobbers") {
     val root = tmpRoot("genstore_order")
     val fs = new org.apache.hadoop.fs.Path(root)
