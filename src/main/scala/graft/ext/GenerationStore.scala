@@ -15,13 +15,16 @@ import org.apache.spark.sql.SparkSession
   *    mutates or renames a published one.
   *  - COMMIT is one atomic EXCLUSIVE CREATE: a manifest entry
   *    `<root>/manifest/m_<seq10>` whose CONTENT is the generation
-  *    name, created with overwrite=false — O_CREAT|O_EXCL on POSIX,
-  *    the same exclusive-create primitive on HDFS — so two writers
+  *    name, claimed via [[claimSeq]] — NIO `Files.createFile`
+  *    (guaranteed O_CREAT|O_EXCL) on the local filesystem, HDFS's own
+  *    atomic `create(overwrite=false)` elsewhere — so two writers
   *    racing on one `seq` cannot clobber each other: the loser's
-  *    create fails and it retries at the next seq. (Rename-to-new-name
-  *    is NOT a safe claim here: Hadoop's RawLocalFileSystem delegates
-  *    to rename(2), which silently replaces an existing destination on
-  *    Linux.) A zero-length entry is an in-flight or crashed commit:
+  *    create fails and it retries at the next seq. (Neither
+  *    rename-to-new-name NOR Hadoop's local `create(overwrite=false)`
+  *    is a safe claim on local disks: RawLocalFileSystem implements
+  *    the former as clobbering rename(2) and the latter as a
+  *    non-atomic exists() probe + plain open.) A zero-length entry is
+  *    an in-flight or crashed commit:
   *    readers skip it when resolving, but sequence allocation counts
   *    it, so a crashed claim can never stall later commits. The
   *    manifest sequence is therefore a total order of commits;
@@ -76,6 +79,49 @@ object GenerationStore {
   private def generationsDir(root: String) = s"$root/generations"
 
   private def seqOf(name: String): Long = name.stripPrefix("m_").toLong
+
+  /** Inverse of [[seqOf]] — the single definition of the manifest
+    * naming contract. */
+  private def mName(seq: Long): String = "m_" + s"%0${SeqWidth}d".format(seq)
+
+  /** Highest allocated manifest sequence (committed or in-flight),
+    * from file NAMES only — allocation never needs to read content. */
+  private def maxSeq(fs: org.apache.hadoop.fs.FileSystem,
+                     root: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(root))
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("m_")).map(seqOf).maxOption
+  }
+
+  /** Atomically claim manifest sequence `seq`: returns a stream to
+    * write the entry content, or null when the seq is already taken.
+    * On HDFS `create(overwrite=false)` is the atomic primitive; on the
+    * LOCAL filesystem it is NOT (RawLocalFileSystem implements it as a
+    * non-atomic exists() probe + plain FileOutputStream), so the local
+    * path goes through NIO `Files.createFile`, which is guaranteed
+    * O_CREAT|O_EXCL. Any failure other than "already exists"
+    * propagates — a permission or disk error must fail the commit
+    * loudly, not masquerade as 1000 seq collisions. */
+  private[ext] def claimSeq(fs: org.apache.hadoop.fs.FileSystem,
+                            root: String, seq: Long): java.io.OutputStream = {
+    val dst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(manifestDir(root)), mName(seq))
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(
+        fs.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(nio)
+        java.nio.file.Files.newOutputStream(nio,
+          java.nio.file.StandardOpenOption.WRITE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => null
+      }
+    } else {
+      try fs.create(dst, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => null }
+    }
+  }
 
   /** (seq, content) of EVERY manifest file, ascending by seq — content
     * `""` marks an in-flight or crashed commit (see [[commit]]): it
@@ -151,20 +197,12 @@ object GenerationStore {
       attempts += 1
       require(attempts <= 1000,
         s"generation commit: 1000 consecutive seq collisions under $root")
-      // allocate above EVERY manifest file, including zero-length
-      // in-flight/crashed claims — else a crashed claim at the top
-      // seq would collide forever
-      val next = rawEntries(spark, root).lastOption.map(_._1 + 1).getOrElse(0L)
-      val dst = new org.apache.hadoop.fs.Path(mdir,
-        "m_" + s"%0${SeqWidth}d".format(next))
-      // claim the sequence by EXCLUSIVE create (overwrite=false) —
-      // atomic O_CREAT|O_EXCL on the local FS and the same primitive
-      // on HDFS; a loser gets an exception and retries above. The
-      // class scaladoc explains why rename-to-new-name is NOT safe
-      // here (RawLocalFileSystem delegates to clobbering rename(2)).
-      val out = try fs.create(dst, false) catch {
-        case _: java.io.IOException => null // seq taken concurrently
-      }
+      // allocate above EVERY manifest file name, including zero-length
+      // in-flight/crashed claims — else a crashed claim at the top seq
+      // would collide forever; [[claimSeq]] is the atomic exclusive
+      // create (losers get null and retry above the new maximum)
+      val next = maxSeq(fs, root).map(_ + 1).getOrElse(0L)
+      val out = claimSeq(fs, root, next)
       if (out != null) {
         try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
@@ -183,22 +221,23 @@ object GenerationStore {
   def gc(spark: SparkSession, root: String, minAgeMs: Long,
          nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val (fs, _) = fsFor(spark, root)
-    val es = entries(spark, root)
-    if (es.isEmpty) return Seq.empty
+    // ONE manifest snapshot drives the whole pass (no second read)
+    val raw = rawEntries(spark, root)
+    val es = raw.filter(_._2.nonEmpty)
     val mdir = new org.apache.hadoop.fs.Path(manifestDir(root))
     // commit mtimes by seq — entry k is superseded by entry k+1
     val mtimes: Map[Long, Long] = es.map { case (seq, _) =>
-      seq -> fs.getFileStatus(new org.apache.hadoop.fs.Path(mdir,
-        "m_" + s"%0${SeqWidth}d".format(seq))).getModificationTime
+      seq -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(mdir, mName(seq))).getModificationTime
     }.toMap
-    val currentSeq = es.last._1
+    val currentSeqOpt = es.lastOption.map(_._1)
     val committed: Map[String, Long] = es.map(_.swap).toMap // gen -> seq (latest wins)
     val deletable = scala.collection.mutable.ArrayBuffer.empty[String]
     val gdir = new org.apache.hadoop.fs.Path(generationsDir(root))
     if (fs.exists(gdir)) fs.listStatus(gdir).foreach { st =>
       val gen = st.getPath.getName
       committed.get(gen) match {
-        case Some(seq) if seq == currentSeq => () // current: never
+        case Some(seq) if currentSeqOpt.contains(seq) => () // current: never
         case Some(seq) =>
           // superseded by the NEXT committed entry; age from its mtime
           val superSeq = es.map(_._1).find(_ > seq).get
@@ -210,12 +249,18 @@ object GenerationStore {
           // while a live slow build keeps renewing its lease with
           // every file it writes (the dir's own mtime only refreshes
           // on direct-child creation, which a long parquet write
-          // inside one subdir never does)
-          var newest = st.getModificationTime
-          val it = fs.listFiles(st.getPath, true)
-          while (it.hasNext) {
-            newest = math.max(newest, it.next().getModificationTime)
-          }
+          // inside one subdir never does). A file vanishing mid-walk
+          // IS a live build (its _temporary churn) — treat the dir as
+          // freshly leased rather than crash the whole gc pass.
+          val newest =
+            try {
+              var m = st.getModificationTime
+              val it = fs.listFiles(st.getPath, true)
+              while (it.hasNext) {
+                m = math.max(m, it.next().getModificationTime)
+              }
+              m
+            } catch { case _: java.io.FileNotFoundException => nowMs }
           if (nowMs - newest >= minAgeMs)
             deletable += st.getPath.toString
       }
@@ -226,25 +271,31 @@ object GenerationStore {
     // generation are dead pointers — drop them (keep the current one
     // always; keep any entry whose generation still exists for
     // readers that resolved it)
-    val survivors = {
-      val live = if (fs.exists(gdir))
-        fs.listStatus(gdir).map(_.getPath.getName).toSet else Set.empty[String]
-      es.filter { case (seq, gen) => seq == currentSeq || live.contains(gen) }
-        .map(_._1).toSet
-    }
-    es.map(_._1).filterNot(survivors.contains).foreach { seq =>
-      fs.delete(new org.apache.hadoop.fs.Path(mdir,
-        "m_" + s"%0${SeqWidth}d".format(seq)), false)
+    if (es.nonEmpty) {
+      val currentSeq = currentSeqOpt.get
+      val survivors = {
+        val live = if (fs.exists(gdir))
+          fs.listStatus(gdir).map(_.getPath.getName).toSet
+        else Set.empty[String]
+        es.filter { case (seq, gen) => seq == currentSeq || live.contains(gen) }
+          .map(_._1).toSet
+      }
+      es.map(_._1).filterNot(survivors.contains).foreach { seq =>
+        fs.delete(new org.apache.hadoop.fs.Path(mdir, mName(seq)), false)
+      }
     }
     // zero-length manifest claims (a commit that crashed between the
     // exclusive create and the content write) are debris too once past
     // the gate — their seq is then free for reuse, which is harmless:
-    // the claim never resolved for any reader
-    rawEntries(spark, root).filter(_._2.isEmpty).foreach { case (seq, _) =>
-      val mp = new org.apache.hadoop.fs.Path(mdir,
-        "m_" + s"%0${SeqWidth}d".format(seq))
-      if (nowMs - fs.getFileStatus(mp).getModificationTime >= minAgeMs)
-        fs.delete(mp, false)
+    // the claim never resolved for any reader. This runs even with NO
+    // committed entry (a first-ever commit that crashed must still age
+    // out, not pin its garbage forever).
+    raw.filter(_._2.isEmpty).foreach { case (seq, _) =>
+      val mp = new org.apache.hadoop.fs.Path(mdir, mName(seq))
+      val aged =
+        try nowMs - fs.getFileStatus(mp).getModificationTime >= minAgeMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (aged) fs.delete(mp, false)
     }
     deletable.toSeq
   }

@@ -57,16 +57,22 @@ object TokenizerExport {
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      val lines = new String(bytes.toByteArray,
+      val split = new String(bytes.toByteArray,
         java.nio.charset.StandardCharsets.UTF_8)
         .split("\n", -1).toSeq
-        // CRLF files from external tools: the \r is not piece content
-        .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
       // drop the final element ONLY when it is the empty string after a
       // trailing newline — published vocab/merges files commonly end
       // WITHOUT one, and unconditionally dropping would silently lose
       // the last piece/merge (a subtly different tokenizer, no error)
-      if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1)
+      val lines =
+        if (split.nonEmpty && split.last.isEmpty) split.dropRight(1)
+        else split
+      // a CRLF file from an external tool: strip the \r ONLY when
+      // EVERY line carries it — a lone \r-terminated line is piece
+      // content (a surface can legitimately end with \r; this engine's
+      // own exports round-trip it exactly), not a line ending
+      if (lines.nonEmpty && lines.forall(_.endsWith("\r")))
+        lines.map(_.dropRight(1))
       else lines
     } finally in.close()
   }

@@ -181,6 +181,44 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(GenerationStore.currentGenDir(spark, root).contains(p2))
   }
 
+  test("claimSeq is exclusive: the second claimant of a seq gets null") {
+    val root = tmpRoot("genstore_excl")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/manifest"))
+    val first = GenerationStore.claimSeq(fs, root, 7L)
+    assert(first != null)
+    first.write("gen_x".getBytes("UTF-8")); first.close()
+    // taken with content: the loser's create fails and returns null
+    assert(GenerationStore.claimSeq(fs, root, 7L) == null)
+    // a zero-length claim (crashed commit) also holds its seq
+    val c2 = GenerationStore.claimSeq(fs, root, 8L)
+    assert(c2 != null); c2.close()
+    assert(GenerationStore.claimSeq(fs, root, 8L) == null)
+  }
+
+  test("gc with zero committed entries still collects aged debris and claims") {
+    val root = tmpRoot("genstore_firstcrash")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a first-ever publish that crashed: data written, claim created,
+    // content never written — no committed entry exists anywhere
+    val debris = s"$root/generations/gen_0000000000000_crash"
+    Seq(9L).toDF("v").coalesce(1).write.parquet(debris)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/manifest"))
+    GenerationStore.claimSeq(fs, root, 0L).close()
+    assert(GenerationStore.currentGenDir(spark, root).isEmpty)
+    // young: both survive
+    assert(GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(debris)))
+    // aged: both collected, even though entries() is empty
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(deleted.exists(_.contains("crash")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(debris)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/manifest/m_0000000000")))
+  }
+
   test("commit refuses a generation whose data dir is missing") {
     val root = tmpRoot("genstore_dangling")
     intercept[IllegalArgumentException] {
