@@ -266,62 +266,82 @@ object Compaction {
       compactSpans(spark, dir)
     }
 
-  /** [[maybeCompactCms]]'s growth trigger for the IVF corpus store —
-    * floor = one file per live cell partition (what
-    * [[compactIvfCorpus]]'s cell-clustered rewrite lands at, the
-    * size-based floor as a lower bound), because per-batch appends
-    * leave one small file per cell per batch. */
+  /** [[maybeCompactCms]]'s growth trigger for the IVF index — counts
+    * files across base + COMMITTED staged batches ([[Ivf.corpusPaths]]);
+    * floor = one file per live cell partition (what [[compactIvfCorpus]]'s
+    * cell-clustered rewrite lands at, the size-based floor as a lower
+    * bound), because per-batch staging leaves one small file per cell
+    * per batch. */
   def maybeCompactIvf(spark: SparkSession, dir: String,
                       maxFiles: Int): Boolean = {
-    val corpus = s"$dir/corpus"
-    val (fs, p) = fsFor(spark, corpus)
+    val paths = Ivf.corpusPaths(spark, dir)
+    val (fs, p) = fsFor(spark, s"$dir/corpus")
     val cellDirs =
       if (!fs.exists(p)) 0L
       else fs.listStatus(p)
         .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
         .toLong
-    val floor = math.max(cellDirs, targetParts(spark, corpus).toLong)
-    growthTrigger(parquetFileCount(spark, corpus), floor, maxFiles) {
+    val floor = math.max(cellDirs, targetPartsFor(spark, paths).toLong)
+    growthTrigger(paths.map(parquetFileCount(spark, _)).sum, floor, maxFiles) {
       compactIvfCorpus(spark, dir)
     }
+  }
+
+  /** Fold `srcDir`'s IVF index — frozen model tables (centroids,
+    * pqbooks, …) byte-copied verbatim, base corpus + every COMMITTED
+    * staged batch ([[Ivf.ingestIntoIndex]]'s layout) clustered back to
+    * the [[Ivf.buildIndex]] file-per-cell layout sized to
+    * [[TargetFileBytes]] — into `outDir`: the one fold definition
+    * shared by the in-place [[compactIvfCorpus]] swap and the
+    * [[compactIvfToGeneration]] publish. Uncommitted batch debris is
+    * simply not folded (the swap deletes it with the old dir; under
+    * the generation protocol it ages out with its generation). Reads
+    * are materialized eagerly, so callers may rename/retire `srcDir`
+    * afterwards. */
+  private def foldIvf(spark: SparkSession, srcDir: String,
+                      outDir: String): Unit = {
+    val (fs, src) = fsFor(spark, srcDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+    fs.listStatus(src).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName == "corpus" || p.getName == "batches")
+      .foreach { p =>
+        // bounded model metadata — byte-copy keeps cached models and
+        // content signatures valid across the fold
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+          new org.apache.hadoop.fs.Path(s"$outDir/${p.getName}"),
+          false, spark.sparkContext.hadoopConfiguration)
+        ()
+      }
+    val n = targetPartsFor(spark, Ivf.corpusPaths(spark, srcDir))
+    Ivf.readCorpus(spark, srcDir)
+      .repartition(n, col("cell"))
+      .write.partitionBy("cell").parquet(s"$outDir/corpus")
   }
 
   /** IVF compaction under the [[GenerationStore]] protocol (the
     * [[compactBm25ToGeneration]] shape for the ANN serving tier): the
     * frozen centroid model rides along verbatim — centroids drift only
     * at a full rebuild, which is just another publish — and the
-    * cell-partitioned corpus (base build + every appended ingest
-    * batch) folds into [[Compaction.TargetFileBytes]]-sized files in a
-    * fresh generation committed via the atomic manifest rename.
-    * Returns the new generation's data dir; the superseded one keeps
-    * serving its in-flight readers until the GC age gate. */
+    * cell-partitioned corpus (base build + every COMMITTED staged
+    * ingest batch) folds into [[Compaction.TargetFileBytes]]-sized
+    * files in a fresh generation committed via the atomic manifest
+    * entry. Returns the new generation's data dir; the superseded one
+    * keeps serving its in-flight readers until the GC age gate. */
   def compactIvfToGeneration(spark: SparkSession, root: String): String = {
     val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
       sys.error(s"compactIvfToGeneration: no committed generation under $root"))
-    GenerationStore.publish(spark, root) { genDir =>
-      spark.read.parquet(s"$cur/centroids")
-        .coalesce(1).write.parquet(s"$genDir/centroids")
-      val n = targetParts(spark, s"$cur/corpus")
-      spark.read.parquet(s"$cur/corpus")
-        .repartition(n, col("cell"))
-        .write.partitionBy("cell").parquet(s"$genDir/corpus")
-    }
+    GenerationStore.publish(spark, root)(foldIvf(spark, cur, _))
   }
 
-  /** Rewrite the IVF `corpus/` store in the initial-build layout: one
-    * shuffle clusters rows by cell, `partitionBy` restores the
-    * file-per-cell locality the DPP-pruned probes scan
-    * ([[Ivf.buildIndex]]'s rationale) — per-batch appends leave one
-    * small file per cell per batch; the rewrite folds each cell to one. */
-  def compactIvfCorpus(spark: SparkSession, dir: String): Unit = {
-    val corpus = s"$dir/corpus"
-    val n = targetParts(spark, corpus)
-    swapIn(spark, corpus) { tmp =>
-      spark.read.parquet(corpus)
-        .repartition(n, col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
-    }
-  }
+  /** Rewrite the IVF index in the initial-build layout: one shuffle
+    * clusters base + committed staged batches by cell, `partitionBy`
+    * restores the file-per-cell locality the DPP-pruned probes scan
+    * ([[Ivf.buildIndex]]'s rationale). The WHOLE index dir swaps in
+    * one [[swapIn]] — the folded corpus and the staged-batch removal
+    * commit together atomically (the [[compactBm25Index]] discipline),
+    * so no crash point can leave a batch folded AND still staged. */
+  def compactIvfCorpus(spark: SparkSession, dir: String): Unit =
+    swapIn(spark, dir)(foldIvf(spark, dir, _))
 
   /** Retention compaction for the streaming near-dup band store
     * ([[graft.streaming.StreamPipeline.incrementalNearDups]] with a

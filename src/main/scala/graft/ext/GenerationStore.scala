@@ -47,8 +47,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Immutability has one sanctioned relaxation: APPEND-ONLY extensions
   * of a committed generation that carry their own atomic commit
-  * markers — the [[Bm25.ingestIntoIndex]] staged `batches/<id>/` dirs
-  * with per-batch `_COMMITTED` files. A reader that resolved the
+  * markers — the staged `batches/<id>/` dirs with per-batch
+  * `_COMMITTED` files that [[Bm25.ingestIntoIndex]] and
+  * [[Ivf.ingestIntoIndex]] write. A reader that resolved the
   * generation folds only the batches committed at its own listing
   * time; a batch landing mid-read is simply not folded (it is a
   * LATER state, exactly as a later generation would be), never a
@@ -183,11 +184,11 @@ object GenerationStore {
     * multi-directory builds that stage their own layout). */
   def commit(spark: SparkSession, root: String, gen: String): Unit = {
     val (fs, _) = fsFor(spark, root)
+    val genPath = new org.apache.hadoop.fs.Path(s"${generationsDir(root)}/$gen")
     // a publish whose generation was GC'd mid-build (or that never
     // materialized) must fail HERE — committing would publish a
     // dangling pointer every reader trips over
-    require(fs.exists(new org.apache.hadoop.fs.Path(
-        s"${generationsDir(root)}/$gen")),
+    require(fs.exists(genPath),
       s"generation commit: data dir missing for '$gen' under $root")
     val mdir = new org.apache.hadoop.fs.Path(manifestDir(root))
     fs.mkdirs(mdir)
@@ -204,8 +205,33 @@ object GenerationStore {
       val next = maxSeq(fs, root).map(_ + 1).getOrElse(0L)
       val out = claimSeq(fs, root, next)
       if (out != null) {
-        try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val content = gen.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        try out.write(content)
         finally out.close()
+        val mp = new org.apache.hadoop.fs.Path(mdir, mName(next))
+        // re-stat the entry: a committer stalled past the GC age gate
+        // between the exclusive create and the content write can have
+        // its aged ZERO-LENGTH claim deleted under it — on a local FS
+        // the write then lands on the unlinked inode and "succeeds"
+        // silently. A lost commit must fail loudly, never pass.
+        val len =
+          try Some(fs.getFileStatus(mp).getLen)
+          catch { case _: java.io.FileNotFoundException => None }
+        require(len.contains(content.length.toLong),
+          s"generation commit: manifest entry ${mName(next)} vanished or " +
+          s"was truncated mid-commit under $root (committer stalled past " +
+          "the GC age gate?) — the commit was lost, retry the publish")
+        // the data dir can also be GC'd between the entry-point check
+        // and the claim (same stall): re-check, and RETRACT the entry
+        // rather than leave a dangling pointer as the current commit.
+        // Safe to delete — [[currentGenDir]] requires the named
+        // generation to exist, so no reader ever resolved this entry.
+        if (!fs.exists(genPath)) {
+          fs.delete(mp, false)
+          sys.error(s"generation commit: data dir for '$gen' vanished " +
+            s"mid-commit under $root — manifest entry retracted, the " +
+            "publish was lost (committer stalled past the GC age gate?)")
+        }
         done = true
       }
     }
@@ -225,10 +251,15 @@ object GenerationStore {
     val raw = rawEntries(spark, root)
     val es = raw.filter(_._2.nonEmpty)
     val mdir = new org.apache.hadoop.fs.Path(manifestDir(root))
-    // commit mtimes by seq — entry k is superseded by entry k+1
-    val mtimes: Map[Long, Long] = es.map { case (seq, _) =>
-      seq -> fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(mdir, mName(seq))).getModificationTime
+    // commit mtimes by seq — entry k is superseded by entry k+1. An
+    // entry can vanish between the rawEntries snapshot and this stat
+    // (a concurrent gc pruning dead pointers): None, tolerated at the
+    // use site, matching the FNF tolerance everywhere else in this
+    // pass — never a crash of the whole pass.
+    val mtimes: Map[Long, Option[Long]] = es.map { case (seq, _) =>
+      seq -> (try Some(fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(mdir, mName(seq))).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None })
     }.toMap
     val currentSeqOpt = es.lastOption.map(_._1)
     val committed: Map[String, Long] = es.map(_.swap).toMap // gen -> seq (latest wins)
@@ -239,9 +270,11 @@ object GenerationStore {
       committed.get(gen) match {
         case Some(seq) if currentSeqOpt.contains(seq) => () // current: never
         case Some(seq) =>
-          // superseded by the NEXT committed entry; age from its mtime
+          // superseded by the NEXT committed entry; age from its mtime.
+          // A vanished superseding entry (concurrent gc) ⇒ skip this
+          // generation conservatively — the next pass resolves it.
           val superSeq = es.map(_._1).find(_ > seq).get
-          if (nowMs - mtimes(superSeq) >= minAgeMs)
+          if (mtimes(superSeq).exists(nowMs - _ >= minAgeMs))
             deletable += st.getPath.toString
         case None =>
           // uncommitted debris: age from the NEWEST mtime anywhere in

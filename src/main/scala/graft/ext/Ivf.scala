@@ -387,26 +387,72 @@ object Ivf {
       model, sample)
   }
 
-  /** Appends new vectors to an existing FLOAT index's cell-partitioned
-    * corpus WITHOUT retraining: cells come from the frozen centroid
-    * model (the standard IVF maintenance contract — centroids drift
-    * only at the next full rebuild), rows take the same
-    * (nid, nvec, nn2, cell) shape [[buildIndex]] writes, and the
-    * append lands inside the existing `cell=` partition layout, so
-    * probes see the new vectors on their next scan with the same DPP
-    * pruning. One narrow map + one cell-clustered write per batch —
-    * no shuffle of existing index data, no driver collect beyond the
-    * cached k-row model. Retried batches double-append (harmless to
-    * top-k: duplicate rows of one nid rank adjacently) — a durable
-    * deployment dedups by writing per-batch subpartitions, as
-    * [[graft.streaming.StreamPipeline.incrementalNearDups]] documents. */
+  /** Committed staged-batch dirs under `dir/batches` — the
+    * [[Bm25.committedBatchDirs]] contract on the ANN tier: ingest
+    * stages each batch under `batches/<id>/corpus` and commits it with
+    * ONE atomic `_COMMITTED` file create, so a reader folds a batch
+    * entirely or not at all. Driver-side listing, bounded by batches
+    * since the last compaction. */
+  def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(bp => fs.exists(new org.apache.hadoop.fs.Path(bp, "_COMMITTED")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** The corpus read paths: base build + every COMMITTED staged batch.
+    * All serving and compaction reads of a float index go through
+    * this, so an uncommitted (in-flight or crashed) batch is invisible
+    * everywhere by construction. */
+  def corpusPaths(spark: SparkSession, dir: String): Seq[String] =
+    s"$dir/corpus" +: committedBatchDirs(spark, dir).map(b => s"$b/corpus")
+
+  /** Union over [[corpusPaths]] — for FOLDS (compaction), where
+    * pruning is irrelevant because every row is rewritten anyway.
+    * Partition discovery cannot host roots of different depths in one
+    * FileIndex, so each root reads separately; serving joins each
+    * root against the query side INSTEAD of using this union, keeping
+    * DPP on the base scan (see [[topKIndexed]]). */
+  def readCorpus(spark: SparkSession, dir: String): DataFrame =
+    corpusPaths(spark, dir).map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+
+  /** Appends new vectors to an existing FLOAT index WITHOUT
+    * retraining: cells come from the frozen centroid model (the
+    * standard IVF maintenance contract — centroids drift only at the
+    * next full rebuild) and rows take the same (nid, nvec, nn2, cell)
+    * shape [[buildIndex]] writes — but STAGED under a fresh
+    * `batches/<id>/corpus` dir and committed by one atomic
+    * `_COMMITTED` file create (the [[Bm25.ingestIntoIndex]]
+    * discipline), NOT appended in place: Spark's job commit makes a
+    * plain `mode("append")`'s files visible one rename at a time, so
+    * a concurrent reader that resolved the index mid-commit could
+    * list a TORN batch. With staging, serving ([[topKIndexed]] via
+    * [[corpusPaths]]) folds only the batches committed at its own
+    * listing time — a batch landing mid-read is a LATER state, never
+    * a torn one, which is exactly the append-only relaxation
+    * [[GenerationStore]] sanctions. One narrow map + one
+    * cell-clustered write per batch — no shuffle of existing index
+    * data, no driver collect beyond the cached k-row model. A crashed
+    * ingest leaves an uncommitted dir serving ignores and compaction
+    * deletes; a RETRIED batch that committed twice double-appends
+    * (harmless to top-k: duplicate rows of one nid rank adjacently). */
   def ingestIntoIndex(spark: SparkSession, indexDir: String, batch: DataFrame,
                       idCol: String, vecCol: String): Unit = {
     val model = loadModel(spark, indexDir)
+    val batchDir = s"$indexDir/batches/b_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     Similarity.prepared(batch, idCol, vecCol, "nid", "nvec", "nn2")
       .withColumn("cell", assignUdf(model, 1)(col("nvec")).getItem(0))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
+      .write.partitionBy("cell").parquet(s"$batchDir/corpus")
+    // the commit point: the batch is invisible until this single
+    // atomic create succeeds
+    val mp = new org.apache.hadoop.fs.Path(s"$batchDir/_COMMITTED")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(mp, false).close()
   }
 
   /** Centroids load once per JVM per index (k rows — bounded model
@@ -458,13 +504,26 @@ object Ivf {
                   idCol: String, vecCol: String, k: Int = 5,
                   nProbe: Int = 4): DataFrame = {
     val model = loadModel(spark, indexDir)
-    val corpus = spark.read.parquet(s"$indexDir/corpus")
     val q = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
       .withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
-    val scored = corpus.join(broadcast(q), "cell")
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("score",
-        Similarity.dotUdf(col("qvec"), col("nvec")) / sqrt(col("qn2") * col("nn2")))
+    // base + committed staged batches: each root joins the broadcast
+    // query side SEPARATELY (one FileIndex per root), so the BASE
+    // scan — the corpus-sized side — keeps its DPP partition pruning;
+    // a single multi-root relation would forfeit it (partition
+    // discovery rejects roots of different depths), and a Union under
+    // the join would break the pruning rule's scan match. The batch
+    // joins scan unpruned, but a staged batch is micro-batch-sized
+    // and their count is bounded by the auto-compaction threshold —
+    // the same bounded-delta fold the BM25 df/stats serving pays.
+    val scored = corpusPaths(spark, indexDir)
+      .map { p =>
+        spark.read.parquet(p).join(broadcast(q), "cell")
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("score",
+            Similarity.dotUdf(col("qvec"), col("nvec")) /
+              sqrt(col("qn2") * col("nn2")))
+      }
+      .reduce(_.unionByName(_))
     rankTopK(scored, k)
   }
 

@@ -39,6 +39,16 @@ object TokenizerExport {
 
   private def writeLines(spark: SparkSession, path: String,
                          lines: Seq[String]): Unit = {
+    // the line format cannot represent \n in content, and a trailing
+    // \r would be indistinguishable from a CRLF line ending on
+    // re-import ([[readLines]]'s raw-terminator classifier) — refuse
+    // LOUDLY rather than export a file that reads back as a subtly
+    // different tokenizer (the ##-prefix refusal's discipline)
+    lines.find(l => l.contains('\n') || l.contains('\r')).foreach { l =>
+      sys.error("tokenizer export: line contains a \\r or \\n control " +
+        s"character and cannot round-trip through the line format: " +
+        s"'${l.replace("\r", "\\r").replace("\n", "\\n")}' ($path)")
+    }
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Option(p.getParent).foreach(fs.mkdirs(_))
@@ -57,9 +67,9 @@ object TokenizerExport {
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      val split = new String(bytes.toByteArray,
+      val text = new String(bytes.toByteArray,
         java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n", -1).toSeq
+      val split = text.split("\n", -1).toSeq
       // drop the final element ONLY when it is the empty string after a
       // trailing newline — published vocab/merges files commonly end
       // WITHOUT one, and unconditionally dropping would silently lose
@@ -67,12 +77,25 @@ object TokenizerExport {
       val lines =
         if (split.nonEmpty && split.last.isEmpty) split.dropRight(1)
         else split
-      // a CRLF file from an external tool: strip the \r ONLY when
-      // EVERY line carries it — a lone \r-terminated line is piece
-      // content (a surface can legitimately end with \r; this engine's
-      // own exports round-trip it exactly), not a line ending
-      if (lines.nonEmpty && lines.forall(_.endsWith("\r")))
-        lines.map(_.dropRight(1))
+      // CRLF is classified from the RAW TERMINATOR BYTES, not from
+      // line content: the file is a CRLF file iff it contains "\r\n"
+      // and EVERY \n is preceded by \r. The earlier forall-over-lines
+      // heuristic was vacuously true for a single-line file (and for a
+      // file whose every piece happened to end with \r), silently
+      // corrupting content. [[writeLines]] refuses \r inside content,
+      // so for this engine's own exports a terminator-adjacent \r can
+      // only BE a terminator; an external mixed-ending file is left
+      // byte-exact.
+      val isCrlf = {
+        var i = text.indexOf('\n')
+        var all = i >= 0
+        while (all && i >= 0) {
+          if (i == 0 || text.charAt(i - 1) != '\r') all = false
+          else i = text.indexOf('\n', i + 1)
+        }
+        all
+      }
+      if (isCrlf) lines.map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
       else lines
     } finally in.close()
   }

@@ -679,14 +679,16 @@ object StreamQueries {
 
     // the generation-store protocol on the SECOND serving tier (ANN):
     // full IVF build published as generation 0, a +1M-id copy of every
-    // vector appended into the committed generation (the documented
-    // IVF maintenance contract — cell assignment from the frozen
-    // centroids, job-atomic appends, retry double-append harmless to
-    // top-k), compaction-as-publish folding centroids + corpus into a
-    // fresh generation, age-gated GC, then the pruned top-k probe from
-    // the new current generation. Same structural oracle as
-    // q_stream_ann_ingest: every query's top-1 must be its ingested
-    // copy (same cell by construction, cosine 1.0).
+    // vector STAGE-ingested into the committed generation (the
+    // sanctioned append-only relaxation: cell assignment from the
+    // frozen centroids, per-batch batches/<id>/ dir committed by one
+    // atomic _COMMITTED create — readers fold only committed batches,
+    // so a concurrent lister can never see a torn batch), then
+    // compaction-as-publish folding centroids + base + committed
+    // batches into a fresh generation, age-gated GC, and the pruned
+    // top-k probe from the new current generation. Same structural
+    // oracle as q_stream_ann_ingest: every query's top-1 must be its
+    // ingested copy (same cell by construction, cosine 1.0).
     "q_genstore_ann" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       val root = freshScratchDir(d, "genann").toString

@@ -263,12 +263,27 @@ class CompactionSpec extends AnyFunSuite {
       Ivf.topKIndexed(spark, dir, queries, "vec_id", "embedding",
         k = 3, nProbe = 2))
     val before = probe()
-    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/corpus")
+    // ingest STAGES batches under batches/<id>/ — a reader folds only
+    // committed ones, so deleting a marker must hide that batch and
+    // restoring it must bring the rows back (the torn-batch guard)
+    val batches = Ivf.committedBatchDirs(spark, dir)
+    assert(batches.length == 2, s"expected 2 committed batches: $batches")
+    val marker = new org.apache.hadoop.fs.Path(s"${batches.head}/_COMMITTED")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    assert(Ivf.committedBatchDirs(spark, dir).length == 1)
+    assert(probe() != before, "an uncommitted batch must be invisible")
+    fs.create(marker, false).close()
+    assert(probe() == before)
+    // whole-index file count: base corpus + staged batches
+    val filesBefore = Compaction.parquetFileCount(spark, dir)
     Compaction.compactIvfCorpus(spark, dir)
     val after = probe()
-    val filesAfter = Compaction.parquetFileCount(spark, s"$dir/corpus")
+    val filesAfter = Compaction.parquetFileCount(spark, dir)
     assert(before == after)
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    assert(Ivf.committedBatchDirs(spark, dir).isEmpty,
+      "the swap must retire staged batches atomically with the fold")
     // the growth trigger stays quiet at the compacted steady state —
     // the per-cell floor means an absolute-count trigger would rewrite
     // the whole corpus on every micro-batch once cells >= maxFiles

@@ -317,8 +317,9 @@ class StreamingSpec extends AnyFunSuite {
     val nBatches = StreamPipeline.ivfIngest(spark, stream, idxDir,
       "vec_id", "embedding")
     assert(nBatches >= 2, s"expected >= 2 micro-batches, saw $nBatches")
-    // the maintained corpus holds base + ingested rows, all cell-assigned
-    val corpus = spark.read.parquet(s"$idxDir/corpus")
+    // the maintained corpus (base + committed staged batches) holds
+    // base + ingested rows, all cell-assigned
+    val corpus = graft.ext.Ivf.readCorpus(spark, idxDir)
     assert(corpus.count() == baseN * 2)
     assert(corpus.filter(col("cell").isNull).count() == 0)
     // a probe over the maintained index finds each ingested copy as the
