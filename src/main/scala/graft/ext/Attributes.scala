@@ -68,16 +68,32 @@ object Attributes {
         .write.mode("overwrite").parquet(s"$dir/attrs")
     }
 
-  /** Streaming attributes maintenance (the Bm25.ingestIntoIndex
-    * pattern): APPEND one micro-batch of new documents' attribute rows
-    * to the persisted relation — the tag pass runs over the BATCH,
-    * never the corpus, and every mix launched after the batch commits
-    * sees the union. Ingested doc ids must be new (same contract as
-    * the index ingest paths). */
-  def ingestIntoAttributes(dir: String, batch: DataFrame): Unit =
+  /** The attrs relation's read paths: base build + every COMMITTED
+    * staged ingest batch ([[StagedBatches]]). */
+  def attrsPaths(spark: SparkSession, dir: String): Seq[String] =
+    StagedBatches.storePaths(spark, dir, "attrs")
+
+  /** The persisted doc-level attributes relation — base + committed
+    * staged batches in one union read (the relation is unpartitioned,
+    * so the multi-root read is a single FileIndex). */
+  def readAttrs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(attrsPaths(spark, dir): _*)
+
+  /** Streaming attributes maintenance (the [[Bm25.ingestIntoIndex]]
+    * pattern): STAGE one micro-batch of new documents' attribute rows
+    * under a fresh `batches/<id>/attrs` dir and COMMIT with one atomic
+    * `_COMMITTED` create ([[StagedBatches]]) — the tag pass runs over
+    * the BATCH, never the corpus, and every mix launched after the
+    * batch commits sees the union; a mix running DURING the commit
+    * folds only already-committed batches, never a torn one. Ingested
+    * doc ids must be new (same contract as the index ingest paths). */
+  def ingestIntoAttributes(dir: String, batch: DataFrame): Unit = {
+    val batchDir = StagedBatches.freshBatchDir(dir)
     tagFrame(batch)
       .sortWithinPartitions(col("doc_id"))
-      .write.mode("append").parquet(s"$dir/attrs")
+      .write.parquet(s"$batchDir/attrs")
+    StagedBatches.commit(batch.sparkSession, batchDir)
+  }
 
   /** A MIX: join the persisted attributes back to the corpus by id and
     * keep rows satisfying `pred` (a predicate over attribute columns).
@@ -86,7 +102,7 @@ object Attributes {
     * caller projects from it. */
   def mixed(spark: SparkSession, dir: String, docs: DataFrame,
             pred: Column): DataFrame =
-    docs.join(spark.read.parquet(s"$dir/attrs"), Seq("doc_id"))
+    docs.join(readAttrs(spark, dir), Seq("doc_id"))
       .filter(pred)
 
   // ------------------------------------------------------------------
@@ -294,24 +310,39 @@ object Attributes {
       finally { toked.unpersist(); () }
     }
 
+  /** The span relation's read paths: base build + every COMMITTED
+    * staged ingest batch ([[StagedBatches]]). */
+  def spanPaths(spark: SparkSession, dir: String): Seq[String] =
+    StagedBatches.storePaths(spark, dir, "spans")
+
+  /** The persisted span relation — base + committed staged batches in
+    * one union read. */
+  def readSpans(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(spanPaths(spark, dir): _*)
+
   /** Streaming span-attributes maintenance (the
-    * [[ingestIntoAttributes]] pattern): APPEND one micro-batch of new
-    * documents' span rows — the taggers run over the BATCH against the
-    * static benchmark, never the corpus; every mix launched after the
-    * batch commits sees the union. Ingested doc ids must be new.
-    * `benchGrams` takes the benchmark's PRE-HASHED gram set so a
-    * long-lived stream computes it once, not once per micro-batch
-    * ([[StreamPipeline.spanIngest]] passes a persisted one). */
+    * [[ingestIntoAttributes]] pattern): STAGE one micro-batch of new
+    * documents' span rows under `batches/<id>/spans` and COMMIT with
+    * one atomic `_COMMITTED` create — the taggers run over the BATCH
+    * against the static benchmark, never the corpus; every mix
+    * launched after the batch commits sees the union, and a reader
+    * listing mid-commit folds only whole batches. Ingested doc ids
+    * must be new. `benchGrams` takes the benchmark's PRE-HASHED gram
+    * set so a long-lived stream computes it once, not once per
+    * micro-batch ([[StreamPipeline.spanIngest]] passes a persisted
+    * one). */
   def ingestIntoSpanAttributes(dir: String, batch: DataFrame,
                                benchGrams: DataFrame,
                                idCol: String = "doc_id",
                                textCol: String = "text", n: Int = 3): Unit = {
     val toked = tokenized(batch, idCol, textCol).persist()
-    try
+    try {
+      val batchDir = StagedBatches.freshBatchDir(dir)
       spanTagFrameOn(toked, benchGrams, n)
         .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
-        .write.mode("append").parquet(s"$dir/spans")
-    finally { toked.unpersist(); () }
+        .write.parquet(s"$batchDir/spans")
+      StagedBatches.commit(batch.sparkSession, batchDir)
+    } finally { toked.unpersist(); () }
   }
 
   /** The benchmark gram set [[ingestIntoSpanAttributes]] consumes —

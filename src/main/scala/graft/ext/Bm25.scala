@@ -94,19 +94,13 @@ object Bm25 {
     * sees a batch entirely or not at all (see [[ingestIntoIndex]]).
     * Driver-side listing, bounded by batches since the last
     * compaction (the auto-compaction policy bounds that). */
-  def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/batches")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      .filter(bp => fs.exists(new org.apache.hadoop.fs.Path(bp, "_COMMITTED")))
-      .map(_.toString).sorted.toSeq
-  }
+  def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] =
+    StagedBatches.committedDirs(spark, dir)
 
   /** The `sub` store's read paths: base generation + every COMMITTED
     * staged batch. */
   def storePaths(spark: SparkSession, dir: String, sub: String): Seq[String] =
-    s"$dir/$sub" +: committedBatchDirs(spark, dir).map(b => s"$b/$sub")
+    StagedBatches.storePaths(spark, dir, sub)
 
   /** Streaming index maintenance (the Ivf.ingestIntoIndex pattern for
     * lexical search): STAGE one micro-batch of new documents' tf rows
@@ -133,8 +127,7 @@ object Bm25 {
     * sources here). Single-writer, like [[ensureIndex]]. */
   def ingestIntoIndex(spark: SparkSession, dir: String, batch: DataFrame,
                       idCol: String, textCol: String): Unit = {
-    val batchDir = s"$dir/batches/b_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    val batchDir = StagedBatches.freshBatchDir(dir)
     // one tokenize pass serves the tf write AND both delta writes
     val toks = TextStats.tokenRows(batch, idCol, textCol)
       .withColumnRenamed(idCol, "doc_id")
@@ -160,9 +153,7 @@ object Bm25 {
         .write.parquet(s"$batchDir/stats")
       // the commit point: everything above is invisible until this
       // single atomic create succeeds
-      val mp = new org.apache.hadoop.fs.Path(s"$batchDir/_COMMITTED")
-      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(mp, false).close()
+      StagedBatches.commit(spark, batchDir)
     } finally { tfdl.unpersist(); () }
   }
 

@@ -218,53 +218,83 @@ object Compaction {
     GenerationStore.publish(spark, root)(foldBm25(spark, cur, _))
   }
 
-  /** Rewrite the Dolma attributes relation doc_id-RANGE-clustered (the
-    * per-batch appends are each sorted internally, but id ranges
-    * overlap across batches, defeating row-group pruning on id
-    * probes; the compacted layout restores it corpus-wide). */
-  def compactAttrs(spark: SparkSession, dir: String): Unit = {
-    val attrs = s"$dir/attrs"
-    val n = targetParts(spark, attrs)
-    swapIn(spark, attrs) { tmp =>
-      spark.read.parquet(attrs)
-        .repartitionByRange(n, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .write.parquet(tmp)
-    }
+  /** Fold a doc_id-range-clustered relation store (the Dolma attrs /
+    * span layout): base + every COMMITTED staged batch rewritten
+    * doc_id-range-clustered into `outDir/<sub>` — per-batch appends
+    * are each sorted internally, but id ranges overlap across batches,
+    * defeating row-group pruning on id probes; the fold restores it
+    * corpus-wide. The one fold definition shared by the in-place swaps
+    * and the generation publishes. */
+  private def foldRangeStore(spark: SparkSession, srcDir: String,
+                             outDir: String, sub: String,
+                             sortCols: Seq[String]): Unit = {
+    val paths = StagedBatches.storePaths(spark, srcDir, sub)
+    val n = targetPartsFor(spark, paths)
+    spark.read.parquet(paths: _*)
+      .repartitionByRange(n, col("doc_id"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.parquet(s"$outDir/$sub")
   }
 
-  /** Rewrite the SPAN-attributes relation doc_id-range-clustered — the
-    * [[compactAttrs]] relayout for the span store's `spans/` relation
-    * (per-batch appends overlap id ranges across batches, defeating
-    * row-group pruning on the mix's id join-back). */
-  def compactSpans(spark: SparkSession, dir: String): Unit = {
-    val spans = s"$dir/spans"
-    val n = targetParts(spark, spans)
-    swapIn(spark, spans) { tmp =>
-      spark.read.parquet(spans)
-        .repartitionByRange(n, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
-        .write.parquet(tmp)
-    }
-  }
+  /** Rewrite the Dolma attributes store doc_id-RANGE-clustered,
+    * folding committed staged ingest batches back into the base
+    * relation. The WHOLE store dir swaps atomically, so the fold and
+    * the staged-batch retirement commit together. */
+  def compactAttrs(spark: SparkSession, dir: String): Unit =
+    swapIn(spark, dir)(
+      foldRangeStore(spark, dir, _, "attrs", Seq("doc_id")))
+
+  /** [[compactAttrs]] for the span store's `spans/` relation. */
+  def compactSpans(spark: SparkSession, dir: String): Unit =
+    swapIn(spark, dir)(
+      foldRangeStore(spark, dir, _, "spans", Seq("doc_id", "tag", "start")))
 
   /** [[maybeCompactCms]]'s growth trigger for the Dolma-attributes
-    * store — floor = the size-based compacted file count
-    * ([[targetParts]], what [[compactAttrs]] would write). */
+    * store — files counted across base + committed staged batches;
+    * floor = the size-based compacted file count ([[targetPartsFor]],
+    * what [[compactAttrs]] would write). */
   def maybeCompactAttrs(spark: SparkSession, dir: String,
-                        maxFiles: Int): Boolean =
-    growthTrigger(parquetFileCount(spark, s"$dir/attrs"),
-      targetParts(spark, s"$dir/attrs").toLong, maxFiles) {
+                        maxFiles: Int): Boolean = {
+    val paths = StagedBatches.storePaths(spark, dir, "attrs")
+    growthTrigger(paths.map(parquetFileCount(spark, _)).sum,
+      targetPartsFor(spark, paths).toLong, maxFiles) {
       compactAttrs(spark, dir)
     }
+  }
 
   /** [[maybeCompactCms]]'s growth trigger for the span store. */
   def maybeCompactSpans(spark: SparkSession, dir: String,
-                        maxFiles: Int): Boolean =
-    growthTrigger(parquetFileCount(spark, s"$dir/spans"),
-      targetParts(spark, s"$dir/spans").toLong, maxFiles) {
+                        maxFiles: Int): Boolean = {
+    val paths = StagedBatches.storePaths(spark, dir, "spans")
+    growthTrigger(paths.map(parquetFileCount(spark, _)).sum,
+      targetPartsFor(spark, paths).toLong, maxFiles) {
       compactSpans(spark, dir)
     }
+  }
+
+  /** Dolma-attributes compaction under the [[GenerationStore]]
+    * protocol (the [[compactBm25ToGeneration]] shape for the
+    * attribute-serving tier — long-running mix consumers): fold the
+    * current generation's base + committed staged ingest batches into
+    * a fresh generation committed via the atomic manifest entry.
+    * Returns the new generation's data dir; the superseded one keeps
+    * serving its in-flight readers until the GC age gate. */
+  def compactAttrsToGeneration(spark: SparkSession, root: String): String = {
+    val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
+      sys.error(s"compactAttrsToGeneration: no committed generation under $root"))
+    GenerationStore.publish(spark, root)(
+      foldRangeStore(spark, cur, _, "attrs", Seq("doc_id")))
+  }
+
+  /** [[compactAttrsToGeneration]] for the span store — the tier a
+    * Dolma-style span consumer (a long-running excision mix) reads
+    * while the maintainer keeps ingesting. */
+  def compactSpansToGeneration(spark: SparkSession, root: String): String = {
+    val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
+      sys.error(s"compactSpansToGeneration: no committed generation under $root"))
+    GenerationStore.publish(spark, root)(
+      foldRangeStore(spark, cur, _, "spans", Seq("doc_id", "tag", "start")))
+  }
 
   /** [[maybeCompactCms]]'s growth trigger for the IVF index — counts
     * files across base + COMMITTED staged batches ([[Ivf.corpusPaths]]);

@@ -393,14 +393,8 @@ object Ivf {
     * ONE atomic `_COMMITTED` file create, so a reader folds a batch
     * entirely or not at all. Driver-side listing, bounded by batches
     * since the last compaction. */
-  def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/batches")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      .filter(bp => fs.exists(new org.apache.hadoop.fs.Path(bp, "_COMMITTED")))
-      .map(_.toString).sorted.toSeq
-  }
+  def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] =
+    StagedBatches.committedDirs(spark, dir)
 
   /** The corpus read paths: base build + every COMMITTED staged batch.
     * All serving and compaction reads of a float index go through
@@ -442,17 +436,14 @@ object Ivf {
   def ingestIntoIndex(spark: SparkSession, indexDir: String, batch: DataFrame,
                       idCol: String, vecCol: String): Unit = {
     val model = loadModel(spark, indexDir)
-    val batchDir = s"$indexDir/batches/b_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    val batchDir = StagedBatches.freshBatchDir(indexDir)
     Similarity.prepared(batch, idCol, vecCol, "nid", "nvec", "nn2")
       .withColumn("cell", assignUdf(model, 1)(col("nvec")).getItem(0))
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$batchDir/corpus")
     // the commit point: the batch is invisible until this single
     // atomic create succeeds
-    val mp = new org.apache.hadoop.fs.Path(s"$batchDir/_COMMITTED")
-    mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(mp, false).close()
+    StagedBatches.commit(spark, batchDir)
   }
 
   /** Centroids load once per JVM per index (k rows — bounded model

@@ -502,7 +502,7 @@ object CurationQueries {
       graft.ext.Attributes.ensureSpanAttributes(
         all.filter(col("source") =!= "src0"),
         all.filter(col("source") === "src0"), dir, n = 3)
-      s.read.parquet(s"$dir/spans")
+      graft.ext.Attributes.readSpans(s, dir)
         .orderBy(col("doc_id"), col("tag"), col("start"))
     }),
 
@@ -519,7 +519,7 @@ object CurationQueries {
       val dir = graft.ext.Attributes.spanDirFor(d)
       graft.ext.Attributes.ensureSpanAttributes(
         cand, all.filter(col("source") === "src0"), dir, n = 3)
-      val spans = s.read.parquet(s"$dir/spans")
+      val spans = graft.ext.Attributes.readSpans(s, dir)
         .filter(col("tag").like("pii_%") || col("score") >= 6.0)
       graft.ext.Attributes.exciseSpans(cand, spans)
         .orderBy(col("doc_id"))

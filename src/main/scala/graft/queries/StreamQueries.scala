@@ -715,6 +715,126 @@ object StreamQueries {
         .orderBy(col("qid"))
     }),
 
+    // the generation-store protocol on the SPAN-ATTRIBUTE tier — the
+    // store with the clearest long-running-reader workload (an
+    // excision mix over the whole corpus runs for hours while tagging
+    // continues): base spans over the even candidates published as
+    // generation 0, the odd candidates stage-ingested into the
+    // committed generation (atomic per-batch _COMMITTED markers),
+    // compaction-as-publish folding base + batches doc_id-range-
+    // clustered into a fresh generation, age-gated GC with the
+    // superseded generation asserted alive for its in-flight readers,
+    // then the span relation served from the new current generation.
+    // The oracle re-derives every span tagger over the FULL candidate
+    // set (q_span_attrs's oracle verbatim), so a lost batch, a
+    // double-fold, or serving a stale generation cannot hash-match.
+    "q_genstore_spans" -> ((s, d) => {
+      val all = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          CurationQueries.spanPlantedCol.as("text"))
+      val bench = all.filter(col("source") === "src0")
+      val cand = all.filter(col("source") =!= "src0")
+      val root = freshScratchDir(d, "genspans").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.Attributes.ensureSpanAttributes(
+          cand.filter(col("doc_id") % 2 === 0), bench, genDir, n = 3)
+      }
+      graft.ext.Attributes.ingestIntoSpanAttributes(g0,
+        cand.filter(col("doc_id") % 2 =!= 0),
+        graft.ext.Attributes.benchGramSet(bench, n = 3), n = 3)
+      val held = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      graft.ext.Compaction.compactSpansToGeneration(s, root)
+      graft.ext.GenerationStore.gc(s, root, minAgeMs = 3600L * 1000)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(held)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != held, "compaction must publish a NEW generation")
+      graft.ext.Attributes.readSpans(s, cur)
+        .orderBy(col("doc_id"), col("tag"), col("start"))
+    }),
+
+    // the generation-store protocol on the DOC-ATTRIBUTE tier (the
+    // Dolma tag-once/mix-many store): even half tagged and published
+    // as generation 0, odd half stage-ingested, fold-as-publish,
+    // age-gated GC with the held generation asserted alive, then the
+    // MIX served from the new current generation — the oracle
+    // re-derives every tagger over the full corpus and replays the
+    // mix predicate, so only a complete, exactly-once attribute
+    // relation can match.
+    "q_genstore_attrs" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val root = freshScratchDir(d, "genattrs").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.Attributes.ensureAttributes(
+          docs.filter(col("doc_id") % 2 === 0), genDir)
+      }
+      graft.ext.Attributes.ingestIntoAttributes(g0,
+        docs.filter(col("doc_id") % 2 =!= 0))
+      val held = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      graft.ext.Compaction.compactAttrsToGeneration(s, root)
+      graft.ext.GenerationStore.gc(s, root, minAgeMs = 3600L * 1000)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(held)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != held, "compaction must publish a NEW generation")
+      graft.ext.Attributes.mixed(s, cur, docs,
+          col("clf_keep") && col("gopher_keep"))
+        .select(col("doc_id"), col("n_words"), col("quality_q4"),
+          col("lang"), col("gopher_keep"), col("clf_keep"),
+          md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the STREAMING span maintainer under the generation protocol
+    // (q_stream_span_ingest's workload with long-running readers
+    // beside the maintainer): base spans publish as generation 0, each
+    // micro-batch re-resolves the current generation and stage-commits
+    // its span rows, and at autoCompactEvery=2 the second batch's own
+    // foreachBatch publishes the folded generation + runs the age-gated
+    // GC (the superseded generation must survive — asserted). The
+    // served relation must equal the batch tag of the union corpus:
+    // q_stream_span_ingest's oracle verbatim.
+    "q_stream_genstore_spans" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val shifted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"), col("text"))
+      val all = base.unionByName(shifted)
+        .select(col("doc_id"), col("source"),
+          CurationQueries.spanPlantedCol.as("text"))
+      val bench = all.filter(col("source") === "src0")
+      val baseCand = all.filter(col("source") =!= "src0" &&
+        col("doc_id") < 1000000L)
+      val newCand = all.filter(col("source") =!= "src0" &&
+        col("doc_id") >= 1000000L)
+      val root = freshScratchDir(d, "genspanstream").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.Attributes.ensureSpanAttributes(baseCand, bench, genDir, n = 3)
+      }
+      val srcDir = freshScratchDir(d, "genspannew")
+      java.nio.file.Files.createDirectories(srcDir)
+      writeOnePart(srcDir, "a", newCand.filter(col("doc_id") % 2 === 0))
+      writeOnePart(srcDir, "b", newCand.filter(col("doc_id") % 2 =!= 0))
+      val stream = s.readStream.schema(newCand.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.spanIngestGen(s, stream, root, bench, n = 3,
+        autoCompactEvery = 2)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(g0)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != g0, "auto-compaction must have published a NEW generation")
+      require(graft.ext.StagedBatches.committedDirs(s, cur).isEmpty,
+        "the folded generation must carry no staged batches")
+      graft.ext.Attributes.readSpans(s, cur)
+        .orderBy(col("doc_id"), col("tag"), col("start"))
+    }),
+
     // the curation funnel running THROUGH the streaming engine over a
     // doubled corpus: language + quality gates, in-stream exact dedup,
     // deterministic sample — every output column is TEXT-derived (fp,
@@ -1075,7 +1195,7 @@ object StreamQueries {
       val stream = s.readStream.schema(newCand.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       StreamPipeline.spanIngest(s, stream, spanDir, bench, n = 3)
-      s.read.parquet(s"$spanDir/spans")
+      graft.ext.Attributes.readSpans(s, spanDir)
         .orderBy(col("doc_id"), col("tag"), col("start"))
     }),
 
@@ -1151,6 +1271,27 @@ object StreamQueries {
     "q_genstore_ann" ->
       """SELECT vec_id AS qid, vec_id + 1000000 AS hit
         |FROM embeddings WHERE vec_id % 37 = 0 ORDER BY qid""".stripMargin,
+    // generation-store span serving must equal the batch tag of the
+    // full candidate set — q_span_attrs's oracle verbatim
+    "q_genstore_spans" ->
+      (CurationQueries.spanCtesSql() + """
+        |SELECT doc_id, tag, p_start, p_end, start, "end", score
+        |FROM spans ORDER BY doc_id, tag, start""".stripMargin),
+    // generation-store attribute serving: the mix over the grown
+    // relation must equal a full re-tag of the corpus + the predicate
+    "q_genstore_attrs" -> CurationQueries.dolmaAttrsSql(
+      "clf_keep AND gopher_keep"),
+    // the streaming span maintainer under the generation protocol must
+    // serve exactly the batch tag of the union corpus —
+    // q_stream_span_ingest's oracle verbatim
+    "q_stream_genstore_spans" ->
+      (CurationQueries.spanCtesSql(
+        """(SELECT doc_id, source, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 1000000 AS doc_id, source, text FROM documents) AS u
+          |""".stripMargin) + """
+        |SELECT doc_id, tag, p_start, p_end, start, "end", score
+        |FROM spans ORDER BY doc_id, tag, start""".stripMargin),
     // the streaming maintainer under the generation protocol must
     // serve exactly as a from-scratch build over the union corpus —
     // q_stream_bm25_ingest's oracle verbatim

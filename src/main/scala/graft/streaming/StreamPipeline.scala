@@ -542,6 +542,42 @@ object StreamPipeline {
     finally { benchGrams.unpersist(); () }
   }
 
+  /** [[spanIngest]] under the [[graft.ext.GenerationStore]] protocol —
+    * [[bm25IngestGen]]'s shape for the span-attribute tier, the store
+    * with the clearest long-running-reader workload (a Dolma-style
+    * excision mix over the whole corpus runs for hours while tagging
+    * continues). Every micro-batch RE-RESOLVES the current generation
+    * and stage-commits its span rows into it; at `autoCompactEvery`
+    * committed batches the same foreachBatch publishes a folded
+    * generation and runs the age-gated GC. Resolve + append + compact
+    * run sequentially inside one foreachBatch — the single-MAINTAINER
+    * contract; concurrent readers need no coordination. The root must
+    * hold one committed generation (the initial
+    * [[graft.ext.Attributes.ensureSpanAttributes]] build, published by
+    * the caller) before the stream starts. */
+  def spanIngestGen(spark: SparkSession, stream: DataFrame, root: String,
+                    benchmark: DataFrame, n: Int = 3,
+                    autoCompactEvery: Int = 0,
+                    gcAgeMs: Long = 3600L * 1000): Long = {
+    val benchGrams = graft.ext.Attributes.benchGramSet(benchmark, n = n).persist()
+    try drainIngest(stream) { batch =>
+      val sp = batch.sparkSession
+      val cur = graft.ext.GenerationStore.currentGenDir(sp, root)
+        .getOrElse(sys.error(
+          s"spanIngestGen: no committed generation under $root"))
+      graft.ext.Attributes.ingestIntoSpanAttributes(cur, batch,
+        benchGrams, n = n)
+      if (autoCompactEvery > 0 &&
+          graft.ext.StagedBatches.committedDirs(sp, cur).length
+            >= autoCompactEvery) {
+        graft.ext.Compaction.compactSpansToGeneration(sp, root)
+        graft.ext.GenerationStore.gc(sp, root, gcAgeMs)
+        ()
+      }
+    }
+    finally { benchGrams.unpersist(); () }
+  }
+
   /** Streaming tokenize+pack ingest — the last operator between a
     * stream and a training job: each micro-batch's documents are
     * tokenized against the FROZEN model relation `wids`

@@ -199,10 +199,13 @@ class CompactionSpec extends AnyFunSuite {
       Attributes.mixed(spark, dir, union, col("clf_keep") && col("gopher_keep"))
         .select(col("doc_id"), col("n_words"), col("quality_q4"), col("lang")))
     val before = mix()
-    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/attrs")
+    // staged ingest batches live under batches/<id>/ — count the store
+    def attrFiles() = Attributes.attrsPaths(spark, dir)
+      .map(Compaction.parquetFileCount(spark, _)).sum
+    val filesBefore = attrFiles()
     Compaction.compactAttrs(spark, dir)
     val after = mix()
-    val filesAfter = Compaction.parquetFileCount(spark, s"$dir/attrs")
+    val filesAfter = attrFiles()
     assert(before == after)
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
     // row count preserved (relayout, not a fold)
@@ -234,16 +237,18 @@ class CompactionSpec extends AnyFunSuite {
       col("source"), col("text"))
     val grams = Attributes.benchGramSet(bench)
     Attributes.ingestIntoSpanAttributes(dir, copies, grams)
-    def spans() = sortedRows(spark.read.parquet(s"$dir/spans"))
+    def spans() = sortedRows(Attributes.readSpans(spark, dir))
+    def spanFiles() = Attributes.spanPaths(spark, dir)
+      .map(Compaction.parquetFileCount(spark, _)).sum
     val before = spans()
-    val filesBefore = Compaction.parquetFileCount(spark, s"$dir/spans")
+    val filesBefore = spanFiles()
     // the growth trigger IS the compaction here: fresh appends sit
     // above the compacted floor, so maxFiles=1 fires — then stays
     // quiet at steady state
     assert(!Compaction.maybeCompactSpans(spark, dir, maxFiles = 1000000))
     assert(Compaction.maybeCompactSpans(spark, dir, maxFiles = 1))
     assert(spans() == before)
-    assert(Compaction.parquetFileCount(spark, s"$dir/spans") < filesBefore)
+    assert(spanFiles() < filesBefore)
     assert(!Compaction.maybeCompactSpans(spark, dir, maxFiles = 1),
       "must not re-fire immediately after compacting")
   }

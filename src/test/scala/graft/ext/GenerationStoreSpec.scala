@@ -226,6 +226,127 @@ class GenerationStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("two racing writers: all commits land, totally ordered, none lost or clobbered") {
+    val root = tmpRoot("genstore_race")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-materialize every generation (the build side is not under
+    // test); the RACE is on the commit protocol itself: two threads
+    // claiming manifest sequences concurrently, plus a concurrent gc
+    // pass that must neither crash nor delete anything young
+    val perWriter = 6
+    val gens = (0 until 2).map(w =>
+      (0 until perWriter).map(i => s"gen_w${w}_$i"))
+    gens.flatten.foreach { g =>
+      Seq(1L).toDF("v").coalesce(1).write.parquet(s"$root/generations/$g")
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try gens(w).foreach(g => GenerationStore.commit(spark, root, g))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    } :+ new Thread(() => {
+      try (1 to 5).foreach { _ =>
+        GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600); ()
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent commit/gc threw: ${errs.peek()}")
+    // every commit landed exactly once, on consecutive seqs
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    val entries = fs.listStatus(mdir).map(_.getPath).filter(
+      _.getName.startsWith("m_")).sortBy(_.getName).toSeq
+    assert(entries.length == 2 * perWriter)
+    assert(entries.map(_.getName) ==
+      (0 until 2 * perWriter).map(i => f"m_$i%010d"))
+    val contents = entries.map { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    // no lost or duplicated commit, and each writer's own commits
+    // appear in its submission order (each thread commits serially)
+    assert(contents.sorted == gens.flatten.sorted)
+    for (w <- 0 until 2)
+      assert(contents.filter(_.startsWith(s"gen_w$w")) == gens(w),
+        s"writer $w's commits reordered: $contents")
+    // the current generation resolves to the globally last commit
+    assert(GenerationStore.currentGenDir(spark, root).get
+      .endsWith(contents.last))
+    // gc afterwards: everything but the current generation ages out
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(deleted.length == 2 * perWriter - 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/generations/${contents.last}")))
+  }
+
+  test("span store serves through the protocol: staged ingest, fold-as-publish, GC") {
+    val root = tmpRoot("genstore_spans")
+    val docs = Seq(
+      (1L, "alpha beta 4111111111111111 gamma"),
+      (2L, "delta user2@example.com epsilon"),
+      (3L, "tel 555-0142 host 10.1.2.34"),
+      (4L, "plain words only here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma shared run")).toDF("doc_id", "text")
+    val g0 = GenerationStore.publish(spark, root) { dir =>
+      Attributes.ensureSpanAttributes(
+        docs.filter(col("doc_id") <= 2), bench, dir)
+    }
+    Attributes.ingestIntoSpanAttributes(g0,
+      docs.filter(col("doc_id") > 2), Attributes.benchGramSet(bench))
+    assert(StagedBatches.committedDirs(spark, g0).length == 1)
+    // a long-running reader resolves pre-fold and must finish intact
+    val held = GenerationStore.currentGenDir(spark, root).get
+    val heldSpans = Attributes.readSpans(spark, held) // lazy: mid-read
+    val cur = Compaction.compactSpansToGeneration(spark, root)
+    assert(cur != held)
+    assert(GenerationStore.gc(spark, root, minAgeMs = 1000L * 3600).isEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("tag"), col("start")).collect().toSeq
+    // folded generation has no staged batches and serves exactly the
+    // from-scratch tag of the whole candidate set
+    assert(StagedBatches.committedDirs(spark, cur).isEmpty)
+    val freshDir = tmpRoot("genstore_spans_fresh")
+    Attributes.ensureSpanAttributes(docs, bench, freshDir)
+    assert(rows(Attributes.readSpans(spark, cur)) ==
+      rows(spark.read.parquet(s"$freshDir/spans")))
+    assert(rows(heldSpans) == rows(Attributes.readSpans(spark, cur)))
+    // past the gate: superseded collected, current survives
+    val deleted = GenerationStore.gc(spark, root, minAgeMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10_000L)
+    assert(deleted.exists(d => held.endsWith(d.substring(d.lastIndexOf('/')))))
+    assert(GenerationStore.currentGenDir(spark, root).contains(cur))
+  }
+
+  test("attrs store serves through the protocol: staged ingest, fold-as-publish") {
+    val root = tmpRoot("genstore_attrs")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short"), (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "plain words only here today")
+    ).toDF("doc_id", "text")
+    val g0 = GenerationStore.publish(spark, root) { dir =>
+      Attributes.ensureAttributes(docs.filter(col("doc_id") <= 2), dir)
+    }
+    Attributes.ingestIntoAttributes(g0, docs.filter(col("doc_id") > 2))
+    assert(StagedBatches.committedDirs(spark, g0).length == 1)
+    val held = GenerationStore.currentGenDir(spark, root).get
+    val cur = Compaction.compactAttrsToGeneration(spark, root)
+    assert(cur != held)
+    assert(StagedBatches.committedDirs(spark, cur).isEmpty)
+    val freshDir = tmpRoot("genstore_attrs_fresh")
+    Attributes.ensureAttributes(docs, freshDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().toSeq
+    assert(rows(Attributes.readAttrs(spark, cur)) ==
+      rows(spark.read.parquet(s"$freshDir/attrs")))
+    // the superseded generation still serves its resolved readers
+    assert(rows(Attributes.readAttrs(spark, held)).nonEmpty)
+  }
+
   test("commits are totally ordered; a seq collision retries, never clobbers") {
     val root = tmpRoot("genstore_order")
     val fs = new org.apache.hadoop.fs.Path(root)
