@@ -43,7 +43,13 @@ import org.apache.spark.sql.functions._
 object WordPiece {
 
   /** Max piece length in code points (surface, excluding the display
-    * `##`) — the greedy window and the oracle's match fan-in. */
+    * `##`) considered during TRAINING — bounds the substring explode
+    * and the oracle's match fan-in. It is NOT an encode-time limit:
+    * the greedy window of a frozen model follows the model's own
+    * longest piece ([[freeze]]), so an IMPORTED real-world vocab (BERT
+    * vocab.txt pieces run well past 4 code points) segments exactly as
+    * the published greedy algorithm would. Only the training queries
+    * need the oracle's unroll bound. */
   val MaxPieceLen = 4
 
   /** Words longer than this encode per code point without the greedy
@@ -60,14 +66,18 @@ object WordPiece {
 
   /** Greedy longest-match-first segmentation of one word against a
     * frozen piece set: at each position take the longest `l ≤`
-    * [[MaxPieceLen]] whose (substring, pos>0) piece is in the model.
-    * Returns null when some position has NO match (possible only for
-    * words with code points the training corpus never saw — the
+    * `maxPieceLen` whose (substring, pos>0) piece is in the model —
+    * `maxPieceLen` defaults to the training bound but a frozen model
+    * passes its OWN longest-piece length ([[freeze]]), so imported
+    * vocabularies with long pieces segment faithfully. Returns null
+    * when some position has NO match (possible only for words with
+    * code points the training corpus never saw — the
     * closed-vocabulary whole-word drop of [[Bpe.encodeIdsAgainst]];
     * a partial encode would corrupt the stream). Words longer than
     * [[MaxWordLen]] segment per code point (still role-marked, still
     * subject to the same drop rule). */
-  private[ext] def greedy(w: String, vocab: Set[Piece]): Array[Piece] = {
+  private[ext] def greedy(w: String, vocab: Set[Piece],
+                          maxPieceLen: Int = MaxPieceLen): Array[Piece] = {
     val cps = Bpe.codePoints(w)
     val n = cps.length
     if (n == 0) return Array.empty
@@ -78,7 +88,7 @@ object WordPiece {
     val out = scala.collection.mutable.ArrayBuffer.empty[Piece]
     var i = 0
     while (i < n) {
-      var l = math.min(MaxPieceLen, n - i)
+      var l = math.min(maxPieceLen, n - i)
       var hit: Piece = null
       while (l >= 1 && hit == null) {
         val cand = Piece(cps.slice(i, i + l).mkString, i > 0)
@@ -137,9 +147,10 @@ object WordPiece {
 
   /** Deterministic piece ids: 1-based rank under (surface UTF-8 ASC,
     * initial before continuation), 0 reserved for EOS — the id
-    * discipline shared with [[Bpe]] / [[Unigram]]. Exposed to the
-    * exporter (vocab.txt is written in tid order). */
-  private[ext] def tidOrdered(model: Seq[Piece]): Seq[Piece] =
+    * discipline shared with [[Bpe]] / [[Unigram]]. Public: the
+    * exporter writes vocab.txt in tid order, and interchange callers
+    * compare a re-import against it. */
+  def tidOrdered(model: Seq[Piece]): Seq[Piece] =
     model.sortWith { (a, b) =>
       Bpe.utf8Lt(a.surface, b.surface) ||
         (a.surface == b.surface && !a.cont && b.cont)
@@ -180,7 +191,12 @@ object WordPiece {
   }
 
   /** Freeze a trained model against a distinct-word relation. Words
-    * hitting a no-match position drop whole (see [[greedy]]). */
+    * hitting a no-match position drop whole (see [[greedy]]). The
+    * greedy window follows the MODEL's longest piece (≥ the training
+    * bound), so an imported vocabulary with pieces past
+    * [[MaxPieceLen]] — any real BERT vocab — encodes faithfully; a
+    * trained model's pieces never exceed the bound, so the oracle
+    * queries are unaffected. */
   private def freeze(model: Seq[Piece],
                      words: DataFrame): (DataFrame, DataFrame) = {
     val spark = words.sparkSession
@@ -189,11 +205,12 @@ object WordPiece {
     val tidOf: Map[Piece, Long] =
       ordered.zipWithIndex.map { case (p, i) => p -> (i + 1L) }.toMap
     val vocabSet = tidOf.keySet
+    val maxLen = (MaxPieceLen +: model.map(p => Bpe.codePoints(p.surface).length)).max
     val vocab = ordered.zipWithIndex
       .map { case (p, i) => (p.surface, i + 1L) }
       .toDF("sym", "tid")
     val segUdf = udf { (w: String) =>
-      val pcs = greedy(w, vocabSet)
+      val pcs = greedy(w, vocabSet, maxLen)
       if (pcs == null) Array.empty[Long] else pcs.map(tidOf)
     }
     val wids = words

@@ -592,6 +592,32 @@ object ScaleOpsQueries {
         graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids))
     }),
 
+    // the tokenizer-artifact INTERCHANGE end-to-end: train WordPiece
+    // in-memory, export the published vocab.txt, re-import it, freeze
+    // the imported model against the corpus, and pack the id stream —
+    // the exact artifact hand-off a real training job does (tokenizer
+    // trained here, consumed elsewhere). The in-query require pins
+    // import ≡ tidOrdered(trained); the packed output must hash-equal
+    // q_wordpiece_pack's oracle, which only a LOSSLESS export → import
+    // → freeze chain can produce (a dropped piece, a reordered tid, or
+    // a corrupted line shifts every sequence's md5).
+    "q_tokenizer_interchange" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.ext.WordPiece.trainModel(docs, "text")
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_interchange_${Math.abs(d.hashCode)}_").toString
+      graft.ext.TokenizerExport.exportWordPiece(s, dir, model)
+      val imported = graft.ext.TokenizerExport.importWordPiece(s, dir)
+      require(imported == graft.ext.WordPiece.tidOrdered(model),
+        "re-imported vocab.txt must equal the trained model in tid order")
+      val (wids, _) = graft.ext.WordPiece.freezeModel(imported, docs, "text")
+      val toks = graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
+      graft.ext.Packing.packSequences(toks, "doc_id", 512)
+        .select(col("seq_id"), col("seq_len"), col("n_docs"),
+          md5(col("ids")).as("ids_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // ---- bloom membership screen (cross-corpus overlap) -------------
     // member set = texts of every 7th doc; candidates = the whole
     // corpus. The sketch's error is one-sided: the oracle pins exact
@@ -979,6 +1005,9 @@ object ScaleOpsQueries {
     "q_wordpiece_tokenize" -> graft.ext.WordPiece.tokenizeOracleSql(),
     "q_wordpiece_roundtrip" -> graft.ext.WordPiece.roundtripOracleSql(),
     "q_wordpiece_pack" -> graft.ext.WordPiece.packOracleSql(512),
+    // export → import → freeze → pack must equal packing with the
+    // in-memory model: q_wordpiece_pack's oracle verbatim
+    "q_tokenizer_interchange" -> graft.ext.WordPiece.packOracleSql(512),
     // persist/load must be lossless: the stored-model encode replays
     // the same training oracle as q_wordpiece_tokenize
     "q_wordpiece_store" -> graft.ext.WordPiece.tokenizeOracleSql(),

@@ -102,6 +102,64 @@ class TokenizerExportSpec extends AnyFunSuite {
     assert(fileBytes(s"$dir/vocab.txt") == "a\n##a\nab\n##b\n")
   }
 
+  test("imported vocab with pieces past the training bound encodes faithfully") {
+    // a real BERT vocab.txt carries pieces well past MaxPieceLen=4;
+    // the greedy window must follow the MODEL's longest piece, not the
+    // training constant — otherwise an 8-char piece silently never
+    // matches and the segmentation diverges from HF's
+    val dir = tmp("wp_longpiece")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/vocab.txt"),
+      // singles cover the alphabet of "interally"; one 8-char initial
+      Seq("interall", "i", "n", "t", "e", "r", "a", "l", "y",
+        "##n", "##t", "##e", "##r", "##a", "##l", "##y")
+        .mkString("\n") + "\n")
+    val mIn = TokenizerExport.importWordPiece(spark, dir)
+    assert(mIn.exists(p => p.surface == "interall" && !p.cont))
+    CacheScope.withScope {
+      val one = Seq((1L, "interally")).toDF("doc_id", "text")
+      val (wids, vocab) = WordPiece.freezeModel(mIn, one, "text")
+      val pieces = wids.join(vocab, Seq("tid"))
+        .orderBy(col("spos")).select(col("sym"))
+        .collect().map(_.getString(0)).toSeq
+      // greedy longest-match: the 8-char piece wins at position 1
+      assert(pieces == Seq("interall", "y"), s"got $pieces")
+    }
+  }
+
+  test("CRLF files are classified from raw terminators, not line content") {
+    val dir = tmp("wp_crlf")
+    // an external tool's CRLF vocab — including the single-line case
+    // the old forall-over-lines heuristic could not distinguish
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/vocab.txt"),
+      "abc\r\n##de\r\n".getBytes("UTF-8"))
+    assert(TokenizerExport.importWordPiece(spark, dir) == Seq(
+      WordPiece.Piece("abc", cont = false),
+      WordPiece.Piece("de", cont = true)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/vocab.txt"),
+      "abc\r\n".getBytes("UTF-8"))
+    assert(TokenizerExport.importWordPiece(spark, dir) == Seq(
+      WordPiece.Piece("abc", cont = false)))
+    // a MIXED-terminator file is NOT CRLF: the lone \r stays content
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/vocab.txt"),
+      "abc\r\nde\n".getBytes("UTF-8"))
+    assert(TokenizerExport.importWordPiece(spark, dir) == Seq(
+      WordPiece.Piece("abc\r", cont = false),
+      WordPiece.Piece("de", cont = false)))
+  }
+
+  test("export refuses control characters that cannot round-trip the line format") {
+    val dir = tmp("wp_ctl_export")
+    val ex = intercept[RuntimeException] {
+      TokenizerExport.exportWordPiece(spark, dir,
+        Seq(WordPiece.Piece("a\r", cont = false)))
+    }
+    assert(ex.getMessage.contains("\\r"))
+  }
+
   test("exportWordPiece refuses the ##-initial ambiguity loudly") {
     val dir = tmp("wp_bad_export")
     val ex = intercept[IllegalArgumentException] {
