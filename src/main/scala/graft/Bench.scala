@@ -87,7 +87,10 @@ object Bench {
       // round-16 additions
       "q_wordpiece_tokenize", "q_wordpiece_roundtrip", "q_wordpiece_pack",
       "q_wordpiece_store", "q_stream_wordpiece_pack", "q_genstore_bm25",
-      "q_wordpiece_vocab_cap", "q_genstore_ann", "q_stream_genstore_bm25")
+      "q_wordpiece_vocab_cap", "q_genstore_ann", "q_stream_genstore_bm25",
+      // round-17 additions
+      "q_genstore_spans", "q_genstore_attrs", "q_stream_genstore_spans",
+      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth")
       .filter(SparkEntry.queries.contains)
     // scale-ladder hook: run a SUBSET of the headline set (the slope
     // table times the same queries at two scale factors; everything

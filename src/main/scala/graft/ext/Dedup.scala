@@ -237,7 +237,8 @@ object Dedup {
     * verify to jaccard 0.0 anyway. Filter them out up front — output is
     * unchanged (union=0 ⇒ jaccard 0.0 < any positive minJ). */
   def bandRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val bandKey = udf((sig: Seq[Long], band: Int) => {
+    val bandKey = udf((sigSeq: Seq[Long], band: Int) => {
+      val sig = sigSeq.toArray // List-representation guard (Ivf.Model.nearest)
       var h = Hashing.FnvOffset
       var r = 0
       while (r < RowsPerBand) {

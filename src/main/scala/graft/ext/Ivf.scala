@@ -23,12 +23,20 @@ object Ivf {
 
   final case class Model(centroids: Array[Array[Double]]) {
     def nearest(vec: Seq[Double], n: Int): Array[Int] = {
+      // NORMALIZE to an array before the index loop: Spark's UDF
+      // deserializer hands Seq[Double] as a scala List in some plan
+      // modes (2.13's immutable.Seq default builder), where vec(i) is
+      // O(i) and the distance loop silently goes O(d²) — observed as a
+      // BIMODAL 4× slowdown of whole queries (jstack: every executor
+      // thread in List.apply inside this closure). One O(d) copy per
+      // call is noise; pathological indexing never happens.
+      val v = vec.toArray
       val scored = centroids.indices.map { c =>
         var d = 0.0
         val cent = centroids(c)
         var i = 0
-        val len = math.min(cent.length, vec.length)
-        while (i < len) { val diff = cent(i) - vec(i); d += diff * diff; i += 1 }
+        val len = math.min(cent.length, v.length)
+        while (i < len) { val diff = cent(i) - v(i); d += diff * diff; i += 1 }
         (c, d)
       }
       scored.sortBy { case (c, d) => (d, c) }.take(n).map(_._1).toArray
@@ -67,7 +75,9 @@ object Ivf {
   /** Deterministic Lloyd on a driver-side sample: every (|s|/k)-th
     * vector seeds, `iters` assign/average steps. Shared by the coarse
     * quantizer ([[train]]) and each PQ subspace ([[trainPq]]). */
-  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Model = {
+  /** Lloyd over an explicit point set — exposed to [[SemDedup]]'s
+    * two-level assignment, which clusters the CENTROIDS themselves. */
+  private[ext] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Model = {
     val stride = math.max(sample.length / k, 1)
     val seeds = sample.indices.collect {
       case i if i % stride == 0 => sample(i).clone()
@@ -116,7 +126,8 @@ object Ivf {
 
     /** Nearest-centroid code per subspace (ties → lowest code, like
       * [[Model.nearest]]). */
-    def encode(vec: Seq[Double]): Array[Byte] = {
+    def encode(vecSeq: Seq[Double]): Array[Byte] = {
+      val vec = vecSeq.toArray // List-representation guard ([[Model.nearest]])
       val out = new Array[Byte](m)
       var j = 0
       while (j < m) {
@@ -163,7 +174,8 @@ object Ivf {
       * computed once per query (m·ks small dot products), then every
       * candidate scores with m table reads ([[graft.functions.PqAdc]])
       * instead of a dim-length multiply-add. */
-    def lut(vec: Seq[Double]): Array[Double] = {
+    def lut(vecSeq: Seq[Double]): Array[Double] = {
+      val vec = vecSeq.toArray // List-representation guard ([[Model.nearest]])
       val out = new Array[Double](m * ks)
       var j = 0
       while (j < m) {

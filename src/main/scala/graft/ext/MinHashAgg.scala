@@ -43,7 +43,10 @@ object MinHashAgg {
     udaf(new MinHashUnion(n)).apply(textCol)
 
   /** Estimated Jaccard between two signatures: agreeing-lane fraction. */
-  private val estJaccard = udf((a: Seq[Long], b: Seq[Long]) => {
+  private val estJaccard = udf((aSeq: Seq[Long], bSeq: Seq[Long]) => {
+    // List-representation guard (see Ivf.Model.nearest)
+    val a = aSeq.toArray
+    val b = bSeq.toArray
     var eq = 0
     var i = 0
     val len = math.min(a.length, b.length)

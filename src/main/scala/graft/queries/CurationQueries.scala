@@ -197,6 +197,34 @@ object CurationQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // q_semdedup with k AUTO-SCALED to hold expected cell size at 512
+    // (SemDedup.kFor — the paper's clusters-grow-with-n discipline):
+    // the shape to copy at corpus scale, where pinning k makes the
+    // within-cell compare n²/k (the sf1→sf10 ladder's one superlinear
+    // curve). Past k=64 assignment goes TWO-LEVEL (coarse-quantized,
+    // O(√k·d) per row — SemDedup.assignFn) so assignment cannot
+    // re-become the quadratic. The planted contract is invariant to k
+    // AND to assignment approximation — a normalized clone is
+    // bit-identically its original, so it co-assigns with it under any
+    // deterministic assignment, and cell boundaries only REMOVE
+    // real-pair comparisons (all measured ≤ 0.60 cosine, far under
+    // τ=0.9) — so the same analytic oracle pins it: kept = ¬clone.
+    // (At the gate scales k stays ≤ 64 — flat path; the two-level path
+    // is pinned by SemDedupSpec's forced-k planted contract and
+    // measured by the ladder.)
+    "q_semdedup_autok" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val clones = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val all = emb.select(col("vec_id"), col("embedding")).unionByName(clones)
+      graft.ext.SemDedup.semDedupAuto(all, "vec_id", "embedding", 0.9,
+          targetCellSize = 512)
+        .select(col("id").as("vec_id"),
+          (col("id") >= 1000000L).as("is_clone"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The RefinedWeb-shaped funnel from this round's operators, ONE
     // plan: URL-canonical dedup (every page re-enters as a second
     // messy spelling at id+1e6; canonicalization must collapse the
@@ -878,6 +906,15 @@ object CurationQueries {
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_semdedup" ->
+      """SELECT vec_id, false AS is_clone, true AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept
+        |FROM embeddings WHERE vec_id % 5 = 0
+        |ORDER BY vec_id""".stripMargin,
+
+    // the planted contract is k-invariant (see the query comment), so
+    // the auto-k variant pins the identical analytic oracle
+    "q_semdedup_autok" ->
       """SELECT vec_id, false AS is_clone, true AS kept FROM embeddings
         |UNION ALL
         |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept

@@ -112,6 +112,34 @@ object PipelineQueries {
         .orderBy(col("filename"))
     }),
 
+    // extraction at CORPUS width: 500 synthetic real containers (100
+    // per format — PDF/DOCX/ODT/HTML/TXT, hand-built from the public
+    // specs by SynthDocs) through the same list+fetch+detect+extract
+    // pipeline, each document's text compared against its planted
+    // expectation. The analytic oracle pins 100 exact extractions per
+    // format — a dropped file, a misrouted MIME type, or one wrong
+    // byte of extracted text breaks the count. (The throughput ladder
+    // runs the same corpus at 2k/20k docs — graft.ExtractScale.)
+    "q_extract_synth" -> ((s, _) => {
+      import s.implicits._
+      val n = 500L
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_synthdocs_$n")
+      graft.extract.SynthDocs.writeCorpus(dir, n)
+      val expected = s.range(0, n).map { i =>
+        (graft.extract.SynthDocs.fileName(i),
+          graft.extract.SynthDocs.expectedText(i),
+          graft.extract.SynthDocs.formatFor(i))
+      }.toDF("filename", "expected", "fmt")
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, dir.toString))
+      enriched.join(expected, Seq("filename"))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("error").isNull && col("text") === col("expected"), 1L)
+            .otherwise(0L)).as("n_exact"))
+        .orderBy(col("fmt"))
+    }),
+
     // T3 HTML output mode over the fixtures (FixtureGolden oracle)
     "q_extract_fixtures_html" -> ((s, _) => {
       val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir),
@@ -398,6 +426,17 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // 100 exact extractions per format, by construction of the
+    // deterministic corpus (SynthDocsSpec pins text equality per
+    // format; the query re-checks every document in-plan)
+    "q_extract_synth" ->
+      """SELECT * FROM (VALUES
+        |  ('docx', CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('html', CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('odt',  CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('pdf',  CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('txt',  CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+        |) AS t(fmt, n_docs, n_exact) ORDER BY fmt""".stripMargin,
     "q_route_good"    -> routeOracle("POSITIVE"),
     "q_route_bad"     -> routeOracle("NEGATIVE"),
     "q_route_neutral" -> routeOracle("NEUTRAL"),

@@ -51,4 +51,39 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(1L) && !out(2L) && !out(3L))
     assert(out(10L) && out(11L) && out(12L))
   }
+
+  test("kFor holds expected cell size; floor at the operator default") {
+    assert(SemDedup.kFor(100L, 512L) == 16)          // floor
+    assert(SemDedup.kFor(8192L, 512L) == 16)         // exactly the floor
+    assert(SemDedup.kFor(240000L, 512L) == 469)      // ceil(n/target)
+    assert(SemDedup.kFor(5000000000L, 100000L) == 50000) // the paper's point
+    intercept[IllegalArgumentException] { SemDedup.kFor(10L, 0L) }
+  }
+
+  test("two-level assignment (k > 64): the planted contract holds exactly") {
+    // the q_semdedup planting at spec scale, with k forced past the
+    // two-level threshold so the coarse-quantized assignment path runs:
+    // every 5th vector gets a ×1.5 clone at id+1e6; clones must drop,
+    // originals and everything else must survive — identical unit
+    // vectors co-assign under ANY deterministic assignment, and real
+    // pairs of this corpus sit far under τ, so approximate cell
+    // boundaries cannot flip a verdict
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clones = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding")).unionByName(clones)
+    CacheScope.withScope {
+      val out = SemDedup.semDedup(all, "vec_id", "embedding", 0.9, k = 100)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(out.nonEmpty)
+      out.foreach { case (id, kept) =>
+        assert(kept == (id < 1000000L), s"id $id kept=$kept")
+      }
+      // and the assignment is genuinely spread across > 64 cells
+      val nCells = SemDedup.semDedup(all, "vec_id", "embedding", 0.9, k = 100)
+        .select(col("cell")).distinct().count()
+      assert(nCells > 16, s"two-level path produced only $nCells cells")
+    }
+  }
 }
