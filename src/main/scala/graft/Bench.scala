@@ -90,7 +90,8 @@ object Bench {
       "q_wordpiece_vocab_cap", "q_genstore_ann", "q_stream_genstore_bm25",
       // round-17 additions
       "q_genstore_spans", "q_genstore_attrs", "q_stream_genstore_spans",
-      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth")
+      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth",
+      "q_genstore_cms", "q_genstore_kmeans")
       .filter(SparkEntry.queries.contains)
     // scale-ladder hook: run a SUBSET of the headline set (the slope
     // table times the same queries at two scale factors; everything

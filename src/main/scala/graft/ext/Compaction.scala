@@ -124,16 +124,34 @@ object Compaction {
     ()
   }
 
-  /** Fold the count-min partial-sketch store (grows ≤ Depth·Width rows
-    * per ingested batch) back to ONE sketch — the mergeability
-    * identity [[CountMin.storeSketch]] applies at every read, made
-    * physical. ≤ Depth·Width rows total, one file. */
+  /** Fold the count-min store (compacted `base/` + committed staged
+    * batches, ≤ Depth·Width rows per batch) back to ONE sketch under
+    * `base/` — the mergeability identity [[CountMin.storeSketch]]
+    * applies at every read, made physical. ≤ Depth·Width rows total,
+    * one file; the whole-dir swap retires the staged batches
+    * atomically with the fold. */
   def compactCmsStore(spark: SparkSession, dir: String): Unit =
-    swapIn(spark, dir) { tmp =>
-      CountMin.storeSketch(spark, dir)
-        .repartition(1).sortWithinPartitions(col("r"), col("b"))
-        .write.parquet(tmp)
-    }
+    swapIn(spark, dir)(foldCms(spark, dir, _))
+
+  /** The one CMS fold definition, shared by the in-place swap and the
+    * generation publish. Reads materialize eagerly (the parquet
+    * write), so callers may retire `srcDir` afterwards. */
+  private def foldCms(spark: SparkSession, srcDir: String,
+                      outDir: String): Unit =
+    CountMin.storeSketch(spark, srcDir)
+      .repartition(1).sortWithinPartitions(col("r"), col("b"))
+      .write.parquet(s"$outDir/base")
+
+  /** Count-min compaction under the [[GenerationStore]] protocol (the
+    * [[compactBm25ToGeneration]] shape for the frequency-serving
+    * tier): fold the current generation's base + committed staged
+    * batches into a fresh generation committed via the atomic manifest
+    * entry. Returns the new generation's data dir. */
+  def compactCmsToGeneration(spark: SparkSession, root: String): String = {
+    val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
+      sys.error(s"compactCmsToGeneration: no committed generation under $root"))
+    GenerationStore.publish(spark, root)(foldCms(spark, cur, _))
+  }
 
   /** Shared growth trigger for the file-count auto-compaction hooks:
     * fire when the store carries at least `maxFiles` MORE data files
@@ -372,6 +390,50 @@ object Compaction {
     * so no crash point can leave a batch folded AND still staged. */
   def compactIvfCorpus(spark: SparkSession, dir: String): Unit =
     swapIn(spark, dir)(foldIvf(spark, dir, _))
+
+  /** The one k-means-shard fold definition: base + committed staged
+    * batches clustered back to [[TargetFileBytes]]-sized file-per-
+    * cluster locality under `base/` — per-batch staging leaves one
+    * small file per cluster per batch ([[compactIvfCorpus]]'s
+    * rationale on the topic-shard store). */
+  private def foldKmeans(spark: SparkSession, srcDir: String,
+                         outDir: String): Unit = {
+    val n = targetPartsFor(spark, KMeans.shardPaths(spark, srcDir))
+    KMeans.readShards(spark, srcDir)
+      .repartition(n, col("cluster"))
+      .write.partitionBy("cluster").parquet(s"$outDir/base")
+  }
+
+  /** Rewrite the k-means topic-shard store in the serving layout; the
+    * whole-dir swap retires staged batches atomically with the fold. */
+  def compactKmeansShards(spark: SparkSession, dir: String): Unit =
+    swapIn(spark, dir)(foldKmeans(spark, dir, _))
+
+  /** [[maybeCompactCms]]'s growth trigger for the k-means shard store —
+    * floor = one file per live cluster partition of the compacted base
+    * (size-based floor as a lower bound). */
+  def maybeCompactKmeans(spark: SparkSession, dir: String,
+                         maxFiles: Int): Boolean = {
+    val paths = KMeans.shardPaths(spark, dir)
+    val (fs, p) = fsFor(spark, s"$dir/base")
+    val clusterDirs =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p)
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+        .toLong
+    val floor = math.max(clusterDirs, targetPartsFor(spark, paths).toLong)
+    growthTrigger(paths.map(parquetFileCount(spark, _)).sum, floor, maxFiles) {
+      compactKmeansShards(spark, dir)
+    }
+  }
+
+  /** K-means shard-store compaction under the [[GenerationStore]]
+    * protocol. Returns the new generation's data dir. */
+  def compactKmeansToGeneration(spark: SparkSession, root: String): String = {
+    val cur = GenerationStore.currentGenDir(spark, root).getOrElse(
+      sys.error(s"compactKmeansToGeneration: no committed generation under $root"))
+    GenerationStore.publish(spark, root)(foldKmeans(spark, cur, _))
+  }
 
   /** Retention compaction for the streaming near-dup band store
     * ([[graft.streaming.StreamPipeline.incrementalNearDups]] with a

@@ -571,7 +571,7 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       StreamPipeline.kmeansIngest(s, stream, outDir, cents,
         "vec_id", "embedding")
-      s.read.parquet(outDir)
+      graft.ext.KMeans.readShards(s, outDir)
         .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
         .orderBy(col("vec_id"))
     }),
@@ -833,6 +833,83 @@ object StreamQueries {
         "the folded generation must carry no staged batches")
       graft.ext.Attributes.readSpans(s, cur)
         .orderBy(col("doc_id"), col("tag"), col("start"))
+    }),
+
+    // the generation-store protocol on the COUNT-MIN tier (the
+    // frequency-serving store): even half's partial sketch published
+    // as generation 0 (staged batches — CountMin.ingestIntoStore now
+    // commits each batch atomically: mergeability covers summing
+    // complete sketches, not a TORN one whose counters are half
+    // visible), odd half stage-ingested, fold-as-publish to one
+    // base sketch, age-gated GC with the held generation asserted
+    // alive, then heavy-hitter estimates served from the new current
+    // generation — the q_cms_heavy_hitters oracle replays the sketch
+    // of the WHOLE corpus, so a lost batch or double-fold shifts
+    // counters and fails the hash.
+    "q_genstore_cms" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val root = freshScratchDir(d, "gencms").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.CountMin.ingestIntoStore(genDir,
+          docs.filter(col("doc_id") % 2 === 0), "text")
+      }
+      graft.ext.CountMin.ingestIntoStore(g0,
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+      val held = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      graft.ext.Compaction.compactCmsToGeneration(s, root)
+      graft.ext.GenerationStore.gc(s, root, minAgeMs = 3600L * 1000)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(held)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != held, "compaction must publish a NEW generation")
+      require(graft.ext.StagedBatches.committedDirs(s, cur).isEmpty,
+        "the folded generation must carry no staged batches")
+      val exact = graft.ext.CountMin.tokens(docs, "text")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      graft.ext.CountMin.estimates(exact,
+          graft.ext.CountMin.storeSketch(s, cur))
+        .withColumn("overestimate_ok", col("est") >= col("n"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // the generation-store protocol on the TOPIC-SHARD tier: centroids
+    // train once on the full corpus (k·d longs of driver metadata),
+    // the even half's assignments publish as generation 0 (staged
+    // batches — KMeans.ingestIntoShards), the odd half stage-ingests,
+    // fold-as-publish restores file-per-cluster locality, age-gated GC
+    // with the held generation asserted alive, and the served shard
+    // relation must equal the batch k-means assignment of the whole
+    // corpus (the unrolled-Lloyd oracle replay).
+    "q_genstore_kmeans" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.ext.KMeans.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 4)
+      val root = freshScratchDir(d, "genkm").toString
+      val g0 = graft.ext.GenerationStore.publish(s, root) { genDir =>
+        graft.ext.KMeans.ingestIntoShards(genDir,
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+      }
+      graft.ext.KMeans.ingestIntoShards(g0,
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", cents)
+      val held = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      graft.ext.Compaction.compactKmeansToGeneration(s, root)
+      graft.ext.GenerationStore.gc(s, root, minAgeMs = 3600L * 1000)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(held)),
+        "superseded generation must survive the GC age gate for its readers")
+      val cur = graft.ext.GenerationStore.currentGenDir(s, root)
+        .getOrElse(sys.error(s"no committed generation under $root"))
+      require(cur != held, "compaction must publish a NEW generation")
+      require(graft.ext.StagedBatches.committedDirs(s, cur).isEmpty,
+        "the folded generation must carry no staged batches")
+      graft.ext.KMeans.readShards(s, cur)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .orderBy(col("vec_id"))
     }),
 
     // the curation funnel running THROUGH the streaming engine over a
@@ -1281,6 +1358,16 @@ object StreamQueries {
     // relation must equal a full re-tag of the corpus + the predicate
     "q_genstore_attrs" -> CurationQueries.dolmaAttrsSql(
       "clf_keep AND gopher_keep"),
+    // generation-store CMS serving must equal the sketch of the whole
+    // corpus — q_cms_heavy_hitters' oracle verbatim
+    "q_genstore_cms" ->
+      TextQualityQueries.cmsOracleSql("SELECT text FROM documents"),
+    // generation-store shard serving must equal the batch k-means
+    // assignment of the whole corpus (unrolled-Lloyd replay)
+    "q_genstore_kmeans" ->
+      (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64,
+        table = "embeddings") +
+        "SELECT vec_id, cluster FROM a5 ORDER BY vec_id"),
     // the streaming span maintainer under the generation protocol must
     // serve exactly the batch tag of the union corpus —
     // q_stream_span_ingest's oracle verbatim

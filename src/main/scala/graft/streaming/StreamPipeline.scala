@@ -486,15 +486,21 @@ object StreamPipeline {
     * to the k-means model: each micro-batch of new embeddings is
     * assigned to its nearest trained centroid MAP-ONLY (the centroids
     * are k·d longs of driver metadata riding the closure — no join, no
-    * shuffle, no state store) and appended to the store partitioned by
-    * cluster, so every topic shard stays directly scannable between
-    * batches. */
+    * shuffle, no state store) and STAGE-COMMITTED into the store
+    * ([[graft.ext.KMeans.ingestIntoShards]] — per-batch atomic
+    * `_COMMITTED` markers, so a concurrent shard reader never sees a
+    * torn batch), every topic shard staying directly scannable between
+    * batches via [[graft.ext.KMeans.readShards]]. */
   def kmeansIngest(spark: SparkSession, stream: DataFrame, outDir: String,
                    cents: Array[Array[Long]],
-                   idCol: String, vecCol: String): Long =
-    drainIngest(stream)(batch =>
-      graft.ext.KMeans.assignWith(batch, idCol, vecCol, cents)
-        .write.mode("append").partitionBy("cluster").parquet(outDir))
+                   idCol: String, vecCol: String,
+                   autoCompactMaxFiles: Int = 0): Long =
+    drainIngest(stream) { batch =>
+      graft.ext.KMeans.ingestIntoShards(outDir, batch, idCol, vecCol, cents)
+      graft.ext.Compaction.maybeCompactKmeans(batch.sparkSession, outDir,
+        autoCompactMaxFiles)
+      ()
+    }
 
   /** Streaming count-min maintenance: each micro-batch's PARTIAL
     * sketch (bounded Depth·Width rows of batch-local counting) appends

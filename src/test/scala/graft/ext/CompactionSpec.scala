@@ -46,7 +46,10 @@ class CompactionSpec extends AnyFunSuite {
     val filesAfter = Compaction.parquetFileCount(spark, store)
     assert(before == after)
     assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
-    assert(spark.read.parquet(store).count() <= CountMin.Depth * CountMin.Width)
+    // the fold landed as ONE base sketch; staged batches retired
+    assert(spark.read.parquet(s"$store/base").count() <=
+      CountMin.Depth * CountMin.Width)
+    assert(StagedBatches.committedDirs(spark, store).isEmpty)
   }
 
   test("bm25 index: tf compaction preserves top-k, reduces files") {
@@ -344,7 +347,9 @@ class CompactionSpec extends AnyFunSuite {
     val dirP = new org.apache.hadoop.fs.Path(store)
     val oldP = new org.apache.hadoop.fs.Path(store + ".compact_old")
     val tmpP = new org.apache.hadoop.fs.Path(store + ".compact_tmp")
-    spark.read.parquet(store).write.parquet(tmpP.toString)
+    // a complete replacement in the compacted layout (folded base/)
+    CountMin.storeSketch(spark, store)
+      .coalesce(1).write.parquet(s"$tmpP/base")
     assert(fs.rename(dirP, oldP))
     assert(!fs.exists(dirP))
     // re-running compaction must first restore the store, then compact

@@ -89,7 +89,8 @@ class KMeansSpec extends AnyFunSuite {
     val nBatches = graft.streaming.StreamPipeline.kmeansIngest(
       spark, stream, outDir, cents, "vec_id", "embedding")
     assert(nBatches >= 2, s"expected >=2 micro-batches, got $nBatches")
-    val streamed = spark.read.parquet(outDir)
+    // the maintained store is base (none yet) + committed staged batches
+    val streamed = KMeans.readShards(spark, outDir)
       .select($"vec_id", $"cluster".cast("int"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
     val direct = KMeans.assignWith(blobs, "vec_id", "embedding", cents)
