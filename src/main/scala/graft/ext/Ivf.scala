@@ -510,14 +510,16 @@ object Ivf {
     val q = Similarity.prepared(queries, idCol, vecCol, "qid", "qvec", "qn2")
       .withColumn("cell", explode(assignUdf(model, nProbe)(col("qvec"))))
     // base + committed staged batches: each root joins the broadcast
-    // query side SEPARATELY (one FileIndex per root), so the BASE
-    // scan — the corpus-sized side — keeps its DPP partition pruning;
-    // a single multi-root relation would forfeit it (partition
-    // discovery rejects roots of different depths), and a Union under
-    // the join would break the pruning rule's scan match. The batch
-    // joins scan unpruned, but a staged batch is micro-batch-sized
-    // and their count is bounded by the auto-compaction threshold —
-    // the same bounded-delta fold the BM25 df/stats serving pays.
+    // query side SEPARATELY (one FileIndex per root) — a single
+    // multi-root relation is impossible (partition discovery rejects
+    // roots of different depths) and a Union under one join would
+    // break the pruning rule's scan match. Per-root joins give EVERY
+    // root its own DPP partition pruning (verified in the formatted
+    // plan: both the corpus-sized base scan and each staged-batch
+    // scan carry `dynamicpruningexpression(cell IN ...)` partition
+    // filters); join count is bounded by the auto-compaction
+    // threshold — the bounded-delta fold the BM25 df/stats serving
+    // pays.
     val scored = corpusPaths(spark, indexDir)
       .map { p =>
         spark.read.parquet(p).join(broadcast(q), "cell")

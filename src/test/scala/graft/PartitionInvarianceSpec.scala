@@ -42,7 +42,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // argmax partition-free), and the data-derived sqrt keep-rates
     // must not depend on the count aggregation's grouping
     "q_unigram_tokenize",  // distributed Viterbi-EM + frozen encode
-    "q_temperature_mix")   // data-derived bit-exact keep thresholds
+    "q_temperature_mix",   // data-derived bit-exact keep thresholds
+    "q_semdedup_autok")    // auto-k cells + two-level assignment + pinned hash join
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
