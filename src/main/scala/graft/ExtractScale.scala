@@ -28,14 +28,20 @@ object ExtractScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    graft.extract.SynthDocs.writeCorpus(java.nio.file.Paths.get(dir), nDocs)
+    // scope the corpus dir by nDocs (the q_extract_synth discipline):
+    // re-using one dir across ladder rungs would leave a larger run's
+    // files behind and fail the exact-count require with a misleading
+    // "extraction dropped docs" shape
+    val corpusDir = java.nio.file.Paths.get(dir, s"n$nDocs").toString
+    graft.extract.SynthDocs.writeCorpus(
+      java.nio.file.Paths.get(corpusDir), nDocs)
 
     // the measured pass: list + fetch + detect + extract + metadata,
     // aggregated so every document's extraction actually runs (an
     // unconsumed column would be pruned out of the scan)
     def pass(): (Long, Long, Long) = {
       val enriched = graft.pipeline.DocPipeline.enrich(
-        graft.pipeline.DocPipeline.ingest(spark, dir))
+        graft.pipeline.DocPipeline.ingest(spark, corpusDir))
       val r = enriched.agg(
         count(lit(1)), sum(length(col("text"))),
         count(col("error"))).collect()(0)
@@ -52,7 +58,7 @@ object ExtractScale {
     val sec = times(times.length / 2)
     val dps = docs / sec
     val dpsCore = dps / cpus.toDouble
-    println(f"""{"extract_scale":{"docs":$docs,"chars":$chars,"cores":$cpus,"sec":$sec%.3f,"docs_per_sec":$dps%.1f,"docs_per_sec_per_core":$dpsCore%.2f,"dir":"$dir"}}""")
+    println(f"""{"extract_scale":{"docs":$docs,"chars":$chars,"cores":$cpus,"sec":$sec%.3f,"docs_per_sec":$dps%.1f,"docs_per_sec_per_core":$dpsCore%.2f,"dir":"$corpusDir"}}""")
     spark.stop()
   }
 }

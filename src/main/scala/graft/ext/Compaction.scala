@@ -161,8 +161,16 @@ object Compaction {
     * corpus under maxFiles=100 would rewrite the whole store on EVERY
     * micro-batch. Growth-above-floor is idempotent: immediately after
     * a compaction the count sits at ≈ floor and the trigger stays
-    * quiet until real appends accumulate again. */
-  private def growthTrigger(files: Long, floor: Long, maxFiles: Int)
+    * quiet until real appends accumulate again.
+    *
+    * `files`/`floor` are BY-NAME: both cost a recursive file count /
+    * content summary over base + every staged batch, and the hooks run
+    * per micro-batch — with auto-compaction disabled (maxFiles = 0,
+    * the kmeansIngest/attrsIngest default) the trigger must cost
+    * nothing, not a driver-side tree walk that grows with store size.
+    * Callers keep their own prework (storePaths, cell-dir listings)
+    * lazy for the same reason. */
+  private def growthTrigger(files: => Long, floor: => Long, maxFiles: Int)
                            (compact: => Unit): Boolean =
     if (maxFiles > 0 && files >= floor + maxFiles) { compact; true }
     else false
@@ -273,7 +281,7 @@ object Compaction {
     * what [[compactAttrs]] would write). */
   def maybeCompactAttrs(spark: SparkSession, dir: String,
                         maxFiles: Int): Boolean = {
-    val paths = StagedBatches.storePaths(spark, dir, "attrs")
+    lazy val paths = StagedBatches.storePaths(spark, dir, "attrs")
     growthTrigger(paths.map(parquetFileCount(spark, _)).sum,
       targetPartsFor(spark, paths).toLong, maxFiles) {
       compactAttrs(spark, dir)
@@ -283,7 +291,7 @@ object Compaction {
   /** [[maybeCompactCms]]'s growth trigger for the span store. */
   def maybeCompactSpans(spark: SparkSession, dir: String,
                         maxFiles: Int): Boolean = {
-    val paths = StagedBatches.storePaths(spark, dir, "spans")
+    lazy val paths = StagedBatches.storePaths(spark, dir, "spans")
     growthTrigger(paths.map(parquetFileCount(spark, _)).sum,
       targetPartsFor(spark, paths).toLong, maxFiles) {
       compactSpans(spark, dir)
@@ -322,14 +330,16 @@ object Compaction {
     * per batch. */
   def maybeCompactIvf(spark: SparkSession, dir: String,
                       maxFiles: Int): Boolean = {
-    val paths = Ivf.corpusPaths(spark, dir)
-    val (fs, p) = fsFor(spark, s"$dir/corpus")
-    val cellDirs =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p)
-        .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-        .toLong
-    val floor = math.max(cellDirs, targetPartsFor(spark, paths).toLong)
+    lazy val paths = Ivf.corpusPaths(spark, dir)
+    lazy val floor = {
+      val (fs, p) = fsFor(spark, s"$dir/corpus")
+      val cellDirs =
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p)
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .toLong
+      math.max(cellDirs, targetPartsFor(spark, paths).toLong)
+    }
     growthTrigger(paths.map(parquetFileCount(spark, _)).sum, floor, maxFiles) {
       compactIvfCorpus(spark, dir)
     }
@@ -414,14 +424,16 @@ object Compaction {
     * (size-based floor as a lower bound). */
   def maybeCompactKmeans(spark: SparkSession, dir: String,
                          maxFiles: Int): Boolean = {
-    val paths = KMeans.shardPaths(spark, dir)
-    val (fs, p) = fsFor(spark, s"$dir/base")
-    val clusterDirs =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p)
-        .count(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
-        .toLong
-    val floor = math.max(clusterDirs, targetPartsFor(spark, paths).toLong)
+    lazy val paths = KMeans.shardPaths(spark, dir)
+    lazy val floor = {
+      val (fs, p) = fsFor(spark, s"$dir/base")
+      val clusterDirs =
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p)
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+          .toLong
+      math.max(clusterDirs, targetPartsFor(spark, paths).toLong)
+    }
     growthTrigger(paths.map(parquetFileCount(spark, _)).sum, floor, maxFiles) {
       compactKmeansShards(spark, dir)
     }

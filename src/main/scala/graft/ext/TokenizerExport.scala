@@ -95,8 +95,20 @@ object TokenizerExport {
         }
         all
       }
-      if (isCrlf) lines.map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
-      else lines
+      // strip \r only from lines that were actually \n-TERMINATED: in
+      // a CRLF-classified file whose final line has no terminator, a
+      // content-trailing \r on that tail is CONTENT, not a terminator
+      // — every split element except a terminatorless tail was
+      // \n-terminated (the empty-after-trailing-newline element was
+      // already dropped above, so then ALL survivors were terminated)
+      if (isCrlf) {
+        val terminated =
+          if (split.nonEmpty && split.last.isEmpty) lines.length
+          else lines.length - 1
+        lines.zipWithIndex.map { case (l, i) =>
+          if (i < terminated && l.endsWith("\r")) l.dropRight(1) else l
+        }
+      } else lines
     } finally in.close()
   }
 

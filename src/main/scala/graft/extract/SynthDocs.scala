@@ -113,17 +113,29 @@ object SynthDocs {
 
   /** Materialize documents [0, nDocs) under `dir`, fanned into
     * `subdirs` subdirectories so a distributed listing sees a real
-    * tree, not one hot directory. Skips files that already exist
-    * (idempotent re-run). */
+    * tree, not one hot directory. Skips files that already exist AT
+    * THE EXPECTED LENGTH (idempotent re-run); each file lands via a
+    * uniquely-named temp + ATOMIC_MOVE, so neither a killed run nor a
+    * concurrent writer (Verify and Bench share the fixed 500-doc
+    * corpus dir) can leave a torn container for a later scan — the
+    * losing racer's rename atomically replaces identical bytes. */
   def writeCorpus(dir: java.nio.file.Path, nDocs: Long,
                   subdirs: Int = 64): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     (0 until subdirs).foreach(s =>
-      java.nio.file.Files.createDirectories(dir.resolve(f"d$s%03d")))
+      Files.createDirectories(dir.resolve(f"d$s%03d")))
     var i = 0L
     while (i < nDocs) {
       val p = dir.resolve(f"d${i % subdirs}%03d").resolve(fileName(i))
-      if (!java.nio.file.Files.exists(p))
-        java.nio.file.Files.write(p, bytesFor(i))
+      val bytes = bytesFor(i)
+      val intact = Files.exists(p) && Files.size(p) == bytes.length
+      if (!intact) {
+        val tmp = p.resolveSibling(
+          p.getFileName.toString + ".tmp" + java.util.UUID.randomUUID())
+        Files.write(tmp, bytes)
+        Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
       i += 1
     }
   }

@@ -149,6 +149,15 @@ class TokenizerExportSpec extends AnyFunSuite {
     assert(TokenizerExport.importWordPiece(spark, dir) == Seq(
       WordPiece.Piece("abc\r", cont = false),
       WordPiece.Piece("de", cont = false)))
+    // in a CRLF file whose FINAL line is unterminated, a content-
+    // trailing \r on that tail is CONTENT — only \n-terminated lines
+    // had a terminator to strip (byte-exactness for external files)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/vocab.txt"),
+      "abc\r\nde\r".getBytes("UTF-8"))
+    assert(TokenizerExport.importWordPiece(spark, dir) == Seq(
+      WordPiece.Piece("abc", cont = false),
+      WordPiece.Piece("de\r", cont = false)))
   }
 
   test("export refuses control characters that cannot round-trip the line format") {
