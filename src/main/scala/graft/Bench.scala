@@ -2,20 +2,60 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+/** Benchmark main (driver contract): runs the headline query set
+  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
+  * seconds.
   *
   * Timing methodology: each query materializes through the `noop` sink
   * — `count()` would let Catalyst drop the output sort and any column
-  * not needed for counting, under-measuring the real plan. One warmup
-  * query first absorbs JVM/codegen/parquet-reader initialization so
-  * per-query numbers are comparable.
+  * not needed for counting, under-measuring the real plan.
+  *
+  * THE RECORD CANNOT GO MISSING (the r17 failure: the full 136-query
+  * set outgrew the driver's ~3600 s budget, was killed at rc=124, and
+  * emitted nothing). Four structural defenses, each independent:
+  *  1. DEADLINE-AWARE: a SPARK_GRAFT_BENCH_BUDGET_S soft budget
+  *     (default 2700 s) is checked before every sample and every
+  *     retry; once exceeded, no new sample starts and the record is
+  *     emitted with whatever samples exist, the short-sampled queries
+  *     listed in `truncated_names`.
+  *  2. INCREMENTAL EMISSION: the running record prints after EVERY
+  *     full iteration pass, so even a hard kill mid-iteration leaves a
+  *     complete parseable line from the previous pass in the log (plus
+  *     a shutdown hook re-printing the latest record on SIGTERM).
+  *  3. TRIMMED + ROTATED SET: redundant per-machine variants (the
+  *     four streaming-pack queries, the eight generation-store
+  *     protocol queries) keep ONE canonical representative in every
+  *     round's core set; the rest rotate through a deterministic
+  *     round-keyed tranche (key = count of committed BENCH_r*.json
+  *     records, overridable via SPARK_GRAFT_BENCH_TRANCHE), so full
+  *     drift coverage recurs every ROTATION_TRANCHES rounds while the
+  *     committed bench_baseline.json keeps guarding all of them.
+  *  4. TAIL-SIZED FINAL LINE: the driver records only the LAST ~2000
+  *     chars of output and scans them for a parseable JSON line — a
+  *     128-query map (~3.5 KB) can never parse from that window (every
+  *     rc=0 round r14-r16 shipped parsed:null this way). The FINAL
+  *     printed line is therefore size-capped: per-query numbers enter
+  *     HEAVIEST-FIRST until the line reaches ~1500 chars, the rest are
+  *     counted in `queries_elided`, and the complete per-query map is
+  *     both printed earlier in the log and committed to
+  *     BENCH_detail.json (one valid JSON object).
+  *
+  * Warmup: queries ALREADY IN the committed baseline skip the untimed
+  * warmup pass (a full extra pass was ~40% of r17's wall) — with ≥3
+  * round-robin iterations the one cold first sample is discarded by
+  * the median and the calm-min drift guard alike. Queries absent from
+  * the baseline (new this round) still warm, so their to-be-seeded
+  * medians stay steady-state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toDouble
+    def elapsedS: Double = (System.nanoTime() - startNs) / 1e9
+    def overBudget: Boolean = elapsedS > budgetS
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,10 +70,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Headline set: one representative per operator family (full
-    // inventory runs under Verify; the all-pairs oracle-check forms
-    // are excluded here in favor of their sub-quadratic scale paths).
-    val headlineAll = Seq(
+    // Headline inventory: one representative per operator family (the
+    // full 267-query inventory runs under Verify; all-pairs oracle
+    // forms are excluded in favor of their sub-quadratic scale paths).
+    // CORE queries run every round.
+    val core = Seq(
       "q_agg_pricing", "q_join_revenue_by_nation", "q_window_topk_orders",
       "q_filter_topn", "q_rollup_lineitem", "q_events_json_props",
       "q_doc_pipeline", "q_route_good", "q_split_tokens",
@@ -54,10 +95,6 @@ object Bench {
       "q_gopher_filter", "q_dsir_select", "q_semdedup",
       "q_refinedweb_funnel",
       "q_bm25_topk", "q_token_budget",
-      // round-12 widening (the drift guard previously watched 54/200
-      // queries): the expensive round-11 additions the verdict named,
-      // plus every non-trivial round-12 query, plus iterative /
-      // analytics shapes that were time-unwatched
       "q_pagerank_hosts", "q_inverted_index", "q_scd2", "q_image_funnel",
       "q_stream_scd2", "q_dedup_editdist",
       "q_warc_members", "q_wet_text", "q_trigram_prefilter",
@@ -72,32 +109,58 @@ object Bench {
       "q_anchor_text", "q_source_overlap", "q_mlm_masking",
       "q_fim_transform", "q_stream_mlm", "q_trigram_backoff",
       "q_kmeans_inertia",
-      // round-14 additions (baselined from the r14 judge idle run)
       "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
       "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
       "q_stream_sentences", "q_stream_span_ingest",
       "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline",
-      "q_stream_epoch_mix", "q_stream_pack",
-      // round-15 additions (seeded from a clean bracketed-recorder run)
-      "q_stream_pack_carry", "q_unigram_tokenize", "q_unigram_roundtrip",
-      "q_unigram_pack", "q_stream_unigram_pack", "q_temperature_mix",
+      "q_stream_epoch_mix",
+      // streaming-pack machine: carry is the canonical superset
+      // (micro-batch engine ×2 + atomic generations + cross-batch
+      // carry); the unigram/wordpiece/plain variants rotate
+      "q_stream_pack_carry",
+      "q_unigram_tokenize", "q_unigram_roundtrip",
+      "q_unigram_pack", "q_temperature_mix",
       "q_stream_temperature_mix", "q_tokenizer_fertility",
       "q_unigram_vocab_cap", "q_unigram_store",
       "q_pretrain_pipeline_unigram",
-      // round-16 additions
       "q_wordpiece_tokenize", "q_wordpiece_roundtrip", "q_wordpiece_pack",
-      "q_wordpiece_store", "q_stream_wordpiece_pack", "q_genstore_bm25",
-      "q_wordpiece_vocab_cap", "q_genstore_ann", "q_stream_genstore_bm25",
+      "q_wordpiece_store",
+      "q_wordpiece_vocab_cap",
+      // generation-store machine: one canonical batch tier
+      // (q_genstore_bm25: build+ingest+fold+GC+serve) and one
+      // canonical streaming maintainer (q_stream_genstore_bm25);
+      // the per-store protocol variants rotate
+      "q_genstore_bm25", "q_stream_genstore_bm25",
       // round-17 additions
-      "q_genstore_spans", "q_genstore_attrs", "q_stream_genstore_spans",
-      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth",
-      "q_genstore_cms", "q_genstore_kmeans")
-      .filter(SparkEntry.queries.contains)
-    // scale-ladder hook: run a SUBSET of the headline set (the slope
-    // table times the same queries at two scale factors; everything
-    // else about the bracketed recorder stays identical). Unknown or
-    // zero-match selections fail LOUDLY — the Verify discipline: a
-    // typo must not masquerade as a clean (empty) bench record.
+      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth")
+    // ROTATING queries: redundant per-machine protocol variants — each
+    // exercises machinery a core canonical already times every round.
+    // One tranche per round; a regression here is caught at most
+    // ROTATION_TRANCHES rounds late, with bench_baseline.json guarding
+    // all of them whenever they run.
+    val rotating = Seq(
+      "q_stream_pack", "q_stream_unigram_pack", "q_stream_wordpiece_pack",
+      "q_genstore_ann", "q_genstore_spans", "q_genstore_attrs",
+      "q_genstore_cms", "q_genstore_kmeans", "q_stream_genstore_spans")
+    val RotationTranches = 3
+    // round key: committed official records in cwd (the driver runs
+    // from the repo root) — deterministic per round, no clock
+    val tranche = sys.env.get("SPARK_GRAFT_BENCH_TRANCHE").map(_.toInt)
+      .getOrElse {
+        val f = new java.io.File(".").listFiles()
+        val n = if (f == null) 0
+          else f.count(_.getName.matches("BENCH_r\\d+\\.json"))
+        n % RotationTranches
+      }
+    val headlineAll = core ++ rotating
+    val roundSet = core ++
+      rotating.zipWithIndex.collect {
+        case (q, i) if i % RotationTranches == tranche => q
+      }
+    // scale-ladder hook: run a SUBSET (selected from the FULL
+    // inventory, so ladder runs can time rotated-out queries too).
+    // Unknown or zero-match selections fail LOUDLY — the Verify
+    // discipline: a typo must not masquerade as a clean empty record.
     val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(raw) =>
         val only = raw.split(',').map(_.trim).filter(_.nonEmpty).toSet
@@ -109,7 +172,7 @@ object Bench {
         require(sel.nonEmpty,
           "SPARK_GRAFT_BENCH_ONLY selected zero queries")
         sel
-      case None => headlineAll
+      case None => roundSet.filter(SparkEntry.queries.contains)
     }
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
@@ -134,6 +197,20 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt.max(0)
 
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json")
+    val baseline: Map[String, Double] = try {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        val sfOk = "\"sf_dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
     // bit_xor, not sum: summing id * large-constant over 8M rows
     // overflows Long, which under Spark 4's default ANSI mode throws
     // ARITHMETIC_OVERFLOW (this killed BENCH_r05). xor does the same
@@ -157,13 +234,14 @@ object Bench {
     }
     sentinel() // warm the sentinel plan itself so its first timing is comparable
 
-    // Untimed warmup pass over the FULL headline set (JMH practice):
-    // each query's first run pays whole-stage codegen compilation,
-    // shuffle-file creation and JIT — one-time JVM costs a long-lived
-    // cluster never re-pays per query. Timed iterations then measure
-    // steady-state engine throughput (BENCH_r06's q_dedup_embed_lsh
-    // median was 7.2 s with the cold run in-sample vs 1.8 s warm).
-    for (name <- headline) try run(name) catch { case _: Throwable => }
+    // Untimed warmup ONLY for queries the committed baseline does not
+    // yet guard (defense 4's wall-clock trim): their seeded medians
+    // must be steady-state; everything else round-robins its cold run
+    // into iteration 1, where the median and the calm-min both discard
+    // it. SPARK_GRAFT_BENCH_WARMUP=full restores the old full pass.
+    val warmAll = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("full")
+    for (name <- headline if warmAll || !baseline.contains(name))
+      if (!overBudget) try run(name) catch { case _: Throwable => }
 
     // per-query samples as (seconds, sentinelBefore, sentinelAfter)
     // triples — every sample is BRACKETED by sentinel probes. The
@@ -220,41 +298,20 @@ object Bench {
       val trail = trailingProbe()
       samples.update(name, samples(name) :+ ((t, lead, trail)))
     }
-    for (_ <- 1 to iters; name <- headline) timedSample(name)
 
-    // Self-defense pass: a sample is CALM when its preceding sentinel
-    // ran within 2× of the sentinel FLOOR. A query with no calm
-    // sample was only ever measured under load — re-run it (bounded)
-    // until a calm window lands; whatever still has no calm sample is
-    // reported per-query in queries_contended rather than poisoning
-    // the record silently (the BENCH_r08 failure: every number ~2.4×
-    // inflated with only a single run-level flag to show for it).
+    // ---- calm classification (shared by the retry passes and the
+    // emitter, so a mid-run emission classifies exactly like the final
+    // one would at that moment) -------------------------------------
     // The FLOOR is the sentinels' 10th percentile, not their min: the
     // min is a single lucky probe (this host idles at p10 ≈ p50 ≈
     // 0.07-0.08 s with an occasional 0.04 s outlier — min-keyed calm
-    // classed HALF of an idle run's samples as loaded, leaving most
-    // queries a single "calm" sample and min-vs-baseline flags that
-    // were really one-sample noise). p10 needs ~10% of probes to agree
-    // before it moves, so one outlier can't halve the floor, while a
-    // genuinely calm stretch still lowers it.
-    //
-    // The floor is computed over the sentinels seen SO FAR — and
-    // every retry adds a sentinel that can LOWER that floor, which
-    // retroactively invalidates queries already accepted under the old
-    // one. A single pass would then report such a query as contended
-    // with its retry budget unused. So: sweep the whole set repeatedly
-    // until a fixpoint — every query is either calm under the FINAL
-    // floor or has exhausted its budget. Terminates because each sweep
-    // that does anything consumes budget (≤ headline×maxRetries extra
-    // samples total). Residual blind spot, by construction: load that
-    // inflates EVERY sentinel uniformly (the BENCH_r08 shape) also
-    // inflates the floor and stays self-consistently "calm" — that is
-    // what the ABSOLUTE sentinel_min/p50 fields in the summary are
-    // for; the judge compares them across runs, where the constant-
-    // work sentinel is an absolute yardstick.
+    // classed HALF of an idle run's samples as loaded). p10 needs ~10%
+    // of probes to agree before it moves, so one outlier can't halve
+    // the floor, while a genuinely calm stretch still lowers it.
     // all-probes-failed ⇒ no floor exists: nothing is calm, retries
     // re-attempt the probe, and a still-empty pool ends contended with
-    // sentinel fields at -1 — a visibly-broken record, not a fake-calm one
+    // sentinel fields at -1 — a visibly-broken record, not a fake-calm
+    // one.
     def sFloorNow = if (sentinels.isEmpty) -1.0
       else sentinels.sorted.apply(sentinels.length / 10)
     // a sample is calm only when BOTH brackets are quiet: a loaded
@@ -265,47 +322,168 @@ object Bench {
     }
     def hasCalm(name: String): Boolean =
       samples(name).exists { case (_, l, tr) => calmPair(l, tr) }
+
+    // ---- the emitter ------------------------------------------------
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    // names are q_[a-z0-9_] identifiers today, but a malformed one must
+    // degrade to an ugly-but-parseable line, not an invalid record
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    def nameArr(xs: Seq[String], cap: Int): String =
+      (xs.take(cap) ++ (if (xs.length > cap) Seq(s"+${xs.length - cap} more") else Nil))
+        .map(jstr).mkString("[", ",", "]")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
+    @volatile var lastFinal: String = null
+    var emitted = false
+    // Compute-and-print the CURRENT record. Prints, in order: the full
+    // per-query summary (complete but too wide for the driver's tail
+    // window), the detail line, then the SIZE-CAPPED final line —
+    // always last, so the tail window always ends with one complete
+    // parseable line. `partial` marks mid-run emissions.
+    def emit(partial: Boolean, writeDetail: Boolean): Unit = {
+      val ran = headline.filter(samples(_).nonEmpty)
+      val results = ran.map { name =>
+        // median/min over the calm (both-brackets-quiet) samples when
+        // any exist — burst-overlapped samples are DISCARDED, they
+        // only widen the median upward; all samples otherwise
+        val all = samples(name)
+        val usable = {
+          val c = all.filter(p => calmPair(p._2, p._3)); if (c.nonEmpty) c else all
+        }
+        val times = usable.map(_._1).sorted
+        val n = times.length
+        val median =
+          if (n % 2 == 1) times(n / 2)
+          else (times(n / 2 - 1) + times(n / 2)) / 2
+        (name, median, times.head)
+      }
+      val flagged = ran.filterNot(hasCalm)
+      val truncated = headline.filter(samples(_).length < iters)
+      val sFloor = sFloorNow
+      val sMin = if (sentinels.isEmpty) -1.0 else sentinels.min
+      val sMax = if (sentinels.isEmpty) -1.0 else sentinels.max
+      val sP50 = if (sentinels.isEmpty) -1.0
+        else sentinels.sorted.apply(sentinels.length / 2)
+      // run-level flag: any query still contended after retries, or
+      // the host was busy for most of the run (sentinel MEDIAN vs the
+      // p10 FLOOR; threshold 2.0 — the r13 run sat at 2.1 under
+      // sustained moderate load and slipped under a 3.0 wire, shipping
+      // 16 false regression flags; an idle host measures ≈ 1.0-1.3).
+      val contended = flagged.nonEmpty || (sFloor > 0 && sP50 / sFloor > 2.0)
+      // Drift guard: per-query baseline (committed bench_baseline.json
+      // — the last judge-confirmed uncontended medians at sf0.1). A
+      // query REGRESSED when its best CALM sample still runs > 1.3×
+      // its baseline median AND at least 0.3 s above it (the absolute
+      // floor exists because sub-second IO-shaped queries drift ±40%
+      // with the HOST's day, not the code). Queries absent from the
+      // baseline are skipped — they enter it at the next refresh. The
+      // guard only speaks when the bench ran at the baseline's sf.
+      val regressed = results.collect {
+        case (name, _, minT)
+          if hasCalm(name) &&
+            baseline.get(name).exists(b => minT > 1.3 * b && minT - b > 0.3) =>
+            name
+      }
+      val qs = obj(results.map(r => r._1 -> r._2))
+      val qsMin = obj(results.map(r => r._1 -> r._3))
+      val total = results.map(_._2).sum
+      // Per-flag audit: every sample of every flagged query as
+      // [seconds, leadSentinel, trailSentinel] so a reader can verify
+      // per sample whether the host was calm.
+      def auditFor(names: Seq[String]): String =
+        names.map { n =>
+          jstr(n) + ":" + samples(n).map { case (t, l, tr) =>
+            val trS = if (tr == Double.MaxValue) "-1" else num(tr)
+            val lS = if (l == Double.MaxValue) "-1" else num(l)
+            s"[${num(t)},$lS,$trS]"
+          }.mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+      val flagAudit = auditFor((flagged ++ regressed).distinct)
+      val fullSummary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"tranche":$tranche,"partial":$partial,"elapsed_s":${num(elapsedS)},"sentinel_min":${num(sMin)},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"n_truncated":${truncated.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"truncated_names":${nameArr(truncated, 6)},"unit":"sec","value":${num(total)}}"""
+      val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"truncated":${truncated.map(jstr).mkString("[", ",", "]")},"flag_audit":$flagAudit,"max_samples":${(samples.values.map(_.length) ++ Seq(0)).max}}"""
+      // the FINAL line, sized for the driver's ~2000-char tail window
+      // (minus sbt's [success]/GC-warn trailer): per-query numbers
+      // enter HEAVIEST-FIRST — the scale-relevant ones — until the
+      // cap; the complete map is in the full summary above and in the
+      // committed detail file.
+      val fixed = s""","sf":"$sfDir","iters":$iters,"tranche":$tranche,"partial":$partial,"n_queries":${results.length},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"n_truncated":${truncated.length},"contended_names":${nameArr(flagged, 4)},"regressed_names":${nameArr(regressed, 4)},"truncated_names":${nameArr(truncated, 4)},"detail_file":${jstr(detailPath)},"unit":"sec","value":${num(total)}}"""
+      val capChars = 1500
+      val entries = results.sortBy(-_._2).map(r => jstr(r._1) + ":" + num(r._2))
+      val room = capChars - fixed.length - """{"metric":"total","queries":{},"queries_elided":000""".length - 24
+      val kept = {
+        var used = 0
+        entries.takeWhile { e => used += e.length + 1; used <= room }
+      }
+      val finalLine = s"""{"metric":"total","queries":${kept.mkString("{", ",", "}")},"queries_elided":${entries.length - kept.length}$fixed"""
+      if (writeDetail) {
+        // ONE valid JSON object (json.load-able): r17's two
+        // concatenated objects failed every json.load with Extra data
+        try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          (s"""{"summary":$fullSummary,"detail":$detail}""" + "\n").getBytes("UTF-8"))
+        catch { case _: Exception => } // an unwritable dir must not fail the bench
+      }
+      println(fullSummary)
+      println(detail)
+      println(finalLine)
+      lastFinal = finalLine
+    }
+    // last-ditch defense: the driver's timeout sends SIGTERM first —
+    // re-print the latest record so the tail window ends with it even
+    // if the kill lands mid-iteration (best effort; Spark's own
+    // shutdown logging may still follow it)
+    sys.addShutdownHook { if (!emitted && lastFinal != null) println(lastFinal) }
+
+    var deadlineHit = false
+    for (it <- 1 to iters) {
+      for (name <- headline) {
+        if (overBudget) deadlineHit = true
+        if (!deadlineHit) timedSample(name)
+      }
+      // running record after every full pass: a kill mid-iteration
+      // leaves the previous pass's complete parseable line in the log
+      if (it < iters && !deadlineHit) emit(partial = true, writeDetail = false)
+    }
+
+    // Self-defense pass: a query with no calm sample was only ever
+    // measured under load — re-run it (bounded) until a calm window
+    // lands; whatever still has no calm sample is reported per-query
+    // in queries_contended rather than poisoning the record silently.
+    // The floor is computed over the sentinels seen SO FAR — and every
+    // retry adds a sentinel that can LOWER that floor, which
+    // retroactively invalidates queries already accepted under the old
+    // one. So: sweep the whole set repeatedly until a fixpoint — every
+    // query is either calm under the FINAL floor or has exhausted its
+    // budget. Terminates because each sweep that does anything
+    // consumes budget (≤ headline×maxRetries extra samples total).
+    // Residual blind spot, by construction: load that inflates EVERY
+    // sentinel uniformly also inflates the floor and stays
+    // self-consistently "calm" — that is what the ABSOLUTE
+    // sentinel_min/p50 fields are for; the judge compares them across
+    // runs, where the constant-work sentinel is an absolute yardstick.
     val retriesUsed = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     var progressed = true
-    while (progressed) {
+    while (progressed && !overBudget) {
       progressed = false
       for (name <- headline)
-        if (!hasCalm(name) && retriesUsed(name) < maxRetries) {
+        if (!overBudget && samples(name).nonEmpty && !hasCalm(name) &&
+            retriesUsed(name) < maxRetries) {
           timedSample(name); retriesUsed(name) += 1; progressed = true
         }
     }
 
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json")
-    val baseline: Map[String, Double] = try {
-      val f = new java.io.File(baselinePath)
-      if (!f.exists) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        val sfOk = "\"sf_dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        if (!sfOk) Map.empty
-        else "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Exception => Map.empty }
-
     // Verify-before-accusing: a query ABOUT to be flagged regressed
     // gets bounded re-runs at END-OF-RUN, so the re-times land outside
-    // whatever burst created the suspicion. Min-of-3 has a heavy tail
-    // and same-run samples share JVM/GC pressure from their suite
-    // neighbors: consecutive idle full runs flagged a DIFFERENT random
-    // pair each time while standalone re-times of the flagged queries
-    // sat at 1.0-1.2× baseline. A genuine regression stays above
-    // threshold through every extra sample; a noise flag drops under
-    // it on the first quiet one. Bracketing already DISCARDS re-run
-    // samples a burst overlapped (they're not calm), and between
-    // re-runs of a still-flagged query we additionally WAIT OUT the
-    // burst — a bounded sleep whenever the latest sample's brackets
-    // were hot — instead of burning the retry budget inside it
-    // (BENCH_r14: five q_warc_members re-runs inside one burst, 4.56-
-    // 29.7 s recorded vs 1.2 s idle truth). Separate budget from the
-    // contention pass so a loaded mid-run can't starve the exoneration
-    // re-runs.
+    // whatever burst created the suspicion. A genuine regression stays
+    // above threshold through every extra sample; a noise flag drops
+    // under it on the first quiet one. Between re-runs of a
+    // still-flagged query we additionally WAIT OUT the burst — a
+    // bounded sleep whenever the latest sample's brackets were hot —
+    // instead of burning the retry budget inside it (BENCH_r14: five
+    // q_warc_members re-runs inside one burst, 4.56-29.7 s recorded vs
+    // 1.2 s idle truth). Separate budget from the contention pass so a
+    // loaded mid-run can't starve the exoneration re-runs.
     def wouldFlag(name: String): Boolean = {
       val calmTimes = samples(name).collect { case (t, l, tr) if calmPair(l, tr) => t }
       calmTimes.nonEmpty && baseline.get(name).exists(b =>
@@ -313,10 +491,10 @@ object Bench {
     }
     val regRetries = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     progressed = true
-    while (progressed) {
+    while (progressed && !overBudget) {
       progressed = false
       for (name <- headline)
-        if (wouldFlag(name) && regRetries(name) < maxRetries) {
+        if (!overBudget && wouldFlag(name) && regRetries(name) < maxRetries) {
           val wasHot = samples(name).lastOption.exists {
             case (_, l, tr) => !calmPair(l, tr)
           }
@@ -325,109 +503,10 @@ object Bench {
         }
     }
 
-    val sFloor = sFloorNow
-    val sMin = if (sentinels.isEmpty) -1.0 else sentinels.min
-    val sMax = if (sentinels.isEmpty) -1.0 else sentinels.max
-    val sP50 = if (sentinels.isEmpty) -1.0 else sentinels.sorted.apply(sentinels.length / 2)
-    val results = headline.map { name =>
-      // median/min over the calm (both-brackets-quiet) samples when
-      // any exist — burst-overlapped samples are DISCARDED, they only
-      // widen the median upward; all samples otherwise
-      val all = samples(name)
-      val usable = {
-        val c = all.filter(p => calmPair(p._2, p._3)); if (c.nonEmpty) c else all
-      }
-      val times = usable.map(_._1).sorted
-      val n = times.length
-      val median =
-        if (n % 2 == 1) times(n / 2)
-        else (times(n / 2 - 1) + times(n / 2)) / 2
-      (name, median, times.head)
-    }
-    val flagged = headline.filterNot(hasCalm)
-    // run-level flag: any query still contended after retries, or the
-    // host was busy for most of the run (sentinel MEDIAN vs the p10
-    // FLOOR — p50/min trips a clean run off one outlier probe: the
-    // first p50/min=2.0 wire flagged a genuinely idle run whose min
-    // was a single 0.039 s probe against p50 0.079, sentinel max only
-    // 0.39 s). Threshold 2.0, not the original 3.0: the r13 run sat at
-    // p50/min = 2.1 under sustained moderate load and slipped under
-    // the 3.0 wire, shipping 16 false regression flags; an idle host
-    // measures p50/p10 ≈ 1.0-1.3.
-    val contended = flagged.nonEmpty || (sFloor > 0 && sP50 / sFloor > 2.0)
-
-    // Drift guard: per-query baseline (committed bench_baseline.json —
-    // the last judge-confirmed uncontended medians at sf0.1). A query
-    // REGRESSED when its best CALM sample still runs > 1.3× its
-    // baseline median AND at least 0.3 s above it (calm-min vs median
-    // leaves honest headroom; a query with no calm sample is already in
-    // queries_contended and is not double-reported). The absolute floor
-    // exists because sub-second IO-shaped queries drift ±40% with the
-    // HOST'S day, not the code: an idle-host A/B of the same two
-    // flagged queries on this round's code vs the round-13 snapshot
-    // measured identical 0.55-0.9 s on both trees against 0.37/0.53
-    // baselines, while the pure-CPU sentinel matched the baseline run —
-    // a ratio-only guard re-reports that weather every round. A real
-    // regression that matters at scale clears 0.3 s absolute easily.
-    // Queries absent from the baseline (new this round) are skipped —
-    // they enter it at the next refresh. The guard only speaks when the
-    // bench ran at the baseline's sf.
-    val regressed = results.collect {
-      case (name, _, minT)
-        if hasCalm(name) &&
-          baseline.get(name).exists(b => minT > 1.3 * b && minT - b > 0.3) =>
-          name
-    }
-
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
-    // names are q_[a-z0-9_] identifiers today, but a malformed one must
-    // degrade to an ugly-but-parseable line, not an invalid record
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
-    val qs = obj(results.map(r => r._1 -> r._2))
-    val qsMin = obj(results.map(r => r._1 -> r._3))
-    val total = results.map(_._2).sum
-    // The driver records only the LAST ~2000 chars of output and scans
-    // them for a parseable JSON line, so the old single wide line could
-    // never parse — its head (the `{`) fell outside the window every
-    // time (BENCH_r07/r08: parsed stayed null). The summary line is
-    // therefore kept compact (~1.3 KB: 4-decimal seconds, contended
-    // NAMES deferred to the detail line) and printed twice — FIRST for
-    // head-readers and LAST so the tail window always ends with one
-    // complete line — with the full-precision detail line between.
-    // The regressed/contended NAMES ride in the summary line itself,
-    // capped so the line stays inside the driver's tail window
-    // (BENCH_r12 recorded n_regressed:2 with the names only on the
-    // middle detail line, which fell outside the ~2 KB window — the
-    // guard was unactionable). The UNCAPPED detail additionally goes
-    // to a committed file so no truncation can lose it.
-    def nameArr(xs: Seq[String], cap: Int): String =
-      (xs.take(cap) ++ (if (xs.length > cap) Seq(s"+${xs.length - cap} more") else Nil))
-        .map(jstr).mkString("[", ",", "]")
-    // Per-flag audit: every sample of every flagged query as
-    // [seconds, leadSentinel, trailSentinel] so a reader can verify
-    // per sample whether the host was calm — the r14 record's flags
-    // were unauditable without a judge re-run.
-    def auditFor(names: Seq[String]): String =
-      names.map { n =>
-        jstr(n) + ":" + samples(n).map { case (t, l, tr) =>
-          val trS = if (tr == Double.MaxValue) "-1" else num(tr)
-          val lS = if (l == Double.MaxValue) "-1" else num(l)
-          s"[${num(t)},$lS,$trS]"
-        }.mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
-    val flagAudit = auditFor((flagged ++ regressed).distinct)
-    val summary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"sentinel_min":${num(sMin)},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"unit":"sec","value":${num(total)}}"""
-    val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"flag_audit":$flagAudit,"max_samples":${samples.values.map(_.length).max}}"""
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (summary + "\n" + detail + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => } // an unwritable dir must not fail the bench
-    println(summary)
-    println(detail)
-    println(summary)
+    // the final record: partial=false (this IS the record); a hit
+    // deadline shows as n_truncated/truncated_names, not as partial
+    emit(partial = false, writeDetail = true)
+    emitted = true
     spark.stop()
   }
 }
