@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -24,8 +25,11 @@ import org.apache.spark.sql.functions._
   * the quadratic is confined within cells — Σ|cell|² is the SemDeDup
   * cost knob, controlled by k (at 100 TB raise k so cells stay
   * executor-sized; the paper runs 50k clusters over 5B embeddings).
-  * The centroid model is k·dim doubles broadcast in a udf closure —
-  * bounded metadata, like the IVF serving path. */
+  * Below [[DistributedK]] the centroid model is k·dim doubles riding a
+  * udf closure — bounded metadata, like the IVF serving path; at and
+  * past it, training AND assignment go fully distributed
+  * ([[trainDistributedCells]]) so nothing k-sized ever sits on the
+  * driver or in a closure. */
 object SemDedup {
 
   /** The paper's cell-sizing discipline made explicit (Abbas et al.
@@ -43,19 +47,167 @@ object SemDedup {
 
   /** [[semDedup]] with k auto-scaled by [[kFor]] — the shape to copy
     * at corpus scale. Costs ONE extra count scan of the id column to
-    * size k; the count is a number, not data, on the driver. (The
-    * driver-side Lloyd trainer is O(sample·k·dim) per iteration with
-    * sample ≥ k — at extreme k move training to a distributed k-means,
-    * the assignment/compare stages are unchanged.) */
+    * size k; the count is a number, not data, on the driver. Past
+    * [[DistributedK]] cells, training itself goes distributed
+    * ([[trainDistributedCells]]): the driver never collects more than
+    * a √k-bounded sample regardless of k. */
   def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                    tau: Double, targetCellSize: Long = 512,
-                   iters: Int = 3): DataFrame =
+                   iters: Int = 3,
+                   distributedK: Int = DistributedK): DataFrame =
     semDedup(emb, idCol, vecCol, tau,
-      k = kFor(emb.select(col(idCol)).count(), targetCellSize), iters = iters)
+      k = kFor(emb.select(col(idCol)).count(), targetCellSize),
+      iters = iters, distributedK = distributedK)
 
   /** Flat nearest-centroid above this k pays more in assignment than
     * the cells save in comparison — switch to two-level. */
   private val TwoLevelK = 64
+
+  /** k at or above which cell TRAINING goes distributed
+    * ([[trainDistributedCells]]). Below it, the driver-sample
+    * [[Ivf.train]] collects ~max(4096, k) vectors and runs an
+    * O(sample·k·d) Lloyd — fine up to a few thousand cells, but at
+    * auto-scaled k = n/targetCellSize a 1B-embedding corpus gives
+    * k ≈ 2M: a ~1 GB driver collect, an O(k²·d) driver loop, and a
+    * k·d closure broadcast, the driver becoming the bottleneck exactly
+    * where auto-k matters most (VERDICT r17 #2). */
+  val DistributedK = 4096
+
+  /** DISTRIBUTED two-level Lloyd over the unit-vector relation:
+    * returns (id, cell) with cell densely renumbered to [0, #cells).
+    * Nothing corpus- or k-sized ever reaches the driver — the bounded
+    * collects are [[Ivf.train]]'s coarse sample (⌈√k⌉ centroids) and
+    * the ≤⌈√k⌉-row group-count/seed-allocation table.
+    *
+    * Structure (the serving-side two-level assignment, applied to
+    * training): a bounded coarse model partitions the space into
+    * g = ⌈√k⌉ FIXED groups; seeds are allocated per group
+    * proportionally to its point count (largest-remainder, every live
+    * group ≥ 1 seed, capped by group size — so every point always has
+    * candidates and no group empties out); Lloyd then iterates
+    * INDEPENDENTLY inside each group as one dataframe program. Points
+    * and centroids join on the group key — the centroid relation stays
+    * distributed (k·d rows shuffled, never a closure broadcast), each
+    * point scores only its group's ≈√k centroids, so the E-step is
+    * O(n·√k·d) rows per iteration, matching the serving assignment's
+    * arithmetic. Group boundaries make the clustering approximate in
+    * exactly the way the serving path already is — SemDeDup tolerates
+    * it by design (cells only decide which pairs are COMPARED, and
+    * identical unit vectors co-assign under any deterministic
+    * function; SemDedupSpec pins driver-trained ≡ distributed-trained
+    * planted verdicts).
+    *
+    * Determinism discipline: everything after the coarse assignment is
+    * INTEGER ([[KMeans]]'s quantization — points at scale Quant,
+    * centroids at Quant·CScale, exact long distances, truncating-
+    * division means, argmin ties to the lowest cell) — no float sum
+    * ever depends on row order, so the assignment is bit-stable across
+    * runs and partitionings. */
+  private[ext] def trainDistributedCells(unit: DataFrame, k: Int,
+                                         iters: Int): DataFrame = {
+    val spark = unit.sparkSession
+    val sc = spark.sparkContext
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val coarse = Ivf.train(unit, "id", "v", g, iters)
+    val grpUdf = udf((v: Seq[Double]) => coarse.nearest(v, 1)(0))
+    val before = sc.getPersistentRDDs.keySet.toSet
+    // quantized points with their FIXED coarse group: iters+2 passes
+    // re-read them (the KMeans localCheckpoint rationale)
+    val pts = unit.select(col("id"), KMeans.quantCol(col("v")).as("q"),
+      grpUdf(col("v")).as("grp")).localCheckpoint()
+
+    // per-group seed allocation: ≤ g rows on the driver — bounded by
+    // √k, not k. Largest-remainder proportional shares, floor 1 per
+    // live group, capped at the group's size.
+    val counts = pts.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum.max(1L)
+    val base = counts.map { case (grp, c) =>
+      (grp, c, math.max(1L, math.min(c, k.toLong * c / total)))
+    }
+    var left = k.toLong - base.map(_._3).sum
+    // distribute any remainder by largest fractional share (ties to
+    // the lower group id via the stable sort), still capped by size
+    val alloc = scala.collection.mutable.Map(base.map(b => b._1 -> b._3): _*)
+    if (left > 0) {
+      val order = base.sortBy { case (grp, c, _) =>
+        (-(k.toLong * c % total), grp)
+      }
+      var i = 0
+      while (left > 0 && i < order.length * 8) {
+        val (grp, c, _) = order(i % order.length)
+        if (alloc(grp) < c) { alloc(grp) += 1; left -= 1 }
+        i += 1
+      }
+    }
+    val allocMap = alloc.toMap
+    val maxAlloc = allocMap.values.max
+    val allocUdf = udf((grp: Int) => allocMap(grp))
+    // seeds: each group's lowest-id points. The literal rn bound makes
+    // the window a per-group TOP-maxAlloc (WindowGroupLimit — no full
+    // per-group sort materializes); the per-group exact cut follows.
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+    val seeds = pts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(maxAlloc))
+      .filter(col("rn") <= allocUdf(col("grp")))
+      .select(col("grp"), col("id").as("cell"),
+        transform(col("q"), x => x * lit(KMeans.CScale)).as("c"))
+
+    // exact long distance point↔centroid at the KMeans scales
+    val dist = aggregate(
+      zip_with(col("q"), col("c"), (x, y) => {
+        val dd = x * lit(KMeans.CScale) - y
+        dd * dd
+      }), lit(0L), (a, x) => a + x)
+    // E-step: join on the group key — ≈√k candidate centroids per
+    // point, centroids pinned as the shuffled-hash BUILD side (k·d
+    // rows total, bounded per group; never a driver broadcast).
+    // Partial-aggregation collapses each point's candidate rows
+    // map-side (all rows of one id share its group's partition).
+    def estep(cents: DataFrame): DataFrame =
+      pts.join(cents.hint("shuffle_hash"), Seq("grp"))
+        .withColumn("d", dist)
+        .groupBy(col("id"))
+        .agg(min(struct(col("d"), col("cell"))).as("best"),
+          first(col("q")).as("q"))
+        .select(col("id"), col("best").getField("cell").as("cell"), col("q"))
+    // M-step: truncating-division integer means per (cell, pos); an
+    // emptied cell keeps its previous centroid (left join + coalesce)
+    def mstep(assigned: DataFrame, cents: DataFrame): DataFrame = {
+      val sums = assigned.select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(expr(s"sum(col) * ${KMeans.CScale}L div count(1)").as("coord"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("coord")))),
+          e => e.getField("coord")).as("c_new"))
+      cents.select(col("grp"), col("cell"), col("c").as("c_prev"))
+        .join(sums, Seq("cell"), "left")
+        .select(col("grp"), col("cell"),
+          coalesce(col("c_new"), col("c_prev")).as("c"))
+    }
+
+    var cents = seeds.localCheckpoint()
+    for (_ <- 1 to iters)
+      cents = mstep(estep(cents), cents).localCheckpoint()
+    // dense int cell labels (k rows — the bounded single-partition
+    // window every model-metadata relation in this repo tolerates);
+    // rank order preserves the seed-id tie-break
+    val renum = cents.withColumn("cell_i",
+      (row_number().over(Window.orderBy(col("cell"))) - lit(1)).cast("int"))
+      .select(col("grp"), col("cell_i").as("cell"), col("c"))
+    // snapshot the training-checkpoint ids BEFORE asg persists, so
+    // freeing them cannot touch asg's own cache
+    val ckpts = sc.getPersistentRDDs.keySet.toSet -- before
+    val asg = CacheScope.register(
+      estep(renum).select(col("id"), col("cell")).persist())
+    asg.count() // materialize BEFORE the checkpoint blocks are freed
+    // free the training checkpoints deterministically (Dataset
+    // .unpersist does not free checkpoint blocks — the KMeans
+    // .fitCentroids precedent)
+    ckpts.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    asg
+  }
 
   /** The per-vector cell-assignment function: flat O(k·d) nearest for
     * small k; TWO-LEVEL (coarse-quantized) for k > [[TwoLevelK]] — the
@@ -108,23 +260,36 @@ object SemDedup {
   }
 
   /** (id, cell, kept) for every input vector. `kept=false` iff some
-    * same-cell member with a smaller id sits within cosine ≥ τ. */
+    * same-cell member with a smaller id sits within cosine ≥ τ.
+    * At k ≥ `distributedK` the cells train distributed
+    * ([[trainDistributedCells]]); below it, the bounded driver-sample
+    * [[Ivf.train]] + closure assignment. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               tau: Double, k: Int = 16, iters: Int = 3): DataFrame = {
+               tau: Double, k: Int = 16, iters: Int = 3,
+               distributedK: Int = DistributedK): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val unit = emb
       .select(col(idCol).as("id"), vd.as("v0"))
       .withColumn("n2", aggregate(col("v0"), lit(0.0), (a, x) => a + x * x))
       .select(col("id"),
         transform(col("v0"), x => x / sqrt(col("n2"))).as("v"))
-    val model = Ivf.train(unit, "id", "v", k, iters)
-    val assign = udf(assignFn(model))
     // PERSIST the assigned relation: it feeds BOTH pair sides and the
     // final join-back, and assignment is O(√k·dim) per row — unpersisted
     // it re-runs three times. CacheScope loan pattern: released at the
     // caller's scope exit.
-    val cells = CacheScope.register(
-      unit.withColumn("cell", assign(col("v"))).persist())
+    val cells = if (k >= distributedK) {
+      // the (id, cell) assignment is already persisted inside the
+      // trainer; the vector join-back re-derives unit (one narrow
+      // normalize scan), keeping the cached footprint to 2 longs/row
+      // plus this joined relation
+      CacheScope.register(unit.join(trainDistributedCells(unit, k, iters),
+        Seq("id")).persist())
+    } else {
+      val model = Ivf.train(unit, "id", "v", k, iters)
+      val assign = udf(assignFn(model))
+      CacheScope.register(
+        unit.withColumn("cell", assign(col("v"))).persist())
+    }
     val a = cells.select(col("cell"), col("id").as("i"), col("v").as("va"))
     val b = cells.select(col("cell"), col("id").as("j"), col("v").as("vb"))
     // SHUFFLED HASH, pinned in the auto-scaled-k regime: there the

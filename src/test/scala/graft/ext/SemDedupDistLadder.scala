@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off ladder rung for the DISTRIBUTED SemDeDup trainer (VERDICT
+  * r17 #2): times the exact q_semdedup_autok plan (embeddings + ×1.5
+  * clones, targetCellSize 512) with training forced through either
+  * path, so SCALE.md can record driver-trained vs distributed-trained
+  * at the same corpus and k. Test scope — diagnostic tooling, not
+  * product surface.
+  *
+  * Usage: Test/runMain graft.ext.SemDedupDistLadder <sfDir> <driver|dist> [iters]
+  */
+object SemDedupDistLadder {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = args(1)
+    val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    val distributedK = mode match {
+      case "driver" => Int.MaxValue
+      case "dist"   => 1
+      case m        => sys.error(s"mode must be driver|dist, got $m")
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val clones = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding")).unionByName(clones)
+    val n = all.count()
+
+    def pass(): Long = CacheScope.withScope {
+      val out = SemDedup.semDedupAuto(all, "vec_id", "embedding", 0.9,
+        targetCellSize = 512, distributedK = distributedK)
+      out.write.format("noop").mode("overwrite").save()
+      // kept planted clones — must be zero: each clone's original sits
+      // in its cell at cosine ≈ 1 (the SynthScale-replicated corpora
+      // ALSO carry real near-dups across replicas, so original-side
+      // drops are legitimate there; only the clone side is an oracle)
+      out.filter(col("id") >= 1000000L && col("kept")).count()
+    }
+    val keptClones = pass() // warmup, and the planted-contract check
+    require(keptClones == 0L,
+      s"planted contract violated: $keptClones clones survived")
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime(); pass(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val k = SemDedup.kFor(n, 512)
+    println(f"""{"semdedup_ladder":{"mode":"$mode","dir":"$dir","n":$n,"k":$k,"median_s":${times(times.length / 2)}%.2f,"min_s":${times.head}%.2f,"iters":$iters}}""")
+    spark.stop()
+  }
+}

@@ -86,4 +86,51 @@ class SemDedupSpec extends AnyFunSuite {
       assert(nCells > 16, s"two-level path produced only $nCells cells")
     }
   }
+
+  test("distributed-trained cells produce the same planted-contract verdicts as driver-trained") {
+    // VERDICT r17 #2: past DistributedK the cells train via the
+    // distributed two-level Lloyd (no driver collect beyond a bounded
+    // sample). Cell BOUNDARIES may differ from the driver trainer's —
+    // what must agree is the planted contract: identical-direction
+    // clones co-assign under ANY deterministic assignment and drop;
+    // real pairs sit far under τ and survive, in BOTH paths.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clones = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding")).unionByName(clones)
+    def verdicts(distributedK: Int): Map[Long, Boolean] = CacheScope.withScope {
+      SemDedup.semDedup(all, "vec_id", "embedding", 0.9, k = 100,
+        distributedK = distributedK)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    }
+    val driver = verdicts(distributedK = Int.MaxValue) // force driver path
+    val dist = verdicts(distributedK = 1)              // force distributed path
+    assert(driver.keySet == dist.keySet)
+    driver.foreach { case (id, kept) =>
+      assert(kept == (id < 1000000L), s"driver path: id $id kept=$kept")
+    }
+    dist.foreach { case (id, kept) =>
+      assert(kept == (id < 1000000L), s"distributed path: id $id kept=$kept")
+    }
+    // the distributed trainer genuinely spread the corpus over many
+    // cells (≈k seeds allocated across coarse groups)
+    val nCells = CacheScope.withScope {
+      SemDedup.semDedup(all, "vec_id", "embedding", 0.9, k = 100,
+        distributedK = 1).select(col("cell")).distinct().count()
+    }
+    assert(nCells > 16, s"distributed path produced only $nCells cells")
+  }
+
+  test("distributed-path verdicts are partition-independent") {
+    // the integer-quantized Lloyd + lowest-cell tie-breaks make the
+    // assignment bit-stable under any input partitioning
+    def run(df: org.apache.spark.sql.DataFrame) = CacheScope.withScope {
+      SemDedup.semDedup(df, "vec_id", "embedding", 0.9, k = 3,
+        distributedK = 1)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    }
+    assert(run(vecs) == run(vecs.repartition(5)))
+  }
 }
