@@ -96,6 +96,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
   }
 
+  test("staged IVF serving keeps DPP partition pruning on base AND staged-batch scans") {
+    // The plan-shape contract behind Ivf.topKIndexed's per-root join
+    // design (Ivf.scala: corpusPaths roots join the broadcast query
+    // side SEPARATELY): every root — the corpus-sized base AND each
+    // committed staged batch — must carry a dynamic partition-pruning
+    // filter on `cell`, so serving scans only probed cells. A refactor
+    // that unions the roots under one join would silently lose the
+    // base scan's pruning (partition discovery can't even mount
+    // different-depth roots in one relation) — this case freezes the
+    // shape where plan contracts live, per VERDICT r17 #6.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_planshape_ivf").toString
+    graft.ext.Ivf.buildIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dir, k = 16, iters = 2)
+    graft.ext.Ivf.ingestIntoIndex(spark, dir,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = graft.ext.Ivf.topKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 8)
+    val scans = served.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    def pruned(rootMark: String): Seq[String] =
+      scans.filter(l => l.contains(rootMark) && l.contains("dynamicpruning"))
+    assert(pruned(s"$dir/corpus").nonEmpty,
+      s"base corpus scan lost DPP:\n${scans.mkString("\n")}")
+    assert(pruned("/batches/").nonEmpty,
+      s"staged-batch scan lost DPP:\n${scans.mkString("\n")}")
+    // and the serving result is intact (both roots actually consumed)
+    assert(served.count() > 0)
+  }
+
   test("the allowlist carries no dead entries") {
     // an allowlisted query that no longer exists (renamed/removed) or
     // no longer needs the exemption should be pruned, not fossilized
