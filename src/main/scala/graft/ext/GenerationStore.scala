@@ -63,6 +63,23 @@ import org.apache.spark.sql.SparkSession
   * swap accepts in exchange for zero extra storage. Single-writer
   * tiers can keep the in-place swap; deployments with concurrent
   * writers or long-running readers should use this store.
+  *
+  * MANIFEST GROWTH IS BOUNDED BY GC, not by the publish count: [[gc]]
+  * deletes manifest entries whose generation no longer exists (dead
+  * pointers below the oldest survivor) alongside the aged generations
+  * themselves, so after any gc pass the manifest holds exactly one
+  * entry per LIVE generation — and live generations are bounded by
+  * publish-rate × minAgeMs plus the current one. A store that
+  * publishes forever but gc's on its maintenance cadence (the
+  * [[graft.streaming.StreamPipeline]] maintainers' shape) therefore
+  * keeps [[currentGenDir]]'s resolve cost at O(live generations), a
+  * small constant in steady state, NOT O(total publishes ever)
+  * (pinned at a few hundred publishes in GenerationStoreSpec). Only a
+  * store that NEVER runs gc accumulates entries linearly — run gc; no
+  * separate manifest-compaction mechanism is needed. Sequence numbers
+  * themselves never recycle while referenced ([[SeqWidth]] = 10 digits
+  * outlives any realistic store: one publish per second for 300
+  * years).
   */
 object GenerationStore {
 

@@ -151,6 +151,39 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(GenerationStore.currentGenDir(spark, root).contains(cur))
   }
 
+  test("manifest stays O(live generations) across hundreds of publishes with gc on a cadence") {
+    // VERDICT r17 #7: the protocol's last unbounded-metadata question.
+    // 240 publishes with gc every 10 (minAge 0 — everything superseded
+    // is immediately collectable): after the final gc the manifest
+    // must hold entries only for LIVE generations (here: the current
+    // one), never one per historical publish — resolve cost is
+    // O(live), not O(total publishes ever).
+    val root = tmpRoot("genstore_manifest_growth")
+    val mdir = new java.io.File(s"$root/manifest")
+    val gdir = new java.io.File(s"$root/generations")
+    var maxBetweenGc = 0
+    for (i <- 1 to 240) {
+      GenerationStore.publish(spark, root) { dir =>
+        Seq(i).toDF("v").coalesce(1).write.parquet(dir)
+      }
+      if (i % 10 == 0) {
+        GenerationStore.gc(spark, root, minAgeMs = 0L)
+        val n = mdir.list().length
+        maxBetweenGc = math.max(maxBetweenGc, n)
+        assert(n <= 2,
+          s"after gc at publish $i the manifest holds $n entries — " +
+            "dead pointers are accumulating")
+        assert(gdir.list().length <= 2,
+          s"superseded generations surviving a minAge=0 gc at publish $i")
+      }
+    }
+    // between gc passes the manifest grows only by the publishes since
+    // the last pass (the cadence bound), and the store still resolves
+    assert(mdir.list().length <= 11)
+    val cur = GenerationStore.currentGenDir(spark, root).get
+    assert(spark.read.parquet(cur).collect().map(_.getInt(0)).toSeq == Seq(240))
+  }
+
   test("a zero-length manifest claim: skipped for resolution, counted for allocation, GC'd past the gate") {
     val root = tmpRoot("genstore_claim")
     val p1 = GenerationStore.publish(spark, root) { dir =>
