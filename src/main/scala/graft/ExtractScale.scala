@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
   * ONE JSON line with docs/s and docs/s/core — the BASELINE.md
   * ≥ 1 doc/s/core target's measured evidence.
   *
-  * Usage: `runMain graft.ExtractScale <corpusDir> <nDocs> [iters]`.
+  * Usage: `runMain graft.ExtractScale <corpusDir> <nDocs> [iters] [easy|heavy]`.
+  * `heavy` generates the [[graft.extract.SynthHeavyDocs]] mix —
+  * FlateDecode multi-stream PDFs, OLE2 piece-table .doc, AES-V2
+  * encrypted PDFs — the 10-50×-more-work-per-byte tail the easy-format
+  * number alone would overstate.
   */
 object ExtractScale {
   def main(args: Array[String]): Unit = {
     val Array(dir, nStr) = args.take(2)
     val nDocs = nStr.toLong
     val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    val heavy = args.lift(3).contains("heavy")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -32,9 +37,14 @@ object ExtractScale {
     // re-using one dir across ladder rungs would leave a larger run's
     // files behind and fail the exact-count require with a misleading
     // "extraction dropped docs" shape
-    val corpusDir = java.nio.file.Paths.get(dir, s"n$nDocs").toString
-    graft.extract.SynthDocs.writeCorpus(
-      java.nio.file.Paths.get(corpusDir), nDocs)
+    val mode = if (heavy) "heavy" else "easy"
+    val corpusDir = java.nio.file.Paths.get(dir, s"n${nDocs}_$mode").toString
+    if (heavy)
+      graft.extract.SynthHeavyDocs.writeCorpus(
+        java.nio.file.Paths.get(corpusDir), nDocs)
+    else
+      graft.extract.SynthDocs.writeCorpus(
+        java.nio.file.Paths.get(corpusDir), nDocs)
 
     // the measured pass: list + fetch + detect + extract + metadata,
     // aggregated so every document's extraction actually runs (an
@@ -58,7 +68,7 @@ object ExtractScale {
     val sec = times(times.length / 2)
     val dps = docs / sec
     val dpsCore = dps / cpus.toDouble
-    println(f"""{"extract_scale":{"docs":$docs,"chars":$chars,"cores":$cpus,"sec":$sec%.3f,"docs_per_sec":$dps%.1f,"docs_per_sec_per_core":$dpsCore%.2f,"dir":"$corpusDir"}}""")
+    println(f"""{"extract_scale":{"mode":"$mode","docs":$docs,"chars":$chars,"cores":$cpus,"sec":$sec%.3f,"docs_per_sec":$dps%.1f,"docs_per_sec_per_core":$dpsCore%.2f,"dir":"$corpusDir"}}""")
     spark.stop()
   }
 }

@@ -50,14 +50,18 @@ object SecuredPdf {
       infoDict = s"<< /Title <${s7(Rc4Title)}> /Author <${s7("graft")}> >>")
   }
 
-  def securedAes(): Array[Byte] = {
+  /** `text` parameterizes the encrypted payload (default = the fixture
+    * constant) so the synthetic heavy-extraction corpus
+    * ([[SynthHeavyDocs]]) can plant per-document text behind real
+    * AES-V2 encryption. */
+  def securedAes(text: String = AesText): Array[Byte] = {
     val o = PdfCrypt.computeO(Array.empty, Array.empty, r = 4, n = 16)
     val key = PdfCrypt.fileKey(Array.empty, o, Perms, FileId, r = 4, n = 16,
       encryptMetadata = true)
     val u = PdfCrypt.computeU(key, r = 4, FileId)
     val d = PdfCrypt.Decryptor(key, r = 4, aes = true, encryptMetadata = true)
     val iv = (0 until 16).map(i => ((i * 19 + 3) & 0xff).toByte).toArray
-    val body = PdfCrypt.aesCbcEncrypt(d.objKey(4, 0), iv, content(AesText))
+    val body = PdfCrypt.aesCbcEncrypt(d.objKey(4, 0), iv, content(text))
     val iv2 = (0 until 16).map(i => ((i * 23 + 9) & 0xff).toByte).toArray
     def s7(v: String) =
       hex(PdfCrypt.aesCbcEncrypt(d.objKey(7, 0), iv2, v.getBytes(ISO_8859_1)))

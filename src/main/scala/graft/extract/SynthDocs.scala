@@ -120,19 +120,27 @@ object SynthDocs {
     * corpus dir) can leave a torn container for a later scan — the
     * losing racer's rename atomically replaces identical bytes. */
   def writeCorpus(dir: java.nio.file.Path, nDocs: Long,
-                  subdirs: Int = 64): Unit = {
+                  subdirs: Int = 64): Unit =
+    writeCorpusWith(dir, nDocs, subdirs)(fileName, bytesFor)
+
+  /** The shared corpus writer behind [[SynthDocs]] and
+    * [[SynthHeavyDocs]]: same tree fan-out, same atomic-per-file
+    * discipline, parameterized on the per-index naming/content. */
+  private[extract] def writeCorpusWith(dir: java.nio.file.Path, nDocs: Long,
+                                       subdirs: Int)(
+      name: Long => String, bytes: Long => Array[Byte]): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     (0 until subdirs).foreach(s =>
       Files.createDirectories(dir.resolve(f"d$s%03d")))
     var i = 0L
     while (i < nDocs) {
-      val p = dir.resolve(f"d${i % subdirs}%03d").resolve(fileName(i))
-      val bytes = bytesFor(i)
-      val intact = Files.exists(p) && Files.size(p) == bytes.length
+      val p = dir.resolve(f"d${i % subdirs}%03d").resolve(name(i))
+      val b = bytes(i)
+      val intact = Files.exists(p) && Files.size(p) == b.length
       if (!intact) {
         val tmp = p.resolveSibling(
           p.getFileName.toString + ".tmp" + java.util.UUID.randomUUID())
-        Files.write(tmp, bytes)
+        Files.write(tmp, b)
         Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       }
