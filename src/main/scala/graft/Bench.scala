@@ -132,7 +132,9 @@ object Bench {
       // the per-store protocol variants rotate
       "q_genstore_bm25", "q_stream_genstore_bm25",
       // round-17 additions
-      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth")
+      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth",
+      // round-18 additions
+      "q_semdedup_dist")
     // ROTATING queries: redundant per-machine protocol variants — each
     // exercises machinery a core canonical already times every round.
     // One tranche per round; a regression here is caught at most

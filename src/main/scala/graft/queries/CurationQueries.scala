@@ -225,6 +225,31 @@ object CurationQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // the DISTRIBUTED-training path of the same operator, forced at
+    // gate scale (distributedK = 1 — in production it engages at
+    // k ≥ 4096, where the driver-sample trainer's k²·d loop and k·d
+    // closure stop scaling): coarse √k-group model, per-group seed
+    // allocation, integer two-level Lloyd as a dataframe program,
+    // nothing k-sized on the driver. The SAME analytic oracle pins it:
+    // originals can never drop under ANY assignment (their only
+    // ≥τ-cosine partner carries the LARGER id), and a clone drops iff
+    // it co-assigns with its bit-identical original — which any
+    // deterministic assignment guarantees (verified across sf0.001/
+    // 0.01/0.1/1/10). A torn E-step, a lost seed group, or a
+    // nondeterministic float mean would each break kept=¬clone.
+    "q_semdedup_dist" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val clones = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val all = emb.select(col("vec_id"), col("embedding")).unionByName(clones)
+      graft.ext.SemDedup.semDedupAuto(all, "vec_id", "embedding", 0.9,
+          targetCellSize = 512, distributedK = 1)
+        .select(col("id").as("vec_id"),
+          (col("id") >= 1000000L).as("is_clone"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The RefinedWeb-shaped funnel from this round's operators, ONE
     // plan: URL-canonical dedup (every page re-enters as a second
     // messy spelling at id+1e6; canonicalization must collapse the
@@ -915,6 +940,16 @@ object CurationQueries {
     // the planted contract is k-invariant (see the query comment), so
     // the auto-k variant pins the identical analytic oracle
     "q_semdedup_autok" ->
+      """SELECT vec_id, false AS is_clone, true AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept
+        |FROM embeddings WHERE vec_id % 5 = 0
+        |ORDER BY vec_id""".stripMargin,
+
+    // ... and the contract is also assignment-invariant (see the
+    // q_semdedup_dist comment), so the distributed-training path pins
+    // the identical analytic oracle again
+    "q_semdedup_dist" ->
       """SELECT vec_id, false AS is_clone, true AS kept FROM embeddings
         |UNION ALL
         |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept

@@ -43,7 +43,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // must not depend on the count aggregation's grouping
     "q_unigram_tokenize",  // distributed Viterbi-EM + frozen encode
     "q_temperature_mix",   // data-derived bit-exact keep thresholds
-    "q_semdedup_autok")    // auto-k cells + two-level assignment + pinned hash join
+    "q_semdedup_autok",    // auto-k cells + two-level assignment + pinned hash join
+    // round-18 family: the DISTRIBUTED integer Lloyd (quantized
+    // distances, truncating-division means, lowest-cell ties) claims
+    // bit-stable assignments under any partitioning — the claim is
+    // the whole point of the KMeans-discipline arithmetic
+    "q_semdedup_dist")
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
