@@ -459,11 +459,21 @@ object Bench {
     // query is either calm under the FINAL floor or has exhausted its
     // budget. Terminates because each sweep that does anything
     // consumes budget (≤ headline×maxRetries extra samples total).
-    // Residual blind spot, by construction: load that inflates EVERY
-    // sentinel uniformly also inflates the floor and stays
+    // Residual blind spots, by construction: (a) load that inflates
+    // EVERY sentinel uniformly also inflates the floor and stays
     // self-consistently "calm" — that is what the ABSOLUTE
     // sentinel_min/p50 fields are for; the judge compares them across
     // runs, where the constant-work sentinel is an absolute yardstick.
+    // (b) The sentinel is PURE CPU, so an IO-loaded-but-CPU-calm
+    // window (host disk contention, FS reclaim after large deletes)
+    // inflates IO-shaped queries while every bracket reads calm —
+    // observed 2026-08-16: q_stream_window/q_dedup_keep_canonical at
+    // 1.7-2.6× baseline through five calm-bracketed samples, with an
+    // r16-snapshot A/B measuring the SAME inflation on the old tree
+    // and both calm-mins returning to baseline in a later quiet
+    // window. A flag whose flag_audit shows calm brackets at uniform
+    // inflation therefore needs an idle-window re-time before it is
+    // believed.
     val retriesUsed = scala.collection.mutable.Map(headline.map(_ -> 0): _*)
     var progressed = true
     while (progressed && !overBudget) {
