@@ -134,7 +134,7 @@ object Bench {
       // round-17 additions
       "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth",
       // round-18 additions
-      "q_semdedup_dist")
+      "q_semdedup_dist", "q_extract_heavy")
     // ROTATING queries: redundant per-machine protocol variants — each
     // exercises machinery a core canonical already times every round.
     // One tranche per round; a regression here is caught at most

@@ -140,6 +140,34 @@ object PipelineQueries {
         .orderBy(col("fmt"))
     }),
 
+    // extraction at corpus width over the HEAVY formats (VERDICT r17
+    // #3's generator, oracle-gated like the easy corpus): 300 real
+    // containers — 100 FlateDecode multi-stream PDFs (planted words
+    // never in the raw bytes), 100 fast-saved OLE2 .doc piece tables,
+    // 100 AES-V2 encrypted PDFs — through the same pipeline, every
+    // document's ~7.3 KB text compared against its planted expectation
+    // in-plan. A wrong inflate, a mis-walked FAT sector, or one bad
+    // AES block breaks an exactness count.
+    "q_extract_heavy" -> ((s, _) => {
+      import s.implicits._
+      val n = 300L
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_synthheavy_$n")
+      graft.extract.SynthHeavyDocs.writeCorpus(dir, n)
+      val expected = s.range(0, n).map { i =>
+        (graft.extract.SynthHeavyDocs.fileName(i),
+          graft.extract.SynthHeavyDocs.expectedText(i),
+          graft.extract.SynthHeavyDocs.formatFor(i))
+      }.toDF("filename", "expected", "fmt")
+      val enriched = DocPipeline.enrich(DocPipeline.ingest(s, dir.toString))
+      enriched.join(expected, Seq("filename"))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("error").isNull && col("text") === col("expected"), 1L)
+            .otherwise(0L)).as("n_exact"))
+        .orderBy(col("fmt"))
+    }),
+
     // T3 HTML output mode over the fixtures (FixtureGolden oracle)
     "q_extract_fixtures_html" -> ((s, _) => {
       val enriched = DocPipeline.enrich(DocPipeline.ingest(s, FixtureDir),
@@ -436,6 +464,15 @@ object PipelineQueries {
         |  ('odt',  CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
         |  ('pdf',  CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
         |  ('txt',  CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+        |) AS t(fmt, n_docs, n_exact) ORDER BY fmt""".stripMargin,
+    // 100 exact extractions per HEAVY format, by construction
+    // (SynthHeavyDocsSpec pins per-format text equality; the query
+    // re-checks all 300 documents in-plan)
+    "q_extract_heavy" ->
+      """SELECT * FROM (VALUES
+        |  ('doc',    CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('pdfenc', CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('pdfz',   CAST(100 AS BIGINT), CAST(100 AS BIGINT))
         |) AS t(fmt, n_docs, n_exact) ORDER BY fmt""".stripMargin,
     "q_route_good"    -> routeOracle("POSITIVE"),
     "q_route_bad"     -> routeOracle("NEGATIVE"),
