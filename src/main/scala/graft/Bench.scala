@@ -286,7 +286,27 @@ object Bench {
       if (best < Double.MaxValue) { sentinels += best; best }
       else Double.MaxValue
     }
+    // IO-weather diagnostic (summary-only — calm classification stays
+    // on the CPU sentinel so baselines keep their meaning): one 4 MB
+    // write+fsync per sample slot, pooled into io_p50/io_max. The
+    // pure-CPU sentinel cannot see a disk-contended window (blind spot
+    // (b) below); these absolute readings let a judge tell "code got
+    // slower" from "the disk was busy" without a snapshot A/B.
+    val ioProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioBuf = new Array[Byte](4 << 20)
+    def ioProbe(): Unit = try {
+      val t0 = System.nanoTime()
+      val p = java.nio.file.Files.createTempFile("graft_bench_io", ".bin")
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.WRITE)
+      ch.write(java.nio.ByteBuffer.wrap(ioBuf))
+      ch.force(true)
+      ch.close()
+      java.nio.file.Files.delete(p)
+      ioProbes += (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => }
     def timedSample(name: String): Unit = {
+      ioProbe()
       val lead = probe()
       // drop caches persisted inside operators (route fan-out, shingle
       // index) so queries don't inherit each other's memory pressure
@@ -403,7 +423,10 @@ object Bench {
           }.mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       val flagAudit = auditFor((flagged ++ regressed).distinct)
-      val fullSummary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"tranche":$tranche,"partial":$partial,"elapsed_s":${num(elapsedS)},"sentinel_min":${num(sMin)},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"n_truncated":${truncated.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"truncated_names":${nameArr(truncated, 6)},"unit":"sec","value":${num(total)}}"""
+      val ioP50 = if (ioProbes.isEmpty) -1.0
+        else ioProbes.sorted.apply(ioProbes.length / 2)
+      val ioMax = if (ioProbes.isEmpty) -1.0 else ioProbes.max
+      val fullSummary = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","iters":$iters,"tranche":$tranche,"partial":$partial,"elapsed_s":${num(elapsedS)},"sentinel_min":${num(sMin)},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"sentinel_max":${num(sMax)},"io_p50":${num(ioP50)},"io_max":${num(ioMax)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"n_truncated":${truncated.length},"contended_names":${nameArr(flagged, 6)},"regressed_names":${nameArr(regressed, 6)},"truncated_names":${nameArr(truncated, 6)},"unit":"sec","value":${num(total)}}"""
       val detail = s"""{"metric":"bench_detail","queries_min":$qsMin,"queries_contended":${flagged.map(jstr).mkString("[", ",", "]")},"regressed":${regressed.map(jstr).mkString("[", ",", "]")},"truncated":${truncated.map(jstr).mkString("[", ",", "]")},"flag_audit":$flagAudit,"max_samples":${(samples.values.map(_.length) ++ Seq(0)).max}}"""
       // the FINAL line, sized for the driver's ~2000-char tail window
       // (minus sbt's [success]/GC-warn trailer): per-query numbers
