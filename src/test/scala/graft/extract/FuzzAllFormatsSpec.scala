@@ -30,7 +30,13 @@ class FuzzAllFormatsSpec extends AnyFunSuite {
     "anim.gif" -> (() => MediaFixtures.gifSmall()),
     "tone.wav" -> (() => MediaFixtures.wavSmall()),
     "song.mp3" -> (() => MediaFixtures.mp3Small()),
-    "clip.mp4" -> (() => Bmff.syntheticMp4(7L)))
+    "clip.mp4" -> (() => Bmff.syntheticMp4(7L)),
+    // round-18 heavy synthetic corpus generators: a torn FlateDecode
+    // stream, a mutated CFB FAT/piece table, and a damaged AES body
+    // are exactly what a crawl delivery contains at scale
+    "heavy_flate.pdf" -> (() => SynthHeavyDocs.bytesFor(0L)),
+    "heavy_pieced.doc" -> (() => SynthHeavyDocs.bytesFor(1L)),
+    "heavy_enc.pdf" -> (() => SynthHeavyDocs.bytesFor(2L)))
 
   private def lcg(seed: Long): Iterator[Long] =
     Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
