@@ -434,7 +434,11 @@ object Bench {
       // cap; the complete map is in the full summary above and in the
       // committed detail file.
       val fixed = s""","sf":"$sfDir","iters":$iters,"tranche":$tranche,"partial":$partial,"n_queries":${results.length},"sentinel_p10":${num(sFloor)},"sentinel_p50":${num(sP50)},"n_contended":${flagged.length},"contended":$contended,"n_regressed":${regressed.length},"n_truncated":${truncated.length},"contended_names":${nameArr(flagged, 4)},"regressed_names":${nameArr(regressed, 4)},"truncated_names":${nameArr(truncated, 4)},"detail_file":${jstr(detailPath)},"unit":"sec","value":${num(total)}}"""
-      val capChars = 1500
+      // 1400, not ~1900: sbt can append up to ~430 chars AFTER the
+      // final line (the [success] trailer plus an occasional GC
+      // warning — observed on the r14 record) and the line must still
+      // START inside the driver's ~2000-char tail window
+      val capChars = 1400
       val entries = results.sortBy(-_._2).map(r => jstr(r._1) + ":" + num(r._2))
       val room = capChars - fixed.length - """{"metric":"total","queries":{},"queries_elided":000""".length - 24
       val kept = {
