@@ -122,6 +122,66 @@ class SemDedupSpec extends AnyFunSuite {
     assert(nCells > 16, s"distributed path produced only $nCells cells")
   }
 
+  test("distributed trainer plans no Window without a partition spec") {
+    // VERDICT r18 #1: the dense-renumber step must never sort the
+    // k-row centroid relation (carrying d-dim vectors) through ONE
+    // task — at the k≈2M design point a global Window.orderBy funnels
+    // ~12 GB through a single partition, re-introducing executor-side
+    // the k-sized bottleneck the trainer removes from the driver. This
+    // case walks the distributed path's FULL physical plan — through
+    // AQE wrappers and cached-relation plans — and fails on any
+    // Window/WindowGroupLimit with an empty partitionSpec.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def windows(p: SparkPlan): Seq[(Boolean, String)] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => windows(a.inputPlan)
+        case s: InMemoryTableScanExec => windows(s.relation.cachedPlan)
+        case w: WindowExec => Seq((w.partitionSpec.isEmpty, w.toString))
+        case w: WindowGroupLimitExec =>
+          Seq((w.partitionSpec.isEmpty, w.toString))
+        case _ => Nil
+      }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    CacheScope.withScope {
+      val out = SemDedup.semDedup(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 0.9, k = 50, distributedK = 1)
+      val all = windows(out.queryExecution.executedPlan)
+      // the walk must actually REACH the trainer's windows (renum +
+      // seed top-maxAlloc live behind two cached relations) — an empty
+      // sweep would pass vacuously after a caching refactor
+      assert(all.nonEmpty, "plan walk found no Window at all — traversal broken?")
+      val bad = all.collect { case (true, s) => s }
+      assert(bad.isEmpty,
+        s"unpartitioned Window in the distributed trainer's plan:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("distributed trainer on empty input returns the empty assignment") {
+    // ADVICE r18: counts-empty used to crash on allocMap.values.max
+    val out = CacheScope.withScope {
+      SemDedup.semDedup(vecs.filter(col("vec_id") < 0L), "vec_id",
+        "embedding", 0.9, k = 5, distributedK = 1).collect()
+    }
+    assert(out.isEmpty)
+  }
+
+  test("seed allocation fills to min(k, n) even when the remainder concentrates") {
+    // ADVICE r18: the old fixed order.length*8 remainder bound could
+    // strand seeds when few groups had spare capacity. k = n forces
+    // every group to its capacity — every point must become a seed.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20)
+    val n = emb.count()
+    val nCells = CacheScope.withScope {
+      SemDedup.semDedup(emb, "vec_id", "embedding", 0.9, k = n.toInt,
+        distributedK = 1).select(col("cell")).distinct().count()
+    }
+    assert(nCells == n, s"expected $n cells (one per point), got $nCells")
+  }
+
   test("distributed-path verdicts are partition-independent") {
     // the integer-quantized Lloyd + lowest-cell tie-breaks make the
     // assignment bit-stable under any input partitioning
