@@ -576,6 +576,46 @@ object StreamQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // streaming SemDeDup maintenance (VERDICT r18 "What's missing"
+    // #2): the cell model freezes over the ORIGINAL corpus
+    // (SemDedup.initStream), then three forced micro-batches arrive —
+    // the originals, then ×1.5 clones of every 5th vector split across
+    // TWO further batches (planted CROSS-BATCH semantic dups). Each
+    // batch cell-assigns under the frozen model, compares within-cell
+    // against the committed representative store, and stage-commits
+    // verdicts + new representatives with one atomic marker. The
+    // analytic oracle is the batch operator's, via first-wins:
+    // originals can never drop (their only ≥τ-cosine partner arrives
+    // LATER, and only kept docs enter the store), and a clone always
+    // drops (its bit-identically-normalized original is already a
+    // committed representative in its own cell under the frozen
+    // deterministic assignment). A lost store batch, a torn commit, a
+    // broken frozen assignment, or a store that accumulates dropped
+    // docs would each break kept=¬clone.
+    "q_stream_semdedup" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val root = freshScratchDir(d, "semdedupstream").toString
+      graft.ext.SemDedup.initStream(s, root, emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      val srcDir = freshScratchDir(d, "semdedupnew")
+      java.nio.file.Files.createDirectories(srcDir)
+      val clones = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      writeOnePart(srcDir, "a", emb)
+      writeOnePart(srcDir, "b", clones.filter(col("vec_id") % 2 === 0))
+      writeOnePart(srcDir, "c", clones.filter(col("vec_id") % 2 =!= 0))
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamPipeline.semDedupIngest(s, stream, root, "vec_id", "embedding",
+        tau = 0.9)
+      graft.ext.SemDedup.readStreamVerdicts(s, root)
+        .select(col("id").as("vec_id"),
+          (col("id") >= 1000000L).as("is_clone"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // streaming count-min maintenance: per micro-batch PARTIAL
     // sketches append to the store (no read side at all — counters of
     // independent sketches sum), and the merged store must equal the
@@ -1388,6 +1428,15 @@ object StreamQueries {
     "q_stream_kmeans_ingest" ->
       (graft.ext.KMeans.unrolledSql(k = 8, iters = 4, dim = 64, table = "embeddings") +
         "SELECT vec_id + 1000000 AS vec_id, cluster FROM a5 ORDER BY vec_id"),
+    // first-wins + the planted-clone algebra reduce to the batch
+    // operator's analytic oracle (see the query comment): originals
+    // kept, clones dropped, whatever batch each clone landed in
+    "q_stream_semdedup" ->
+      """SELECT vec_id, false AS is_clone, true AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id, true AS is_clone, false AS kept
+        |FROM embeddings WHERE vec_id % 5 = 0
+        |ORDER BY vec_id""".stripMargin,
     // the estimates replay pins both servings (compaction is a pure
     // fold — before == after == the sketch of the whole corpus);
     // files_dropped pins the physical file-count reduction

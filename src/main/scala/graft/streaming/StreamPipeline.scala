@@ -502,6 +502,23 @@ object StreamPipeline {
       ()
     }
 
+  /** Streaming SemDeDup maintenance — the semantic-dedup analogue of
+    * [[incrementalNearDups]]' band store, under [[ivfIngest]]'s
+    * frozen-model + staged-commit discipline: each micro-batch is
+    * cell-assigned with the model frozen by
+    * [[graft.ext.SemDedup.initStream]], compared within-cell against
+    * the committed representatives (plus its own smaller ids), and
+    * stage-committed atomically — verdicts via
+    * [[graft.ext.SemDedup.readStreamVerdicts]]. First-wins semantics,
+    * state on distributed storage, per-batch work linear in batch ×
+    * cell occupancy (full contract at
+    * [[graft.ext.SemDedup.ingestBatch]]). */
+  def semDedupIngest(spark: SparkSession, stream: DataFrame, root: String,
+                     idCol: String, vecCol: String, tau: Double): Long =
+    drainIngest(stream) { batch =>
+      graft.ext.SemDedup.ingestBatch(root, batch, idCol, vecCol, tau)
+    }
+
   /** Streaming count-min maintenance: each micro-batch's PARTIAL
     * sketch (bounded Depth·Width rows of batch-local counting) appends
     * to the store — the sketch-mergeability identity makes this the

@@ -252,6 +252,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("streaming SemDeDup: a clone arriving in a LATER batch drops against the stored representative") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val dir = tmpDir()
+    // batch 1: two separated directions; batch 2: a ×2 clone of doc 1
+    // (CROSS-BATCH semantic dup — only detectable against the
+    // committed representative store) plus a fresh direction
+    Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(dir + "/f1")
+    Seq((11L, v(2, 0, 0, 0)), (12L, v(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(dir + "/f2")
+    val root = tmpDir().getAbsolutePath
+    val boot = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(0, 0, 1, 0)), (4L, v(0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    graft.ext.SemDedup.initStream(spark, root, boot, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1") // force the cross-batch path
+      .parquet(dir + "/f*/")
+    val n = StreamPipeline.semDedupIngest(spark, stream, root,
+      "vec_id", "embedding", tau = 0.9)
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val out = graft.ext.SemDedup.readStreamVerdicts(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 11L -> false, 12L -> true))
+    // state honesty: the representative store holds ONLY kept docs —
+    // a store that accumulates dropped docs re-grows the corpus
+    val repIds = graft.ext.StagedBatches.committedDirs(spark, root)
+      .flatMap(b => spark.read.parquet(s"$b/reps")
+        .select($"id").as[Long].collect())
+      .toSet
+    assert(repIds == Set(1L, 2L, 12L))
+  }
+
+  test("streaming SemDeDup: the in-batch i<j rule matches the batch operator") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val dir = tmpDir()
+    // ONE batch carrying both sides of a dup pair: smaller id wins,
+    // exactly the batch operator's rule
+    Seq((1L, v(1, 0, 0, 0)), (5L, v(3, 0, 0, 0)), (9L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(dir + "/f1")
+    val root = tmpDir().getAbsolutePath
+    graft.ext.SemDedup.initStream(spark, root,
+      Seq((1L, v(1, 0, 0, 0)), (9L, v(0, 1, 0, 0)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, iters = 2)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*/")
+    StreamPipeline.semDedupIngest(spark, stream, root,
+      "vec_id", "embedding", tau = 0.9)
+    val out = graft.ext.SemDedup.readStreamVerdicts(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 5L -> false, 9L -> true))
+  }
+
   test("dropDuplicatesWithinWatermark EVICTS key state once the watermark passes") {
     import spark.implicits._
     val dir = tmpDir()
