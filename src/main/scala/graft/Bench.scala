@@ -48,6 +48,93 @@ import org.apache.spark.sql.SparkSession
   * medians stay steady-state.
   */
 object Bench {
+  // Headline inventory: one representative per operator family (the
+  // full query inventory runs under Verify; all-pairs oracle forms are
+  // excluded in favor of their sub-quadratic scale paths). CORE
+  // queries run every round; ROTATING queries are redundant
+  // per-machine protocol variants — each exercises machinery a core
+  // canonical already times every round — and run one tranche per
+  // round. Object-level (not main-local) so BenchRotationSpec can pin
+  // the selection contract: core ∪ all tranches = the guarded set,
+  // canonicals in core, selection a pure function of the round key.
+  private[graft] val core = Seq(
+    "q_agg_pricing", "q_join_revenue_by_nation", "q_window_topk_orders",
+    "q_filter_topn", "q_rollup_lineitem", "q_events_json_props",
+    "q_doc_pipeline", "q_route_good", "q_split_tokens",
+    "q_extract_fixtures", "q_dedup_exact", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_embed_lsh", "q_winnow_pairs",
+    "q_knn_lsh", "q_knn_ivf",
+    "q_token_stats", "q_fingerprint", "q_salted_agg",
+    "q_sample_stratified", "q_vocab_topn", "q_contamination",
+    "q_curation_funnel", "q_asof_join", "q_range_join", "q_tfidf_topk",
+    "q_chunk_docs", "q_bloom_screen", "q_embed_quantize",
+    "q_line_dedup", "q_self_excise",
+    "q_multimodal_frames", "q_multimodal_decode", "q_skew_aqe_join",
+    "q_stream_window", "q_sessionize",
+    "q_knn_ivf_pq", "q_audio_decode", "q_dedup_keep_canonical",
+    "q_multimodal_resize_oriented", "q_source_mixture",
+    "q_video_meta", "q_curation_funnel3", "q_bpe_merges",
+    "q_tar_members", "q_chunk_cdc", "q_hygiene_funnel",
+    "q_gopher_filter", "q_dsir_select", "q_semdedup",
+    "q_refinedweb_funnel",
+    "q_bm25_topk", "q_token_budget",
+    "q_pagerank_hosts", "q_inverted_index", "q_scd2", "q_image_funnel",
+    "q_stream_scd2", "q_dedup_editdist",
+    "q_warc_members", "q_wet_text", "q_trigram_prefilter",
+    "q_domain_block", "q_stream_bm25_ingest", "q_bpe_encode",
+    "q_pmi_colloc", "q_retention_cohorts", "q_median_exact",
+    "q_ks_drift", "q_funnel_provenance", "q_zorder_layout",
+    "q_corpus_diff", "q_dedup_threshold_sweep",
+    "q_wet_funnel", "q_warc_derive_wet", "q_quality_classifier",
+    "q_stream_warc", "q_dolma_mix", "q_dolma_remix", "q_keyword_tag",
+    "q_stream_attrs_ingest", "q_kmeans_topics", "q_kmeans_balanced_sample",
+    "q_cms_heavy_hitters", "q_stream_kmeans_ingest", "q_stream_cms_ingest",
+    "q_anchor_text", "q_source_overlap", "q_mlm_masking",
+    "q_fim_transform", "q_stream_mlm", "q_trigram_backoff",
+    "q_kmeans_inertia",
+    "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
+    "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
+    "q_stream_sentences", "q_stream_span_ingest",
+    "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline",
+    "q_stream_epoch_mix",
+    // streaming-pack machine: carry is the canonical superset
+    // (micro-batch engine ×2 + atomic generations + cross-batch
+    // carry); the unigram/wordpiece/plain variants rotate
+    "q_stream_pack_carry",
+    "q_unigram_tokenize", "q_unigram_roundtrip",
+    "q_unigram_pack", "q_temperature_mix",
+    "q_stream_temperature_mix", "q_tokenizer_fertility",
+    "q_unigram_vocab_cap", "q_unigram_store",
+    "q_pretrain_pipeline_unigram",
+    "q_wordpiece_tokenize", "q_wordpiece_roundtrip", "q_wordpiece_pack",
+    "q_wordpiece_store",
+    "q_wordpiece_vocab_cap",
+    // generation-store machine: one canonical batch tier
+    // (q_genstore_bm25: build+ingest+fold+GC+serve) and one
+    // canonical streaming maintainer (q_stream_genstore_bm25);
+    // the per-store protocol variants rotate
+    "q_genstore_bm25", "q_stream_genstore_bm25",
+    // round-17 additions
+    "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth",
+    // round-18 additions
+    "q_semdedup_dist", "q_extract_heavy",
+    // round-19 additions
+    "q_stream_semdedup")
+  private[graft] val rotating = Seq(
+    "q_stream_pack", "q_stream_unigram_pack", "q_stream_wordpiece_pack",
+    "q_genstore_ann", "q_genstore_spans", "q_genstore_attrs",
+    "q_genstore_cms", "q_genstore_kmeans", "q_stream_genstore_spans")
+  private[graft] val RotationTranches = 3
+  private[graft] val headlineAll = core ++ rotating
+  /** The round's query set as a pure function of the round key — a
+    * regression in a rotating query is caught at most
+    * [[RotationTranches]] rounds late, with bench_baseline.json
+    * guarding all of them whenever they run. */
+  private[graft] def roundSet(tranche: Int): Seq[String] = core ++
+    rotating.zipWithIndex.collect {
+      case (q, i) if i % RotationTranches == tranche % RotationTranches => q
+    }
+
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,94 +157,23 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Headline inventory: one representative per operator family (the
-    // full 267-query inventory runs under Verify; all-pairs oracle
-    // forms are excluded in favor of their sub-quadratic scale paths).
-    // CORE queries run every round.
-    val core = Seq(
-      "q_agg_pricing", "q_join_revenue_by_nation", "q_window_topk_orders",
-      "q_filter_topn", "q_rollup_lineitem", "q_events_json_props",
-      "q_doc_pipeline", "q_route_good", "q_split_tokens",
-      "q_extract_fixtures", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_simhash", "q_dedup_embed_lsh", "q_winnow_pairs",
-      "q_knn_lsh", "q_knn_ivf",
-      "q_token_stats", "q_fingerprint", "q_salted_agg",
-      "q_sample_stratified", "q_vocab_topn", "q_contamination",
-      "q_curation_funnel", "q_asof_join", "q_range_join", "q_tfidf_topk",
-      "q_chunk_docs", "q_bloom_screen", "q_embed_quantize",
-      "q_line_dedup", "q_self_excise",
-      "q_multimodal_frames", "q_multimodal_decode", "q_skew_aqe_join",
-      "q_stream_window", "q_sessionize",
-      "q_knn_ivf_pq", "q_audio_decode", "q_dedup_keep_canonical",
-      "q_multimodal_resize_oriented", "q_source_mixture",
-      "q_video_meta", "q_curation_funnel3", "q_bpe_merges",
-      "q_tar_members", "q_chunk_cdc", "q_hygiene_funnel",
-      "q_gopher_filter", "q_dsir_select", "q_semdedup",
-      "q_refinedweb_funnel",
-      "q_bm25_topk", "q_token_budget",
-      "q_pagerank_hosts", "q_inverted_index", "q_scd2", "q_image_funnel",
-      "q_stream_scd2", "q_dedup_editdist",
-      "q_warc_members", "q_wet_text", "q_trigram_prefilter",
-      "q_domain_block", "q_stream_bm25_ingest", "q_bpe_encode",
-      "q_pmi_colloc", "q_retention_cohorts", "q_median_exact",
-      "q_ks_drift", "q_funnel_provenance", "q_zorder_layout",
-      "q_corpus_diff", "q_dedup_threshold_sweep",
-      "q_wet_funnel", "q_warc_derive_wet", "q_quality_classifier",
-      "q_stream_warc", "q_dolma_mix", "q_dolma_remix", "q_keyword_tag",
-      "q_stream_attrs_ingest", "q_kmeans_topics", "q_kmeans_balanced_sample",
-      "q_cms_heavy_hitters", "q_stream_kmeans_ingest", "q_stream_cms_ingest",
-      "q_anchor_text", "q_source_overlap", "q_mlm_masking",
-      "q_fim_transform", "q_stream_mlm", "q_trigram_backoff",
-      "q_kmeans_inertia",
-      "q_span_attrs", "q_span_mix", "q_sentence_split", "q_chunk_sentences",
-      "q_store_compact", "q_pack_attention", "q_tokenize_roundtrip",
-      "q_stream_sentences", "q_stream_span_ingest",
-      "q_epoch_mix", "q_length_buckets", "q_pretrain_pipeline",
-      "q_stream_epoch_mix",
-      // streaming-pack machine: carry is the canonical superset
-      // (micro-batch engine ×2 + atomic generations + cross-batch
-      // carry); the unigram/wordpiece/plain variants rotate
-      "q_stream_pack_carry",
-      "q_unigram_tokenize", "q_unigram_roundtrip",
-      "q_unigram_pack", "q_temperature_mix",
-      "q_stream_temperature_mix", "q_tokenizer_fertility",
-      "q_unigram_vocab_cap", "q_unigram_store",
-      "q_pretrain_pipeline_unigram",
-      "q_wordpiece_tokenize", "q_wordpiece_roundtrip", "q_wordpiece_pack",
-      "q_wordpiece_store",
-      "q_wordpiece_vocab_cap",
-      // generation-store machine: one canonical batch tier
-      // (q_genstore_bm25: build+ingest+fold+GC+serve) and one
-      // canonical streaming maintainer (q_stream_genstore_bm25);
-      // the per-store protocol variants rotate
-      "q_genstore_bm25", "q_stream_genstore_bm25",
-      // round-17 additions
-      "q_tokenizer_interchange", "q_semdedup_autok", "q_extract_synth",
-      // round-18 additions
-      "q_semdedup_dist", "q_extract_heavy")
-    // ROTATING queries: redundant per-machine protocol variants — each
-    // exercises machinery a core canonical already times every round.
-    // One tranche per round; a regression here is caught at most
-    // ROTATION_TRANCHES rounds late, with bench_baseline.json guarding
-    // all of them whenever they run.
-    val rotating = Seq(
-      "q_stream_pack", "q_stream_unigram_pack", "q_stream_wordpiece_pack",
-      "q_genstore_ann", "q_genstore_spans", "q_genstore_attrs",
-      "q_genstore_cms", "q_genstore_kmeans", "q_stream_genstore_spans")
-    val RotationTranches = 3
-    // round key: committed official records in cwd (the driver runs
-    // from the repo root) — deterministic per round, no clock
+    // round key: committed official records in the REPO ROOT — walk up
+    // from cwd to the dir holding build.sbt (launched from a subdir,
+    // the old cwd count silently pinned tranche 0 forever and two of
+    // the three tranches were never drift-guarded — ADVICE r18).
+    // Deterministic per round, no clock.
     val tranche = sys.env.get("SPARK_GRAFT_BENCH_TRANCHE").map(_.toInt)
       .getOrElse {
-        val f = new java.io.File(".").listFiles()
-        val n = if (f == null) 0
-          else f.count(_.getName.matches("BENCH_r\\d+\\.json"))
-        n % RotationTranches
-      }
-    val headlineAll = core ++ rotating
-    val roundSet = core ++
-      rotating.zipWithIndex.collect {
-        case (q, i) if i % RotationTranches == tranche => q
+        var dir = new java.io.File(".").getAbsoluteFile
+        while (dir != null && !new java.io.File(dir, "build.sbt").exists())
+          dir = dir.getParentFile
+        if (dir == null)
+          System.err.println("[bench] WARNING: no repo root (build.sbt) " +
+            "above cwd — tranche round key unavailable, pinned to 0; set " +
+            "SPARK_GRAFT_BENCH_TRANCHE to rotate")
+        val files = Option(dir).flatMap(d => Option(d.listFiles()))
+          .getOrElse(Array.empty[java.io.File])
+        files.count(_.getName.matches("BENCH_r\\d+\\.json")) % RotationTranches
       }
     // scale-ladder hook: run a SUBSET (selected from the FULL
     // inventory, so ladder runs can time rotated-out queries too).
@@ -170,11 +186,18 @@ object Bench {
         require(unknown.isEmpty,
           "SPARK_GRAFT_BENCH_ONLY names not in the headline set: " +
             unknown.toSeq.sorted.mkString(", "))
+        // and against the live query registry: a stale headlineAll
+        // entry would otherwise throw inside timedSample's catch-all
+        // and record a near-zero bogus sample (ADVICE r18)
+        val unimpl = only.filterNot(SparkEntry.queries.contains)
+        require(unimpl.isEmpty,
+          "SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+            unimpl.toSeq.sorted.mkString(", "))
         val sel = headlineAll.filter(only.contains)
         require(sel.nonEmpty,
           "SPARK_GRAFT_BENCH_ONLY selected zero queries")
         sel
-      case None => roundSet.filter(SparkEntry.queries.contains)
+      case None => roundSet(tranche).filter(SparkEntry.queries.contains)
     }
 
     // ≥3 timed iterations per query, report the MEDIAN (and min): this
@@ -200,18 +223,23 @@ object Bench {
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt.max(0)
 
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json")
-    val baseline: Map[String, Double] = try {
+    val (baseline: Map[String, Double], baselineIoP50: Option[Double]) = try {
       val f = new java.io.File(baselinePath)
-      if (!f.exists) Map.empty
+      if (!f.exists) (Map.empty[String, Double], None)
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
         val sfOk = "\"sf_dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
-        if (!sfOk) Map.empty
-        else "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (!sfOk) (Map.empty[String, Double], None)
+        else ("\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+          // the calm-run median of the 4 MB write+fsync probe — the
+          // absolute disk yardstick the io_suspect annotation compares
+          // this run's per-sample readings against
+          "\"io_p50\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble))
       }
-    } catch { case _: Exception => Map.empty }
+    } catch { case _: Exception => (Map.empty[String, Double], None) }
 
     // bit_xor, not sum: summing id * large-constant over 8M rows
     // overflows Long, which under Spark 4's default ANSI mode throws
@@ -245,8 +273,9 @@ object Bench {
     for (name <- headline if warmAll || !baseline.contains(name))
       if (!overBudget) try run(name) catch { case _: Throwable => }
 
-    // per-query samples as (seconds, sentinelBefore, sentinelAfter)
-    // triples — every sample is BRACKETED by sentinel probes. The
+    // per-query samples as (seconds, sentinelBefore, sentinelAfter,
+    // ioRead) tuples — every sample is BRACKETED by sentinel probes
+    // and carries the disk reading taken at its slot. The
     // leading probe catches load already present when the sample
     // starts; the trailing probe catches a burst that began MID-sample
     // (the BENCH_r14 failure: q_warc_members re-ran five times inside
@@ -254,7 +283,7 @@ object Bench {
     // burst's next spike, so all five loaded samples classed calm and
     // the record accused an innocent query at 21× baseline).
     val samples = scala.collection.mutable.Map(
-      headline.map(_ -> Vector.empty[(Double, Double, Double)]): _*)
+      headline.map(_ -> Vector.empty[(Double, Double, Double, Double)]): _*)
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probe(): Double = {
       val sv = sentinel()
@@ -294,7 +323,7 @@ object Bench {
     // slower" from "the disk was busy" without a snapshot A/B.
     val ioProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ioBuf = new Array[Byte](4 << 20)
-    def ioProbe(): Unit = try {
+    def ioProbe(): Double = try {
       val t0 = System.nanoTime()
       val p = java.nio.file.Files.createTempFile("graft_bench_io", ".bin")
       val ch = java.nio.channels.FileChannel.open(p,
@@ -303,10 +332,12 @@ object Bench {
       ch.force(true)
       ch.close()
       java.nio.file.Files.delete(p)
-      ioProbes += (System.nanoTime() - t0) / 1e9
-    } catch { case _: Throwable => }
+      val d = (System.nanoTime() - t0) / 1e9
+      ioProbes += d
+      d
+    } catch { case _: Throwable => -1.0 }
     def timedSample(name: String): Unit = {
-      ioProbe()
+      val ioRead = ioProbe()
       val lead = probe()
       // drop caches persisted inside operators (route fan-out, shingle
       // index) so queries don't inherit each other's memory pressure
@@ -318,7 +349,7 @@ object Bench {
       catch { case _: Throwable => }
       val t = (System.nanoTime() - t0) / 1e9
       val trail = trailingProbe()
-      samples.update(name, samples(name) :+ ((t, lead, trail)))
+      samples.update(name, samples(name) :+ ((t, lead, trail, ioRead)))
     }
 
     // ---- calm classification (shared by the retry passes and the
@@ -343,7 +374,7 @@ object Bench {
       f > 0 && lead <= 2.0 * f && trail <= 2.0 * f
     }
     def hasCalm(name: String): Boolean =
-      samples(name).exists { case (_, l, tr) => calmPair(l, tr) }
+      samples(name).exists { case (_, l, tr, _) => calmPair(l, tr) }
 
     // ---- the emitter ------------------------------------------------
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
@@ -412,15 +443,35 @@ object Bench {
       val qsMin = obj(results.map(r => r._1 -> r._3))
       val total = results.map(_._2).sum
       // Per-flag audit: every sample of every flagged query as
-      // [seconds, leadSentinel, trailSentinel] so a reader can verify
-      // per sample whether the host was calm.
+      // [seconds, leadSentinel, trailSentinel, ioRead], plus an
+      // IO-WEATHER verdict. The CPU sentinel cannot see a
+      // disk-contended window (blind spot (b) above) — the r18
+      // IO-loaded window flagged two innocent queries through five
+      // calm CPU brackets each and cost a manual git-worktree A/B to
+      // exonerate. io_suspect=true when EVERY sample that produced the
+      // flagging evidence (the calm-CPU ones when any exist) carries a
+      // disk reading > 4× the baseline's calm io_p50: the flag then
+      // reads "the disk was busy", not "the code got slower", and the
+      // judge can discount it without a snapshot A/B.
+      val IoSuspectWire = 4.0
+      def ioSuspect(name: String): Boolean = baselineIoP50.exists { b =>
+        val all = samples(name)
+        val usable = {
+          val c = all.filter(p => calmPair(p._2, p._3)); if (c.nonEmpty) c else all
+        }
+        val reads = usable.map(_._4).filter(_ >= 0)
+        reads.nonEmpty && reads.length == usable.length &&
+          reads.forall(_ > IoSuspectWire * b)
+      }
       def auditFor(names: Seq[String]): String =
         names.map { n =>
-          jstr(n) + ":" + samples(n).map { case (t, l, tr) =>
+          val rows = samples(n).map { case (t, l, tr, io) =>
             val trS = if (tr == Double.MaxValue) "-1" else num(tr)
             val lS = if (l == Double.MaxValue) "-1" else num(l)
-            s"[${num(t)},$lS,$trS]"
+            val ioS = if (io < 0) "-1" else num(io)
+            s"[${num(t)},$lS,$trS,$ioS]"
           }.mkString("[", ",", "]")
+          jstr(n) + s""":{"samples":$rows,"io_suspect":${ioSuspect(n)}}"""
         }.mkString("{", ",", "}")
       val flagAudit = auditFor((flagged ++ regressed).distinct)
       val ioP50 = if (ioProbes.isEmpty) -1.0
@@ -524,7 +575,7 @@ object Bench {
     // 1.2 s idle truth). Separate budget from the contention pass so a
     // loaded mid-run can't starve the exoneration re-runs.
     def wouldFlag(name: String): Boolean = {
-      val calmTimes = samples(name).collect { case (t, l, tr) if calmPair(l, tr) => t }
+      val calmTimes = samples(name).collect { case (t, l, tr, _) if calmPair(l, tr) => t }
       calmTimes.nonEmpty && baseline.get(name).exists(b =>
         calmTimes.min > 1.3 * b && calmTimes.min - b > 0.3)
     }
@@ -535,7 +586,7 @@ object Bench {
       for (name <- headline)
         if (!overBudget && wouldFlag(name) && regRetries(name) < maxRetries) {
           val wasHot = samples(name).lastOption.exists {
-            case (_, l, tr) => !calmPair(l, tr)
+            case (_, l, tr, _) => !calmPair(l, tr)
           }
           if (wasHot) Thread.sleep(5000)
           timedSample(name); regRetries(name) += 1; progressed = true

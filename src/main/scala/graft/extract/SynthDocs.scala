@@ -136,7 +136,13 @@ object SynthDocs {
     while (i < nDocs) {
       val p = dir.resolve(f"d${i % subdirs}%03d").resolve(name(i))
       val b = bytes(i)
-      val intact = Files.exists(p) && Files.size(p) == b.length
+      // content compare, not length (ADVICE r18): bytes are
+      // deterministic and ~7 KB, so a full equality check costs one
+      // read — a same-length corrupted leftover (e.g. from the
+      // pre-atomic writer) must be rewritten, not kept to fail the
+      // oracle later with a misleading shape
+      val intact = Files.exists(p) && Files.size(p) == b.length &&
+        java.util.Arrays.equals(Files.readAllBytes(p), b)
       if (!intact) {
         val tmp = p.resolveSibling(
           p.getFileName.toString + ".tmp" + java.util.UUID.randomUUID())

@@ -124,7 +124,12 @@ object PipelineQueries {
       import s.implicits._
       val n = 500L
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_synthdocs_$n")
+        // per-SESSION dir (applicationId): concurrent Verify/Bench
+        // drivers can never share a corpus dir even in principle
+        // (VERDICT r18 note); within one session the write stays
+        // idempotent across bench iterations
+        sys.props("java.io.tmpdir"),
+        s"graft_synthdocs_${n}_${s.sparkContext.applicationId}")
       graft.extract.SynthDocs.writeCorpus(dir, n)
       val expected = s.range(0, n).map { i =>
         (graft.extract.SynthDocs.fileName(i),
@@ -152,7 +157,9 @@ object PipelineQueries {
       import s.implicits._
       val n = 300L
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_synthheavy_$n")
+        // per-SESSION dir — same discipline as graft_synthdocs above
+        sys.props("java.io.tmpdir"),
+        s"graft_synthheavy_${n}_${s.sparkContext.applicationId}")
       graft.extract.SynthHeavyDocs.writeCorpus(dir, n)
       val expected = s.range(0, n).map { i =>
         (graft.extract.SynthHeavyDocs.fileName(i),
