@@ -135,6 +135,26 @@ object Bench {
       case (q, i) if i % RotationTranches == tranche % RotationTranches => q
     }
 
+  /** IO-weather verdict for one flagged query (object-level so
+    * BenchRotationSpec can replay the r18 scenario without a loaded
+    * disk): given the samples that produced the flagging evidence
+    * (each `(seconds, leadSentinel, trailSentinel, ioRead)`) and the
+    * baseline's calm io_p50, the flag is DISK-SUSPECT when every one
+    * of those samples ran with the 4 MB write+fsync probe above
+    * [[IoSuspectWire]]× the calm yardstick — "the disk was busy", not
+    * "the code got slower". One io-quiet flagging sample exonerates
+    * nothing-suspect (the slowness survived calm disk); a missing
+    * probe reading (-1) is conservatively NOT suspect evidence. */
+  private[graft] val IoSuspectWire = 4.0
+  private[graft] def ioSuspectVerdict(
+      usable: Seq[(Double, Double, Double, Double)],
+      baselineIoP50: Option[Double]): Boolean =
+    baselineIoP50.exists { b =>
+      val reads = usable.map(_._4).filter(_ >= 0)
+      reads.nonEmpty && reads.length == usable.length &&
+        reads.forall(_ > IoSuspectWire * b)
+    }
+
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -453,15 +473,12 @@ object Bench {
       // disk reading > 4× the baseline's calm io_p50: the flag then
       // reads "the disk was busy", not "the code got slower", and the
       // judge can discount it without a snapshot A/B.
-      val IoSuspectWire = 4.0
-      def ioSuspect(name: String): Boolean = baselineIoP50.exists { b =>
+      def ioSuspect(name: String): Boolean = {
         val all = samples(name)
         val usable = {
           val c = all.filter(p => calmPair(p._2, p._3)); if (c.nonEmpty) c else all
         }
-        val reads = usable.map(_._4).filter(_ >= 0)
-        reads.nonEmpty && reads.length == usable.length &&
-          reads.forall(_ > IoSuspectWire * b)
+        ioSuspectVerdict(usable, baselineIoP50)
       }
       def auditFor(names: Seq[String]): String =
         names.map { n =>

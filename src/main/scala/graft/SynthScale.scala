@@ -29,13 +29,23 @@ import org.apache.spark.sql.functions._
   *
   * Everything is derived from (id, r) — no RNG state, bit-identical
   * on every run. Usage:
-  * `runMain graft.SynthScale <srcSfDir> <outDir> [factor]`.
+  * `runMain graft.SynthScale <srcSfDir> <outDir> [factor] [tables]`
+  * where `tables` is an optional comma list (documents,embeddings,
+  * events,relational) for single-table ladder corpora — the extreme-k
+  * SemDeDup rung needs only a 2M-row embeddings relation, not the
+  * full sf100 document text riding along.
   */
 object SynthScale {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     require(factor >= 1, s"factor must be >= 1: $factor")
+    val tables: Set[String] = args.lift(3)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents", "embeddings", "events", "relational"))
+    val known = Set("documents", "embeddings", "events", "relational")
+    require(tables.subsetOf(known),
+      s"unknown tables: ${(tables -- known).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -51,6 +61,7 @@ object SynthScale {
 
     // documents: fresh ids, per-replica tail word from a 1000-per-rep
     // pool, n_chars kept consistent with the perturbed text
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       .crossJoin(broadcast(reps))
       .select(
@@ -63,8 +74,10 @@ object SynthScale {
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
+    }
 
     // embeddings: deterministic ±1e-3 per-dimension nudge for r > 0
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .select(
@@ -78,12 +91,14 @@ object SynthScale {
         col("label"))
     emb.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+    }
 
     // events: fresh event/user ids, +r µs — key cardinality scales
     // ts has appeared as TIMESTAMP(NANOS) (read as long under
     // nanosAsLong) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
     // across testdata generations — shift either form by r µs,
     // preserving the source column type
+    if (tables("events")) {
     val ev0 = spark.read.parquet(s"$srcDir/events.parquet")
     val tsShift =
       if (ev0.schema("ts").dataType ==
@@ -101,20 +116,25 @@ object SynthScale {
         col("event_type"), col("value"), col("props"))
     ev.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+    }
 
     // relational tables ride along VERBATIM so every query still
     // resolves its inputs; the ladder's slope table only reads the
     // queries over the scaled synthetic tables
+    if (tables("relational"))
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
 
-    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
-    val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    val nv = spark.read.parquet(s"$outDir/events.parquet").count()
-    // the one-line summary the ladder scripts scan for
+    def cnt(t: String, flag: String): Long =
+      if (tables(flag)) spark.read.parquet(s"$outDir/$t.parquet").count()
+      else -1L
+    val nd = cnt("documents", "documents")
+    val ne = cnt("embeddings", "embeddings")
+    val nv = cnt("events", "events")
+    // the one-line summary the ladder scripts scan for (-1 = skipped)
     println(s"""{"synth_scale":{"factor":$factor,"documents":$nd,"embeddings":$ne,"events":$nv,"out":"$outDir"}}""")
     spark.stop()
   }

@@ -59,6 +59,34 @@ class BenchRotationSpec extends AnyFunSuite {
     assert(dead.isEmpty, s"headline entries without a query: $dead")
   }
 
+  test("io_suspect replays the r18 CPU-calm/IO-loaded scenario") {
+    // VERDICT r18 "What's missing" #4: two queries flagged >wire
+    // through five calm CPU brackets each while the DISK was busy —
+    // the exoneration took a manual git-worktree A/B. Replayed here
+    // as sample tuples (seconds, lead, trail, ioRead) against the
+    // committed calm io_p50 yardstick (0.0278 s): calm CPU brackets
+    // (~0.1 s vs floor 0.08) with every disk probe ~0.9 s must
+    // auto-annotate io_suspect.
+    val base = Some(0.0278)
+    val r18Scenario = Seq(
+      (3.33, 0.09, 0.10, 0.91), (3.41, 0.08, 0.11, 0.88),
+      (3.29, 0.10, 0.09, 0.95))
+    assert(Bench.ioSuspectVerdict(r18Scenario, base))
+    // one io-QUIET flagging sample exonerates nothing: the slowness
+    // survived a calm disk, so the flag stands un-annotated
+    val mixed = r18Scenario :+ (3.35, 0.09, 0.10, 0.03)
+    assert(!Bench.ioSuspectVerdict(mixed, base))
+    // a genuine regression on an idle host: calm disk readings → no
+    // annotation
+    val calm = Seq((3.3, 0.09, 0.1, 0.03), (3.4, 0.08, 0.09, 0.02))
+    assert(!Bench.ioSuspectVerdict(calm, base))
+    // missing probe readings are not suspect evidence
+    assert(!Bench.ioSuspectVerdict(
+      Seq((3.3, 0.09, 0.1, -1.0)), base))
+    // no baseline yardstick → never suspect
+    assert(!Bench.ioSuspectVerdict(r18Scenario, None))
+  }
+
   test("every baseline-guarded query stays in the headline set") {
     val f = new java.io.File("bench_baseline.json")
     assume(f.exists, "no committed baseline to check against")
