@@ -394,9 +394,34 @@ object StreamPipeline {
   private def drainIngest(stream: DataFrame)(body: DataFrame => Unit): Long =
     drainIngestWithId(stream)((batch, _) => body(batch))
 
+  /** AQE-equivalent shuffle width for ONE micro-batch's maintenance
+    * program. Spark disables adaptive execution inside a streaming
+    * query (ResolveWriteToStream unsets it with a warning), so every
+    * exchange a foreachBatch body plans runs at the FULL session width
+    * however small the batch — a KB-sized trigger pays the same task
+    * count the 100 TB backfill would (measured on q_stream_bm25_ingest
+    * at sf0.1: every per-batch stage 32 tasks of ~0.3 s fixed
+    * setup/commit overhead apiece for ~10 ms of CPU). Mirror AQE's
+    * coalescing rule instead of hard-coding anything local: width =
+    * ceil(batch bytes / advisoryPartitionSizeInBytes) clamped to
+    * [1, session width]. The session width stays the scale knob — a
+    * backfill-sized batch keeps using all of it; only the sub-advisory
+    * waste is coalesced away, exactly what AQE would have done had the
+    * engine allowed it here. */
+  private[streaming] def batchWidth(batch: DataFrame): Int = {
+    val spark = batch.sparkSession
+    val sessionW = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes + advisory - 1) / advisory).max(1).min(sessionW).toInt
+  }
+
   /** [[drainIngest]] exposing the engine's micro-batch id to the body —
     * for stores whose rows are SCOPED to their ingest batch (the
-    * packed-sequence store: sequence ids restart per batch). */
+    * packed-sequence store: sequence ids restart per batch). The body
+    * runs under the batch-sized shuffle width ([[batchWidth]]); the
+    * session width is restored after. */
   private def drainIngestWithId(stream: DataFrame)
                                (body: (DataFrame, Long) => Unit): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
@@ -406,7 +431,9 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           batches.incrementAndGet()
-          body(batch, id)
+          withStateParts(batch.sparkSession, Some(batchWidth(batch))) {
+            body(batch, id)
+          }
         }
       }
       .start()

@@ -491,4 +491,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(tf.filter(col("doc_id") >= 1000000L).count() ==
       tf.filter(col("doc_id") < 1000000L).count())
   }
+
+  test("micro-batch maintenance shuffle width mirrors AQE coalescing") {
+    import spark.implicits._
+    // AQE is engine-disabled inside a streaming query, so foreachBatch
+    // bodies size their exchanges from the batch's estimated bytes
+    // instead: ceil(bytes / advisoryPartitionSizeInBytes) clamped to
+    // [1, session width]. A KB-sized batch under the 64m default
+    // coalesces to ONE partition…
+    val df = (1 to 100).toDF("id")
+    assert(StreamPipeline.batchWidth(df) == 1)
+    // …and a batch larger than width·advisory clamps to the session
+    // width (the scale knob stays the session's) — forced here with a
+    // 1-byte advisory rather than a 256 MB relation
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1b")
+    try assert(StreamPipeline.batchWidth(df) ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 }
