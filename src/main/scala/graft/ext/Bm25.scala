@@ -67,7 +67,9 @@ object Bm25 {
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     tf.join(dl, Seq("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-      .repartition(col("tok"))
+      // write width sized from the SOURCE corpus bytes (the compaction
+      // fold's TargetFileBytes policy), not the session shuffle width
+      .repartition(Compaction.writerWidth(docs), col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"))
       .write.mode(mode).parquet(s"$dir/tf")
   }
@@ -80,7 +82,9 @@ object Bm25 {
   private def deriveFromTf(spark: SparkSession, dir: String): Unit = {
     val tfIdx = spark.read.parquet(s"$dir/tf")
     tfIdx.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .repartition(col("tok")).sortWithinPartitions(col("tok"))
+      // df ≤ tf bytes; size its write by the written tf store
+      .repartition(Compaction.writerWidth(tfIdx), col("tok"))
+      .sortWithinPartitions(col("tok"))
       .write.mode("overwrite").parquet(s"$dir/df")
     tfIdx.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
@@ -136,7 +140,7 @@ object Bm25 {
     val tfdl = tf.join(dl, Seq("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl")).persist()
     try {
-      tfdl.repartition(col("tok"))
+      tfdl.repartition(Compaction.writerWidth(batch), col("tok"))
         .sortWithinPartitions(col("tok"), col("doc_id"))
         .write.parquet(s"$batchDir/tf")
       // one delta file per batch, not one per shuffle partition: the

@@ -72,12 +72,30 @@ object Compaction {
 
   /** [[targetParts]] summed over a multi-path store (base generation +
     * staged batches) — the single sizing-policy definition. */
-  private def targetPartsFor(spark: SparkSession, paths: Seq[String]): Int = {
+  private[ext] def targetPartsFor(spark: SparkSession, paths: Seq[String]): Int = {
     val bytes = paths.map { d =>
       val (fs, p) = fsFor(spark, d)
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }.sum
     math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+  }
+
+  /** [[targetPartsFor]]'s sizing policy from a RELATION's plan-stats
+    * estimate — for the build/ingest store WRITERS, whose input is a
+    * DataFrame rather than an already-on-disk store. Every call site
+    * passes a scan-backed relation, where the estimate is the source's
+    * file bytes (accurate). A key-only `repartition(col)` at those
+    * sites ran at the session shuffle width however small the relation
+    * — at the bench's 32 that was 32 write tasks × parquet-writer
+    * setup for KB-sized stores, and at 100 TB the session width would
+    * UNDERSIZE the write (32 multi-TB files) — while
+    * ceil(bytes / [[TargetFileBytes]]) sizes output files to the scan
+    * split either way (guide §6). Capped at 2²⁰ as a backstop against
+    * a pathological estimate. */
+  private[ext] def writerWidth(df: org.apache.spark.sql.DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val t = BigInt(TargetFileBytes)
+    ((bytes + t - 1) / t).max(1).min(1 << 20).toInt
   }
 
   /** Stage the replacement of `dir` under `<dir>.compact_tmp` (the
@@ -222,7 +240,8 @@ object Compaction {
       .write.parquet(s"$outDir/tf")
     spark.read.parquet(dfPaths: _*)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-      .repartition(col("tok")).sortWithinPartitions(col("tok"))
+      .repartition(targetPartsFor(spark, dfPaths), col("tok"))
+      .sortWithinPartitions(col("tok"))
       .write.parquet(s"$outDir/df")
     spark.read.parquet(stPaths: _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))

@@ -394,8 +394,9 @@ object Ivf {
         // cluster the write by cell: one build-time shuffle buys
         // file-per-cell locality (instead of every task spraying a
         // small file into every cell dir — tasks × cells tiny files
-        // whose parquet framing dwarfs the vector bytes)
-        .repartition(col("cell")),
+        // whose parquet framing dwarfs the vector bytes); width sized
+        // from the source bytes (Compaction's TargetFileBytes policy)
+        .repartition(Compaction.writerWidth(emb), col("cell")),
       model, sample)
   }
 
@@ -451,7 +452,7 @@ object Ivf {
     val batchDir = StagedBatches.freshBatchDir(indexDir)
     Similarity.prepared(batch, idCol, vecCol, "nid", "nvec", "nn2")
       .withColumn("cell", assignUdf(model, 1)(col("nvec")).getItem(0))
-      .repartition(col("cell"))
+      .repartition(Compaction.writerWidth(batch), col("cell"))
       .write.partitionBy("cell").parquet(s"$batchDir/corpus")
     // the commit point: the batch is invisible until this single
     // atomic create succeeds

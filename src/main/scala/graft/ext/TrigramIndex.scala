@@ -44,7 +44,8 @@ object TrigramIndex {
             s"i -> substring($textCol, i, 3)), array())) AS g")
         .distinct()
         .select(col("g"), col("doc_id"))
-        .repartition(col("g"))
+        // write width from source bytes (Compaction's file-size policy)
+        .repartition(Compaction.writerWidth(docs), col("g"))
         .sortWithinPartitions(col("g"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$dir/postings")
     }
