@@ -60,8 +60,13 @@ object Bpe {
     * a tokenizer ships. ONE corpus-wide aggregation produces the
     * vocabulary; training then runs on the driver when the vocabulary
     * fits [[MaxDriverVocab]] (the normal case), else distributed. */
-  def trainMerges(df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, Long)] = {
-    val wc = wordCounts(df, textCol)
+  def trainMerges(df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, Long)] =
+    trainMergesOn(wordCounts(df, textCol), k)
+
+  /** [[trainMerges]] over an already-computed (w, wc) relation — the
+    * form the shared-word-count paths use so training adds no corpus
+    * pass of its own. */
+  private[ext] def trainMergesOn(wc: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     val head = wc.limit(MaxDriverVocab + 1).collect()
     if (head.length <= MaxDriverVocab)
       trainMergesLocal(head.map(r => (r.getString(0), r.getLong(1))).toSeq, k)
@@ -288,13 +293,31 @@ object Bpe {
 
   private def wordIdRelationWithVocab(df: DataFrame, textCol: String,
                                       k: Int): (DataFrame, DataFrame) = {
+    // ONE wordCounts pass serves merge training AND the distinct-word
+    // relation (they were two separate corpus scans: trainMerges
+    // aggregated (w, wc) and distinctWordSyms re-scanned for an
+    // explode+distinct of the same words)
+    val wc = CacheScope.register(wordCounts(df, textCol).persist())
+    wordIdRelationWithVocabOn(wc, k)
+  }
+
+  /** The frozen (w, spos, tid) relation + vocabulary trained over an
+    * already-computed (w, wc) word-count relation — callers composing
+    * several tokenizer families over one corpus (the fertility query)
+    * share ONE word-count pass across all of them. Same CACHE CONTRACT
+    * as [[encodeIdsWithVocab]]; caller manages `wc`'s persistence. */
+  def wordIdRelationOn(wc: DataFrame, k: Int): DataFrame =
+    wordIdRelationWithVocabOn(wc, k)._1
+
+  private def wordIdRelationWithVocabOn(wc: DataFrame,
+                                        k: Int): (DataFrame, DataFrame) = {
     // dw (distinct words + merged symbol arrays — the expensive
     // apply-merges pass) feeds BOTH the subword rows and the
     // vocabulary, and the vocabulary is re-read again by any decoder
     // downstream; without a persist each subtree re-applies the merges
     // over every distinct word. The relation is small (distinct words,
     // not token rows) and Bench/Verify clear the cache between queries.
-    val dw = CacheScope.register(distinctWordSyms(df, textCol, k).persist())
+    val dw = CacheScope.register(distinctWordSymsOn(wc, k).persist())
     val vocab = vocabOf(dw)
     val wids = dw
       .select(col("w"), posexplode(col("__sy")).as(Seq("__sp0", "sym")))
@@ -350,7 +373,7 @@ object Bpe {
     * [[encodeIdsWithVocab]] when the token relation is also needed —
     * this trains its own model run. */
   def vocabIds(df: DataFrame, textCol: String, k: Int): DataFrame =
-    vocabOf(distinctWordSyms(df, textCol, k))
+    vocabOf(distinctWordSymsOn(wordCounts(df, textCol), k))
 
   /** Invert [[encodeIds]]: token-id rows → (idCol, text). Decoding is
     * two keyed aggregations — subwords concatenate within (doc, word),
@@ -372,19 +395,18 @@ object Bpe {
         s => s.getField("__w")), " ").as("text"))
 
   /** Distinct words with their merged symbol arrays — tokenization runs
-    * ONCE per distinct word (the [[encode]] scale shape). */
-  private def distinctWordSyms(df: DataFrame, textCol: String,
-                               k: Int): DataFrame = {
+    * ONCE per distinct word (the [[encode]] scale shape). The distinct
+    * words come straight off the (w, wc) relation (wordCounts already
+    * aggregates to distinct words — no second corpus scan). */
+  private def distinctWordSymsOn(wc: DataFrame, k: Int): DataFrame = {
     val merges: Seq[(String, String)] =
-      trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }
+      trainMergesOn(wc, k).map { case (_, l, r, _) => (l, r) }
     val symsUdf = udf { (w: String) =>
       var syms: Array[String] = codePoints(w)
       merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
       syms
     }
-    df.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w") =!= "").select(col("w")).distinct()
-      .withColumn("__sy", symsUdf(col("w")))
+    wc.select(col("w")).withColumn("__sy", symsUdf(col("w")))
   }
 
   /** Symbol ranks of a distinct-word relation. The single-partition
@@ -397,8 +419,12 @@ object Bpe {
           .orderBy(col("sym"))).cast("long"))
 
   def encode(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // one shared word-count pass: merge training AND the distinct-word
+    // token counting both read it (they were two corpus scans). Same
+    // cache contract as [[encodeIdsWithVocab]].
+    val wc = CacheScope.register(wordCounts(df, textCol).persist())
     val merges: Seq[(String, String)] =
-      trainMerges(df, textCol, k).map { case (_, l, r, _) => (l, r) }
+      trainMergesOn(wc, k).map { case (_, l, r, _) => (l, r) }
     val tokCount = udf { (w: String) =>
       var syms: Array[String] = codePoints(w)
       merges.foreach { case (l, r) => syms = applyOne(syms, l, r) }
@@ -406,7 +432,7 @@ object Bpe {
     }
     val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
-    val distinctToks = words.select(col("w")).distinct()
+    val distinctToks = wc.select(col("w"))
       .withColumn("n_tok", tokCount(col("w")))
     val perDoc = words.join(distinctToks, "w")
       .groupBy(col(idCol))

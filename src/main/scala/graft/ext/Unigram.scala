@@ -227,8 +227,17 @@ object Unigram {
     // encode reuses the persisted relation instead of re-scanning the
     // corpus for a second explode+distinct pass
     val words = CacheScope.register(Bpe.wordCounts(df, textCol).persist())
-    freeze(trainModelOn(words, vocabSize), words)
+    wordPieceRelationOn(words, vocabSize)
   }
+
+  /** [[wordPieceRelation]] over an already-computed (w, wc) relation —
+    * callers composing several tokenizer families over one corpus (the
+    * fertility query) share ONE word-count pass across all of them.
+    * Caller manages the relation's persistence (same cache
+    * contract). */
+  def wordPieceRelationOn(words: DataFrame, vocabSize: Int = 0)
+      : (DataFrame, DataFrame) =
+    freeze(trainModelOn(words, vocabSize), words)
 
   /** Freeze a trained model against a distinct-word relation: the
     * (w, spos, tid) encode relation + (sym, tid) vocabulary. CLOSED

@@ -164,6 +164,19 @@ object WordPiece {
     try selectVocab(words) finally { words.unpersist(); () }
   }
 
+  /** [[trainModel]] over an already-computed (w, wc) word-count
+    * relation — a caller composing train → export → re-import → freeze
+    * (the interchange round trip) shares ONE corpus word-count pass
+    * across both halves instead of [[trainModel]] and [[freezeModel]]
+    * each deriving their own. Caller manages the relation's
+    * persistence (the [[wordPieceRelation]] cache contract). */
+  def trainModelOn(words: DataFrame): Seq[Piece] = selectVocab(words)
+
+  /** [[freezeModel]] against the same precomputed word-count
+    * relation. */
+  def freezeModelOn(model: Seq[Piece], words: DataFrame)
+      : (DataFrame, DataFrame) = freeze(model, words)
+
   /** Freeze an already-trained model against `df`'s distinct words —
     * the re-import path of the interchange round trip (same CACHE
     * CONTRACT as [[wordPieceRelation]]). */
@@ -187,8 +200,17 @@ object WordPiece {
                         vocabSize: Int = 0)
       : (DataFrame, DataFrame) = {
     val words = CacheScope.register(Bpe.wordCounts(df, textCol).persist())
-    freeze(selectVocab(words, vocabSize), words)
+    wordPieceRelationOn(words, vocabSize)
   }
+
+  /** [[wordPieceRelation]] over an already-computed (w, wc) relation —
+    * callers composing several tokenizer families over one corpus (the
+    * fertility query) share ONE word-count pass across all of them.
+    * Caller manages the relation's persistence (same cache
+    * contract). */
+  def wordPieceRelationOn(words: DataFrame, vocabSize: Int = 0)
+      : (DataFrame, DataFrame) =
+    freeze(selectVocab(words, vocabSize), words)
 
   /** Freeze a trained model against a distinct-word relation. Words
     * hitting a no-match position drop whole (see [[greedy]]). The

@@ -423,13 +423,19 @@ object ScaleOpsQueries {
       def tokCounts(toks: DataFrame, out: String) =
         toks.filter(col("tid") =!= 0L)
           .groupBy(col("doc_id")).agg(count(lit(1)).as(out))
+      // ONE word-count pass shared by all three tokenizer trainings
+      // (each family's train previously aggregated its own — three
+      // identical corpus passes)
+      val wc = graft.ext.CacheScope.register(
+        graft.ext.Bpe.wordCounts(docs, "text").persist())
       val bpeToks = tokCounts(
-        graft.ext.Bpe.encodeIds(docs, "doc_id", "text", 32), "bpe_toks")
-      val (uwids, _) = graft.ext.Unigram.wordPieceRelation(docs, "text")
+        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text",
+          graft.ext.Bpe.wordIdRelationOn(wc, 32)), "bpe_toks")
+      val (uwids, _) = graft.ext.Unigram.wordPieceRelationOn(wc)
       val uniToks = tokCounts(
         graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", uwids),
         "uni_toks")
-      val (wwids, _) = graft.ext.WordPiece.wordPieceRelation(docs, "text")
+      val (wwids, _) = graft.ext.WordPiece.wordPieceRelationOn(wc)
       val wpToks = tokCounts(
         graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wwids),
         "wp_toks")
@@ -603,14 +609,19 @@ object ScaleOpsQueries {
     // a corrupted line shifts every sequence's md5).
     "q_tokenizer_interchange" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val model = graft.ext.WordPiece.trainModel(docs, "text")
+      // ONE word-count pass shared by the train and freeze halves of
+      // the round trip (each previously derived its own — a redundant
+      // corpus aggregation)
+      val words = graft.ext.CacheScope.register(
+        graft.ext.Bpe.wordCounts(docs, "text").persist())
+      val model = graft.ext.WordPiece.trainModelOn(words)
       val dir = java.nio.file.Files.createTempDirectory(
         s"graft_interchange_${Math.abs(d.hashCode)}_").toString
       graft.ext.TokenizerExport.exportWordPiece(s, dir, model)
       val imported = graft.ext.TokenizerExport.importWordPiece(s, dir)
       require(imported == graft.ext.WordPiece.tidOrdered(model),
         "re-imported vocab.txt must equal the trained model in tid order")
-      val (wids, _) = graft.ext.WordPiece.freezeModel(imported, docs, "text")
+      val (wids, _) = graft.ext.WordPiece.freezeModelOn(imported, words)
       val toks = graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wids)
       graft.ext.Packing.packSequences(toks, "doc_id", 512)
         .select(col("seq_id"), col("seq_len"), col("n_docs"),
