@@ -63,14 +63,12 @@ object KMeans {
   }
 
   /** Squared distance from the quantized point column `q` to one
-    * centroid (scale Quant·CScale), as an exact long sum. */
+    * centroid (scale Quant·CScale), as an exact long sum — the
+    * codegen'd no-allocation form (the zip_with fold allocated a
+    * d-element temp array per point PER CENTROID; same left-to-right
+    * long sum, bit-identical). */
   private def distTo(c: Array[Long]): Column =
-    aggregate(
-      zip_with(col("q"), typedLit(c.toSeq), (x, y) => {
-        val dd = x * lit(CScale) - y
-        dd * dd
-      }),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.QuantSqDist.distCol(col("q"), typedLit(c.toSeq), CScale)
 
   /** Map-only assignment of every point to its nearest centroid;
     * ties break to the lowest index (struct-ordered array_min). Keeps

@@ -66,12 +66,31 @@ object SemDedup {
   /** k at or above which cell TRAINING goes distributed
     * ([[trainDistributedCells]]). Below it, the driver-sample
     * [[Ivf.train]] collects ~max(4096, k) vectors and runs an
-    * O(sample·k·d) Lloyd — fine up to a few thousand cells, but at
-    * auto-scaled k = n/targetCellSize a 1B-embedding corpus gives
-    * k ≈ 2M: a ~1 GB driver collect, an O(k²·d) driver loop, and a
-    * k·d closure broadcast, the driver becoming the bottleneck exactly
-    * where auto-k matters most (VERDICT r17 #2). */
-  val DistributedK = 4096
+    * O(sample·k·d) Lloyd; at auto-scaled k = n/targetCellSize a
+    * 1B-embedding corpus gives k ≈ 2M — a ~1 GB driver collect, an
+    * O(k²·d) single-core loop, and a k·d closure broadcast — so past
+    * SOME k the training must go distributed (VERDICT r17 #2).
+    *
+    * WHERE that threshold sits was re-tuned by measurement in round 19
+    * (the r18 constant, 4096, was argued from flop counts and never
+    * run): at the first rung AT the old threshold — n=2.4M, k=4688,
+    * d=64, SynthScale ×1000 — the driver trainer finished the full
+    * semDedupAuto pass in 128.6 s while the distributed trainer took
+    * 882.7 s; after the E-step's allocation fix
+    * ([[graft.functions.QuantSqDist]]) the gap is still 1.7×
+    * (100.8 s vs 168.8 s — SCALE.md round-19 table). Equating the
+    * driver's single-core Lloyd term (~k²·d·iters/10⁹ s, the only
+    * driver cost that outgrows the distributed program) against the
+    * measured distributed E-step overhead (∝ n·√k·d, and n = 512·k
+    * under auto-k — the d's cancel) puts the TIME crossover near
+    * k ≈ 10⁶ at any dimension; the driver's 8·k·d-byte collect +
+    * closure wall arrives first at high d (≈200 MB at k=32768,
+    * d=768). 32768 sits below both walls at every dimension this
+    * engine ships (d ≤ 768) while keeping the measured-faster driver
+    * path for the decade the old constant wrongly routed distributed;
+    * callers at very high d should pass a lower `distributedK` (the
+    * knob is a parameter everywhere). */
+  val DistributedK = 32768
 
   /** DISTRIBUTED two-level Lloyd over the unit-vector relation:
     * returns (id, cell) with cell densely renumbered to [0, #cells).
@@ -171,12 +190,13 @@ object SemDedup {
       .select(col("grp"), col("id").as("cell"),
         transform(col("q"), x => x * lit(KMeans.CScale)).as("c"))
 
-    // exact long distance point↔centroid at the KMeans scales
-    val dist = aggregate(
-      zip_with(col("q"), col("c"), (x, y) => {
-        val dd = x * lit(KMeans.CScale) - y
-        dd * dd
-      }), lit(0L), (a, x) => a + x)
+    // exact long distance point↔centroid at the KMeans scales — the
+    // codegen'd no-allocation form (the zip_with fold it replaces
+    // allocated a d-element temp array per (point, candidate) pair:
+    // ~160M × 512 B per E-step at the k≈4700 rung, the measured
+    // dominant cost; same left-to-right long sum, bit-identical)
+    val dist = graft.functions.QuantSqDist.distCol(
+      col("q"), col("c"), KMeans.CScale)
     // E-step: join on the group key — ≈√k candidate centroids per
     // point, centroids pinned as the shuffled-hash BUILD side (k·d
     // rows total, bounded per group; never a driver broadcast).

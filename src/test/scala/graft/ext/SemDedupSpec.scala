@@ -193,4 +193,24 @@ class SemDedupSpec extends AnyFunSuite {
     }
     assert(run(vecs) == run(vecs.repartition(5)))
   }
+
+  test("QuantSqDist equals the zip_with long fold it replaced") {
+    // the E-step's codegen'd distance vs the original expression form,
+    // over planted quantized arrays including a length mismatch (the
+    // no-alloc loop takes min length, matching zip semantics on the
+    // equal-length arrays it is used with)
+    val rows = Seq(
+      (Seq(131071L, 0L, 42L), Seq(131071L * 256, 7L, 42L * 256 + 1)),
+      (Seq(0L, 1L), Seq(0L, 256L)),
+      (Seq(5L, 5L, 5L), Seq(1280L, 1280L, 1280L)))
+      .toDF("q", "c")
+    val got = rows.select(graft.functions.QuantSqDist.distCol(
+      col("q"), col("c"), KMeans.CScale).as("d")).collect().map(_.getLong(0))
+    val want = rows.select(aggregate(
+      zip_with(col("q"), col("c"), (x, y) => {
+        val dd = x * lit(KMeans.CScale) - y
+        dd * dd
+      }), lit(0L), (a, x) => a + x).as("d")).collect().map(_.getLong(0))
+    assert(got.toSeq == want.toSeq)
+  }
 }
