@@ -303,7 +303,9 @@ object Attributes {
       val toked = tokenized(candidates, idCol, textCol).persist()
       try
         spanTagFrameOn(toked, Dedup.hashedShingleSet(benchmark, textCol, n), n)
-          .repartitionByRange(candidates.sparkSession.sessionState.conf.numShufflePartitions,
+          // write width from source bytes (Compaction's file-size
+          // policy), not the session shuffle width
+          .repartitionByRange(Compaction.writerWidth(candidates),
             col("doc_id"))
           .sortWithinPartitions(col("doc_id"), col("tag"), col("start"))
           .write.mode("overwrite").parquet(s"$dir/spans")
