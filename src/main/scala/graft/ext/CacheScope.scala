@@ -55,7 +55,20 @@ object CacheScope {
     try body
     finally {
       scopes.set(scopes.get.tail)
-      buf.foreach { ds => ds.unpersist(); () }
+      // Plan-keyed ownership: Spark's CacheManager dedups IDENTICAL
+      // plans, so unpersisting an inner registration would also wipe
+      // an enclosing scope's cache of the same relation (live since
+      // round 19: two models trained over the same corpus register
+      // the same wordCounts plan). A dataset whose canonicalized plan
+      // is still registered in an enclosing active scope is left for
+      // that scope to release.
+      val outerPlans = scopes.get.iterator.flatten
+        .map(_.queryExecution.logical.canonicalized).toSet
+      buf.foreach { ds =>
+        if (!outerPlans.contains(ds.queryExecution.logical.canonicalized))
+          ds.unpersist()
+        ()
+      }
     }
   }
 

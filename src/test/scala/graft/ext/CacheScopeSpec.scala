@@ -64,24 +64,38 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(packed.count() > 0)
   }
 
-  test("scopes nest: inner releases only its own registrations") {
+  test("scopes nest: inner releases its own, defers plan-shared ones to the outer") {
+    var outerRegs: Seq[org.apache.spark.sql.Dataset[_]] = Seq.empty
+    var innerRegs: Seq[org.apache.spark.sql.Dataset[_]] = Seq.empty
     CacheScope.withScope {
       val (outerToks, _) = Bpe.encodeIdsWithVocab(docs, "doc_id", "text", 8)
       outerToks.count()
-      val outerRegs = CacheScope.activeRelations
+      outerRegs = CacheScope.activeRelations
       assert(outerRegs.nonEmpty)
-      var innerRegs: Seq[org.apache.spark.sql.Dataset[_]] = Seq.empty
       CacheScope.withScope {
+        // trains over the SAME corpus → registers the same wordCounts
+        // plan the outer scope holds (Spark's CacheManager is
+        // plan-keyed, so the two registrations share ONE cache entry)
         val (wids, _) = Unigram.wordPieceRelation(docs, "text")
         wids.count()
         innerRegs = CacheScope.activeRelations
         assert(innerRegs.nonEmpty)
       }
-      // inner scope released its own...
-      assert(storageLevels(innerRegs).forall(_ == StorageLevel.NONE))
-      // ...but not the outer scope's
+      // inner-ONLY relations are released; a relation the outer scope
+      // also registered is deferred to the outer (unpersisting it here
+      // would wipe the outer's shared cache entry)
+      val outerPlans =
+        outerRegs.map(_.queryExecution.logical.canonicalized).toSet
+      val (shared, own) = innerRegs.partition(ds =>
+        outerPlans.contains(ds.queryExecution.logical.canonicalized))
+      assert(shared.nonEmpty) // the shared wordCounts plan
+      assert(storageLevels(own).forall(_ == StorageLevel.NONE))
+      // the outer scope's caches are untouched
       assert(storageLevels(outerRegs).forall(_ != StorageLevel.NONE))
     }
+    // after the OUTER scope exits, everything is released
+    assert(storageLevels(outerRegs ++ innerRegs)
+      .forall(_ == StorageLevel.NONE))
   }
 
   test("outside any scope the documented session contract applies (register is a no-op)") {
