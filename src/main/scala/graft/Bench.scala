@@ -119,7 +119,13 @@ object Bench {
     // round-18 additions
     "q_semdedup_dist", "q_extract_heavy",
     // round-19 additions
-    "q_stream_semdedup")
+    "q_stream_semdedup",
+    // round-20 addition: the cold-build rung for the ArtifactDir
+    // stores — the only place the bench times the store BUILD path
+    // (serve queries ensure-probe a content-keyed store that survives
+    // across iterations AND runs), so §6 writer-sizing wins/regressions
+    // get a committed, drift-guarded number (VERDICT r19 #5)
+    "q_store_build_cold")
   private[graft] val rotating = Seq(
     "q_stream_pack", "q_stream_unigram_pack", "q_stream_wordpiece_pack",
     "q_genstore_ann", "q_genstore_spans", "q_genstore_attrs",

@@ -81,14 +81,17 @@ object Bm25 {
     * Shared by the initial build and streaming maintenance. */
   private def deriveFromTf(spark: SparkSession, dir: String): Unit = {
     val tfIdx = spark.read.parquet(s"$dir/tf")
-    tfIdx.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // df ≤ tf bytes; size its write by the written tf store
-      .repartition(Compaction.writerWidth(tfIdx), col("tok"))
-      .sortWithinPartitions(col("tok"))
-      .write.mode("overwrite").parquet(s"$dir/df")
-    tfIdx.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // df/ and stats/ both derive from the WRITTEN tf relation and are
+    // independent of each other — overlap the two jobs (guide §2.6)
+    ParJobs.run(
+      () => tfIdx.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // df ≤ tf bytes; size its write by the written tf store
+        .repartition(Compaction.writerWidth(tfIdx), col("tok"))
+        .sortWithinPartitions(col("tok"))
+        .write.mode("overwrite").parquet(s"$dir/df"),
+      () => tfIdx.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+        .write.mode("overwrite").parquet(s"$dir/stats"))
   }
 
   /** Committed staged-batch dirs under `dir/batches`, sorted for
@@ -140,21 +143,26 @@ object Bm25 {
     val tfdl = tf.join(dl, Seq("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl")).persist()
     try {
-      tfdl.repartition(Compaction.writerWidth(batch), col("tok"))
-        .sortWithinPartitions(col("tok"), col("doc_id"))
-        .write.parquet(s"$batchDir/tf")
-      // one delta file per batch, not one per shuffle partition: the
-      // batch vocabulary is small, and serving's fold pays per FILE
-      tfdl.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .coalesce(1).sortWithinPartitions(col("tok"))
-        .write.parquet(s"$batchDir/df")
-      // distinct (doc_id, dl) == one row per batch doc with ≥1 token —
-      // the same n_docs semantics the initial derivation has; the
-      // tot_dl coalesce covers an all-empty batch (sum of nothing)
-      tfdl.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
-        .write.parquet(s"$batchDir/stats")
+      // the three staged sub-writes all read the persisted tfdl and
+      // write disjoint dirs — overlap them (guide §2.6); the commit
+      // marker stays strictly after the join, so the atomicity
+      // contract is unchanged
+      ParJobs.run(
+        () => tfdl.repartition(Compaction.writerWidth(batch), col("tok"))
+          .sortWithinPartitions(col("tok"), col("doc_id"))
+          .write.parquet(s"$batchDir/tf"),
+        // one delta file per batch, not one per shuffle partition: the
+        // batch vocabulary is small, and serving's fold pays per FILE
+        () => tfdl.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .coalesce(1).sortWithinPartitions(col("tok"))
+          .write.parquet(s"$batchDir/df"),
+        // distinct (doc_id, dl) == one row per batch doc with ≥1 token —
+        // the same n_docs semantics the initial derivation has; the
+        // tot_dl coalesce covers an all-empty batch (sum of nothing)
+        () => tfdl.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
+          .write.parquet(s"$batchDir/stats"))
       // the commit point: everything above is invisible until this
       // single atomic create succeeds
       StagedBatches.commit(spark, batchDir)

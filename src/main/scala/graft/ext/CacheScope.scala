@@ -61,11 +61,14 @@ object CacheScope {
       // round 19: two models trained over the same corpus register
       // the same wordCounts plan). A dataset whose canonicalized plan
       // is still registered in an enclosing active scope is left for
-      // that scope to release.
+      // that scope to release. Comparison is on the ANALYZED plan —
+      // the CacheManager's own key (sameResult over analyzed plans):
+      // two registrations whose RAW logical plans differ but analyze
+      // to the same result still collide in the cache (ADVICE r19).
       val outerPlans = scopes.get.iterator.flatten
-        .map(_.queryExecution.logical.canonicalized).toSet
+        .map(_.queryExecution.analyzed.canonicalized).toSet
       buf.foreach { ds =>
-        if (!outerPlans.contains(ds.queryExecution.logical.canonicalized))
+        if (!outerPlans.contains(ds.queryExecution.analyzed.canonicalized))
           ds.unpersist()
         ()
       }

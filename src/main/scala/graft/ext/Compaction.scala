@@ -93,9 +93,25 @@ object Compaction {
     * split either way (guide §6). Capped at 2²⁰ as a backstop against
     * a pathological estimate. */
   private[ext] def writerWidth(df: org.apache.spark.sql.DataFrame): Int = {
+    val spark = df.sparkSession
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val t = BigInt(TargetFileBytes)
-    ((bytes + t - 1) / t).max(1).min(1 << 20).toInt
+    // A non-scan-backed relation has NO real size estimate: Spark
+    // falls back to spark.sql.defaultSizeInBytes (Long.MaxValue by
+    // default) for LogicalRDD-backed plans, and join estimates multiply
+    // child sizes toward it. Unclamped, that would explode the width
+    // into the 2^20 backstop — 1M writer tasks/files from one bogus
+    // estimate (ADVICE r19). Mirror batchWidth's discipline: detect
+    // the sentinel and fall back to the session shuffle width (the
+    // deployment's scale knob), keeping the size-derived width only
+    // when the estimate is a real one.
+    val sentinel = BigInt(spark.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    if (bytes >= sentinel)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    else {
+      val t = BigInt(TargetFileBytes)
+      ((bytes + t - 1) / t).max(1).min(1 << 20).toInt
+    }
   }
 
   /** Stage the replacement of `dir` under `<dir>.compact_tmp` (the
@@ -234,18 +250,23 @@ object Compaction {
     val dfPaths = Bm25.storePaths(spark, srcDir, "df")
     val stPaths = Bm25.storePaths(spark, srcDir, "stats")
     val n = targetPartsFor(spark, tfPaths)
-    spark.read.parquet(tfPaths: _*)
-      .repartition(n, col("tok"))
-      .sortWithinPartitions(col("tok"), col("doc_id"))
-      .write.parquet(s"$outDir/tf")
-    spark.read.parquet(dfPaths: _*)
-      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-      .repartition(targetPartsFor(spark, dfPaths), col("tok"))
-      .sortWithinPartitions(col("tok"))
-      .write.parquet(s"$outDir/df")
-    spark.read.parquet(stPaths: _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
-      .coalesce(1).write.parquet(s"$outDir/stats")
+    val nDf = targetPartsFor(spark, dfPaths)
+    // the three folds read disjoint source relations and write disjoint
+    // output dirs — overlap them (guide §2.6); the caller's commit
+    // (swap rename / manifest entry) stays strictly after all three
+    ParJobs.run(
+      () => spark.read.parquet(tfPaths: _*)
+        .repartition(n, col("tok"))
+        .sortWithinPartitions(col("tok"), col("doc_id"))
+        .write.parquet(s"$outDir/tf"),
+      () => spark.read.parquet(dfPaths: _*)
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .repartition(nDf, col("tok"))
+        .sortWithinPartitions(col("tok"))
+        .write.parquet(s"$outDir/df"),
+      () => spark.read.parquet(stPaths: _*)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+        .coalesce(1).write.parquet(s"$outDir/stats"))
   }
 
   /** BM25 compaction under the [[GenerationStore]] protocol — for

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the E-step is MAP-ONLY — centroids are k·d longs of
   * broadcast driver metadata riding the expression tree, never a join.
-  * The M-step's shuffle carries only k·d rows per partition after
-  * map-side combine (posexplode is narrow; partial aggregation
-  * collapses each partition to ≤ k·d partial sums), and the collect is
-  * k·d bounded model metadata — the Ivf precedent. The quantized
+  * The M-step aggregates the unfanned (cluster, q) rows with the
+  * vector-summing [[graft.functions.LongVecSum]] (one hash probe per
+  * row, one d-long buffer per cluster — the earlier posexplode form
+  * fanned every row d× and paid the aggregate per element); partial
+  * aggregation collapses each partition to ≤ k array rows, and the
+  * collect is k rows of bounded model metadata — the Ivf precedent. The quantized
   * points localCheckpoint once (the MLlib-style cache every Lloyd
   * implementation needs: iters+1 passes re-read them); overflow is
   * impossible by construction (|x| < Shift = 4 → q < 2^17,
@@ -92,15 +94,26 @@ object KMeans {
       .map(_.getSeq[Long](1).map(_ * CScale).toArray)
     require(cents.length == k, s"KMeans: k=$k but only ${cents.length} points")
     for (_ <- 1 to iters) {
+      // vector-summing aggregate over the unfanned (cluster, q) rows:
+      // the posexplode form paid the hash aggregate per ELEMENT (d×
+      // the rows) and collected k·d rows; this collects k array rows.
+      // Long sums are order-independent — values bit-identical.
       val sums = assign(pts, cents)
-        .select(col("cluster"), posexplode(col("q")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(graft.functions.LongVecSum.sumCol(col("q")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone()) // an emptied cluster keeps its centroid
       sums.foreach { r =>
-        // positive operands: Scala `/`, Spark `div`, DuckDB `//` agree
-        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) * CScale / r.getLong(3)
+        val s = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        val c = next(r.getInt(0))
+        var i = 0
+        while (i < c.length) {
+          // positive operands: Scala `/`, Spark `div`, DuckDB `//` agree
+          c(i) = s(i) * CScale / n
+          i += 1
+        }
       }
       cents = next
     }

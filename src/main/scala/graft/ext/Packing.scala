@@ -287,16 +287,26 @@ object Packing {
     val seqs = carrySeqs(toks, idCol, seqLen, offset, carried).persist()
     try {
       val (complete, newCarry, newMeta) = carryOutputs(seqs, seqLen, offset)
-      complete.write.parquet(s"$genDir/seqs")
       // the new tail is ≤ seqLen-1 rows and the total is one value —
       // collect them (cached seqs, no recompute), persist them for
       // recovery from LOCAL relations (no plan re-run), and hand them
       // back so the next micro-batch starts from driver state instead
-      // of a listing + two parquet reads
-      val tail = newCarry.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val t = newMeta.collect()(0).getLong(0)
-      tail.toDF("gp", "tid").coalesce(1).write.parquet(s"$genDir/carry")
-      Seq(t).toDF("t").coalesce(1).write.parquet(s"$genDir/meta")
+      // of a listing + two parquet reads. The three output chains
+      // (seqs write; carry collect+write; meta collect+write) all read
+      // only the persisted `seqs` and write disjoint dirs — overlap
+      // them (guide §2.6); the caller's commit marker stays after all.
+      @volatile var tail: Seq[(Long, Long)] = null
+      @volatile var t = 0L
+      ParJobs.run(
+        () => complete.write.parquet(s"$genDir/seqs"),
+        () => {
+          tail = newCarry.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          tail.toDF("gp", "tid").coalesce(1).write.parquet(s"$genDir/carry")
+        },
+        () => {
+          t = newMeta.collect()(0).getLong(0)
+          Seq(t).toDF("t").coalesce(1).write.parquet(s"$genDir/meta")
+        })
       (t, tail)
     } finally { seqs.unpersist(); () }
   }

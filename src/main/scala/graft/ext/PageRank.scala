@@ -43,10 +43,19 @@ object PageRank {
     * |nodes| rows backing the result. */
   def ranks(edgesIn: DataFrame): DataFrame = {
     val sc = edgesIn.sparkSession.sparkContext
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // The ids to free come from the checkpointed Datasets THEMSELVES
+    // (an eager localCheckpoint collapses the plan to one LogicalRDD —
+    // its rdd id is the persisted block set), never from diffing the
+    // context-global persistent-RDD map: that map is shared across
+    // threads, and a concurrent persist landing inside the diff window
+    // would be unpersisted by us — destroying the only copy of a
+    // foreign localCheckpoint's data (ADVICE r19).
+    def ckptIds(df: DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    val before0 = persisted
     val edges = edgesIn.localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -55,7 +64,7 @@ object PageRank {
     // instead of re-aggregating the edge relation ten times
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .localCheckpoint()
-    val staticIds = persisted -- before0
+    val staticIds = ckptIds(edges) ++ ckptIds(nodes) ++ ckptIds(outdeg)
     val nNodes = nodes.count()
     val base = (1.0 - Damping) / nNodes
     var rank = nodes.withColumn("rank",
@@ -67,14 +76,15 @@ object PageRank {
         .select(col("dst").as("node"),
           (floor(lit(Damping) * col("rank") * col("w") / col("deg") * 1e12 + 0.5) / 1e12)
             .cast("decimal(28,12)").as("c"))
-      val before = persisted
       rank = nodes.join(contrib.groupBy(col("node")).agg(sum(col("c")).as("sc")),
           Seq("node"), "left")
         .select(col("node"),
           (floor((lit(base) + coalesce(col("sc").cast("double"), lit(0.0)))
             * 1e12 + 0.5) / 1e12).as("rank"))
         .localCheckpoint() // eager: the previous rank's blocks are now free-able
-      val newIds = persisted -- before
+      // the fresh checkpoint's own id, never the loop-static ones (the
+      // initial, un-checkpointed rank's plan contains nodes' LogicalRDD)
+      val newIds = ckptIds(rank) -- staticIds
       free(prevIds)
       prevIds = newIds
     }

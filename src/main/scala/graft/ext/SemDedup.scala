@@ -210,15 +210,20 @@ object SemDedup {
           first(col("q")).as("q"))
         .select(col("id"), col("best").getField("cell").as("cell"), col("q"))
     // M-step: truncating-division integer means per (cell, pos); an
-    // emptied cell keeps its previous centroid (left join + coalesce)
+    // emptied cell keeps its previous centroid (left join + coalesce).
+    // The sums come from the vector-summing aggregate over the UNFANNED
+    // (cell, q) rows — the posexplode form this replaces blew each row
+    // into d rows and paid the hash-aggregate per ELEMENT (a 64× row
+    // fan-out at d=64, the trainer's dominant term after the round-19
+    // E-step fix). Long sums are order-independent, so the per-position
+    // values — and every downstream verdict — are bit-identical
+    // (SemDedupSpec's distributed ≡ driver equality pins it).
     def mstep(assigned: DataFrame, cents: DataFrame): DataFrame = {
-      val sums = assigned.select(col("cell"), posexplode(col("q")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(expr(s"sum(col) * ${KMeans.CScale}L div count(1)").as("coord"))
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("coord")))),
-          e => e.getField("coord")).as("c_new"))
+      val sums = assigned.groupBy(col("cell"))
+        .agg(graft.functions.LongVecSum.sumCol(col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"),
+          expr(s"transform(s, x -> x * ${KMeans.CScale}L div n)").as("c_new"))
       cents.select(col("grp"), col("cell"), col("c").as("c_prev"))
         .join(sums, Seq("cell"), "left")
         .select(col("grp"), col("cell"),
@@ -489,13 +494,17 @@ object SemDedup {
       val dropped = cross.unionByName(inBatch).distinct().persist()
       try {
         val bd = StagedBatches.freshBatchDir(root)
-        asg.join(dropped.withColumn("d", lit(true)), Seq("id"), "left")
-          .select(col("id"), col("cell").cast("int").as("cell"),
-            (!coalesce(col("d"), lit(false))).as("kept"))
-          .write.parquet(s"$bd/verdicts")
-        asg.join(dropped, Seq("id"), "left_anti")
-          .select(col("id"), col("cell").cast("int").as("cell"), col("v"))
-          .write.parquet(s"$bd/reps")
+        // both staged writes read the persisted asg + dropped and write
+        // disjoint dirs — overlap them (guide §2.6); the commit marker
+        // stays strictly after the join
+        ParJobs.run(
+          () => asg.join(dropped.withColumn("d", lit(true)), Seq("id"), "left")
+            .select(col("id"), col("cell").cast("int").as("cell"),
+              (!coalesce(col("d"), lit(false))).as("kept"))
+            .write.parquet(s"$bd/verdicts"),
+          () => asg.join(dropped, Seq("id"), "left_anti")
+            .select(col("id"), col("cell").cast("int").as("cell"), col("v"))
+            .write.parquet(s"$bd/reps"))
         // the commit point: both relations are invisible until this
         // single atomic create succeeds
         StagedBatches.commit(s, bd)

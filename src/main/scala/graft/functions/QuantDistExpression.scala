@@ -47,8 +47,14 @@ case class QuantSqDist(left: Expression, right: Expression, cscale: Long)
 object QuantSqDist {
 
   /** Shared by interpreted eval and generated code (static forwarder).
-    * Shorter-array length wins, matching zip semantics on the
-    * equal-length arrays this is used with. */
+    * Sums over min(len(a), len(b)) elements. NOTE: on UNEQUAL lengths
+    * this deliberately differs from the zip_with fold it replaced
+    * (zip_with null-pads the shorter array, so the fold returned NULL
+    * there; this returns the partial sum) — every call site compares
+    * d-length quantized vectors against d-length centroids, so the
+    * mismatch case never occurs; the expression is bit-identical to
+    * the fold exactly on the equal-length inputs it is used with
+    * (ADVICE r19). */
   def compute(a: ArrayData, b: ArrayData, cscale: Long): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L

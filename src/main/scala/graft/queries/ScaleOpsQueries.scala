@@ -420,25 +420,36 @@ object ScaleOpsQueries {
     "q_tokenizer_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val src = docs.select(col("doc_id"), col("source"))
-      def tokCounts(toks: DataFrame, out: String) =
-        toks.filter(col("tid") =!= 0L)
-          .groupBy(col("doc_id")).agg(count(lit(1)).as(out))
       // ONE word-count pass shared by all three tokenizer trainings
       // (each family's train previously aggregated its own — three
       // identical corpus passes)
       val wc = graft.ext.CacheScope.register(
         graft.ext.Bpe.wordCounts(docs, "text").persist())
-      val bpeToks = tokCounts(
-        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text",
-          graft.ext.Bpe.wordIdRelationOn(wc, 32)), "bpe_toks")
+      // A doc's token count under family f is Σ over its word
+      // OCCURRENCES of n_f(word) — the family's subword count per
+      // distinct word (the EOS rows the old per-family encode appended
+      // were filtered back out anyway). So fold the three families'
+      // counts into ONE distinct-word relation and join the corpus
+      // words ONCE, instead of three encodeIdsAgainst corpus joins
+      // (guide §1.2-1/§3: the corpus-sized side was exploded and
+      // shuffled three times for per-word info that fits in one small
+      // broadcastable relation). Integer sums are grouping-order-free,
+      // so the result is hash-identical (oracle re-pinned).
+      def wn(wids: DataFrame, out: String) =
+        wids.groupBy(col("w")).agg(count(lit(1)).as(out))
       val (uwids, _) = graft.ext.Unigram.wordPieceRelationOn(wc)
-      val uniToks = tokCounts(
-        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", uwids),
-        "uni_toks")
       val (wwids, _) = graft.ext.WordPiece.wordPieceRelationOn(wc)
-      val wpToks = tokCounts(
-        graft.ext.Bpe.encodeIdsAgainst(docs, "doc_id", "text", wwids),
-        "wp_toks")
+      val famN = wn(graft.ext.Bpe.wordIdRelationOn(wc, 32), "bpe_n")
+        .join(wn(uwids, "uni_n"), Seq("w"), "full")
+        .join(wn(wwids, "wp_n"), Seq("w"), "full")
+      val corpusWords = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val toks = corpusWords.join(famN, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("bpe_n"), lit(0L))).as("bpe_toks"),
+          sum(coalesce(col("uni_n"), lit(0L))).as("uni_toks"),
+          sum(coalesce(col("wp_n"), lit(0L))).as("wp_toks"))
       val words = docs.select(col("doc_id"),
         size(filter(split(coalesce(col("text"), lit("")), " "),
           t => t =!= "")).cast("long").as("n_words"))
@@ -446,9 +457,7 @@ object ScaleOpsQueries {
                w: org.apache.spark.sql.Column) =
         when(w > 0, floor(t.cast("double") / w.cast("double") * 1e4 + 0.5) / 1e4)
       src.join(words, "doc_id")
-        .join(bpeToks, Seq("doc_id"), "left")
-        .join(uniToks, Seq("doc_id"), "left")
-        .join(wpToks, Seq("doc_id"), "left")
+        .join(toks, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(sum(col("n_words")).as("n_words"),
           coalesce(sum(col("bpe_toks")), lit(0L)).as("bpe_tokens"),

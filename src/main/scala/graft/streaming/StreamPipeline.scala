@@ -361,8 +361,16 @@ object StreamPipeline {
             // verify join twice (once to check, once to write) — the
             // most expensive per-batch step; an empty write is cheap
             val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text", n, minJ)
-            verified.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-            newBands.write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
+            // the pair sink and the band store are disjoint dirs, both
+            // keyed by batchId with overwrite semantics — a crash
+            // before either completes replays the batch and rewrites
+            // both, so overlapping the two jobs (guide §2.6) preserves
+            // the exactly-once contract
+            graft.ext.ParJobs.run(
+              () => verified.write.mode("overwrite")
+                .parquet(s"$outDir/batch_$batchId"),
+              () => newBands.write.mode("overwrite")
+                .parquet(s"$storeDir/batch_$batchId"))
           } finally { newBands.unpersist(); () }
         }
       }

@@ -54,6 +54,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // unigram/bigram corpus totals (PMI) broadcast onto bounded
     // candidate streams
     "q_bm25_topk", "q_pmi_colloc",
+    // the cold-build rung serves exactly q_bm25_topk's probe (same
+    // 1-row stats broadcast) from the rebuilt index
+    "q_store_build_cold",
     // the same 1-row N/avgdl stats broadcast, served through the
     // generation-store protocol
     "q_genstore_bm25",

@@ -55,14 +55,20 @@ object SemDedupDistLadder {
     }
     val keptClones = pass() // warmup, and the planted-contract check
     val k = SemDedup.kFor(n, 512)
+    val plantedClones = clones.count()
     // the zero-clones oracle is a MEASURED margin of the ×1.5f clone
     // construction (~1e-8 unit-vector float noise): it held at the
     // k=47 and k=469 rungs and breaks at k≈4700 (~0.3% of clones flip
     // cells in EITHER training mode as boundary density grows), so it
-    // is required only in the established small-k regime and reported
-    // above it
-    require(keptClones == 0L || k >= 1024,
-      s"planted contract violated: $keptClones clones survived")
+    // is required exactly zero only in the established small-k regime —
+    // and BOUNDED above it (≤1% of planted clones, ~3× the measured
+    // float-noise flip rate): a regression keeping most clones must
+    // fail the rung, not ride the waiver (ADVICE r19)
+    require(
+      if (k < 1024) keptClones == 0L
+      else keptClones <= plantedClones / 100,
+      s"planted contract violated: $keptClones of $plantedClones clones " +
+        s"survived at k=$k (allowed: ${if (k < 1024) 0L else plantedClones / 100})")
     val times = (1 to iters).map { _ =>
       val t0 = System.nanoTime(); pass(); (System.nanoTime() - t0) / 1e9
     }.sorted

@@ -196,9 +196,9 @@ class SemDedupSpec extends AnyFunSuite {
 
   test("QuantSqDist equals the zip_with long fold it replaced") {
     // the E-step's codegen'd distance vs the original expression form,
-    // over planted quantized arrays including a length mismatch (the
-    // no-alloc loop takes min length, matching zip semantics on the
-    // equal-length arrays it is used with)
+    // over planted EQUAL-LENGTH quantized arrays — the only shape any
+    // call site produces (d-length points vs d-length centroids), and
+    // the shape on which the two forms are bit-identical
     val rows = Seq(
       (Seq(131071L, 0L, 42L), Seq(131071L * 256, 7L, 42L * 256 + 1)),
       (Seq(0L, 1L), Seq(0L, 256L)),
@@ -212,5 +212,24 @@ class SemDedupSpec extends AnyFunSuite {
         dd * dd
       }), lit(0L), (a, x) => a + x).as("d")).collect().map(_.getLong(0))
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("QuantSqDist on unequal lengths: partial sum, NOT zip_with's null") {
+    // documented intended divergence (ADVICE r19): zip_with null-pads
+    // the shorter array so the fold returns NULL on a length mismatch,
+    // while the no-alloc loop sums over min(len) — the mismatch never
+    // occurs at any call site, but the behavior difference is pinned
+    // here so the equivalence claim above stays honest
+    val rows = Seq((Seq(3L, 4L, 9L), Seq(256L))).toDF("q", "c")
+    val got = rows.select(graft.functions.QuantSqDist.distCol(
+      col("q"), col("c"), KMeans.CScale).as("d")).collect()(0).getLong(0)
+    val d0 = 3L * 256 - 256
+    assert(got == d0 * d0)
+    val foldIsNull = rows.select(aggregate(
+      zip_with(col("q"), col("c"), (x, y) => {
+        val dd = x * lit(KMeans.CScale) - y
+        dd * dd
+      }), lit(0L), (a, x) => a + x).as("d")).collect()(0).isNullAt(0)
+    assert(foldIsNull)
   }
 }
