@@ -93,6 +93,13 @@ object KMeans {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).map(_ * CScale).toArray)
     require(cents.length == k, s"KMeans: k=$k but only ${cents.length} points")
+    // size ObjectHashAggregateExec's sort-fallback threshold for the
+    // M-step's k fixed-width d-long buffers (see
+    // LongVecSum.withGroupBudget — the default 128 sorts every
+    // partition's points once k > 128)
+    val d0 = cents.headOption.map(_.length).getOrElse(1)
+    graft.functions.LongVecSum.withGroupBudget(pts.sparkSession,
+      k.toLong, 8L * d0) {
     for (_ <- 1 to iters) {
       // vector-summing aggregate over the unfanned (cluster, q) rows:
       // the posexplode form paid the hash aggregate per ELEMENT (d×
@@ -116,6 +123,7 @@ object KMeans {
         }
       }
       cents = next
+    }
     }
     cents
   }

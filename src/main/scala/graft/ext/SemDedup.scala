@@ -231,6 +231,24 @@ object SemDedup {
     }
 
     var cents = seeds.localCheckpoint()
+    // BOTH trainer aggregates are object-buffered and BOUNDED: the
+    // E-step's groupBy(id).agg(min(struct), first(q)) holds ≈ n/width
+    // point buffers per partition, the M-step's LongVecSum ≤ k d-long
+    // sums. Size ObjectHashAggregateExec's sort-fallback threshold to
+    // the larger group count (memory-capped in withGroupBudget) — the
+    // default 128 sorted every partition's E-step join rows each
+    // iteration (measured same-window at the k=4688 ladder rung:
+    // 403 s → 237 s). Scope covers the loop AND the final assignment,
+    // which runs the same E-step aggregation once more.
+    val d = coarse.centroids.headOption.map(_.length).getOrElse(1)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    // ×8 headroom over the even-split average: the E-step's MAP-side
+    // partial aggregation runs on grp-partitioned join output, where a
+    // partition holds whole groups (≈√k groups hash onto width
+    // partitions — the occupancy is skewed, not uniform). The memory
+    // cap inside withGroupBudget still bounds the worst case.
+    val groupKeys = math.max(k.toLong, (total / width + 1) * 8)
+    graft.functions.LongVecSum.withGroupBudget(spark, groupKeys, 8L * d + 64) {
     for (_ <- 1 to iters)
       cents = mstep(estep(cents), cents).localCheckpoint()
     // dense int cell labels, renumbered PER COARSE GROUP plus a
@@ -267,6 +285,7 @@ object SemDedup {
     // .fitCentroids precedent)
     ckpts.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     asg
+    } // withGroupBudget
   }
 
   /** The per-vector cell-assignment function: flat O(k·d) nearest for
